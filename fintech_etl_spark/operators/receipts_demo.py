@@ -1,0 +1,114 @@
+"""Receipt-pipeline semantics (SURVEY §2.2 R1–R7) exercised on the
+driver's star schema, where orders ≈ invoices and lineitem ≈ invoice
+rows, so the DuckDB oracle can check them.
+
+The real vendor-invoice pipeline (operators/receipts.py) runs on CSV
+fixtures and is pinned by golden tests; these queries prove the same
+aggregate shapes — NaN-key drop, first-row header extraction,
+sum/count, ordered nested collect, total≠subtotal asymmetry — on
+oracle-checkable data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.registry import register
+from fintech_etl_spark.sources.tables import load_table
+
+
+@register(
+    "receipt_order_rollup",
+    """
+    SELECT o_orderkey                              AS receipt_id,
+           o_totalprice                            AS total_amount,
+           round(sum(l_extendedprice), 4)          AS subtotal,
+           CAST(count(*) AS INTEGER)               AS item_count,
+           round(sum(l_tax * l_extendedprice), 4)  AS tax_total
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    """,
+    doc=(
+        "Receipt rollup analogue: total_amount is the header FIELD while "
+        "subtotal is the computed sum — the reference's asymmetry "
+        "(/root/reference/stream/processor.py:60-64) as a set-based query."
+    ),
+    tags=("receipts", "agg"),
+)
+def receipt_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("subtotal"),
+            F.count(F.lit(1)).cast("int").alias("item_count"),
+            F.round(F.sum(F.col("l_tax") * F.col("l_extendedprice")), 4).alias(
+                "tax_total"
+            ),
+        )
+        .select(
+            F.col("o_orderkey").alias("receipt_id"),
+            F.col("o_totalprice").alias("total_amount"),
+            "subtotal",
+            "item_count",
+            "tax_total",
+        )
+    )
+
+
+@register(
+    "receipt_first_line_extract",
+    """
+    SELECT l_orderkey AS receipt_id, l_partkey AS first_partkey,
+           l_extendedprice AS first_price
+    FROM (SELECT l_orderkey, l_partkey, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_partkey) AS rn
+          FROM lineitem) t
+    WHERE rn = 1
+    """,
+    doc=(
+        "First-row-per-group header extraction (R2): the reference takes "
+        "iloc[0] in file order; here min_by over a deterministic line order."
+    ),
+    tags=("receipts", "agg"),
+)
+def receipt_first_line_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # min_by on a composite order key == row_number()=1 without a window:
+    # single hash aggregation, no per-partition sort.
+    order_key = F.struct(F.col("l_linenumber"), F.col("l_partkey"))
+    return li.groupBy("l_orderkey").agg(
+        F.min_by("l_partkey", order_key).alias("first_partkey"),
+        F.min_by("l_extendedprice", order_key).alias("first_price"),
+    ).select(
+        F.col("l_orderkey").alias("receipt_id"), "first_partkey", "first_price"
+    )
+
+
+@register(
+    "receipts_nested_documents",
+    None,  # nested array<struct> — not ANSI-SQL-hashable; rows-only check
+    doc=(
+        "Full nested receipt document (R5/R6): one row per order with an "
+        "ordered array<struct> of line items via collect_list + array_sort "
+        "— the Spark shape of the reference's Pydantic receipt "
+        "(/root/reference/stream/schema.py:21-35)."
+    ),
+    tags=("receipts", "nested"),
+)
+def receipts_nested_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    item = F.struct(
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return li.groupBy(F.col("l_orderkey").alias("receipt_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("item_count"),
+        F.array_sort(F.collect_list(item)).alias("line_items"),
+    )

@@ -1,0 +1,190 @@
+"""Text-analysis operators for LLM training-data pipelines (north star).
+
+All pure column expressions over the ``documents`` table — tokenize,
+language-ID heuristic, quality scoring, fingerprinting — no Python in
+the row path, so each scales as a single projection/aggregation over
+arbitrarily many parquet splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.registry import register
+from fintech_etl_spark.sources.tables import load_table
+
+# A small deterministic English stopword set for the language-ID /
+# quality heuristics (public-domain list prefix).
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def tokens(col: F.Column | str) -> F.Column:
+    """Whitespace tokenization (the baseline tokenizer; BPE-ish regex
+    splitting below in ``token_count_bpe_ish``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+@register(
+    "text_stats_by_lang",
+    r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+           CAST(max(len(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+    doc="Corpus statistics per language: doc counts, char/token means.",
+    tags=("text",),
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.max(ntok).alias("max_tokens"),
+    )
+
+
+@register(
+    "token_totals_by_source",
+    r"""
+    SELECT source,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+    doc="Token/char budget accounting per source shard.",
+    tags=("text",),
+)
+def token_totals_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text")).cast("long")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "token_count_bpe_ish",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER)
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc=(
+        "Token counting two ways: whitespace and a BPE-ish regex "
+        "(letter-runs / digit-runs / single punctuation) — the standard "
+        "cheap proxy for tokenizer budgeting."
+    ),
+    tags=("text",),
+)
+def token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_ish = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("ws_tokens"),
+        F.size(bpe_ish).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "lang_id_stopword_heuristic",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\s+')) AS ratio
+        FROM documents)
+    SELECT doc_id, lang, round(ratio, 4) AS stopword_ratio,
+           ratio >= 0.08 AS pred_en
+    FROM t
+    """,
+    doc=(
+        "n-gram-free language ID heuristic: English stopword density. "
+        "Real lang-ID would be a fastText Pandas UDF (lib not in image); "
+        "the distributed shape — per-doc scalar projection — is identical."
+    ),
+    tags=("text",),
+)
+def lang_id_stopword_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    ratio = n_sw.cast("double") / F.size(tokens("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("stopword_ratio"),
+        (ratio >= 0.08).alias("pred_en"),
+    )
+
+
+@register(
+    "quality_score",
+    rf"""
+    SELECT doc_id,
+           round(0.4 * least(len(string_split_regex(trim(text), '\s+')) / 200.0, 1.0)
+               + 0.4 * least(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                             / len(string_split_regex(trim(text), '\s+')) / 0.1, 1.0)
+               + 0.2 * least(n_chars / 1000.0, 1.0), 4) AS quality
+    FROM documents
+    """,
+    doc=(
+        "Composite document quality score: length, stopword density, "
+        "char budget — the usual pre-training filter features, computed "
+        "as one codegen'd projection."
+    ),
+    tags=("text",),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens("text"))
+    toks_low = tokens(F.lower(F.col("text")))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    sw_ratio = (
+        F.size(F.filter(toks_low, lambda x: F.array_contains(sw, x))).cast("double")
+        / ntok
+    )
+    quality = (
+        0.4 * F.least(ntok / F.lit(200.0), F.lit(1.0))
+        + 0.4 * F.least(sw_ratio / 0.1, F.lit(1.0))
+        + 0.2 * F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
+    )
+    return docs.select("doc_id", F.round(quality, 4).alias("quality"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fingerprint,
+           substr(md5(text), 1, 8) AS shard_key
+    FROM documents
+    """,
+    doc=(
+        "Content fingerprinting (md5 here; xxhash64 in-engine when cross-"
+        "engine portability isn't needed). The shard_key prefix is the "
+        "natural partition key for a 100 TB dedup shuffle."
+    ),
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
+    )
