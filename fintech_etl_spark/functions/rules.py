@@ -43,8 +43,15 @@ def safe_num(col: ColumnOrName, default: float = 0.0) -> Column:
 
 
 def safe_int(col: ColumnOrName, default: float = 0.0) -> Column:
-    """``int(safe_num(...))`` — truncation toward zero, like Python ``int()``."""
-    return safe_num(col, default).cast("int")
+    """``int(safe_num(...))`` — truncation toward zero, like Python ``int()``.
+
+    ``try_cast`` instead of ``cast``: ANSI mode (PySpark 4 default)
+    raises on double→int overflow, while the reference degrades garbage
+    to the default — an out-of-int-range value coalesces to ``default``.
+    """
+    return F.coalesce(
+        safe_num(col, default).try_cast("int"), F.lit(int(default))
+    )
 
 
 def norm_text(col: ColumnOrName) -> Column:
@@ -164,16 +171,18 @@ def calc_quantity(
     p = packs_per_case(packs)
     u = units_per_pack(units)
     cat = product_category(gl_code, product_class)
+    # try_cast: ANSI mode raises on double→int overflow; the reference's
+    # Python int() never does. Overflowing quantities degrade to null.
     beer_exploded = F.when(
-        p.isin(*BEER_SPECIAL_PACKS), (qty * p * u).cast("int")
-    ).otherwise((qty * p).cast("int"))
+        p.isin(*BEER_SPECIAL_PACKS), (qty * p * u).try_cast("int")
+    ).otherwise((qty * p).try_cast("int"))
     return (
-        F.when(norm_uom(uom) == "bottle", qty.cast("int"))
+        F.when(norm_uom(uom) == "bottle", qty.try_cast("int"))
         .when(cat == BEER, beer_exploded)
-        .when(cat == WINE, (qty * p * u).cast("int"))
+        .when(cat == WINE, (qty * p * u).try_cast("int"))
         # SPIRITS / NON-ALCOHOLIC / MISCELLANEOUS and the (unreachable)
         # fallback all share qty × packs.
-        .otherwise((qty * p).cast("int"))
+        .otherwise((qty * p).try_cast("int"))
     )
 
 

@@ -66,7 +66,7 @@ def receipt_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_extendedprice AS first_price
     FROM (SELECT l_orderkey, l_partkey, l_extendedprice,
                  row_number() OVER (PARTITION BY l_orderkey
-                      ORDER BY l_linenumber, l_partkey) AS rn
+                      ORDER BY l_linenumber, l_partkey, l_extendedprice, l_suppkey) AS rn
           FROM lineitem) t
     WHERE rn = 1
     """,
@@ -79,8 +79,15 @@ def receipt_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def receipt_first_line_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # min_by on a composite order key == row_number()=1 without a window:
-    # single hash aggregation, no per-partition sort.
-    order_key = F.struct(F.col("l_linenumber"), F.col("l_partkey"))
+    # single hash aggregation, no per-partition sort. The key includes
+    # every output column (testdata has duplicate (order, line, part)
+    # triples) so the extracted row is fully deterministic.
+    order_key = F.struct(
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_extendedprice"),
+        F.col("l_suppkey"),
+    )
     return li.groupBy("l_orderkey").agg(
         F.min_by("l_partkey", order_key).alias("first_partkey"),
         F.min_by("l_extendedprice", order_key).alias("first_price"),

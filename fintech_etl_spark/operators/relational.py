@@ -99,8 +99,9 @@ def q3_segment_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        # customer side is fact-filtered and small → broadcast semi-ish join
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is fact-scale: no forced broadcast — AQE converts to a
+        # broadcast join at runtime only if the filtered side is small.
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.alias("_rev"))
         .orderBy(F.col("_rev").desc(), "o_orderkey")
@@ -166,7 +167,10 @@ def nation_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
     )
-    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    # customer is fact-scale (150k × SF): never force-broadcast it; the
+    # orders⋈customer join shuffles on custkey (or AQE broadcasts at
+    # small SF). Only nation is a true dimension here.
+    cust = load_table(spark, sf_dir, "customer")
     nat = F.broadcast(load_table(spark, sf_dir, "nation"))
     return (
         orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))

@@ -47,18 +47,34 @@ def register(
     return deco
 
 
+#: Operator families whose import registers their queries. Listed by
+#: name so a family that fails to import (missing module during
+#: development, absent optional dependency) degrades to "its queries
+#: are not offered" instead of killing every entry point.
+_OPERATOR_MODULES = (
+    "dedup",
+    "multimodal",
+    "receipts_demo",
+    "relational",
+    "similarity",
+    "text_analysis",
+)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and
     return the full registry."""
+    import importlib
+
     # Imports are deferred so `import fintech_etl_spark` stays cheap.
-    from fintech_etl_spark.operators import (  # noqa: F401
-        dedup,
-        multimodal,
-        receipts_demo,
-        relational,
-        similarity,
-        text_analysis,
-    )
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(f"fintech_etl_spark.operators.{mod}")
+        except ImportError as exc:  # family not built / optional dep missing
+            import warnings
+
+            warnings.warn(f"operator family '{mod}' unavailable: {exc}", stacklevel=2)
+            continue
 
     return dict(_REGISTRY)
 

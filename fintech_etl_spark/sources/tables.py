@@ -17,8 +17,31 @@ from fintech_etl_spark.schemas import TABLE_NAMES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one star-schema table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. We read it as raw INT64 nanos
+    (``nanosAsLong``) and truncate to microseconds with integer ``div``
+    — double division would lose precision above 2^53 ns (~1970+104
+    days), and truncation (not rounding) matches how engines that do
+    read NANOS (DuckDB, Arrow→Python) surface it at µs precision.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    ts_fields = [
+        f.name
+        for f in df.schema.fields
+        if f.name == "ts" and isinstance(f.dataType, LongType)
+    ]
+    for c in ts_fields:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,138 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark at sf0.01 and
+the matching ``oracle_sql()`` in DuckDB on the same parquet files, then
+compares row count, sorted column names, and an order-insensitive
+value multiset (floats to 4 decimals, dates/timestamps ISO-rendered).
+
+Usage:  python tools/check_correctness.py [name_substring ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+import os
+import sys
+import time
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm_value(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        r = round(v, 4)
+        return 0.0 if r == 0 else r  # -0.0 → 0.0
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_value(x) for x in v)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_value(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: json.dumps(t, default=str))
+    return sorted(cols), out
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from fintech_etl_spark.session import build_session
+
+    filters = sys.argv[1:]
+    spark = build_session("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results: dict[str, dict] = {}
+    n_pass = n_fail = 0
+    for name, fn in sorted(qs.items()):
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            results[name] = {"status": "SPARK_ERROR", "error": str(exc)[:500]}
+            n_fail += 1
+            print(f"FAIL {name}: SPARK_ERROR {str(exc)[:200]}")
+            continue
+        if name not in oracles:
+            results[name] = {"status": "ROWS_ONLY", "rows": len(srows)}
+            print(f"  ok {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            results[name] = {"status": "ORACLE_ERROR", "error": str(exc)[:500]}
+            n_fail += 1
+            print(f"FAIL {name}: ORACLE_ERROR {str(exc)[:200]}")
+            continue
+        sc, sr = _norm_rows(scols, srows)
+        dc, dr = _norm_rows(dcols, drows)
+        status = "PASS"
+        detail = ""
+        if sc != dc:
+            status, detail = "SCHEMA_MISMATCH", f"spark={sc} duck={dc}"
+        elif len(sr) != len(dr):
+            status, detail = "ROWCOUNT_MISMATCH", f"spark={len(sr)} duck={len(dr)}"
+        elif sr != dr:
+            status = "VALUE_MISMATCH"
+            for i, (a, b) in enumerate(zip(sr, dr)):
+                if a != b:
+                    detail = f"first diff row {i}: spark={a} duck={b}"
+                    break
+        results[name] = {
+            "status": status,
+            "rows": len(sr),
+            "sec": round(time.time() - t0, 2),
+            **({"detail": detail[:400]} if detail else {}),
+        }
+        if status == "PASS":
+            n_pass += 1
+            print(f"  ok {name}: {len(sr)} rows [{results[name]['sec']}s]")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {status} {detail[:250]}")
+
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    with open("/tmp/check_correctness.json", "w") as f:
+        json.dump(results, f, indent=1)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
