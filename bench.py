@@ -1,0 +1,74 @@
+"""Benchmark runner — the driver's per-round performance probe.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries":
+{...}, "sf": ...}.
+
+Each query is executed twice; the second (warm) run is recorded so JVM
+startup / code-compilation noise doesn't swamp the numbers. ``value``
+is the summed warm wall-clock across the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_segment_topk_revenue",
+    "q5_region_revenue",
+    "nation_order_totals",
+    "window_topk_per_customer",
+    "window_lag_sessionize",
+    "asof_join_signup_before_purchase",
+    "events_hourly_rollup",
+    "receipt_order_rollup",
+    "doc_fingerprint",
+    "quality_score",
+)
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from fintech_etl_spark.registry import queries
+    from fintech_etl_spark.session import build_session
+
+    spark = build_session("bench")
+    qs = queries()
+    names = [n for n in HEADLINE if n in qs]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
+    names += [n for n in extra.split(",") if n and n in qs and n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_warm_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
