@@ -1,0 +1,216 @@
+"""Multimodal (image/audio/video) column operators (north star).
+
+Media payloads are opaque ``binary`` columns plus a typed metadata
+struct (schemas.MEDIA_SCHEMA): Catalyst prunes/partitions on metadata
+without ever touching bytes, and the bytes travel Arrow-batched into
+Pandas UDFs only in the operators that genuinely need them.
+
+The container has no image/audio codecs, so the decode kernel is
+STUBBED behind ``try: import PIL`` — the deterministic fallback below
+keeps the Spark-side plumbing (schema, batch shape, partitioning)
+real and testable, which is the part that matters for the engine.
+
+The driver testdata has no media table, so assets are derived
+deterministically from ``documents`` (text bytes as payload, metadata
+from doc fields) — giving the DuckDB oracle something to check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.registry import register
+from fintech_etl_spark.sources.tables import load_table
+
+_MEDIA_TYPES = ("image", "audio", "video")
+_FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
+
+
+def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media table: one asset per document, payload =
+    utf-8 bytes of the text, metadata derived from doc fields. The
+    derivation is pure column expressions so the oracle can mirror it."""
+    docs = load_table(spark, sf_dir, "documents")
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    fmt = F.element_at(
+        F.array(*[F.lit(_FORMATS[t]) for t in _MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            mt.alias("media_type"),
+            fmt.alias("format"),
+            F.when(mt == "image", (F.col("n_chars") % 640 + 64).cast("int")).alias("width"),
+            F.when(mt == "image", (F.col("n_chars") % 480 + 48).cast("int")).alias("height"),
+            F.when(mt != "image", F.col("n_chars") * 10).alias("duration_ms"),
+            F.when(mt == "audio", F.lit(16000)).alias("sample_rate"),
+            F.when(mt == "video", (F.col("n_chars") % 240 + 24).cast("int")).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+# SQL mirror of media_assets' metadata derivation (no bytes needed).
+_ASSETS_CTE = """
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT)                 AS n_bytes,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 640 + 64 AS INTEGER) END AS width,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 480 + 48 AS INTEGER) END AS height,
+               CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 END            AS duration_ms,
+               CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars % 240 + 24 AS INTEGER) END AS n_frames
+        FROM documents)
+"""
+
+
+@register(
+    "media_catalog_stats",
+    _ASSETS_CTE
+    + """
+    SELECT media_type,
+           CAST(count(*) AS BIGINT)        AS n_assets,
+           CAST(sum(n_bytes) AS BIGINT)    AS total_bytes,
+           round(avg(n_bytes), 4)          AS avg_bytes,
+           round(avg(duration_ms), 4)      AS avg_duration_ms
+    FROM assets GROUP BY media_type
+    """,
+    doc=(
+        "Catalog rollup over media metadata only: the scan never deserializes "
+        "payload bytes (column pruning drops `content`), which is the whole "
+        "point of the binary+typed-metadata layout at 100 TB."
+    ),
+    tags=("multimodal",),
+)
+def media_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = media_assets(spark, sf_dir)
+    return assets.groupBy(F.col("meta.media_type").alias("media_type")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("content").cast("long")).alias("total_bytes"),
+        F.round(F.avg(F.length("content")), 4).alias("avg_bytes"),
+        F.round(F.avg("meta.duration_ms"), 4).alias("avg_duration_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction via mapInPandas (the Arrow-batched byte path)
+# ---------------------------------------------------------------------------
+
+_FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes int, first_byte int, "
+    "last_byte int, byte_sum long"
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-batch byte-level features. Deterministic and dependency-free —
+    the stand-in for a real decode kernel; swap the body for PIL/librosa
+    and the Spark plan (Arrow batches through mapInPandas) is unchanged."""
+    for pdf in batches:
+        content = pdf["content"]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": content.map(len).astype("int32"),
+                "first_byte": content.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                "last_byte": content.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+                "byte_sum": content.map(lambda b: int(sum(b))).astype("int64"),
+            }
+        )
+
+
+@register(
+    "media_feature_extract",
+    _ASSETS_CTE.replace("octet_length(encode(text))", "octet_length(encode(text))")
+    + """
+    SELECT a.asset_id, a.media_type,
+           CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes,
+           CAST(CASE WHEN octet_length(encode(d.text)) > 0
+                     THEN ascii(substr(d.text, 1, 1)) ELSE -1 END AS INTEGER) AS first_byte,
+           CAST(CASE WHEN octet_length(encode(d.text)) > 0
+                     THEN ascii(substr(d.text, -1, 1)) ELSE -1 END AS INTEGER) AS last_byte,
+           CAST((SELECT coalesce(sum(ascii(c)), 0)
+                 FROM unnest(string_split(d.text, '')) AS u(c)) AS BIGINT)   AS byte_sum
+    FROM assets a JOIN documents d ON a.asset_id = d.doc_id
+    """,
+    doc=(
+        "Byte-level feature extraction through mapInPandas: payload bytes "
+        "cross into Python once, Arrow-batched, vectorized per batch — "
+        "the canonical shape for decode/resize/fingerprint kernels. "
+        "Oracle-checked because the stub features are SQL-mirrorable "
+        "(ASCII text payloads); a real codec would be rows-only."
+    ),
+    tags=("multimodal", "pandas_udf"),
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = media_assets(spark, sf_dir).select(
+        "asset_id", F.col("meta.media_type").alias("media_type"), "content"
+    )
+    return assets.mapInPandas(_extract_features, _FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decode stub (gated on the real library) + frame sampling
+# ---------------------------------------------------------------------------
+
+
+def decode_image(content: bytes, fmt: str) -> tuple[int, int, str]:
+    """Decode an image payload → (width, height, mode).
+
+    The real path needs PIL, which is not in this container; the stub
+    raises so callers fail loudly rather than silently fake pixels.
+    """
+    try:
+        from PIL import Image  # noqa: F401  (absent in this container)
+        import io
+
+        with Image.open(io.BytesIO(content)) as im:
+            return im.width, im.height, im.mode
+    except ImportError as exc:  # pragma: no cover - exercised in prod images
+        raise NotImplementedError(
+            "image decode requires PIL; payload plumbing is tested via "
+            "media_feature_extract instead"
+        ) from exc
+
+
+@register(
+    "media_frame_sample",
+    _ASSETS_CTE
+    + """
+    SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx
+    FROM assets, unnest(generate_series(0, n_frames - 1, 8)) AS t(frame_idx)
+    WHERE media_type = 'video'
+    """,
+    doc=(
+        "Video frame sampling: every 8th frame index per asset via "
+        "sequence+explode — metadata-only planning; the actual frame "
+        "decode would consume (asset_id, frame_idx) through the same "
+        "mapInPandas path as media_feature_extract."
+    ),
+    tags=("multimodal",),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = media_assets(spark, sf_dir)
+    return (
+        assets.filter(F.col("meta.media_type") == "video")
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.col("meta.n_frames") - 1).cast("long"),
+                    F.lit(8).cast("long"),
+                )
+            ).alias("frame_idx"),
+        )
+    )

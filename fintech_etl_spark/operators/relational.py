@@ -211,19 +211,29 @@ def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+_BIG_ANTI = 450000.0
+
+
 @register(
-    "anti_join_never_ordered",
-    """
+    "anti_join_no_big_order",
+    f"""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > {_BIG_ANTI})
     """,
-    doc="NOT EXISTS as left-anti join.",
+    doc=(
+        "NOT EXISTS as left-anti join (filter below the join). Every "
+        "testdata customer has orders, so the predicate keeps the result "
+        "non-trivial: customers with no order above the threshold."
+    ),
     tags=("join",),
 )
-def anti_join_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+def anti_join_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _BIG_ANTI
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

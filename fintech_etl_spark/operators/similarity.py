@@ -1,0 +1,251 @@
+"""Approximate-nearest-neighbor search over embedding columns (north star).
+
+Three tiers over the ``embeddings`` table (array<float> vectors):
+
+- brute-force cosine top-k — the exactness baseline (oracle-checked);
+- random-hyperplane LSH buckets — prune candidates before scoring,
+  the shuffle-friendly 100 TB path;
+- IVF-style coarse quantization — partition vectors by nearest
+  centroid, probe the closest cells only.
+
+Everything is JVM-side higher-order-function arithmetic (zip_with /
+aggregate); the hyperplanes are deterministic literals so results are
+stable and testable. A real deployment would swap the hand-rolled
+centroids for trained ones — the Spark plan shape is identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.operators.dedup import cosine
+from fintech_etl_spark.registry import register
+from fintech_etl_spark.sources.tables import load_table
+
+_DIM = 64
+_TOP_K = 5
+_N_QUERIES = 10  # vec_id < 10 are the probe set
+
+
+def _deterministic_hyperplanes(n_planes: int, dim: int = _DIM) -> list[list[float]]:
+    """Fixed pseudo-random unit hyperplanes (LCG; no RNG imports so the
+    plan is reproducible byte-for-byte across sessions/machines)."""
+    state = 88172645463325252
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            v.append(((state % 2_000_001) / 1_000_000.0) - 1.0)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force top-k (the baseline; oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_cosine_brute",
+    f"""
+    SELECT query_id, neighbor_id, cos, rank
+    FROM (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(v.embedding AS DOUBLE[])), 4) AS cos,
+                 CAST(row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(v.embedding AS DOUBLE[])), 4) DESC,
+                              v.vec_id) AS INTEGER) AS rank
+          FROM embeddings q JOIN embeddings v ON q.vec_id < {_N_QUERIES}
+                                             AND v.vec_id <> q.vec_id) t
+    WHERE rank <= {_TOP_K}
+    """,
+    doc=(
+        "Brute-force cosine top-k: broadcast the (tiny) query set against "
+        "the full vector table, score with zip_with/aggregate in double, "
+        "rank per query with a window. One pass over the corpus, no "
+        "shuffle of the big side — this is also the final re-rank stage "
+        "of both approximate tiers. Rank on the ROUNDED score + id so "
+        "ordering is engine-independent."
+    ),
+    tags=("similarity", "topk"),
+)
+def ann_topk_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 4).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH buckets (approximate tier)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8  # 8 sign bits → 256 buckets per band
+_N_BANDS = 4  # vectors meet if they share any band's bucket
+
+
+def _sign_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
+    """Pack sign(plane·vec) bits into one integer bucket id."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec.cast("array<double>"), plane) >= 0, 1).otherwise(0)
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+@register(
+    "ann_lsh_bucketed",
+    None,  # approximate: recall < 1 by construction → rows-only check
+    doc=(
+        "ANN via random-hyperplane LSH: 4 bands × 8 sign bits. Candidates "
+        "= vectors sharing a bucket with the query in any band; exact "
+        "cosine re-rank within candidates. At 100 TB the bucket id is "
+        "the shuffle/partition key, so each query touches ~corpus/256 "
+        "per band instead of the full corpus."
+    ),
+    tags=("similarity", "lsh", "topk"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Each band needs distinct planes — slice one deterministic stream.
+    all_planes = _deterministic_hyperplanes(_N_PLANES * _N_BANDS, _DIM)
+    bands = [
+        all_planes[b * _N_PLANES : (b + 1) * _N_PLANES] for b in range(_N_BANDS)
+    ]
+
+    def with_buckets(df: DataFrame, idcol: str) -> DataFrame:
+        bucket_arr = F.array(
+            *[_sign_bucket(F.col("embedding"), planes) for planes in bands]
+        )
+        return df.select(
+            F.col("vec_id").alias(idcol),
+            F.col("embedding").alias(f"{idcol}_e"),
+            F.posexplode(bucket_arr).alias("band", "bucket"),
+        )
+
+    corpus = with_buckets(emb, "neighbor_id")
+    queries = with_buckets(emb.filter(F.col("vec_id") < _N_QUERIES), "query_id")
+
+    cand = (
+        queries.join(corpus, ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_id_e", "neighbor_id", "neighbor_id_e")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("query_id_e"), F.col("neighbor_id_e")), 4).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantization (approximate tier #2)
+# ---------------------------------------------------------------------------
+
+_N_PROBE = 3  # cells searched per query
+
+
+@register(
+    "ann_ivf_probe",
+    None,  # approximate by construction → rows-only check
+    doc=(
+        "IVF-style ANN: cluster centroids (here: per-label mean vectors, "
+        "standing in for trained k-means), assign each vector to its "
+        "cell, probe the n_probe nearest cells per query, exact re-rank "
+        "inside. The corpus is partitioned by cell id — on a cluster "
+        "that's a bucketed layout, so a query reads only its probed "
+        "cells' files. Centroids are a tiny broadcast table."
+    ),
+    tags=("similarity", "topk"),
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim_idx = list(range(_DIM))
+    # Centroid per label: element-wise mean via posexplode + pivot-free agg.
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("im", lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # nearest _N_PROBE cells per query (centroid table is tiny → broadcast)
+    qc = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "qe",
+        "cell",
+        cosine(F.col("qe"), F.col("centroid")).alias("ccos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= _N_PROBE)
+        .select("query_id", "qe", "cell")
+    )
+
+    scored = (
+        probes.join(emb, (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 4).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
