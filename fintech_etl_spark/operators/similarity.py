@@ -112,8 +112,12 @@ def ann_topk_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-hyperplane LSH buckets (approximate tier)
 # ---------------------------------------------------------------------------
 
-_N_PLANES = 8  # 8 sign bits → 256 buckets per band
-_N_BANDS = 4  # vectors meet if they share any band's bucket
+# 4 sign bits × 12 bands: tuned for the top-k regime (cos ≈ 0.4 →
+# P(bit agree) ≈ 0.65 → band hit ≈ 0.65⁴ ≈ 0.18 → recall over 12 bands
+# ≈ 1-(1-0.18)¹² ≈ 0.91). Near-dup-only workloads (cos ≥ 0.9) would
+# flip to more bits per band for tighter buckets.
+_N_PLANES = 4
+_N_BANDS = 12
 
 
 def _sign_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:

@@ -35,14 +35,25 @@ def read_invoice_csv(spark: SparkSession, path: str | list[str]) -> DataFrame:
         per-file receipt grouping when many files are scanned at once).
     """
     df = (
-        spark.read.schema(INVOICE_CSV_SCHEMA)
-        .option("header", True)
+        spark.read.option("header", True)
+        .option("inferSchema", False)  # everything string, like the schema
         .option("mode", "PERMISSIVE")
         # utf-8 decode with replacement, same stance as the reference's
         # bytes.decode(errors="replace").
         .option("encoding", "UTF-8")
         .csv(path)
     )
-    return df.withColumn(ROW_IDX, F.monotonically_increasing_id()).withColumn(
-        SOURCE_PATH, F.input_file_name()
-    )
+    # Match columns BY HEADER NAME, not position: a declared schema would
+    # bind positionally, but the reference reads by name with per-column
+    # defaults (row.get(key, default)), tolerating reordered or partial
+    # exports. Missing columns become nulls (the rule expressions supply
+    # defaults); unknown extra columns are dropped. Catalyst still prunes
+    # unused columns out of the scan.
+    present = set(df.columns)
+    cols = [
+        F.col(f.name) if f.name in present else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in INVOICE_CSV_SCHEMA.fields
+    ]
+    return df.select(*cols).withColumn(
+        ROW_IDX, F.monotonically_increasing_id()
+    ).withColumn(SOURCE_PATH, F.input_file_name())

@@ -1,0 +1,104 @@
+"""Operator-level tests: full registry sweep at sf0.001 (every query
+runs and yields a stable schema), plus semantic checks the DuckDB
+oracle can't express — LSH recall vs the brute-force tier, simhash
+Hamming bound, dedup family consistency."""
+
+from __future__ import annotations
+
+import pytest
+
+from fintech_etl_spark.registry import all_specs
+
+from tests.conftest import SF_SMOKE
+
+
+def test_registry_complete_and_importable():
+    specs = all_specs()
+    assert len(specs) >= 45
+    # every family present
+    for family in ("dedup_", "ann_", "media_", "q1_", "window_", "text_stats"):
+        assert any(n.startswith(family) for n in specs), family
+
+
+@pytest.mark.parametrize("name", sorted(all_specs()))
+def test_query_runs_at_smoke_sf(spark, name):
+    spec = all_specs()[name]
+    df = spec.fn(spark, SF_SMOKE)
+    rows = df.limit(5).collect()
+    assert df.columns, name
+    # stable schema: re-planning yields the same columns
+    assert spec.fn(spark, SF_SMOKE).columns == df.columns
+    assert rows is not None
+
+
+def test_lsh_recall_vs_brute(spark):
+    from fintech_etl_spark.operators import similarity as S
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_cosine_brute(spark, SF_SMOKE).collect()
+        if r.rank <= 3
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_lsh_bucketed(spark, SF_SMOKE).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_probe(spark, SF_SMOKE).collect()
+    }
+    # LSH is tuned for this regime (see similarity.py band math): ≥ 0.5
+    # with margin (measured 0.8). IVF partitions by `label`, which is
+    # NOT a trained clustering, so its recall floor is ≈ n_probe /
+    # n_cells = 0.3 — assert the structural floor, not cluster quality.
+    assert len(brute & lsh) / len(brute) >= 0.5, sorted(lsh)[:8]
+    assert len(brute & ivf) / len(brute) >= 0.2, sorted(ivf)[:8]
+
+
+def test_minhash_subset_of_exact_jaccard(spark):
+    from fintech_etl_spark.operators import dedup as D
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    # every minhash-verified pair is an exact-jaccard pair at ≥ the
+    # verify threshold, with identical scores
+    for pair, j in mh.items():
+        assert j >= 0.7
+        assert pair in exact and exact[pair] == j
+
+
+def test_simhash_hamming_bound(spark):
+    from fintech_etl_spark.operators import dedup as D
+
+    rows = D.dedup_simhash(spark, SF_SMOKE).collect()
+    assert all(0 <= r.hamming <= 3 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_exact_dedup_partitions_all_docs(spark):
+    from fintech_etl_spark.operators import dedup as D
+
+    from fintech_etl_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    groups = D.dedup_exact(spark, SF_SMOKE).collect()
+    assert sum(g.n_copies for g in groups) == n_docs
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # column-name contract: oracle aliases must match Spark columns
+    # (checked end-to-end by tools/check_correctness.py; here just shape)
+    assert all(callable(f) for f in qs.values())

@@ -1,0 +1,125 @@
+"""Golden end-to-end test: vendor-invoice CSV → receipt documents →
+webhook payloads (SURVEY §5.2(2),(4)). Pins every N1/N2 edge the survey
+calls out: beer pack {4,6,12,24} explosion, wine×units, bottle
+short-circuit, packs 0→1, UPC priority+zfill, unparseable date→run
+date, null invoice-key drop, notes assembly, total≠subtotal asymmetry,
+key-ordered emission."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from fintech_etl_spark.operators.receipts import build_receipts, to_webhook_payloads
+from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
+
+RUN_DATE = dt.date(2024, 6, 1)
+
+HEADER = (
+    "Invoice Number,Vendor Name,Invoice Date,Invoice Amount,"
+    "Quantity,Packs Per Case,Units Per Pack,Unit Of Measure,GL Code,Product Class,"
+    "Product Description,Extended Price,Discount Adjustment Total,"
+    "DepositAdjustmentTotal,Miscellaneous Adjustment Total,Tax Adjustment Total,"
+    "Delivery Adjustment Total,Pack UPC,Clean UPC,Case UPC"
+)
+
+ROWS = [
+    # INV2 first in file: emission must still be key-sorted (INV1 first)
+    'INV2,Acme Beer Co,06/15/2024,500.00,2,6,4,CA,BEER-4000,ALE,Sixpack,120.00,-5.5,0,0,3.25,0,123,456,789',
+    # beer with non-special pack (5): qty*packs only
+    'INV2,Acme Beer Co,06/15/2024,500.00,3,5,4,CA,BEER-4000,ALE,Oddpack,80.00,0,0,0,3.25,0,,,42',
+    # bottle short-circuit: beer sold by bottle NOT exploded
+    'INV2,Acme Beer Co,06/15/2024,500.00,7,6,4,BO,BEER-4000,ALE,Bottle,30.00,0,2.5,0,3.25,0,,,',
+    # INV1: wine explodes by packs*units; garbage amount; bad date
+    'INV1,,13/45/2024,not-a-number,2,3,6,CA,WINE-55,RED,Pinot,200.00,0,0,1.5,0,4.0,,987654321098765,111',
+    # packs=0 -> 1; spirits qty*packs
+    'INV1,,13/45/2024,not-a-number,4,0,9,EA,SPIRITS,RUM,Rum,60.00,0,0,0,0,0,,,',
+    # null invoice key: dropped like pandas groupby
+    ',Ghost Vendor,01/01/2024,9.99,1,1,1,EA,BEER,X,Ghost,9.99,0,0,0,0,0,,,',
+]
+
+
+def _write_fixture(tmp_path):
+    p = tmp_path / "fixture.csv"
+    p.write_text(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    return str(p)
+
+
+def test_receipts_golden(spark, tmp_path):
+    path = _write_fixture(tmp_path)
+    df = read_invoice_csv(spark, path)
+    receipts = build_receipts(
+        df,
+        gcs_bucket="landing",
+        gcs_path="intake/x.csv",
+        gmail_id="g42",
+        run_date=RUN_DATE,
+        run_ts=1700000000,
+    ).collect()
+
+    assert [r.receipt_id for r in receipts] == ["INV1", "INV2"]  # key order
+
+    inv1, inv2 = receipts
+    # header extraction + defaults
+    assert inv1.vendor == "Unknown Vendor"  # empty Vendor Name → default
+    assert inv2.vendor == "Acme Beer Co"
+    assert inv1.transaction_date == RUN_DATE  # 13/45/2024 unparseable
+    assert inv2.transaction_date == dt.date(2024, 6, 15)
+    # total (header field) ≠ subtotal (computed Σ Extended Price)
+    assert inv1.total_amount == 0.0  # 'not-a-number' degrades
+    assert inv2.total_amount == 500.0
+    assert round(inv1.subtotal, 2) == 260.0
+    assert round(inv2.subtotal, 2) == 230.0
+    assert inv1.item_count == 2 and inv2.item_count == 3
+    assert inv1.document_id == "fnt-g42-INV1-1700000000"
+    assert inv1.source_file == "gs://landing/intake/x.csv"
+
+    # line items preserve file order within the invoice
+    li2 = inv2.line_items
+    assert [i.name for i in li2] == ["Sixpack", "Oddpack", "Bottle"]
+    # beer special pack 6: 2*6*4 = 48
+    assert li2[0].qty == 48
+    # beer non-special pack 5: 3*5 = 15
+    assert li2[1].qty == 15
+    # bottle short-circuit: int(7), NOT exploded
+    assert li2[2].qty == 7
+    assert li2[2].unitOfMeasure == "bottle"
+    # UPC priority pack→clean→case, zfilled to 14
+    assert li2[0].upc == "123".zfill(14)
+    assert li2[1].upc == "42".zfill(14)
+    assert li2[1].sku == "42".zfill(14)
+    assert li2[2].upc is None
+    # notes: only nonzero adjustments, '; '-joined, tax excluded
+    assert li2[0].notes == "Discount: -5.5"
+    assert li2[2].notes == "Deposit: 2.5"
+    assert li2[1].notes is None
+
+    li1 = inv1.line_items
+    # wine: 2*3*6 = 36 ; spirits with packs 0→1: 4*1 = 4
+    assert li1[0].qty == 36
+    assert li1[1].qty == 4
+    # 15-char clean UPC left-truncated to 14
+    assert li1[0].upc == "98765432109876"
+    assert li1[0].category == "WINE"
+    assert li1[1].category == "SPIRITS"
+
+
+def test_webhook_payloads(spark, tmp_path):
+    path = _write_fixture(tmp_path)
+    receipts = build_receipts(
+        read_invoice_csv(spark, path),
+        gcs_bucket="landing",
+        gcs_path="intake/x.csv",
+        gmail_id="g42",
+        run_date=RUN_DATE,
+        run_ts=1700000000,
+    )
+    payloads = {r.document_id: json.loads(r.payload) for r in to_webhook_payloads(receipts).collect()}
+    doc = payloads["fnt-g42-INV2-1700000000"]
+    # wire projection renames (code wins over README: transactionDate)
+    assert doc["receiptId"] == "INV2"
+    assert doc["transactionDate"] == "2024-06-15"
+    assert doc["totalAmount"] == 500.0
+    assert doc["itemCount"] == 3
+    assert [i["name"] for i in doc["lineItems"]] == ["Sixpack", "Oddpack", "Bottle"]
+    assert "date" not in doc
