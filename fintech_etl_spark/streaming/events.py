@@ -1,0 +1,130 @@
+"""Streaming event analytics: watermarked windows + custom stateful ops.
+
+The reference has no event-time operators at all (SURVEY §2.6: its
+"stream" is one stateless micro-batch per pushed file). These are the
+Spark-native event-stream counterparts of the batch queries in
+operators/relational.py — ``events_hourly_rollup`` and
+``window_lag_sessionize`` — expressed over an unbounded source with
+late-data handling, so the same semantics hold on a real feed.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_S = 3600
+
+
+def read_events_stream(spark, sf_dir: str, max_files: int = 1) -> DataFrame:
+    """Stream the events table (parquet file source) — used by tests to
+    replay the batch testdata through the streaming operators."""
+    from fintech_etl_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source wants a directory: stream the sf_dir with a glob
+    # pinned to the events table (same NANOS→long→µs translation as the
+    # batch reader in sources/tables.py).
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time windows with late-data watermark —
+    the streaming twin of the batch ``events_hourly_rollup``. State for
+    windows older than the watermark is dropped, so memory is bounded
+    no matter how long the stream runs."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _sessionize_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom session-window logic via applyInPandasWithState: events in
+    one session are ≤ 1h apart; a processing-time timeout flushes the
+    open session when the group goes quiet."""
+    (user_id,) = key
+
+    def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield emit(start_us, last_us, n)
+        return
+
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+    ts_us.sort()
+
+    start_us, last_us, n = state.get if state.exists else (None, None, 0)
+    closed: list[pd.DataFrame] = []
+    for t in ts_us:
+        if start_us is None:
+            start_us, last_us, n = t, t, 1
+        elif t - last_us > SESSION_GAP_S * 1_000_000:
+            closed.append(emit(start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+        else:
+            last_us, n = t, n + 1
+    state.update((start_us, last_us, n))
+    state.setTimeoutDuration(60_000)
+    yield from closed
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful sessionization (applyInPandasWithState) — the
+    custom-operator escape hatch the built-in window functions can't
+    express on a stream. State is one (start, last, n) triple per user:
+    O(users) memory, partitioned by user_id across executors."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

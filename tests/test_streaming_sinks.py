@@ -1,0 +1,172 @@
+"""Streaming + sink tests (SURVEY §2.6 / M4): checkpointed file-source
+intake (no reprocessing on restart), streaming window agg parity with
+the batch query, stateful sessionization, parquet receipt sink,
+webhook sink delivery accounting."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tests.test_receipts_pipeline import HEADER, ROWS
+
+RUN_DATE = dt.date(2024, 6, 1)
+
+
+def _wait(q):
+    q.awaitTermination(120)
+    assert not q.isActive or q.awaitTermination(60)
+
+
+def test_streaming_intake_checkpoint_no_reprocess(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "receipts_out")
+    (landing / "a.csv").write_text(HEADER + "\n" + "\n".join(ROWS[:3]) + "\n")
+
+    from fintech_etl_spark.sinks import write_receipts_parquet
+    from fintech_etl_spark.streaming import start_invoice_stream
+
+    def on_receipts(receipts, batch_id):
+        write_receipts_parquet(receipts, out, partition_by_month=False)
+
+    q = start_invoice_stream(
+        spark, str(landing), ckpt, on_receipts, run_date=RUN_DATE, run_ts=1
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(out).collect()
+    assert [r.receipt_id for r in first] == ["INV2"]
+    assert first[0].item_count == 3
+
+    # second file arrives; restart consumes ONLY the new file (the
+    # reference's backfill bug — re-listing reprocesses everything —
+    # is what this pins against)
+    (landing / "b.csv").write_text(HEADER + "\n" + "\n".join(ROWS[3:]) + "\n")
+    q2 = start_invoice_stream(
+        spark, str(landing), ckpt, on_receipts, run_date=RUN_DATE, run_ts=1
+    )
+    q2.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r.receipt_id for r in rows)
+    assert ids == ["INV1", "INV2"]  # INV2 exactly once
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
+    from fintech_etl_spark.registry import all_specs
+    from fintech_etl_spark.streaming.events import (
+        read_events_stream,
+        streaming_hourly_rollup,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    q = (
+        streaming_hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.hour, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("select * from hourly_stream").collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n, round(r.total_value, 4))
+        for r in all_specs()["events_hourly_rollup"].fn(spark, SF_SMOKE).collect()
+    }
+    # append mode emits only watermark-closed windows; all but the
+    # stream-tail hours must match the batch result exactly
+    assert len(got) >= len(want) * 0.8
+    for k, v in got.items():
+        assert want[k] == (v[0], round(v[1], 4)), k
+
+
+def test_stateful_sessionize_counts(spark, tmp_path):
+    from fintech_etl_spark.streaming.events import (
+        read_events_stream,
+        sessionize_stateful,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # ProcessingTimeTimeout keeps the query alive servicing timeouts
+    # even under availableNow — drain the real data, then stop.
+    import time
+
+    for _ in range(60):
+        time.sleep(2)
+        if not q.isActive or "no new data" in (q.status["message"] or "").lower():
+            break
+    if q.isActive:
+        q.stop()
+    rows = spark.sql("select * from sessions_stream").collect()
+    # closed sessions only (open ones still in state); every closed
+    # session must respect the gap invariant and event accounting
+    assert rows, "expected at least one closed session"
+    from fintech_etl_spark.sources.tables import load_table
+
+    by_user = {}
+    for r in rows:
+        assert r.session_start <= r.session_end
+        by_user.setdefault(r.user_id, 0)
+        by_user[r.user_id] += r.n_events
+    totals = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for uid, n in by_user.items():
+        assert n <= totals[uid]
+
+
+def test_webhook_sink_accounting(spark, tmp_path):
+    from fintech_etl_spark.operators.receipts import (
+        build_receipts,
+        to_webhook_payloads,
+    )
+    from fintech_etl_spark.sinks import WebhookSink
+    from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
+
+    fixture = tmp_path / "f.csv"
+    fixture.write_text(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    payloads = to_webhook_payloads(
+        build_receipts(read_invoice_csv(spark, str(fixture)), run_date=RUN_DATE)
+    )
+
+    outdir = tmp_path / "posts"
+    outdir.mkdir()
+
+    def file_poster(url, body, headers, _dir=str(outdir)):
+        doc = json.loads(body)
+        with open(os.path.join(_dir, f"{doc['receiptId']}.json"), "w") as f:
+            f.write(body.decode())
+        return 200
+
+    WebhookSink(url="http://example.invalid/hook", poster=file_poster).send_batch(
+        payloads
+    )
+    posted = sorted(
+        os.path.basename(p) for p in glob.glob(str(outdir / "*.json"))
+    )
+    assert posted == ["INV1.json", "INV2.json"]
+    doc = json.load(open(outdir / "INV2.json"))
+    assert doc["itemCount"] == 3 and doc["transactionDate"] == "2024-06-15"
