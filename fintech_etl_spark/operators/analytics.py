@@ -1,0 +1,487 @@
+"""Analytic function batteries: statistics, ordered aggregation,
+percentiles, richer windows — the rest of the query surface a user of
+a full engine expects (SURVEY §2.2 gap-fill, M3).
+
+Every query is a thin named plan over the star schema with a DuckDB
+oracle; cross-engine hash stability rules from registry.py apply
+(round(…,4), pinned integer widths, shared aliases, keyed tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.registry import register
+from fintech_etl_spark.sources.tables import load_table
+
+
+def _r4(c: F.Column) -> F.Column:
+    return F.round(c, 4)
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_stats_battery",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_extendedprice), 4)    AS var_price,
+           round(corr(l_extendedprice, l_quantity), 4)        AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity), 4)  AS covar_price_qty,
+           round(min(l_extendedprice), 4)         AS min_price,
+           round(max(l_extendedprice), 4)         AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Sample stddev/variance/correlation/covariance per group — one partial+final agg pass.",
+    tags=("agg", "stats"),
+)
+def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+        _r4(F.var_samp("l_extendedprice")).alias("var_price"),
+        _r4(F.corr("l_extendedprice", "l_quantity")).alias("corr_price_qty"),
+        _r4(F.covar_samp("l_extendedprice", "l_quantity")).alias("covar_price_qty"),
+        _r4(F.min("l_extendedprice")).alias("min_price"),
+        _r4(F.max("l_extendedprice")).alias("max_price"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Exact interpolated percentiles per group (Spark percentile ≡ "
+        "DuckDB quantile_cont). At 100 TB the approx_percentile sketch "
+        "variant below trades exactness for a mergeable fixed-size state."
+    ),
+    tags=("agg", "stats"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return orders.groupBy("o_orderpriority").agg(
+        _r4(F.element_at(pct, 1)).alias("p25"),
+        _r4(F.element_at(pct, 2)).alias("p50"),
+        _r4(F.element_at(pct, 3)).alias("p75"),
+        _r4(F.element_at(pct, 4)).alias("p95"),
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    None,  # sketch outputs are engine-specific by design → rows-only
+    doc=(
+        "Sketch aggregates for 100 TB interactive profiling: HLL++ "
+        "distinct counts and t-digest-style approximate percentiles. "
+        "Fixed-size mergeable state per partition — the scan is the only "
+        "full pass. Rows-only check (sketches are engine-defined)."
+    ),
+    tags=("agg", "stats", "sketch"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        _r4(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+        ).alias("approx_median_price"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    """
+    SELECT l_returnflag,
+           CAST(arg_max(l_orderkey, l_extendedprice ORDER BY l_extendedprice DESC, l_orderkey) AS BIGINT) AS priciest_order,
+           round(max(l_extendedprice), 4) AS max_price,
+           CAST(arg_min(l_orderkey, l_extendedprice ORDER BY l_extendedprice, l_orderkey) AS BIGINT) AS cheapest_order,
+           round(min(l_extendedprice), 4) AS min_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "max_by/min_by (argmax/argmin) per group; the composite "
+        "(value, key) ordering struct makes ties deterministic across "
+        "engines."
+    ),
+    tags=("agg",),
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.max_by(
+            "l_orderkey", F.struct(F.col("l_extendedprice"), -F.col("l_orderkey"))
+        ).alias("priciest_order"),
+        _r4(F.max("l_extendedprice")).alias("max_price"),
+        F.min_by(
+            "l_orderkey", F.struct(F.col("l_extendedprice"), F.col("l_orderkey"))
+        ).alias("cheapest_order"),
+        _r4(F.min("l_extendedprice")).alias("min_price"),
+    )
+
+
+@register(
+    "agg_string_listagg",
+    """
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_name) AS top_names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 9900
+    GROUP BY n_name
+    """,
+    doc="Ordered string aggregation (listagg): array_sort(collect_list) + join keeps it deterministic.",
+    tags=("agg", "string"),
+)
+def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        cust.join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "top_names"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_conditional_counts",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)                                    AS n,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 4) AS urgent_total,
+           round(avg(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                          THEN o_totalprice END), 4) AS hi_prio_avg
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Conditional aggregation battery: FILTER clauses and CASE-gated aggregates in one pass.",
+    tags=("agg",),
+)
+def agg_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    prio = F.col("o_orderpriority")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        _r4(
+            F.sum(F.when(prio == "1-URGENT", F.col("o_totalprice")))
+        ).alias("urgent_total"),
+        _r4(
+            F.avg(
+                F.when(
+                    prio.startswith("1") | prio.startswith("2"),
+                    F.col("o_totalprice"),
+                )
+            )
+        ).alias("hi_prio_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window batteries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_battery",
+    """
+    SELECT c_custkey,
+           CAST(rank()         OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank()   OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)       OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 4)       AS pct_rank,
+           round(cume_dist()    OVER w, 4)       AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Ranking battery over one window definition: rank/dense_rank/ntile/percent_rank/cume_dist.",
+    tags=("window",),
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        _r4(F.percent_rank().over(w)).alias("pct_rank"),
+        _r4(F.cume_dist().over(w)).alias("cdist"),
+    )
+
+
+@register(
+    "window_lead_lag_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INTEGER) AS days_since_prev,
+           CAST(date_diff('day', o_orderdate,
+                lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                ) AS INTEGER) AS days_to_next
+    FROM orders
+    """,
+    doc="lead/lag inter-order gap analysis per customer.",
+    tags=("window", "time"),
+)
+def window_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    od = F.to_date("o_orderdate")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(od, F.to_date(F.lag("o_orderdate").over(w))).alias(
+            "days_since_prev"
+        ),
+        F.datediff(F.to_date(F.lead("o_orderdate").over(w)), od).alias(
+            "days_to_next"
+        ),
+    )
+
+
+@register(
+    "window_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3,
+           round(first_value(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey), 4) AS first_price,
+           round(last_value(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS last_price
+    FROM orders
+    """,
+    doc="Moving average (3-row frame) + first/last_value with explicit frames.",
+    tags=("window",),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    order_w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _r4(
+            F.avg("o_totalprice").over(order_w.rowsBetween(-2, W.currentRow))
+        ).alias("ma3"),
+        _r4(F.first("o_totalprice").over(order_w)).alias("first_price"),
+        _r4(
+            F.last("o_totalprice").over(
+                order_w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            )
+        ).alias("last_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar batteries: regex / array / JSON / datetime
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_regex_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1)           AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')      AS devoweled,
+           regexp_matches(p_type, '^(ECONOMY|PREMIUM)')     AS is_tiered,
+           regexp_extract(p_brand, '([0-9]+)$', 1)          AS brand_num
+    FROM part
+    """,
+    doc="Regex battery: extract/replace/match as codegen'd projections (no UDF).",
+    tags=("scalar", "string"),
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike(r"^(ECONOMY|PREMIUM)").alias("is_tiered"),
+        F.regexp_extract("p_brand", r"([0-9]+)$", 1).alias("brand_num"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    """
+    SELECT p_partkey,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER)      AS n_words,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
+           list_contains(string_split(p_name, ' '), 'red')      AS has_red,
+           string_split(p_name, ' ')[1]                         AS head_word,
+           array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '|') AS distinct_words
+    FROM part
+    """,
+    doc="Array function battery over split() results: size/sort/contains/head/distinct.",
+    tags=("scalar", "array"),
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return part.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_join(F.array_sort(words), "|").alias("sorted_words"),
+        F.array_contains(words, "red").alias("has_red"),
+        F.element_at(words, 1).alias("head_word"),
+        F.array_join(F.array_sort(F.array_distinct(words)), "|").alias("distinct_words"),
+    )
+
+
+@register(
+    "scalar_json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER)  AS k_typed,
+           json_extract_string(props, '$.missing')      AS missing_path,
+           json_valid(props)                            AS is_valid
+    FROM events
+    """,
+    doc=(
+        "JSON battery on the events props column: typed extraction via "
+        "from_json with a declared schema (not string get_json_object), "
+        "missing-path null semantics, validity probe."
+    ),
+    tags=("scalar", "json", "events"),
+)
+def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k int, missing string")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        parsed["missing"].alias("missing_path"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "scalar_datetime_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INTEGER)                   AS qtr,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)       AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+           CAST(date_trunc('month', o_orderdate) AS DATE)          AS month_start
+    FROM orders
+    """,
+    doc="Datetime battery: quarter/last_day/interval add/datediff/trunc.",
+    tags=("scalar", "time"),
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("qtr"),
+        F.last_day(od).alias("month_end"),
+        F.date_add(od, 30).alias("due_date"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    )
+
+
+@register(
+    "scalar_null_handling",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')  AS seg_or_other,
+           CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE round(c_acctbal, 4) END AS bal_nvl,
+           (c_acctbal IS NOT NULL AND c_acctbal > 0)            AS is_positive,
+           greatest(c_acctbal, 0.0)                             AS bal_floor0,
+           least(round(c_acctbal, 4), 1000.0)                   AS bal_cap1k
+    FROM customer
+    """,
+    doc="Null-handling battery: nullif/coalesce/greatest/least/boolean three-valued logic.",
+    tags=("scalar",),
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.when(bal.isNull(), 0.0).otherwise(F.round(bal, 4)).alias("bal_nvl"),
+        (bal.isNotNull() & (bal > 0)).alias("is_positive"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.round(bal, 4), F.lit(1000.0)).alias("bal_cap1k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set / union / sampling shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_all_tagged",
+    """
+    SELECT 'customer' AS side, CAST(c_custkey AS BIGINT) AS key FROM customer WHERE c_acctbal > 9500
+    UNION ALL
+    SELECT 'supplier' AS side, CAST(s_suppkey AS BIGINT) AS key FROM supplier WHERE s_acctbal > 9500
+    """,
+    doc="UNION ALL with provenance tags (no dedup shuffle — cheaper than UNION when duplicates are fine).",
+    tags=("setop",),
+)
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(F.lit("customer").alias("side"), F.col("c_custkey").alias("key"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(F.lit("supplier").alias("side"), F.col("s_suppkey").alias("key"))
+    )
+    return cust.unionAll(sup)
+
+
+@register(
+    "in_subquery_priority_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      AND o_orderpriority = '1-URGENT'
+    """,
+    doc="IN-subquery as left-semi join with the filter pushed to both scans.",
+    tags=("join",),
+)
+def in_subquery_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    mach = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    return orders.join(
+        mach, orders.o_custkey == mach.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")

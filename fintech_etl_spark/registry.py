@@ -52,6 +52,7 @@ def register(
 #: development, absent optional dependency) degrades to "its queries
 #: are not offered" instead of killing every entry point.
 _OPERATOR_MODULES = (
+    "analytics",
     "dedup",
     "multimodal",
     "receipts_demo",
