@@ -776,3 +776,127 @@ def having_busy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"))
         .filter(F.col("n_items") > 100)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped classics (distinct optimizer shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS yr,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2') AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+    doc=(
+        "TPC-H Q7 shape: 5-way join with the same dimension (nation) "
+        "joined twice under different roles, cross-nation filter, "
+        "3-key rollup. The nation filters reach both scans; the "
+        "lineitem⋈orders join is the only large shuffle."
+    ),
+    tags=("join", "agg"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nations = ("NATION_1", "NATION_2")
+    sn = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    cn = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("yr")
+        )
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "volume"
+            )
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_name LIKE 'red%'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    doc=(
+        "TPC-H Q14 shape: conditional-revenue ratio in a single "
+        "aggregation (no self-join); part dimension broadcast, date "
+        "range pushed to the fact scan."
+    ),
+    tags=("join", "agg"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_name").startswith("red"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(_r4(100.0 * F.sum(promo) / F.sum(rev)).alias("promo_pct"))
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT count(*) AS n, round(sum(l_extendedprice), 4) AS total
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_size <= 10 AND l_quantity >= 25 AND p_type = 'ECONOMY')
+       OR (p_size >= 40 AND l_quantity <= 5  AND p_brand LIKE 'Brand#1%')
+    """,
+    doc=(
+        "TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst "
+        "derives the common residual (p_size/l_quantity bounds) and "
+        "pushes partial predicates below the join instead of filtering "
+        "after it."
+    ),
+    tags=("join",),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    pred = (
+        (F.col("p_size") <= 10) & (F.col("l_quantity") >= 25) & (F.col("p_type") == "ECONOMY")
+    ) | (
+        (F.col("p_size") >= 40) & (F.col("l_quantity") <= 5) & F.col("p_brand").startswith("Brand#1")
+    )
+    return joined.filter(pred).agg(
+        F.count(F.lit(1)).alias("n"), _r4(F.sum("l_extendedprice")).alias("total")
+    )
