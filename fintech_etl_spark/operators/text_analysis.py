@@ -188,3 +188,47 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash (winnowing-style) fingerprints
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8   # char n-gram width
+_WINNOW_W = 16  # winnow window: keep the min hash of each window
+
+
+@register(
+    "doc_winnow_fingerprint",
+    None,  # xxhash64 has no cross-engine twin → rows-only check; the
+    #       algebraic invariants are pinned by tests/test_operators.py
+    doc=(
+        "Winnowing document fingerprints (the MOSS scheme): hash every "
+        "8-char gram, keep each 16-gram window's minimum — ~2/(w+1) of "
+        "grams survive, position-robust. Pure higher-order-function "
+        "projection (sequence→transform→aggregate); the fingerprint set "
+        "is the standard near-dup index key at corpus scale."
+    ),
+    tags=("text", "dedup"),
+)
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    n_grams = F.greatest(F.length(t) - (_WINNOW_K - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.substring(t, i.cast("int"), _WINNOW_K)),
+    )
+    n_windows = F.greatest(F.size(gram_hashes) - (_WINNOW_W - 1), F.lit(0))
+    window_mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(gram_hashes, i.cast("int"), _WINNOW_W)),
+    )
+    fp = F.array_sort(F.array_distinct(window_mins))
+    return docs.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.abs(F.hash(F.concat_ws(",", fp.cast("array<string>")))).alias(
+            "fingerprint_set_id"
+        ),
+    )

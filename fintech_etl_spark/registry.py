@@ -58,6 +58,7 @@ _OPERATOR_MODULES = (
     "receipts_demo",
     "relational",
     "similarity",
+    "sources_ops",
     "text_analysis",
 )
 

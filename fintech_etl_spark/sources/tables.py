@@ -60,3 +60,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def list_objects(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Object-store listing as a DataFrame (SURVEY S3): the reference
+    pages a GCS bucket client-side (/root/reference/main.py:172-192);
+    Spark's binaryFile source distributes the listing and yields typed
+    metadata columns (path, modificationTime, length) plus the payload,
+    which we drop here so only the footer-level metadata is read."""
+    return (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path", "length", "modificationTime")
+    )

@@ -102,3 +102,14 @@ def test_entry_contract(spark):
     # column-name contract: oracle aliases must match Spark columns
     # (checked end-to-end by tools/check_correctness.py; here just shape)
     assert all(callable(f) for f in qs.values())
+
+
+def test_filesource_listing_names(spark):
+    from fintech_etl_spark.registry import all_specs
+
+    names = {
+        r.object_name
+        for r in all_specs()["filesource_listing"].fn(spark, SF_SMOKE).collect()
+    }
+    assert "lineitem.parquet" in names and "documents.parquet" in names
+    assert len(names) == 10
