@@ -22,14 +22,21 @@ HEADLINE = (
     "q1_pricing_summary",
     "q3_segment_topk_revenue",
     "q5_region_revenue",
+    "q7_nation_volume",
+    "q19_disjunctive_predicates",
     "nation_order_totals",
     "window_topk_per_customer",
     "window_lag_sessionize",
     "asof_join_signup_before_purchase",
     "events_hourly_rollup",
     "receipt_order_rollup",
+    "agg_percentiles",
     "doc_fingerprint",
     "quality_score",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_topk_cosine_brute",
+    "media_feature_extract",
 )
 
 

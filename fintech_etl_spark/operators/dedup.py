@@ -31,16 +31,25 @@ from fintech_etl_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text: F.Column | str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of ``text`` as an array<string>.
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition compute-dense inputs across all cores.
 
-    Pure column expression: split → indexed transform → distinct. A doc
-    shorter than ``n`` words yields its single (joined) prefix, so no
-    document silently drops out of dedup.
+    The testdata tables are single-row-group parquet files, which Spark
+    cannot split below one partition — so shingling/hashing would run
+    on ONE core no matter the cluster size. On a real 100 TB lake the
+    scan yields thousands of splits and this is a no-op-sized shuffle;
+    locally it is the difference between 1× and 32× parallelism on the
+    expression-heavy operators.
     """
-    c = F.col(text) if isinstance(text, str) else text
-    w = F.split(F.lower(F.trim(c)), r"\s+")
-    # sequence(0, size-n) is empty-safe via greatest(); element_at is 1-based.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
+def shingles_of_words(w: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles from a words-array column. A doc
+    shorter than ``n`` words yields its single (joined) prefix, so no
+    document silently drops out of dedup."""
+    # sequence is empty-safe via greatest(); element_at is 1-based.
     idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
     gram = F.transform(
         idx,
@@ -49,6 +58,29 @@ def word_shingles(text: F.Column | str, n: int = 3) -> F.Column:
         ),
     )
     return F.array_distinct(gram)
+
+
+def word_shingles(text: F.Column | str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of ``text`` as an array<string>.
+
+    NB: prefer :func:`with_shingles` in operators — inlining the split
+    inside the transform lambda makes Catalyst re-evaluate the regex
+    split per element_at (≈3n times per row), which profiling showed
+    dominates the whole dedup pipeline.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return shingles_of_words(F.split(F.lower(F.trim(c)), r"\s+"), n)
+
+
+def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, s): shingle sets with the words array materialized at a
+    projection boundary. The alias is referenced 3n times by the gram
+    transform, so CollapseProject keeps the boundary and the split runs
+    once per row instead of once per element_at."""
+    w = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
+    )
+    return w.select("doc_id", shingles_of_words(F.col("w"), n).alias("s"))
 
 
 def _shingle_sql(n: int = 3) -> str:
@@ -126,10 +158,16 @@ _NGRAM_ORACLE = f"""
     tags=("dedup", "join"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", word_shingles("text", 3).alias("s"))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = with_shingles(docs, 3)
     sizes = sh.select("doc_id", F.size("s").alias("n"))
-    e = sh.select("doc_id", F.explode("s").alias("g"))
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # size(s)>0 filter, re-inline the whole shingle expression into it,
+    # and push it below the repartition — single-threaded recompute of
+    # the most expensive expression in the pipeline (measured 10×).
+    e = sh.select("doc_id", F.explode_outer("s").alias("g")).filter(
+        F.col("g").isNotNull()
+    )
     ea = e.select(F.col("doc_id").alias("doc_a"), "g")
     eb = e.select(F.col("doc_id").alias("doc_b"), "g")
     common = (
@@ -187,10 +225,16 @@ def minhash_signature(shingles: F.Column, n_perm: int = _MINHASH_PERMS) -> F.Col
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", word_shingles("text", 3).alias("s")).filter(
-        F.size("s") > 0
+    # Cheap text-level prefilter (pushed to the scan) instead of
+    # size(s)>0: a post-shingle filter gets rewritten against text and
+    # pushed below the repartition, recomputing the shingle expression
+    # single-threaded (measured 11s vs 0.3s at sf0.1).
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.trim("text") != "")
+        )
     )
+    sh = with_shingles(docs, 3)
     sig = sh.select(
         "doc_id", "s", minhash_signature(F.col("s")).alias("sig")
     )
@@ -250,8 +294,12 @@ def simhash_fingerprints(docs: DataFrame, tokens: F.Column) -> DataFrame:
     This is a single shuffle on doc_id; a transform-per-bit expression
     tree over the token array would re-hash every token 64 times.
     """
-    tok = docs.select("doc_id", F.explode(tokens).alias("t")).select(
-        "doc_id", F.xxhash64("t").alias("h")
+    # explode_outer: see dedup_ngram_jaccard — avoids the inferred
+    # size()>0 filter recomputing the split below the repartition.
+    tok = (
+        docs.select("doc_id", F.explode_outer(tokens).alias("t"))
+        .filter(F.col("t").isNotNull())
+        .select("doc_id", F.xxhash64("t").alias("h"))
     )
     votes = tok.groupBy("doc_id").agg(
         *[
@@ -286,7 +334,7 @@ def simhash_fingerprints(docs: DataFrame, tokens: F.Column) -> DataFrame:
     tags=("dedup", "lsh"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     fp = simhash_fingerprints(docs, toks)
 

@@ -212,20 +212,32 @@ _WINNOW_W = 16  # winnow window: keep the min hash of each window
     tags=("text", "dedup"),
 )
 def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.lower(F.trim(F.col("text")))
-    n_grams = F.greatest(F.length(t) - (_WINNOW_K - 1), F.lit(0))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(F.substring(t, i.cast("int"), _WINNOW_K)),
+    from fintech_etl_spark.operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # Materialize each stage at a projection boundary: gram_hashes is
+    # referenced by every window's slice, so inlining it would make
+    # Catalyst re-hash every gram once per window (O(n·w) rehashes —
+    # measured minutes instead of seconds at sf0.1).
+    t = docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
+    n_grams = F.greatest(F.length("t") - (_WINNOW_K - 1), F.lit(0))
+    hashed = t.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(F.col("t").substr(i.cast("int"), F.lit(_WINNOW_K))),
+        ).alias("gh"),
     )
-    n_windows = F.greatest(F.size(gram_hashes) - (_WINNOW_W - 1), F.lit(0))
-    window_mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(gram_hashes, i.cast("int"), _WINNOW_W)),
+    n_windows = F.greatest(F.size("gh") - (_WINNOW_W - 1), F.lit(0))
+    mins = hashed.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice("gh", i.cast("int"), _WINNOW_W)),
+        ).alias("wm"),
     )
-    fp = F.array_sort(F.array_distinct(window_mins))
-    return docs.select(
+    fp = F.array_sort(F.array_distinct(F.col("wm")))
+    return mins.select(
         "doc_id",
         F.size(fp).alias("n_fingerprints"),
         F.abs(F.hash(F.concat_ws(",", fp.cast("array<string>")))).alias(
