@@ -1,0 +1,104 @@
+"""Arrow-vectorized Python operators: the sanctioned escape hatch.
+
+The engine's rule is no Python in the hot path — every reference rule
+compiles to JVM column expressions. When Python is genuinely needed
+(ML featurization, codec calls, numpy math), the right shape is an
+Arrow-batched Pandas UDF / applyInPandas, never a row-at-a-time UDF.
+These two operators demonstrate that plumbing with oracle-checkable
+semantics, so the pattern itself is under test:
+
+- scalar ``pandas_udf``: whole-column numpy arithmetic per batch;
+- grouped ``applyInPandas``: per-group standardization where the
+  group must be materialized together (the grouped-map contract).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from fintech_etl_spark.registry import register
+from fintech_etl_spark.sources.tables import load_table
+
+
+def _margin_kernel(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized per-batch arithmetic (numpy under the hood): the
+    Arrow transfer amortizes Python overhead over whole columns.
+    No rounding anywhere in this query: numpy and the oracle perform
+    the same IEEE ops in the same order, so the raw doubles are
+    bit-identical, while each engine's round() disagrees on short
+    decimal boundaries (Spark rounds the shortest decimal string,
+    DuckDB the binary value)."""
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@register(
+    "vectorized_margin_score",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS margin
+    FROM lineitem
+    """,
+    doc=(
+        "Scalar Pandas UDF over Arrow batches — deliberately a formula "
+        "SQL can mirror, so the Python batch path itself is what the "
+        "oracle verifies. ~100× a row-at-a-time Python UDF; still the "
+        "slow path vs the pure-Column twin (q1's sum_charge)."
+    ),
+    tags=("pandas_udf",),
+)
+def vectorized_margin_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # The udf is created here, not at module import: a module-level
+    # @pandas_udf needs an active session, which breaks worker-side
+    # re-import of this module when sibling kernels are pickled.
+    margin = pandas_udf(_margin_kernel, "double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        margin("l_extendedprice", "l_discount", "l_tax").alias("margin"),
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: standardize order totals within a customer.
+    Runs once per group with the whole group in memory — the contract
+    that lets arbitrary pandas/sklearn logic slot in."""
+    mu = pdf["o_totalprice"].mean()
+    sd = pdf["o_totalprice"].std(ddof=1)
+    out = pdf[["o_custkey", "o_orderkey"]].copy()
+    # unrounded: JVM-side F.round matches the oracle's half-up rounding
+    out["z"] = ((pdf["o_totalprice"] - mu) / sd) if sd and sd == sd else 0.0
+    return out
+
+
+@register(
+    "grouped_zscore_applyinpandas",
+    """
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN count(*) OVER w > 1
+                THEN round((o_totalprice - avg(o_totalprice) OVER w)
+                           / stddev_samp(o_totalprice) OVER w, 4)
+                ELSE 0.0 END AS z
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+    """,
+    doc=(
+        "applyInPandas grouped-map: per-customer z-score, one Arrow "
+        "batch per group, shuffled on the group key. The oracle computes "
+        "the same standardization with window functions — which is also "
+        "the pure-SQL plan you'd prefer when the kernel IS expressible; "
+        "the operator exists for when it isn't."
+    ),
+    tags=("pandas_udf", "window"),
+)
+def grouped_zscore_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = orders.groupBy("o_custkey").applyInPandas(
+        _zscore_group, "o_custkey long, o_orderkey long, z double"
+    )
+    return out.withColumn("z", F.round("z", 4))

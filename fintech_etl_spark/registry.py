@@ -57,9 +57,11 @@ _OPERATOR_MODULES = (
     "multimodal",
     "receipts_demo",
     "relational",
+    "rules_demo",
     "similarity",
     "sources_ops",
     "text_analysis",
+    "vectorized",
 )
 
 
