@@ -1,0 +1,191 @@
+"""Event-stream analytics: funnels, cohort retention, calendar spines,
+and skew-safe aggregation — the product-analytics shapes a 100 TB event
+lake gets queried with daily.
+
+All batch queries over the ``events`` table (event-time ops have
+streaming twins in streaming/events.py), each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.registry import register
+from fintech_etl_spark.sources.tables import load_table
+
+
+def _r4(c: F.Column) -> F.Column:
+    return F.round(c, 4)
+
+
+@register(
+    "events_funnel_conversion",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT)                                    AS n_users,
+           CAST(count(t_signup) AS BIGINT)                             AS n_signup,
+           CAST(count(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT)   AS n_signup_click,
+           CAST(count(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                           THEN 1 END) AS BIGINT)                      AS n_full_funnel
+    FROM per_user
+    """,
+    doc=(
+        "Ordered conversion funnel (signup → click → purchase) as ONE "
+        "conditional min-aggregation per user plus a global rollup — no "
+        "joins, no window sort; shuffles once on user_id."
+    ),
+    tags=("events", "agg"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_signup"), 1)
+        ).alias("n_signup_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "events_weekly_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INTEGER) AS week_no
+        FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_no,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY 1, 2
+    """,
+    doc=(
+        "Cohort retention: first-activity week per user, then distinct "
+        "(user, week offset) counts per cohort. Two shuffles on user_id "
+        "(cohort derivation reuses the partitioning) + one on the "
+        "(cohort, week) rollup."
+    ),
+    tags=("events", "agg", "time"),
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(
+                        F.to_date(F.date_trunc("week", "ts")),
+                        F.to_date("cohort_week"),
+                    )
+                    / 7
+                )
+            ).cast("int").alias("week_no"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"), "week_no"
+    ).agg(F.count(F.lit(1)).alias("active_users"))
+
+
+@register(
+    "events_date_spine_gapfill",
+    """
+    WITH spine AS (
+        SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                           INTERVAL 1 DAY)) AS DATE) AS day),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n, round(sum(value), 4) AS total
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT spine.day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_purchases,
+           coalesce(daily.total, 0.0)           AS total_value
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+    doc=(
+        "Calendar date spine + gap fill: sequence()-generated day "
+        "dimension left-joined to the daily rollup so zero-activity days "
+        "surface as explicit zeros. The spine is driver-side tiny and "
+        "broadcast; the fact rollup is the only shuffle."
+    ),
+    tags=("events", "time", "join"),
+)
+def events_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), _r4(F.sum("value")).alias("total"))
+    )
+    return F.broadcast(spine).join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_purchases"),
+        F.coalesce("total", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
+    "events_salted_heavy_hitters",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Skew-safe two-phase aggregation: event_type has only 5 values — "
+        "at 100 TB a plain groupBy funnels each type through one reducer. "
+        "Salting (key, hash%N) first makes phase one fan out N-wide, then "
+        "the tiny resalted partials collapse in phase two. The oracle is "
+        "the plain groupBy: salting must be a pure execution detail."
+    ),
+    tags=("events", "agg", "skew"),
+)
+def events_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_salts = 16
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pt")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), _r4(F.sum("pt")).alias("total")
+    )

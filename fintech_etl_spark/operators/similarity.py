@@ -253,3 +253,74 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector-algebra battery (the building blocks of every ANN tier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_vector_ops",
+    """
+    SELECT vec_id,
+           round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> x * x), 'sum')), 4) AS l2_norm,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4)      AS comp_sum,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 4)      AS comp_max,
+           CAST(len(embedding) AS INTEGER)                                   AS dim
+    FROM embeddings
+    """,
+    doc=(
+        "Vector scalar battery via higher-order functions (aggregate/"
+        "transform): L2 norm, component sum/max, dimensionality — all "
+        "JVM-side, the primitives the ANN operators compose."
+    ),
+    tags=("similarity", "scalar"),
+)
+def embedding_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sq_sum = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("comp_sum"),
+        F.round(F.array_max(v), 4).alias("comp_max"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings)
+    SELECT label, CAST(count(DISTINCT i) AS INTEGER) AS dim,
+           round(sum(x) / (SELECT count(*) FROM embeddings b
+                           WHERE b.label = e.label) / count(DISTINCT i) * count(DISTINCT i), 4)
+               AS centroid_mass
+    FROM e GROUP BY label
+    """,
+    doc=(
+        "Mean-pooled centroid mass per label via posexplode + two-level "
+        "aggregation — the IVF training step's shuffle shape (explode on "
+        "(label, dim), never a collect to the driver)."
+    ),
+    tags=("similarity", "agg"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    per_dim = e.groupBy("label", "i").agg(F.avg("x").alias("m"))
+    return per_dim.groupBy("label").agg(
+        F.count(F.lit(1)).cast("int").alias("dim"),
+        F.round(F.sum("m"), 4).alias("centroid_mass"),
+    )

@@ -244,3 +244,59 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint_set_id"
         ),
     )
+
+
+@register(
+    "text_top_bigrams_per_lang",
+    r"""
+    WITH w AS (SELECT doc_id, lang,
+                      string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    grams AS (SELECT lang, unnest(list_transform(
+                  generate_series(1, greatest(len(w)-1, 1)),
+                  i -> w[i] || ' ' || w[i+1])) AS g
+              FROM w),
+    counts AS (SELECT lang, g, count(*) AS n FROM grams GROUP BY 1, 2)
+    SELECT lang, g AS bigram, n, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT lang, g, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rnk
+          FROM counts) t
+    WHERE rnk <= 5
+    """,
+    doc=(
+        "Top-5 bigrams per language: explode bigrams (NOT distinct — "
+        "frequency matters), count per (lang, gram), window top-k. The "
+        "vocabulary rollup shape behind every n-gram LM / contamination "
+        "check at corpus scale."
+    ),
+    tags=("text", "topk"),
+)
+def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from fintech_etl_spark.operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = docs.select(
+        "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
+    )
+    grams = w.select(
+        "lang",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i.cast("int")),
+                    F.element_at("w", (i + 1).cast("int")),
+                ),
+            )
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    counts = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    win = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("g"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", F.col("g").alias("bigram"), "n", "rnk")
+    )

@@ -54,6 +54,7 @@ def register(
 _OPERATOR_MODULES = (
     "analytics",
     "dedup",
+    "events_analytics",
     "multimodal",
     "receipts_demo",
     "relational",

@@ -170,3 +170,20 @@ def test_webhook_sink_accounting(spark, tmp_path):
     assert posted == ["INV1.json", "INV2.json"]
     doc = json.load(open(outdir / "INV2.json"))
     assert doc["itemCount"] == 3 and doc["transactionDate"] == "2024-06-15"
+
+
+def test_landing_sink_object_names(spark, tmp_path):
+    from fintech_etl_spark.sinks.landing import land_raw_files
+
+    body = (HEADER + "\n" + ROWS[0]).encode()
+    land_raw_files(
+        spark,
+        [(body, "2024-06-01", "g42", "my invoice file.csv")],
+        str(tmp_path / "landing"),
+    )
+    landed = spark.read.parquet(str(tmp_path / "landing")).collect()
+    assert len(landed) == 1
+    # F25: spaces → underscores, intake/ prefix
+    assert landed[0].object_name == "intake/2024-06-01_g42_my_invoice_file.csv"
+    assert bytes(landed[0].payload) == body
+    assert landed[0].n_bytes == len(body)
