@@ -1,0 +1,145 @@
+"""Thin service layer over the engine — the reference's API surface
+(SURVEY §2.7) as a CLI, with the HTTP plumbing deliberately out of the
+query engine.
+
+Commands mirror the reference endpoints:
+
+  ingest        POST /ingest            — land a CSV + process it
+  process-csv   POST /process-csv       — process one landed/raw CSV
+  backfill      POST /process-all-pending — batch-process a directory
+  list-pending  GET  /list-pending      — list unprocessed objects
+  stream        (new) watch a landing dir with checkpointed streaming
+
+Each command builds the same declarative pipeline; sinks are parquet
+(receipt lake) and optionally a webhook URL.
+
+Usage:
+  python -m fintech_etl_spark.cli backfill --landing /path/raw \\
+      --lake /path/receipts [--webhook http://...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from fintech_etl_spark.operators.receipts import build_receipts, to_webhook_payloads
+from fintech_etl_spark.session import build_session
+from fintech_etl_spark.sinks import WebhookSink, land_raw_files, write_receipts_parquet
+from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
+
+
+def _process(
+    spark: SparkSession,
+    csv_path: str | list[str],
+    lake: str | None,
+    webhook: str | None,
+    gmail_id: str | None = None,
+) -> int:
+    receipts = build_receipts(
+        read_invoice_csv(spark, csv_path),
+        gcs_bucket=os.environ.get("LANDING_BUCKET", ""),
+        gcs_path=csv_path if isinstance(csv_path, str) else "",
+        gmail_id=gmail_id,
+        run_date=dt.date.today(),
+        run_ts=int(time.time()),
+    )
+    receipts.persist()
+    n = receipts.count()
+    if lake:
+        write_receipts_parquet(receipts, lake)
+    if webhook:
+        WebhookSink(url=webhook).send_batch(to_webhook_payloads(receipts))
+    receipts.unpersist()
+    return n
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="fintech-etl-spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="land one CSV file, then process it")
+    ing.add_argument("csv")
+    ing.add_argument("--landing", required=True)
+    ing.add_argument("--lake")
+    ing.add_argument("--webhook")
+    ing.add_argument("--gmail-id", default=None)
+
+    pc = sub.add_parser("process-csv", help="process one CSV (no landing)")
+    pc.add_argument("csv")
+    pc.add_argument("--lake")
+    pc.add_argument("--webhook")
+
+    bf = sub.add_parser("backfill", help="process every CSV under a directory")
+    bf.add_argument("--landing", required=True)
+    bf.add_argument("--lake")
+    bf.add_argument("--webhook")
+
+    lp = sub.add_parser("list-pending", help="list CSV objects in the landing dir")
+    lp.add_argument("--landing", required=True)
+
+    st = sub.add_parser("stream", help="checkpointed streaming intake")
+    st.add_argument("--landing", required=True)
+    st.add_argument("--lake", required=True)
+    st.add_argument("--checkpoint", required=True)
+
+    args = p.parse_args(argv)
+    spark = build_session("fintech_etl_cli", master=args.master)
+
+    if args.cmd == "ingest":
+        with open(args.csv, "rb") as f:
+            body = f.read()
+        land_raw_files(
+            spark,
+            [
+                (
+                    body,
+                    dt.date.today().isoformat(),
+                    args.gmail_id or "cli",
+                    os.path.basename(args.csv),
+                )
+            ],
+            os.path.join(args.landing, "_manifest"),
+        )
+        n = _process(spark, args.csv, args.lake, args.webhook, args.gmail_id)
+        print(f"ingested 1 file, {n} receipts")
+    elif args.cmd == "process-csv":
+        n = _process(spark, args.csv, args.lake, args.webhook)
+        print(f"{n} receipts")
+    elif args.cmd == "backfill":
+        csvs = os.path.join(args.landing, "*.csv")
+        n = _process(spark, csvs, args.lake, args.webhook)
+        print(f"backfilled {n} receipts")
+    elif args.cmd == "list-pending":
+        from fintech_etl_spark.sources.tables import list_objects
+
+        rows = (
+            list_objects(spark, os.path.join(args.landing, "*.csv"))
+            .orderBy("path")
+            .collect()
+        )
+        for r in rows:
+            print(f"{r.path}\t{r.length}")
+        print(f"{len(rows)} pending")
+    elif args.cmd == "stream":
+        from fintech_etl_spark.streaming import start_invoice_stream
+
+        def on_receipts(receipts, batch_id):
+            write_receipts_parquet(receipts, args.lake)
+
+        q = start_invoice_stream(
+            spark, args.landing, args.checkpoint, on_receipts,
+            run_date=dt.date.today(), run_ts=int(time.time()),
+        )
+        q.awaitTermination()
+        print("stream drained")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

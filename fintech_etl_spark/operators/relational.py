@@ -900,3 +900,125 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(pred).agg(
         F.count(F.lit(1)).alias("n"), _r4(F.sum("l_extendedprice")).alias("total")
     )
+
+
+@register(
+    "q15_top_supplier_by_revenue",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc=(
+        "TPC-H Q15 shape: derived revenue view joined back against its "
+        "own max — the aggregate is computed once and reused on both "
+        "sides (scalar subquery becomes a broadcast 1-row join)."
+    ),
+    tags=("join", "agg", "subquery"),
+)
+def q15_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .select(
+            "s_suppkey", "s_name", _r4(F.col("total_revenue")).alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, sum_qty
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN (SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250) big ON o_orderkey = big.l_orderkey
+    """,
+    doc=(
+        "TPC-H Q18 shape: HAVING-filtered aggregate subquery drives a "
+        "semi-join-like reduction of the fact table before the customer "
+        "join — the aggregate's output is small, so it broadcasts."
+    ),
+    tags=("join", "agg", "subquery"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey", _r4(F.col("_sq")).alias("sum_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            _r4(F.col("o_totalprice")).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+    eligible AS (
+        SELECT substr(c_name, 10, 1) AS name_digit, c_custkey, c_acctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_totalprice > 400000))
+    SELECT name_digit, CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(c_acctbal), 4) AS total_bal
+    FROM eligible GROUP BY name_digit
+    """,
+    doc=(
+        "TPC-H Q22 shape: scalar average subquery (1-row broadcast), "
+        "anti-join against filtered orders, substring bucketing rollup."
+    ),
+    tags=("join", "agg", "subquery"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    eligible = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+    )
+    return eligible.groupBy(
+        F.substring("c_name", 10, 1).alias("name_digit")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        _r4(F.sum("c_acctbal")).alias("total_bal"),
+    )

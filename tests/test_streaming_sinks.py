@@ -187,3 +187,27 @@ def test_landing_sink_object_names(spark, tmp_path):
     assert landed[0].object_name == "intake/2024-06-01_g42_my_invoice_file.csv"
     assert bytes(landed[0].payload) == body
     assert landed[0].n_bytes == len(body)
+
+
+def test_cli_backfill_and_list(spark, tmp_path, capsys, monkeypatch):
+    """Drive the CLI surface end-to-end (§2.7): backfill a landing dir
+    into the receipt lake, then list pending objects."""
+    from fintech_etl_spark import cli
+
+    landing = tmp_path / "raw"
+    landing.mkdir()
+    (landing / "a.csv").write_text(HEADER + "\n" + "\n".join(ROWS[:3]) + "\n")
+    (landing / "b.csv").write_text(HEADER + "\n" + "\n".join(ROWS[3:]) + "\n")
+    lake = str(tmp_path / "lake")
+
+    # reuse the test session instead of building a second one
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    rc = cli.main(["backfill", "--landing", str(landing), "--lake", lake])
+    assert rc == 0
+    assert "backfilled 2 receipts" in capsys.readouterr().out
+    lake_df = spark.read.parquet(lake)
+    assert sorted(r.receipt_id for r in lake_df.collect()) == ["INV1", "INV2"]
+
+    rc = cli.main(["list-pending", "--landing", str(landing)])
+    out = capsys.readouterr().out
+    assert rc == 0 and "2 pending" in out and "a.csv" in out
