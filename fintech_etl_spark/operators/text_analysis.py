@@ -300,3 +300,88 @@ def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", F.col("g").alias("bigram"), "n", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Safety / hygiene scans (pre-training pipeline staples)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_IDLIKE_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+@register(
+    "text_pii_scan",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER)  AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER)  AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_IDLIKE_RE}')) AS INTEGER) AS n_idlike,
+           (len(regexp_extract_all(text, '{_EMAIL_RE}')) +
+            len(regexp_extract_all(text, '{_PHONE_RE}')) +
+            len(regexp_extract_all(text, '{_IDLIKE_RE}'))) > 0            AS has_pii
+    FROM documents
+    """,
+    doc=(
+        "PII surface scan: per-doc counts of email / phone / SSN-shaped "
+        "matches as one regexp projection — the filter stage every "
+        "pre-training corpus runs before anything else. Redaction is the "
+        "same plan with regexp_replace."
+    ),
+    tags=("text", "safety"),
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fintech_etl_spark.operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n = lambda pat: F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+    total = n(_EMAIL_RE) + n(_PHONE_RE) + n(_IDLIKE_RE)
+    return docs.select(
+        "doc_id",
+        n(_EMAIL_RE).alias("n_emails"),
+        n(_PHONE_RE).alias("n_phones"),
+        n(_IDLIKE_RE).alias("n_idlike"),
+        (total > 0).alias("has_pii"),
+    )
+
+
+@register(
+    "text_contamination_probe",
+    r"""
+    WITH probes(pid, probe) AS (VALUES
+        (0, 'window merge spark'), (1, 'the quick brown'), (2, 'batch table window')),
+    w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(w)-2, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM w),
+    hits AS (SELECT pid, probe, doc_id FROM sh JOIN probes ON list_contains(s, probe))
+    SELECT pid, probe,
+           CAST(count(*) AS BIGINT)        AS n_docs_hit,
+           CAST(min(doc_id) AS BIGINT)     AS first_doc
+    FROM hits GROUP BY pid, probe
+    """,
+    doc=(
+        "Benchmark-contamination probe: a tiny broadcast set of eval "
+        "n-grams joined against the corpus shingle index. At 100 TB the "
+        "probe side stays broadcast and the corpus side reuses the same "
+        "exploded-shingle shuffle as the dedup family."
+    ),
+    tags=("text", "safety", "join"),
+)
+def text_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fintech_etl_spark.operators.dedup import spread, with_shingles
+
+    probes = spark.createDataFrame(
+        [(0, "window merge spark"), (1, "the quick brown"), (2, "batch table window")],
+        "pid int, probe string",
+    )
+    sh = with_shingles(spread(load_table(spark, sf_dir, "documents")), 3)
+    hits = sh.join(
+        F.broadcast(probes), F.array_contains(F.col("s"), F.col("probe"))
+    )
+    return hits.groupBy("pid", "probe").agg(
+        F.count(F.lit(1)).alias("n_docs_hit"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -1,0 +1,69 @@
+"""Lake maintenance: keyed upsert and small-file compaction.
+
+Plain-parquet equivalents of what a table format (Delta/Iceberg) gives
+you managed — included because a receipt lake fed by per-file
+micro-batches accumulates both duplicate keys (webhook retries,
+reprocessed files) and small files (one parquet per micro-batch), and
+at 100 TB both quietly dominate read cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def upsert_by_key(
+    existing: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version_col: str,
+) -> DataFrame:
+    """Last-writer-wins upsert: union, keep the highest ``version_col``
+    per ``key`` (ties broken towards ``updates``).
+
+    One shuffle on the key; no driver-side state. Write the result to a
+    staging path and swap directories — the parquet-only analogue of a
+    MERGE commit.
+    """
+    tagged = existing.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = W.partitionBy(key).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    staging_suffix: str = "_compacted",
+) -> str:
+    """Rewrite a parquet directory into ~target-sized files.
+
+    Returns the staging path (atomic swap is the caller's rename — the
+    engine never deletes data it did not stage). File count is sized
+    from the actual byte size, not row count, so compaction behaves the
+    same whether rows are wide documents or narrow facts.
+    """
+    import os
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    staged = path.rstrip("/") + staging_suffix
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
+        staged
+    )
+    return staged

@@ -211,3 +211,39 @@ def test_cli_backfill_and_list(spark, tmp_path, capsys, monkeypatch):
     rc = cli.main(["list-pending", "--landing", str(landing)])
     out = capsys.readouterr().out
     assert rc == 0 and "2 pending" in out and "a.csv" in out
+
+
+def test_upsert_last_writer_wins(spark):
+    from fintech_etl_spark.sinks.maintenance import upsert_by_key
+
+    existing = spark.createDataFrame(
+        [("r1", 1, 10.0), ("r2", 1, 20.0)], "receipt_id string, v int, total double"
+    )
+    updates = spark.createDataFrame(
+        [("r2", 2, 25.0), ("r2", 1, 99.0), ("r3", 1, 30.0)],
+        "receipt_id string, v int, total double",
+    )
+    got = {
+        r.receipt_id: (r.v, r.total)
+        for r in upsert_by_key(existing, updates, "receipt_id", "v").collect()
+    }
+    assert got == {"r1": (1, 10.0), "r2": (2, 25.0), "r3": (1, 30.0)}
+    # same-version tie goes to the update (99.0 beat the existing 20.0
+    # only if v2 didn't exist; here v2 wins outright)
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    import glob
+
+    from fintech_etl_spark.sinks.maintenance import compact_parquet
+    from fintech_etl_spark.sources.tables import load_table
+
+    frag = str(tmp_path / "frag")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    li.repartition(24).write.parquet(frag)  # simulate micro-batch fragmentation
+    assert len(glob.glob(f"{frag}/*.parquet")) == 24
+
+    staged = compact_parquet(spark, frag, target_file_mb=128)
+    files = glob.glob(f"{staged}/*.parquet")
+    assert len(files) == 1  # sf0.001 lineitem ≪ 128 MB
+    assert spark.read.parquet(staged).count() == li.count()
