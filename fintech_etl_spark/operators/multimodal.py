@@ -304,3 +304,105 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = synth_ppm_images(spark, sf_dir)
     return imgs.mapInPandas(_decode_batch, _DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image resize + audio feature kernels (real, dependency-free)
+# ---------------------------------------------------------------------------
+
+
+def resize_ppm(content: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a P6 PPM → new P6 bytes. The simplest
+    real resampler; swapping in PIL's Lanczos changes only this body."""
+    w, h, maxval, _ = decode_ppm(content)
+    plane = content.split(b"\n", 3)[3]
+    out = bytearray(f"P6\n{out_w} {out_h}\n{maxval}\n".encode())
+    for y in range(out_h):
+        sy = y * h // out_h
+        for x in range(out_w):
+            sx = x * w // out_w
+            i = (sy * w + sx) * 3
+            out += plane[i : i + 3]
+    return bytes(out)
+
+
+_RESIZE_SCHEMA = "asset_id long, thumb binary, thumb_w int, thumb_h int"
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        thumbs = [resize_ppm(bytes(c), 4, 3) for c in pdf["content"]]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "thumb": thumbs,
+                "thumb_w": 4,
+                "thumb_h": 3,
+            }
+        )
+
+
+@register(
+    "media_image_resize",
+    None,  # binary output — pinned by golden tests
+    doc=(
+        "Image resize (8×6 → 4×3 nearest-neighbor) over real PPM bytes "
+        "through mapInPandas — the thumbnailing stage of a multimodal "
+        "ingest pipeline; output is itself a valid decodable image."
+    ),
+    tags=("multimodal", "pandas_udf"),
+)
+def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_ppm_images(spark, sf_dir).mapInPandas(
+        _resize_batch, _RESIZE_SCHEMA
+    )
+
+
+def synth_pcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fake PCM (unsigned 8-bit, 8 kHz) clip per document: samples
+    are the document's bytes — deterministic, valid, loopable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("pcm"),
+        F.lit(8000).alias("sample_rate"),
+    )
+
+
+_AUDIO_SCHEMA = (
+    "asset_id long, n_samples int, duration_ms double, rms double, peak int"
+)
+
+
+def _audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    for pdf in batches:
+        rows = []
+        for asset_id, pcm, sr in zip(pdf["asset_id"], pdf["pcm"], pdf["sample_rate"]):
+            b = bytes(pcm)
+            n = len(b)
+            centered = [x - 128 for x in b]
+            rms = math.sqrt(sum(x * x for x in centered) / n) if n else 0.0
+            rows.append(
+                (asset_id, n, 1000.0 * n / sr, round(rms, 4), max(b) if n else 0)
+            )
+        yield pd.DataFrame(
+            rows, columns=["asset_id", "n_samples", "duration_ms", "rms", "peak"]
+        )
+
+
+@register(
+    "media_audio_features",
+    None,  # sample-plane math — pinned by golden tests
+    doc=(
+        "Audio feature extraction (u8 PCM): sample count, duration, RMS "
+        "level, peak — the loudness/QC features an audio corpus filters "
+        "on, computed per clip in Arrow batches."
+    ),
+    tags=("multimodal", "pandas_udf"),
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_pcm_audio(spark, sf_dir).mapInPandas(
+        _audio_features_batch, _AUDIO_SCHEMA
+    )

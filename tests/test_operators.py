@@ -132,3 +132,25 @@ def test_ppm_decode_golden(spark):
     assert rows and all(r.decode_error is None for r in rows)
     assert all(r.width == 8 and r.height == 6 and r.maxval == 255 for r in rows)
     assert all(32 <= r.mean_pixel <= 126 for r in rows)  # ASCII payloads
+
+
+def test_media_resize_and_audio(spark):
+    from fintech_etl_spark.operators.multimodal import (
+        decode_ppm,
+        media_audio_features,
+        media_image_resize,
+        resize_ppm,
+    )
+
+    # resize golden: 2x2 checkerboard -> 1x1 takes the top-left pixel
+    src = b"P6\n2 2\n255\n" + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    assert decode_ppm(resize_ppm(src, 1, 1)) == (1, 1, 255, (255 + 0 + 0) / 3)
+
+    thumbs = media_image_resize(spark, SF_SMOKE).limit(5).collect()
+    for r in thumbs:
+        w, h, mx, _ = decode_ppm(bytes(r.thumb))
+        assert (w, h, mx) == (4, 3, 255)
+
+    audio = media_audio_features(spark, SF_SMOKE).collect()
+    assert audio and all(r.rms > 0 and r.peak <= 126 for r in audio)
+    assert all(abs(r.duration_ms - 1000.0 * r.n_samples / 8000) < 1e-9 for r in audio)
