@@ -195,9 +195,24 @@ def calc_quantity(
 
 def _upc14(col: ColumnOrName) -> Column:
     """Normalize one UPC field: blank/whitespace-only → null, else
-    zero-pad / left-truncate to exactly 14 chars."""
+    zero-pad / left-truncate to exactly 14 chars.
+
+    Python ``zfill`` (the reference's padder) is SIGN-AWARE: a leading
+    ``+``/``-`` stays in front and zeros pad after it — a bare ``lpad``
+    would bury the sign mid-string on garbage like ``'-1'``. Found by
+    the hypothesis property test, preserved for parity (digits-only
+    inputs are unaffected).
+    """
     s = F.nullif(F.trim(_c(col).cast("string")), F.lit(""))
-    return F.lpad(s, 14, "0")
+    head = F.substring(s, 1, 1)
+    signed = (head == "-") | (head == "+")
+    padded = F.when(
+        signed, F.concat(head, F.lpad(F.substring(s, 2, 1 << 30), 13, "0"))
+    ).otherwise(F.lpad(s, 14, "0"))
+    # zfill never truncates; the reference's [:14] slice truncates from
+    # the LEFT end of the padded string — lpad already does that for the
+    # unsigned case, the signed case needs the explicit slice.
+    return F.substring(padded, 1, 14)
 
 
 def extract_upc(
@@ -254,7 +269,15 @@ def document_id(
     gmail_id: ColumnOrName | None, invoice_number: ColumnOrName, run_ts: int
 ) -> Column:
     """``fnt-{gmail_id}-{invoice}-{unix_seconds}``
-    (/root/reference/stream/processor.py:24-30); timestamp injected."""
+    (/root/reference/stream/processor.py:24-30); timestamp injected.
+
+    Deliberate divergence (documented, pinned by test): with a null
+    gmail_id the reference f-string renders the literal ``'None'`` and
+    with a falsy invoice it drops the segment entirely; ``concat_ws``
+    instead skips null segments and keeps empty strings. The reference
+    behavior is a stringification accident, not a format contract, and
+    the skip-null form yields stable ids for the idempotency key.
+    """
     gid = _c(gmail_id) if gmail_id is not None else F.lit(None).cast("string")
     return F.concat_ws(
         "-", F.lit("fnt"), gid, _c(invoice_number), F.lit(str(int(run_ts)))

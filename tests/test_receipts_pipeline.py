@@ -123,3 +123,30 @@ def test_webhook_payloads(spark, tmp_path):
     assert doc["itemCount"] == 3
     assert [i["name"] for i in doc["lineItems"]] == ["Sixpack", "Oddpack", "Bottle"]
     assert "date" not in doc
+
+
+def test_permissive_csv_garbage_rows(spark, tmp_path):
+    """PERMISSIVE scan + null-tolerant rules: malformed lines degrade
+    per-cell (defaults) instead of failing the file — the reference's
+    row.get(default) contract at scan level."""
+    p = tmp_path / "garbage.csv"
+    p.write_text(
+        HEADER + "\n"
+        + ROWS[0] + "\n"
+        + "INVX,only,three\n"                      # short row
+        + ",,,,,,,,,,,,,,,,,,,\n"                  # all-empty row (null key → dropped)
+        + 'INVX,V,06/01/2024,xx,zz,aa,bb,??,GLB,PC,Desc,not-a-price,0,0,0,0,0,,,\n'
+    )
+    from fintech_etl_spark.operators.receipts import build_receipts
+    from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
+
+    receipts = {r.receipt_id: r for r in build_receipts(
+        read_invoice_csv(spark, str(p)), run_date=RUN_DATE
+    ).collect()}
+    assert set(receipts) == {"INV2", "INVX"}
+    invx = receipts["INVX"]
+    assert invx.item_count == 2           # short row + garbage row both kept
+    assert invx.total_amount == 0.0       # 'xx' degrades to default
+    assert invx.subtotal == 0.0           # 'not-a-price' degrades
+    qtys = [i.qty for i in invx.line_items]
+    assert qtys == [0, 0]                 # garbage quantities → 0
