@@ -73,3 +73,23 @@ def list_objects(spark: SparkSession, path_glob: str) -> DataFrame:
         .load(path_glob)
         .select("path", "length", "modificationTime")
     )
+
+
+def write_documents_jsonl(df: DataFrame, path: str) -> None:
+    """Documents as JSON-lines — the interchange format every LLM-data
+    pipeline speaks. One file per partition; compression left to conf
+    (spark.sql.json.*)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL document source with the declared schema (no inference —
+    a malformed line nulls its row in PERMISSIVE mode instead of
+    poisoning the scan's inferred types)."""
+    from fintech_etl_spark.schemas import STAR_SCHEMAS
+
+    return (
+        spark.read.schema(STAR_SCHEMAS["documents"])
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )

@@ -128,3 +128,12 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once-per-event dedup: dropDuplicates on the
+    event id within a watermark horizon — the streaming twin of the
+    batch ``dedup_exact`` operator. State holds one key per event id
+    inside the horizon and is dropped past the watermark, so memory is
+    bounded by arrival rate × horizon, not stream length."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

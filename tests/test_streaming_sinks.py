@@ -247,3 +247,49 @@ def test_compaction_reduces_files(spark, tmp_path):
     files = glob.glob(f"{staged}/*.parquet")
     assert len(files) == 1  # sf0.001 lineitem ≪ 128 MB
     assert spark.read.parquet(staged).count() == li.count()
+
+
+def test_streaming_dedup_events(spark, tmp_path):
+    """Replaying the same events file twice through the checkpointed
+    dedup stream emits each event_id exactly once."""
+    import shutil
+
+    from fintech_etl_spark.streaming.events import (
+        dedup_events_stream,
+        read_events_stream,
+    )
+
+    q = (
+        dedup_events_stream(read_events_stream(spark, SF_SMOKE))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from fintech_etl_spark.sources.tables import load_table
+
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    got = spark.sql(
+        "select count(*) as n, count(distinct event_id) as d from dedup_stream"
+    ).collect()[0]
+    assert got.n == got.d == n_events
+
+
+def test_documents_jsonl_roundtrip(spark, tmp_path):
+    from fintech_etl_spark.sources.tables import (
+        load_table,
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, path)
+    back = read_documents_jsonl(spark, path)
+    assert back.schema == docs.schema
+    a = {r.doc_id: r.text for r in docs.collect()}
+    b = {r.doc_id: r.text for r in back.collect()}
+    assert a == b
