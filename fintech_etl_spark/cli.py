@@ -43,10 +43,11 @@ def _process(
     receipts = build_receipts(
         read_invoice_csv(spark, csv_path),
         gcs_bucket=os.environ.get("LANDING_BUCKET", ""),
-        gcs_path=csv_path if isinstance(csv_path, str) else "",
         gmail_id=gmail_id,
         run_date=dt.date.today(),
         run_ts=int(time.time()),
+        # a glob spans many files: keep per-file receipt identity
+        per_file=True,
     )
     receipts.persist()
     n = receipts.count()

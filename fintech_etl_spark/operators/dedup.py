@@ -14,8 +14,9 @@ different scale/fidelity point:
 
 All shuffles key on shingles / bucket ids / fingerprints, which are
 high-cardinality and salt-free; hot shingles (stopword runs) are the
-one skew risk and are handled by a document-frequency cap in the LSH
-path (mirroring what every production dedup pipeline does).
+one skew risk — the production mitigation is a document-frequency cap
+on shingles, noted (not applied) in the LSH operator to keep exact
+oracle parity on the small testdata.
 """
 
 from __future__ import annotations

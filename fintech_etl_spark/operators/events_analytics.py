@@ -157,7 +157,9 @@ def events_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(F.count(F.lit(1)).alias("n"), _r4(F.sum("value")).alias("total"))
     )
-    return F.broadcast(spine).join(daily, "day", "left").select(
+    # broadcast the RIGHT side: a left outer join can only broadcast-
+    # build its right input; the aggregated daily rollup is tiny anyway.
+    return spine.join(F.broadcast(daily), "day", "left").select(
         "day",
         F.coalesce("n", F.lit(0)).alias("n_purchases"),
         F.coalesce("total", F.lit(0.0)).alias("total_value"),

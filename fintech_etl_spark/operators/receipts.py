@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fintech_etl_spark.functions import rules as R
-from fintech_etl_spark.sources.invoice_csv import ROW_IDX
+from fintech_etl_spark.sources.invoice_csv import ROW_IDX, SOURCE_PATH
 
 INVOICE_KEY = "Invoice Number"
 
@@ -80,9 +80,17 @@ def build_receipts(
     run_date: _dt.date | None = None,
     run_ts: int = 0,
     processed_at: str = "",
+    per_file: bool = False,
 ) -> DataFrame:
     """Transform a scanned invoice frame (see sources.invoice_csv) into
     one receipt row per invoice. All "now" values injected (SURVEY §4.2).
+
+    ``per_file=True`` adds the source path to the group key and derives
+    ``source_file``/``gcs_path`` from it. Required whenever one scan
+    covers many files (streaming micro-batches, backfill globs): the
+    reference processes each file independently, so the same invoice
+    number appearing in two files must yield two receipts, not one
+    merged across files.
     """
     run_date = run_date or _dt.date.today()
 
@@ -91,6 +99,7 @@ def build_receipts(
     rows = invoice_df.filter(F.col(INVOICE_KEY).isNotNull()).select(
         F.col(INVOICE_KEY),
         F.col(ROW_IDX),
+        *([F.col(SOURCE_PATH)] if per_file else []),
         line_item_struct().alias("_item"),
         F.col("Invoice Date").alias("_invoice_date"),
         F.col("Vendor Name").alias("_vendor"),
@@ -99,7 +108,8 @@ def build_receipts(
         R.safe_num("Extended Price").alias("_ext_price"),
     )
 
-    grouped = rows.groupBy(INVOICE_KEY).agg(
+    group_cols = [INVOICE_KEY] + ([SOURCE_PATH] if per_file else [])
+    grouped = rows.groupBy(*group_cols).agg(
         first("_vendor").alias("_vendor"),
         first("_invoice_date").alias("_invoice_date"),
         first("_invoice_amount").alias("_invoice_amount"),
@@ -114,6 +124,9 @@ def build_receipts(
     )
 
     receipt_no = R.trimmed(F.col(INVOICE_KEY))
+    path_col = (
+        F.col(SOURCE_PATH) if per_file else F.lit(gcs_path)
+    )
     return grouped.select(
         receipt_no.alias("receipt_id"),
         R.vendor_name("_vendor").alias("vendor"),
@@ -125,12 +138,12 @@ def build_receipts(
         F.col("_subtotal").alias("subtotal"),
         F.col("item_count"),
         F.col("line_items"),
-        R.source_file(gcs_bucket, F.lit(gcs_path), google_drive_url).alias(
+        R.source_file(gcs_bucket, path_col, google_drive_url).alias(
             "source_file"
         ),
         F.lit(processed_at).alias("processed_at"),
         F.lit(gcs_bucket).alias("gcs_bucket"),
-        F.lit(gcs_path).alias("gcs_path"),
+        path_col.alias("gcs_path"),
         R.document_id(
             F.lit(gmail_id) if gmail_id is not None else None, receipt_no, run_ts
         ).alias("document_id"),

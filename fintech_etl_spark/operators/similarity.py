@@ -134,10 +134,10 @@ def _sign_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
     "ann_lsh_bucketed",
     None,  # approximate: recall < 1 by construction → rows-only check
     doc=(
-        "ANN via random-hyperplane LSH: 4 bands × 8 sign bits. Candidates "
+        "ANN via random-hyperplane LSH: 12 bands × 4 sign bits. Candidates "
         "= vectors sharing a bucket with the query in any band; exact "
         "cosine re-rank within candidates. At 100 TB the bucket id is "
-        "the shuffle/partition key, so each query touches ~corpus/256 "
+        "the shuffle/partition key, so each query touches ~corpus/16 "
         "per band instead of the full corpus."
     ),
     tags=("similarity", "lsh", "topk"),

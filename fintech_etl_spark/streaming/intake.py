@@ -65,8 +65,11 @@ def start_invoice_stream(
         # monotonically_increasing_id is illegal on a streaming DF but
         # fine here: foreachBatch hands us a static micro-batch, and the
         # id preserves within-file row order for header extraction.
+        # per_file: a micro-batch may span many files; the same invoice
+        # number in two files must yield two receipts (reference parity).
         receipts = build_receipts(
             batch_df.withColumn(ROW_IDX, F.monotonically_increasing_id()),
+            per_file=True,
             gcs_bucket=gcs_bucket,
             gcs_path="",
             run_date=run_date,

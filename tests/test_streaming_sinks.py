@@ -293,3 +293,33 @@ def test_documents_jsonl_roundtrip(spark, tmp_path):
     a = {r.doc_id: r.text for r in docs.collect()}
     b = {r.doc_id: r.text for r in back.collect()}
     assert a == b
+
+
+def test_streaming_same_invoice_in_two_files_not_merged(spark, tmp_path):
+    """Reference parity: each file is an independent processing unit, so
+    the same invoice number in two files in ONE micro-batch must emit
+    two receipts."""
+    from fintech_etl_spark.sinks import write_receipts_parquet
+    from fintech_etl_spark.streaming import start_invoice_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.csv").write_text(HEADER + "\n" + ROWS[0] + "\n")
+    (landing / "b.csv").write_text(HEADER + "\n" + ROWS[1] + "\n")  # same INV2
+    out = str(tmp_path / "out")
+
+    q = start_invoice_stream(
+        spark,
+        str(landing),
+        str(tmp_path / "ckpt"),
+        lambda r, _bid: write_receipts_parquet(r, out, partition_by_month=False),
+        run_date=RUN_DATE,
+        run_ts=1,
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2
+    assert {r.receipt_id for r in rows} == {"INV2"}
+    assert {r.item_count for r in rows} == {1}
+    # provenance: each receipt carries its own file path
+    assert len({r.gcs_path for r in rows}) == 2
