@@ -171,18 +171,20 @@ def calc_quantity(
     p = packs_per_case(packs)
     u = units_per_pack(units)
     cat = product_category(gl_code, product_class)
-    # try_cast: ANSI mode raises on double→int overflow; the reference's
-    # Python int() never does. Overflowing quantities degrade to null.
+    # long, not int: the reference truncates via Python's arbitrary-
+    # precision int(), so qty × packs × units routinely exceeds int32.
+    # try_cast keeps ANSI mode from raising on the (absurd) >int64 tail —
+    # those degrade to null instead of crashing the job.
     beer_exploded = F.when(
-        p.isin(*BEER_SPECIAL_PACKS), (qty * p * u).try_cast("int")
-    ).otherwise((qty * p).try_cast("int"))
+        p.isin(*BEER_SPECIAL_PACKS), (qty * p * u).try_cast("long")
+    ).otherwise((qty * p).try_cast("long"))
     return (
-        F.when(norm_uom(uom) == "bottle", qty.try_cast("int"))
+        F.when(norm_uom(uom) == "bottle", qty.try_cast("long"))
         .when(cat == BEER, beer_exploded)
-        .when(cat == WINE, (qty * p * u).try_cast("int"))
+        .when(cat == WINE, (qty * p * u).try_cast("long"))
         # SPIRITS / NON-ALCOHOLIC / MISCELLANEOUS and the (unreachable)
         # fallback all share qty × packs.
-        .otherwise((qty * p).try_cast("int"))
+        .otherwise((qty * p).try_cast("long"))
     )
 
 
