@@ -45,12 +45,14 @@ def safe_num(col: ColumnOrName, default: float = 0.0) -> Column:
 def safe_int(col: ColumnOrName, default: float = 0.0) -> Column:
     """``int(safe_num(...))`` — truncation toward zero, like Python ``int()``.
 
-    ``try_cast`` instead of ``cast``: ANSI mode (PySpark 4 default)
-    raises on double→int overflow, while the reference degrades garbage
-    to the default — an out-of-int-range value coalesces to ``default``.
+    long, not int: the reference's Python ``int()`` is arbitrary
+    precision, so large-but-valid values like ``3e9`` pass through
+    rather than overflowing. ``try_cast`` keeps ANSI mode (PySpark 4
+    default) from raising on the >int64 tail — those coalesce to
+    ``default`` instead of crashing the job.
     """
     return F.coalesce(
-        safe_num(col, default).try_cast("int"), F.lit(int(default))
+        safe_num(col, default).try_cast("long"), F.lit(int(default))
     )
 
 

@@ -66,7 +66,7 @@ INVOICE_CSV_SCHEMA = T.StructType(
 LINE_ITEM_SCHEMA = T.StructType(
     [
         T.StructField("name", T.StringType(), True),
-        T.StructField("qty", T.IntegerType(), True),
+        T.StructField("qty", T.LongType(), True),
         T.StructField("price", T.DoubleType(), True),
         T.StructField("discount", T.DoubleType(), True),
         T.StructField("upc", T.StringType(), True),
@@ -76,8 +76,8 @@ LINE_ITEM_SCHEMA = T.StructType(
         T.StructField("category", T.StringType(), True),
         T.StructField("tax", T.DoubleType(), True),
         T.StructField("notes", T.StringType(), True),
-        T.StructField("packs_per_case", T.IntegerType(), True),
-        T.StructField("units_per_pack", T.IntegerType(), True),
+        T.StructField("packs_per_case", T.LongType(), True),
+        T.StructField("units_per_pack", T.LongType(), True),
     ]
 )
 

@@ -123,17 +123,26 @@ def test_notes_matches_oracle(spark):
 
 
 def test_safe_int_ansi_overflow_degrades(spark):
-    # ANSI double→int overflow must not raise (ADVICE r1): 3e9 > int32
+    # ANSI cast must not raise (ADVICE r1): 3e9 > int32 but the
+    # reference's Python int() handles it — long cast passes it through;
+    # only the absurd >int64 tail degrades to the default.
     got = _run_batch(
         spark,
-        [dict(v="3000000000"), dict(v="junk"), dict(v="7.9"), dict(v=None)],
+        [
+            dict(v="3000000000"),
+            dict(v="junk"),
+            dict(v="7.9"),
+            dict(v=None),
+            dict(v="1e300"),
+        ],
         ["v"],
         {"i": R.safe_int("v", 0.0), "p": R.packs_per_case("v")},
     )
-    assert got[0].i == 0  # overflow degrades to default, no exception
+    assert got[0].i == 3000000000  # fits long, matches reference int()
     assert got[1].i == 0 and got[1].p == 1
     assert got[2].i == 7
     assert got[3].i == 0 and got[3].p == 1
+    assert got[4].i == 0  # >int64 degrades to default, no exception
 
 
 def test_document_id_shapes(spark):
