@@ -62,6 +62,7 @@ _OPERATOR_MODULES = (
     "similarity",
     "sources_ops",
     "text_analysis",
+    "tpch_relational",
     "vectorized",
 )
 
