@@ -22,8 +22,12 @@ HEADLINE = (
     "q1_pricing_summary",
     "q3_segment_topk_revenue",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "q7_nation_volume",
+    "q8_market_share",
+    "q13_order_count_distribution",
     "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
     "nation_order_totals",
     "window_topk_per_customer",
     "window_lag_sessionize",

@@ -130,6 +130,27 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_events_stream(events: DataFrame, user_profile: DataFrame) -> DataFrame:
+    """Stream–static enrichment join: each micro-batch of events picks up
+    per-user profile columns from a static (batch) DataFrame.
+
+    The static side re-resolves per micro-batch, so a refreshed profile
+    table is picked up without restarting the query. Broadcast keeps the
+    join stateless and shuffle-free — correct for a dimension-sized
+    profile (≤ broadcast threshold per executor); a fact-scale profile
+    should instead be pre-bucketed on user_id and the hint dropped.
+    """
+    prof = F.broadcast(
+        user_profile.select(
+            F.col("user_id").alias("p_user_id"),
+            *[c for c in user_profile.columns if c != "user_id"],
+        )
+    )
+    return events.join(
+        prof, events["user_id"] == prof["p_user_id"], "left"
+    ).drop("p_user_id")
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exactly-once-per-event dedup: dropDuplicates on the
     event id within a watermark horizon — the streaming twin of the

@@ -278,6 +278,46 @@ def test_streaming_dedup_events(spark, tmp_path):
     assert got.n == got.d == n_events
 
 
+def test_stream_static_enrichment(spark, tmp_path):
+    """Streaming events left-join a static per-user profile: every
+    output row carries the user's batch-computed average value; users
+    absent from the profile stay (null-padded) rather than dropping."""
+    from fintech_etl_spark.sources.tables import load_table
+    from fintech_etl_spark.streaming.events import (
+        enrich_events_stream,
+        read_events_stream,
+    )
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    profile = (
+        batch.groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("user_avg_value"))
+        .filter(F.col("user_id") % 2 == 0)  # half the users lack a profile
+    )
+    q = (
+        enrich_events_stream(read_events_stream(spark, SF_SMOKE), profile)
+        .writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from enriched_stream")
+    assert got.count() == batch.count()  # left join: nothing dropped
+    want = {r.user_id: r.user_avg_value for r in profile.collect()}
+    sample = got.groupBy("user_id").agg(
+        F.first("user_avg_value").alias("v"),
+        F.countDistinct("user_avg_value").alias("nv"),
+    )
+    for r in sample.collect():
+        if r.user_id % 2 == 0:
+            assert r.v == want[r.user_id] and r.nv == 1
+        else:
+            assert r.v is None and r.nv == 0
+
+
 def test_documents_jsonl_roundtrip(spark, tmp_path):
     from fintech_etl_spark.sources.tables import (
         load_table,
