@@ -82,6 +82,40 @@ def test_q19_disjunction_partially_pushed(spark, specs):
     assert "LessThanOrEqual(p_size,10)" in plan and "GreaterThanOrEqual(p_size,40)" in plan
 
 
+def test_q6_all_predicates_reach_scan(spark, specs):
+    plan = plan_of(specs["q6_forecast_revenue"].fn(spark, SF_SMOKE))
+    # every predicate (date range, discount band, quantity bound) is in
+    # PushedFilters — zero raw rows cross an exchange
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    tree = tree_of(plan)
+    assert tree.count("HashAggregate") == 2 and tree.count("- Exchange") == 1
+
+
+def test_q8_seven_way_join_no_sort_merge_at_dim_scale(spark, specs):
+    plan = plan_of(specs["q8_market_share"].fn(spark, SF_SMOKE))
+    tree = tree_of(plan)
+    # part/supplier/region/nation(×2) are forced broadcasts; at smoke
+    # scale orders/customer also fit under the threshold, so the whole
+    # 7-join pipeline stays broadcast with a single agg exchange
+    assert tree.count("BroadcastHashJoin") == 7
+    assert "SortMergeJoin" not in tree
+    assert tree.count("- Exchange") == 1
+
+
+def test_q2_rank1_uses_window_group_limit(spark, specs):
+    plan = plan_of(specs["q2_min_cost_supplier"].fn(spark, SF_SMOKE))
+    # rn=1 filter is pushed INTO the window as WindowGroupLimit (top-1
+    # per partition kept pre-shuffle) — at scale this prunes the window
+    # input instead of ranking every group fully
+    assert "WindowGroupLimit" in plan
+
+
+def test_q21_semi_and_anti_against_same_fact(spark, specs):
+    plan = plan_of(specs["q21_waiting_suppliers"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
 def test_media_catalog_prunes_payload_bytes(spark, specs):
     plan = plan_of(specs["media_catalog_stats"].fn(spark, SF_SMOKE))
     reads = [l for l in plan.splitlines() if "ReadSchema" in l]
