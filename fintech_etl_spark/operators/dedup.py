@@ -418,3 +418,87 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _COS_TAU)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (dedup clustering)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Cluster an undirected edge list ``(doc_a, doc_b)`` into connected
+    components by iterative min-label propagation; returns
+    ``(doc_id, component_id)`` with component_id = min doc_id reachable.
+
+    This is the genuinely iterative step of a dedup pipeline (MinHash →
+    candidate pairs → components → keep one doc per component) that no
+    single SQL query expresses. Each iteration is one co-partitioned
+    join + min-agg on the node key; convergence takes O(component
+    diameter) rounds — near-dup clusters are shallow (stars/chains of a
+    few docs), so this is ~3-5 rounds in practice, not O(|V|).
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    doesn't grow exponentially, and the per-round convergence count is
+    the standard driver-side fixpoint test (an O(1)-row action, not a
+    data collect).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))
+
+
+@register(
+    "dedup_cluster_components",
+    None,  # iterative fixpoint — not single-query SQL; pinned by unit test
+    doc=(
+        "End-to-end fuzzy-dedup clustering: MinHash-LSH verified pairs "
+        "(τ=0.7) → connected components via min-label propagation → "
+        "per-cluster survivor (min doc_id) and member count. The unit "
+        "test cross-checks components against a brute-force union-find "
+        "on the same pairs."
+    ),
+    tags=("dedup", "iterative"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .select("component_id", "n_members", "member_ids")
+    )

@@ -385,3 +385,115 @@ def text_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_hit"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "quality_repetition_signals",
+    r"""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    wc  AS (SELECT doc_id, unnest(w) AS word FROM w),
+    wcc AS (SELECT doc_id, word, count(*) AS c FROM wc GROUP BY 1, 2),
+    ws  AS (SELECT doc_id,
+                   CAST(sum(c) AS BIGINT)   AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   max(c)                   AS top_c
+            FROM wcc GROUP BY 1),
+    bg  AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i+1])) AS g
+            FROM w),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    bgs AS (SELECT doc_id, sum(c) AS totb, max(c) AS topb FROM bgc GROUP BY 1)
+    SELECT ws.doc_id, n_words,
+           round(n_distinct * 1.0 / n_words, 4) AS distinct_word_ratio,
+           round(top_c * 1.0 / n_words, 4)      AS top_word_frac,
+           round(topb * 1.0 / totb, 4)          AS top_bigram_frac
+    FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id
+    """,
+    doc=(
+        "Gopher/C4-style repetition quality signals per document: "
+        "distinct-word ratio, most-frequent-word fraction and "
+        "most-frequent-bigram fraction — the standard filters for "
+        "boilerplate / degenerate text. Two explode+agg passes keyed on "
+        "doc_id, so both shuffles are co-partitioned and the doc text "
+        "itself never moves."
+    ),
+    tags=("text", "quality"),
+)
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
+    )
+    wcc = (
+        w.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ws = wcc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i.cast("int")), F.element_at("w", (i + 1).cast("int"))
+        ),
+    )
+    # explode_outer: a 1-word doc has an empty bigram list; the doc must
+    # survive (null top_bigram_frac), not silently drop out of the QA set.
+    bgc = (
+        w.select("doc_id", F.explode_outer(bigrams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bgs = bgc.groupBy("doc_id").agg(
+        F.sum("c").alias("totb"), F.max("c").alias("topb")
+    )
+    return (
+        ws.join(bgs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(F.col("n_distinct") / F.col("n_words"), 4).alias(
+                "distinct_word_ratio"
+            ),
+            F.round(F.col("top_c") / F.col("n_words"), 4).alias("top_word_frac"),
+            F.round(F.col("topb") / F.col("totb"), 4).alias("top_bigram_frac"),
+        )
+    )
+
+
+@register(
+    "split_train_val_test",
+    """
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    doc=(
+        "Deterministic train/val/test assignment by content-stable hash "
+        "(~80/10/10 via the first md5 hex byte) — the standard leakage- "
+        "safe split for training corpora: no RNG, no ordering dependence, "
+        "stable under re-partitioning and incremental arrivals. Pure "
+        "projection + 3-key rollup; the hex-threshold comparison is "
+        "engine-portable so DuckDB value-checks the exact assignment."
+    ),
+    tags=("text", "split"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    split = (
+        F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

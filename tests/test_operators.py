@@ -154,3 +154,55 @@ def test_media_resize_and_audio(spark):
     audio = media_audio_features(spark, SF_SMOKE).collect()
     assert audio and all(r.rms > 0 and r.peak <= 126 for r in audio)
     assert all(abs(r.duration_ms - 1000.0 * r.n_samples / 8000) < 1e-9 for r in audio)
+
+
+def test_connected_components_match_union_find(spark):
+    """Distributed min-label propagation must produce exactly the
+    components a brute-force union-find finds on the same edge list."""
+    from fintech_etl_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 31)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+def test_cluster_components_consistent_with_pairs(spark):
+    """Every verified near-dup pair must land in the same component, and
+    every component member must appear in at least one pair."""
+    from fintech_etl_spark.operators.dedup import (
+        dedup_cluster_components,
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, SF_SMOKE).select("doc_a", "doc_b").collect()
+    comp_rows = dedup_cluster_components(spark, SF_SMOKE).collect()
+    member_to_comp = {
+        m: r.component_id for r in comp_rows for m in r.member_ids
+    }
+    assert pairs, "smoke data should contain near-dups"
+    for p in pairs:
+        assert member_to_comp[p.doc_a] == member_to_comp[p.doc_b]
+    paired = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    assert set(member_to_comp) == paired
+    for r in comp_rows:
+        assert r.component_id == min(r.member_ids)
+        assert r.n_members == len(r.member_ids) >= 2
