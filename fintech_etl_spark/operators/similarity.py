@@ -324,3 +324,101 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("dim"),
         F.round(F.sum("m"), 4).alias("centroid_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) — the IVF training step, for real
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = _KM_K, max_iter: int = _KM_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Lloyd's k-means over an ``(vec_id, embedding)`` frame.
+
+    Returns ``(centroids(cell, centroid), assignments(vec_id, cell,
+    dist))``. Initialization is deterministic (the k lowest vec_ids), so
+    runs are reproducible and unit-testable against a NumPy oracle.
+
+    Each iteration is: broadcast the k centroids (tiny) → score k
+    distances per vector in one projection (no shuffle) → argmin via
+    min(struct(dist, cell)) (deterministic tie-break) → recompute
+    centroids with a posexplode + (cell, dim) mean (one shuffle keyed
+    on at most k×dim rows out). The corpus is never collected and never
+    shuffles — the per-iteration cost is one pass over the vectors,
+    which is the textbook scale shape for k ≪ |corpus|.
+    ``localCheckpoint`` cuts the plan between iterations.
+    """
+    from pyspark.sql import Window as W
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(W.orderBy("vec_id")).alias("cell"),
+            F.col("v").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    assign = None
+    for _ in range(max_iter):
+        scored = vecs.join(F.broadcast(cent)).select(
+            "vec_id", "v", "cell", _sq_dist(F.col("v"), F.col("centroid")).alias("dist")
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cell", "v")).alias("best"),
+            )
+            .select(
+                "vec_id",
+                F.col("best.cell").alias("cell"),
+                F.col("best.dist").alias("dist"),
+                F.col("best.v").alias("v"),
+            )
+            .localCheckpoint()
+        )
+        cent = (
+            assign.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+            .select("cell", F.transform("im", lambda s: s["m"]).alias("centroid"))
+            .localCheckpoint()
+        )
+    return cent, assign.select("vec_id", "cell", "dist")
+
+
+@register(
+    "kmeans_ivf_cells",
+    None,  # iterative fixpoint — pinned by the NumPy-oracle unit test
+    doc=(
+        "Distributed Lloyd's k-means (k=8, 3 iterations, deterministic "
+        "init) over the embeddings — the real IVF training step whose "
+        "output cells ann_ivf_probe's layout assumes. Emits per-cell "
+        "size and inertia; the unit test replays the identical "
+        "algorithm in NumPy and requires exact cell-size agreement."
+    ),
+    tags=("similarity", "iterative"),
+)
+def kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assign = kmeans_fit(emb)
+    return (
+        assign.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("dist"), 4).alias("inertia"),
+        )
+        .select("cell", "n_vectors", "inertia")
+    )

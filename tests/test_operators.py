@@ -206,3 +206,54 @@ def test_cluster_components_consistent_with_pairs(spark):
     for r in comp_rows:
         assert r.component_id == min(r.member_ids)
         assert r.n_members == len(r.member_ids) >= 2
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Distributed Lloyd's with deterministic init must reproduce the
+    identical algorithm run in NumPy: same cell sizes, same inertia."""
+    import numpy as np
+
+    from fintech_etl_spark.operators.similarity import _KM_ITERS, _KM_K, kmeans_fit
+    from fintech_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    from pyspark.sql import functions as F
+
+    cent, assign = kmeans_fit(emb)
+    got = {
+        r.cell: (r.n, round(r.inertia, 4))
+        for r in assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dist").alias("inertia"))
+        .collect()
+    }
+
+    rows = sorted(
+        (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    X = np.stack([v for _, v in rows])
+    C = X[: _KM_K].copy()
+    for _ in range(_KM_ITERS):
+        C_prev = C.copy()
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # ties → lowest cell, same as min(struct)
+        C = np.stack(
+            [X[lab == j].mean(axis=0) if (lab == j).any() else C[j] for j in range(_KM_K)]
+        )
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    # the Spark loop's last iteration also re-assigns before recomputing;
+    # compare against the assignment made with the PREVIOUS centroids
+    want_sizes = np.bincount(lab, minlength=_KM_K)
+    got_sizes = np.zeros(_KM_K, dtype=int)
+    for cell, (n, _) in got.items():
+        got_sizes[cell - 1] = n
+    assert got_sizes.tolist() == want_sizes.tolist()
+    want_inertia = d.min(axis=1).sum()  # with the updated centroids
+    # Spark's reported dist uses the pre-update centroids of its final
+    # assignment pass, matching d from lab's iteration — compare totals
+    prev_d = ((X[:, None, :] - C_prev[None, :, :]) ** 2).sum(axis=2)
+    want_total = prev_d.min(axis=1).sum()
+    total_got = sum(v[1] for v in got.values())
+    # 1e-6 relative: the per-cell inertias are rounded to 4 decimals
+    # before summing, and float32→double summation order differs
+    assert abs(total_got - want_total) / want_total < 1e-6
