@@ -102,3 +102,69 @@ def grouped_zscore_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         _zscore_group, "o_custkey long, o_orderkey long, z double"
     )
     return out.withColumn("z", F.round("z", 4))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — LLM pretraining data prep
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def _pack_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy first-fit-decreasing packing of one shard's documents into
+    fixed token-budget sequences. Runs per (source, shard) group, so
+    each Python invocation sees a bounded slice regardless of corpus
+    size."""
+    budget = int(pdf["budget"].iloc[0])
+    docs = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+    bins: list[tuple[int, list[int], int]] = []  # (free, doc_ids, n_docs)
+    for doc_id, n in zip(docs["doc_id"], docs["n_tokens"]):
+        n = int(n)
+        placed = False
+        for i, (free, ids, nd) in enumerate(bins):
+            if n <= free:
+                bins[i] = (free - n, ids + [int(doc_id)], nd + 1)
+                placed = True
+                break
+        if not placed:
+            # oversize docs get a dedicated (overflowing) sequence —
+            # truncation is the tokenizer's job downstream, not the packer's
+            bins.append((max(budget - n, 0), [int(doc_id)], 1))
+    return pd.DataFrame(
+        {
+            "source": pdf["source"].iloc[0],
+            "seq_id": range(len(bins)),
+            "n_docs": [nd for _, _, nd in bins],
+            "n_tokens": [budget - free for free, _, _ in bins],
+            "doc_ids": [ids for _, ids, _ in bins],
+        }
+    )
+
+
+@register(
+    "pack_sequences",
+    None,  # greedy bin packing is order-sensitive — pinned by unit test
+    doc=(
+        "Sequence packing for pretraining: greedy first-fit-decreasing "
+        "of documents into fixed token-budget rows (budget=256 here). "
+        "Token counts are computed JVM-side; only the packing decision "
+        "runs in Python, per (source) group via applyInPandas, so the "
+        "work distributes by source shard and each group is bounded. "
+        "At 100 TB the group key becomes (source, hash-shard) to cap "
+        "group size; the kernel is unchanged."
+    ),
+    tags=("pandas_udf", "text"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.lit(_PACK_BUDGET).alias("budget"),
+    )
+    return with_tokens.groupBy("source").applyInPandas(
+        _pack_kernel,
+        "source string, seq_id long, n_docs long, n_tokens long, doc_ids array<long>",
+    )

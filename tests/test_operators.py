@@ -257,3 +257,30 @@ def test_kmeans_matches_numpy_lloyd(spark):
     # 1e-6 relative: the per-cell inertias are rounded to 4 decimals
     # before summing, and float32→double summation order differs
     assert abs(total_got - want_total) / want_total < 1e-6
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc packed exactly once; no sequence exceeds the budget
+    unless it holds a single oversize doc; token accounting adds up."""
+    from pyspark.sql import functions as F
+
+    from fintech_etl_spark.operators.vectorized import _PACK_BUDGET, pack_sequences
+    from fintech_etl_spark.sources.tables import load_table
+
+    seqs = pack_sequences(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    packed: list[int] = []
+    for s in seqs:
+        assert s.n_docs == len(s.doc_ids) >= 1
+        total = sum(tok[d] for d in s.doc_ids)
+        assert total == s.n_tokens or (s.n_docs == 1 and tok[s.doc_ids[0]] > _PACK_BUDGET)
+        if s.n_docs > 1:
+            assert total <= _PACK_BUDGET
+        packed.extend(s.doc_ids)
+    assert sorted(packed) == sorted(tok)  # exactly-once packing
