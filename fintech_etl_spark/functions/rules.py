@@ -270,19 +270,35 @@ def notes(
 
 
 def document_id(
-    gmail_id: ColumnOrName | None, invoice_number: ColumnOrName, run_ts: int
+    gmail_id: ColumnOrName | None,
+    invoice_number: ColumnOrName,
+    run_ts: int,
+    reference_parity: bool = False,
 ) -> Column:
     """``fnt-{gmail_id}-{invoice}-{unix_seconds}``
     (/root/reference/stream/processor.py:24-30); timestamp injected.
 
-    Deliberate divergence (documented, pinned by test): with a null
+    Default mode diverges deliberately (pinned by test): with a null
     gmail_id the reference f-string renders the literal ``'None'`` and
     with a falsy invoice it drops the segment entirely; ``concat_ws``
     instead skips null segments and keeps empty strings. The reference
     behavior is a stringification accident, not a format contract, and
     the skip-null form yields stable ids for the idempotency key.
+
+    ``reference_parity=True`` reproduces the f-string branches
+    byte-for-byte for golden-comparison against reference output:
+    null gmail_id → ``'None'``, null/empty invoice → 3-part id.
     """
     gid = _c(gmail_id) if gmail_id is not None else F.lit(None).cast("string")
+    if reference_parity:
+        gid_str = F.coalesce(gid.cast("string"), F.lit("None"))
+        inv = _c(invoice_number).cast("string")
+        inv_seg = F.when(
+            inv.isNotNull() & (inv != ""), F.concat(F.lit("-"), inv)
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("fnt-"), gid_str, inv_seg, F.lit(f"-{int(run_ts)}")
+        )
     return F.concat_ws(
         "-", F.lit("fnt"), gid, _c(invoice_number), F.lit(str(int(run_ts)))
     )

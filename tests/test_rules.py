@@ -154,3 +154,22 @@ def test_document_id_shapes(spark):
     # concat_ws skips the null gid (documented divergence from the
     # reference's literal 'None' rendering — ADVICE r1 low)
     assert rows[1].d == "fnt-INV9-1700000000"
+
+
+def test_document_id_reference_parity_mode(spark):
+    # /root/reference/stream/processor.py:24-30 f-string branches:
+    # null gmail renders the literal 'None'; falsy invoice drops its
+    # segment entirely (3-part form)
+    df = spark.createDataFrame(
+        [("g1", "INV9"), (None, "INV9"), ("g1", ""), ("g1", None)],
+        "gid string, inv string",
+    )
+    rows = df.select(
+        R.document_id(F.col("gid"), F.col("inv"), 1700000000, reference_parity=True).alias("d")
+    ).collect()
+    assert [r.d for r in rows] == [
+        "fnt-g1-INV9-1700000000",
+        "fnt-None-INV9-1700000000",
+        "fnt-g1-1700000000",
+        "fnt-g1-1700000000",
+    ]
