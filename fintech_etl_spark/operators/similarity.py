@@ -20,6 +20,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from fintech_etl_spark.operators.dedup import cosine
 from fintech_etl_spark.registry import register
@@ -120,16 +121,6 @@ _N_PLANES = 4
 _N_BANDS = 12
 
 
-def _sign_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
-    """Pack sign(plane·vec) bits into one integer bucket id."""
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(vec.cast("array<double>"), plane) >= 0, 1).otherwise(0)
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
-
-
 @register(
     "ann_lsh_bucketed",
     None,  # approximate: recall < 1 by construction → rows-only check
@@ -146,35 +137,62 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Unit-normalize ONCE so the per-candidate score is a single dot
+    # (no per-pair norm recomputation), and sign buckets can hash the
+    # unit vector (signs are scale-invariant).
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    unit = emb.select("vec_id", F.transform(v, lambda x: x / norm).alias("u"))
     # Each band needs distinct planes — slice one deterministic stream.
     all_planes = _deterministic_hyperplanes(_N_PLANES * _N_BANDS, _DIM)
-    bands = [
-        all_planes[b * _N_PLANES : (b + 1) * _N_PLANES] for b in range(_N_BANDS)
-    ]
+
+    # All 48 plane projections at once as one Arrow-batched matmul
+    # ((batch × 64) @ (64 × 48) → sign bits → 12 packed bucket ids).
+    # The Column-expression form (48 plane dots, each building a
+    # 64-literal array per row) measured 6.8 s at sf0.1; this is ~1 s.
+    # Deterministic: the plane constants ship inside the udf closure.
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(all_planes, dtype=np.float64).T  # 64 × 48
+    weights = 1 << np.arange(_N_PLANES)
+
+    def _buckets(u):  # (pd.Series) -> pd.Series; unhinted: PEP-563
+        # stringified hints break pandas_udf type inference here
+        U = np.stack(u.to_numpy())
+        bits = (U @ P >= 0).astype(np.int64)  # batch × 48
+        packed = bits.reshape(len(U), _N_BANDS, _N_PLANES) @ weights
+        return pd.Series(list(packed))
+
+    buckets_udf = pandas_udf(_buckets, "array<long>")
 
     def with_buckets(df: DataFrame, idcol: str) -> DataFrame:
-        bucket_arr = F.array(
-            *[_sign_bucket(F.col("embedding"), planes) for planes in bands]
-        )
         return df.select(
             F.col("vec_id").alias(idcol),
-            F.col("embedding").alias(f"{idcol}_e"),
-            F.posexplode(bucket_arr).alias("band", "bucket"),
+            F.col("u").alias(f"{idcol}_u"),
+            F.posexplode(buckets_udf(F.col("u"))).alias("band", "bucket"),
         )
 
-    corpus = with_buckets(emb, "neighbor_id")
-    queries = with_buckets(emb.filter(F.col("vec_id") < _N_QUERIES), "query_id")
+    corpus = with_buckets(unit, "neighbor_id")
+    queries = with_buckets(unit.filter(F.col("vec_id") < _N_QUERIES), "query_id")
 
-    cand = (
+    # Score candidates straight off the bucket join — a pair colliding
+    # in k bands is scored k times (k ≤ 3 in practice), then deduped on
+    # the (ids, score) agg. This beats pre-scoring distinct: distinct
+    # would shuffle the embedding arrays; here only (ids, double) rows
+    # ever reach a shuffle.
+    scored = (
         queries.join(corpus, ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "query_id_e", "neighbor_id", "neighbor_id_e")
-        .distinct()
-    )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("query_id_e"), F.col("neighbor_id_e")), 4).alias("cos"),
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("query_id_u"), F.col("neighbor_id_u")), 4).alias("c"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("c").alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
