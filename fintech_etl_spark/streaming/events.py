@@ -130,6 +130,47 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def join_purchase_after_signup_stream(
+    events: DataFrame,
+    horizon: str = "24 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–stream inner join: purchases matched to the same user's
+    signups within a bounded event-time horizon.
+
+    Both sides carry watermarks and the join condition bounds signup_ts
+    to [purchase_ts − horizon, purchase_ts], so the state store can
+    evict rows once the watermark passes the bound — without the time
+    bound a stream–stream join would buffer both streams forever. This
+    is the streaming twin of the batch as-of join
+    (operators/relational.py::asof_join_signup_before_purchase) minus
+    the latest-prior reduction, which append-mode stream joins cannot
+    express exactly (every in-horizon signup pairs, not just the last)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", watermark)
+    )
+    return purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("purchase_id", "user_id", "purchase_ts", "signup_ts")
+
+
 def enrich_events_stream(events: DataFrame, user_profile: DataFrame) -> DataFrame:
     """Stream–static enrichment join: each micro-batch of events picks up
     per-user profile columns from a static (batch) DataFrame.

@@ -363,3 +363,48 @@ def test_streaming_same_invoice_in_two_files_not_merged(spark, tmp_path):
     assert {r.item_count for r in rows} == {1}
     # provenance: each receipt carries its own file path
     assert len({r.gcs_path for r in rows}) == 2
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
+    """The watermarked stream-stream join must produce exactly the pairs
+    the equivalent batch range join produces (replaying finite data, no
+    late drops at the horizon tested)."""
+    from fintech_etl_spark.sources.tables import load_table
+    from fintech_etl_spark.streaming.events import (
+        join_purchase_after_signup_stream,
+        read_events_stream,
+    )
+
+    q = (
+        join_purchase_after_signup_stream(read_events_stream(spark, SF_SMOKE))
+        .writeStream.format("memory")
+        .queryName("ss_join_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.signup_ts)
+        for r in spark.sql("select * from ss_join_stream").collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.col("ts").alias("sts")
+    )
+    want = {
+        (r.purchase_id, r.sts)
+        for r in p.join(
+            s,
+            (F.col("user_id") == F.col("su"))
+            & (F.col("sts") <= F.col("pts"))
+            & (F.col("sts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+        ).collect()
+    }
+    assert want, "smoke data should contain in-horizon purchase/signup pairs"
+    assert got == want
