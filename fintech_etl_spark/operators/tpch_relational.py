@@ -686,3 +686,51 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join (the one join type the rest of the surface lacks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_spend_by_status",
+    """
+    SELECT coalesce(f.custkey, o.custkey) AS custkey,
+           round(coalesce(f.total, 0.0), 4) AS f_total,
+           round(coalesce(o.total, 0.0), 4) AS o_total
+    FROM (SELECT o_custkey AS custkey, sum(o_totalprice) AS total
+          FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 350000
+          GROUP BY o_custkey) f
+    FULL OUTER JOIN
+         (SELECT o_custkey AS custkey, sum(o_totalprice) AS total
+          FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 350000
+          GROUP BY o_custkey) o
+      ON f.custkey = o.custkey
+    """,
+    doc=(
+        "Full outer join of two filtered per-customer aggregates — "
+        "customers present on either side survive with the missing side "
+        "zero-filled. Both inputs shuffle once on the same key, so the "
+        "join itself is co-partitioned."
+    ),
+    tags=("join", "setop"),
+)
+def full_outer_spend_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def side(status: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderstatus") == status) & (F.col("o_totalprice") > 350000)
+            )
+            .groupBy(F.col("o_custkey").alias(f"{status}_custkey"))
+            .agg(F.sum("o_totalprice").alias(f"{status}_total"))
+        )
+
+    f, o = side("F"), side("O")
+    return f.join(o, f.F_custkey == o.O_custkey, "full_outer").select(
+        F.coalesce("F_custkey", "O_custkey").alias("custkey"),
+        F.round(F.coalesce("F_total", F.lit(0.0)), 4).alias("f_total"),
+        F.round(F.coalesce("O_total", F.lit(0.0)), 4).alias("o_total"),
+    )
