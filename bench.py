@@ -39,7 +39,11 @@ HEADLINE = (
     "quality_score",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_neardup",
     "ann_topk_cosine_brute",
+    "ann_lsh_bucketed",
+    "grouped_zscore_applyinpandas",
+    "quality_repetition_signals",
     "media_feature_extract",
 )
 
