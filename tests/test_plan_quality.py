@@ -192,3 +192,33 @@ def test_partition_pruning_on_receipt_lake(spark, tmp_path):
         l for l in plan.splitlines() if "PartitionFilters" in l
     )
     assert df.count() == 2
+
+
+# Per-query shuffle ceilings. Default budget is 2 exchanges; queries
+# that legitimately need more are listed with the reason their shape
+# demands it. A new operator exceeding its budget fails here BEFORE it
+# ships a 100 TB shuffle regression.
+_SHUFFLE_BUDGET_DEFAULT = 2
+_SHUFFLE_BUDGET = {
+    "q21_waiting_suppliers": 6,  # two derived facts + semi + anti + agg
+    "dedup_minhash_lsh": 5,  # spread + band join + candidate dedup + verify
+    "dedup_ngram_jaccard": 5,  # spread + inverted-index join + 2 size joins
+    "dedup_simhash": 4,  # spread + band join + verify
+    "q20_dominant_suppliers": 4,  # 2-level grouped agg + distinct
+    "quality_repetition_signals": 4,  # word + bigram explode-agg passes
+    "ann_ivf_probe": 3,  # centroid train + probe rank + rerank
+    "events_weekly_retention": 3,  # cohort + activity + join
+    "q11_part_value_concentration": 3,  # value agg + threshold + filter join
+    "q15_top_supplier_by_revenue": 3,  # revenue view reused on both sides
+    "text_top_bigrams_per_lang": 3,  # explode + count + rank
+}
+
+
+def test_every_query_within_shuffle_budget(spark, specs):
+    over = {}
+    for name, spec in sorted(specs.items()):
+        tree = tree_of(plan_of(spec.fn(spark, SF_SMOKE)))
+        n = tree.count("- Exchange")
+        if n > _SHUFFLE_BUDGET.get(name, _SHUFFLE_BUDGET_DEFAULT):
+            over[name] = n
+    assert not over, f"queries over shuffle budget: {over}"
