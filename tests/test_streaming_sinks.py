@@ -408,3 +408,38 @@ def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
     }
     assert want, "smoke data should contain in-horizon purchase/signup pairs"
     assert got == want
+
+
+def test_webhook_sink_per_doc_failure_isolation(spark, tmp_path):
+    """A poster that blows up on one document must not stop delivery of
+    the rest of its partition (per-doc isolation, at-most-once per try;
+    retry belongs to the checkpoint layer)."""
+    from fintech_etl_spark.operators.receipts import (
+        build_receipts,
+        to_webhook_payloads,
+    )
+    from fintech_etl_spark.sinks import WebhookSink
+    from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
+
+    fixture = tmp_path / "f.csv"
+    fixture.write_text(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    payloads = to_webhook_payloads(
+        build_receipts(read_invoice_csv(spark, str(fixture)), run_date=RUN_DATE)
+    ).coalesce(1)  # one partition → both docs share a deliver() call
+
+    outdir = tmp_path / "posts"
+    outdir.mkdir()
+
+    def flaky_poster(url, body, headers, _dir=str(outdir)):
+        doc = json.loads(body)
+        if doc["receiptId"] == "INV1":
+            raise ConnectionError("boom")
+        with open(os.path.join(_dir, f"{doc['receiptId']}.json"), "w") as f:
+            f.write(body.decode())
+        return 200
+
+    WebhookSink(url="http://example.invalid/hook", poster=flaky_poster).send_batch(
+        payloads
+    )
+    posted = sorted(os.path.basename(p) for p in glob.glob(str(outdir / "*.json")))
+    assert posted == ["INV2.json"]  # INV1 failed, INV2 still delivered
