@@ -440,9 +440,13 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bid").alias("ba"),
         F.explode(F.sequence(F.col("bid"), F.lit(nb - 1))).alias("bb"),
     )
+    # r_-aliases force fresh attribute ids: both cogroup children derive
+    # from the same `unit` plan, and same-exprId right-side columns get
+    # deduplicated out of the Arrow payload (kernel would see only the
+    # grouping keys on the right).
     b_rep = unit.select(
-        "vec_id",
-        "u",
+        F.col("vec_id").alias("r_vec_id"),
+        F.col("u").alias("r_u"),
         F.explode(F.sequence(F.lit(0), F.col("bid"))).alias("ba"),
         F.col("bid").alias("bb"),
     )
@@ -464,8 +468,8 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:  # off-diagonal: every cross pair is distinct — emit ordered
             if right.empty:
                 return empty
-            B = np.stack(right["u"].to_numpy())
-            idb = right["vec_id"].to_numpy()
+            B = np.stack(right["r_u"].to_numpy())
+            idb = right["r_vec_id"].to_numpy()
             C = A @ B.T
             ia, ib = np.nonzero(C >= _COS_TAU)
             va = np.minimum(ida[ia], idb[ib])
@@ -554,6 +558,79 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .select("component_id", "n_members", "member_ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+    WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id < 400),
+    batch AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 400)
+    SELECT b.doc_id,
+           (c.fp IS NOT NULL) AS dup_of_corpus
+    FROM batch b LEFT JOIN (SELECT DISTINCT fp FROM corpus) c ON b.fp = c.fp
+    """,
+    doc=(
+        "Incremental dedup: flag which documents of a newly-arrived "
+        "batch already exist in the corpus, by content fingerprint "
+        "left-joined against the corpus fingerprint set. The production "
+        "shape for deduping a new crawl against a 100 TB lake: the "
+        "corpus side reduces to distinct 128-bit keys (vastly smaller "
+        "than the lake), the join shuffles on the fingerprint, and the "
+        "batch side is the small one — at scale the fingerprint set is "
+        "a bucketed table maintained incrementally, not recomputed."
+    ),
+    tags=("dedup", "join"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_fp = (
+        docs.filter(F.col("doc_id") < 400)
+        .select(F.md5("text").alias("c_fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return batch.join(corpus_fp, batch.fp == corpus_fp.c_fp, "left").select(
+        "doc_id", F.col("c_fp").isNotNull().alias("dup_of_corpus")
+    )
+
+
+@register(
+    "dedup_multisignal_components",
+    None,  # iterative composition — pinned by the consistency unit test
+    doc=(
+        "Multi-signal fuzzy dedup: union the near-dup pairs found by "
+        "lexical MinHash-LSH (trigram Jaccard ≥ 0.7) and, where both "
+        "docs have embeddings, the semantic blocked-GEMM tier (cosine "
+        "≥ τ), then cluster the combined edge list with the same "
+        "connected-components operator. Signals compose at the PAIR "
+        "level, so each tier keeps its own pruning strategy — this is "
+        "the standard production pipeline (lexical catches verbatim/ "
+        "templated dups, embeddings catch paraphrases)."
+    ),
+    tags=("dedup", "iterative", "similarity"),
+)
+def dedup_multisignal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lexical = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    semantic = dedup_embedding_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    pairs = lexical.union(semantic).distinct()
     comp = connected_components(pairs)
     return (
         comp.groupBy("component_id")

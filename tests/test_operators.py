@@ -24,11 +24,12 @@ def test_registry_complete_and_importable():
 def test_query_runs_at_smoke_sf(spark, name):
     spec = all_specs()[name]
     df = spec.fn(spark, SF_SMOKE)
-    rows = df.limit(5).collect()
+    # count() executes EVERY task — a limit(5) here once masked a
+    # cogroup failure whose first tasks happened to succeed
+    assert df.count() >= 0, name
     assert df.columns, name
     # stable schema: re-planning yields the same columns
     assert spec.fn(spark, SF_SMOKE).columns == df.columns
-    assert rows is not None
 
 
 def test_lsh_recall_vs_brute(spark):
