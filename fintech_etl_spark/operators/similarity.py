@@ -440,3 +440,19 @@ def kmeans_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cell", "n_vectors", "inertia")
     )
+
+
+def write_ivf_layout(spark: SparkSession, sf_dir: str, out_path: str) -> DataFrame:
+    """Materialize the IVF index layout: embeddings written partitioned
+    by their trained k-means cell (``cell=N/`` directories).
+
+    This is the storage half of the IVF design ann_ivf_probe assumes:
+    a query that probes n cells reads only those cells' files —
+    directory-level partition pruning, no index structure needed. At
+    100 TB re-clustering is incremental (assign new vectors to frozen
+    centroids; retrain periodically). Returns the assignment frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, assign = kmeans_fit(emb)
+    enriched = emb.join(assign.select("vec_id", "cell"), "vec_id")
+    enriched.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+    return assign

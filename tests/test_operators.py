@@ -285,3 +285,24 @@ def test_pack_sequences_invariants(spark):
             assert total <= _PACK_BUDGET
         packed.extend(s.doc_ids)
     assert sorted(packed) == sorted(tok)  # exactly-once packing
+
+
+def test_ivf_layout_partition_pruning(spark, tmp_path):
+    """The cell-partitioned embedding lake must prune to the probed
+    cells' directories — the storage half of the IVF design."""
+    from tests.test_plan_quality import plan_of
+
+    from fintech_etl_spark.operators.similarity import write_ivf_layout
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "ivf_lake")
+    assign = write_ivf_layout(spark, SF_SMOKE, out)
+    lake = spark.read.parquet(out)
+    probed = lake.filter(F.col("cell").isin(1, 2))
+    plan = plan_of(probed)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf
+    want = assign.filter(F.col("cell").isin(1, 2)).count()
+    assert probed.count() == want > 0
+    # nothing lost in the layout: every vector lands in exactly one cell
+    assert lake.count() == assign.count()
