@@ -22,6 +22,7 @@ DEFAULT = (
     "q18_large_volume_customers",
     "topk_orders_global",
     "dedup_minhash_lsh",
+    "dedup_embedding_neardup",
     "ann_topk_cosine_brute",
     "events_salted_heavy_hitters",
 )
