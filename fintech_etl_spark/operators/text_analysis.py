@@ -497,3 +497,86 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "text_normalize_battery",
+    r"""
+    SELECT doc_id,
+           lower(trim(text))                                             AS lowered,
+           regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g')      AS alnum_only,
+           regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+                          ' +', ' ', 'g')                                AS collapsed,
+           CAST(length(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'))
+                AS BIGINT)                                               AS n_alnum_chars
+    FROM documents
+    """,
+    doc=(
+        "Canonical text normalization for dedup/tokenization "
+        "preprocessing: lowercase, strip non-alphanumerics, collapse "
+        "whitespace runs — the step every fuzzy-dedup pipeline applies "
+        "before shingling so punctuation variants hash identically. "
+        "Pure regexp projection, fully codegen'd, zero shuffle."
+    ),
+    tags=("text", "scalar"),
+)
+def text_normalize_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.trim("text"))
+    alnum = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(alnum, " +", " ")
+    return docs.select(
+        "doc_id",
+        lowered.alias("lowered"),
+        alnum.alias("alnum_only"),
+        collapsed.alias("collapsed"),
+        F.length(alnum).cast("long").alias("n_alnum_chars"),
+    )
+
+
+@register(
+    "corpus_health_by_source",
+    r"""
+    WITH w AS (SELECT doc_id, source, n_chars,
+                      string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    stats AS (SELECT doc_id, source, n_chars,
+                     len(w)               AS n_words,
+                     len(list_distinct(w)) AS n_distinct
+              FROM w)
+    SELECT source,
+           count(*)                                            AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)                        AS total_chars,
+           round(avg(n_words), 4)                              AS avg_words,
+           round(avg(n_distinct * 1.0 / n_words), 4)           AS avg_distinct_ratio,
+           CAST(sum(CASE WHEN n_words < 20 THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS n_short_docs
+    FROM stats GROUP BY source
+    """,
+    doc=(
+        "Per-source corpus health report: volume, mean length, lexical "
+        "diversity, short-doc count — the rollup a data curator reads "
+        "before deciding per-source sampling weights. One projection + "
+        "one agg shuffle on the (low-cardinality) source key; the "
+        "distinct-ratio comes from array ops, not an explode."
+    ),
+    tags=("text", "quality", "agg"),
+)
+def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stats = docs.select(
+        "source",
+        "n_chars",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    )
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.round(F.avg(F.col("n_distinct") / F.col("n_words")), 4).alias(
+            "avg_distinct_ratio"
+        ),
+        F.sum(F.when(F.col("n_words") < 20, 1).otherwise(0)).alias("n_short_docs"),
+    )
