@@ -42,6 +42,13 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 128 MB split targets keep scan tasks balanced at any SF.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Runtime bloom filters: a selective join side injects a bloom
+        # filter into the other side's scan — at 100 TB this prunes
+        # shuffle input the static optimizer can't see.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Footer-stats pushdown: filterless count/min/max aggregates
+        # read parquet metadata instead of data pages.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
