@@ -9,6 +9,8 @@ Commands mirror the reference endpoints:
   backfill      POST /process-all-pending — batch-process a directory
   list-pending  GET  /list-pending      — list unprocessed objects
   stream        (new) watch a landing dir with checkpointed streaming
+  query         (new) run any registered analytics query by name
+                (`query` alone lists all 112 with their oracle status)
 
 Each command builds the same declarative pipeline; sinks are parquet
 (receipt lake) and optionally a webhook URL.
@@ -89,6 +91,14 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--lake", required=True)
     st.add_argument("--checkpoint", required=True)
 
+    q = sub.add_parser("query", help="run a registered analytics query")
+    q.add_argument("name", nargs="?", help="query name (omit to list all)")
+    q.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    q.add_argument("--limit", type=int, default=20, help="rows to print (JSONL)")
+    q.add_argument("--out", help="write full result as parquet instead")
+
     args = p.parse_args(argv)
     spark = build_session("fintech_etl_cli", master=args.master)
 
@@ -139,6 +149,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         print("stream drained")
+    elif args.cmd == "query":
+        from fintech_etl_spark.registry import all_specs
+
+        specs = all_specs()
+        if not args.name:
+            for name, spec in sorted(specs.items()):
+                oracle = "oracle" if spec.oracle else "rows-only"
+                print(f"{name}\t{oracle}\t{spec.doc.splitlines()[0][:80]}")
+            print(f"{len(specs)} queries")
+            return 0
+        if args.name not in specs:
+            print(f"unknown query: {args.name}")
+            return 2
+        df = specs[args.name].fn(spark, args.sf_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {spark.read.parquet(args.out).count()} rows to {args.out}")
+        else:
+            for line in df.limit(args.limit).toJSON().collect():
+                print(line)
     return 0
 
 

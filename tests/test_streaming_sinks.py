@@ -443,3 +443,20 @@ def test_webhook_sink_per_doc_failure_isolation(spark, tmp_path):
     )
     posted = sorted(os.path.basename(p) for p in glob.glob(str(outdir / "*.json")))
     assert posted == ["INV2.json"]  # INV1 failed, INV2 still delivered
+
+
+def test_cli_query_command(spark, capsys, monkeypatch):
+    """`cli query` lists the registry and runs a named query as JSONL."""
+    from fintech_etl_spark import cli
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    assert cli.main(["query"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary\toracle" in out and "queries" in out
+
+    assert cli.main(["query", "q1_pricing_summary", "--sf-dir", SF_SMOKE]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines and "l_returnflag" in lines[0]
+
+    assert cli.main(["query", "nope_does_not_exist"]) == 2
