@@ -377,16 +377,23 @@ _AUDIO_SCHEMA = (
 def _audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import math
 
+    import numpy as np
+
     for pdf in batches:
         rows = []
         for asset_id, pcm, sr in zip(pdf["asset_id"], pdf["pcm"], pdf["sample_rate"]):
-            b = bytes(pcm)
-            n = len(b)
-            centered = [x - 128 for x in b]
-            rms = math.sqrt(sum(x * x for x in centered) / n) if n else 0.0
-            rows.append(
-                (asset_id, n, 1000.0 * n / sr, round(rms, 4), max(b) if n else 0)
-            )
+            # np.frombuffer is zero-copy; the sample-plane math runs
+            # vectorized (a per-byte Python loop is ~100× slower on
+            # real clip lengths — millions of samples, not hundreds)
+            arr = np.frombuffer(bytes(pcm), dtype=np.uint8)
+            n = arr.size
+            if n:
+                centered = arr.astype(np.float64) - 128.0
+                rms = math.sqrt(float(np.mean(centered * centered)))
+                peak = int(arr.max())
+            else:
+                rms, peak = 0.0, 0
+            rows.append((asset_id, n, 1000.0 * n / sr, round(rms, 4), peak))
         yield pd.DataFrame(
             rows, columns=["asset_id", "n_samples", "duration_ms", "rms", "peak"]
         )
