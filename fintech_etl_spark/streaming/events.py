@@ -10,7 +10,6 @@ late-data handling, so the same semantics hold on a real feed.
 
 from __future__ import annotations
 
-import datetime as dt
 from collections.abc import Iterator
 from typing import Any
 
