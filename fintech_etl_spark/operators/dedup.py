@@ -14,9 +14,9 @@ different scale/fidelity point:
 
 All shuffles key on shingles / bucket ids / fingerprints, which are
 high-cardinality and salt-free; hot shingles (stopword runs) are the
-one skew risk — the production mitigation is a document-frequency cap
-on shingles, noted (not applied) in the LSH operator to keep exact
-oracle parity on the small testdata.
+one skew risk — ``dedup_minhash_lsh`` stays uncapped for exact oracle
+parity, while ``dedup_minhash_lsh_dfcap`` applies the production
+document-frequency cap (skew-bounded by construction).
 """
 
 from __future__ import annotations
@@ -639,4 +639,94 @@ def dedup_multisignal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
         )
         .select("component_id", "n_members", "member_ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH with document-frequency cap (the skew-bounded scale path)
+# ---------------------------------------------------------------------------
+
+_DF_CAP_FRACTION = 0.01  # drop shingles present in > 1% of docs
+
+
+@register(
+    "dedup_minhash_lsh_dfcap",
+    None,  # capped shingle sets deliberately diverge from the exact oracle
+    doc=(
+        "The production variant of dedup_minhash_lsh: shingles whose "
+        "document frequency exceeds 1% of the corpus are dropped before "
+        "signatures. Boilerplate/stopword shingles are exactly the ones "
+        "that land in every doc — without the cap, one hot shingle "
+        "makes one LSH bucket (and one reducer) quadratic in corpus "
+        "size; with it, candidate pairs per shingle are bounded by "
+        "cap², so the shuffle is skew-free by construction. Capped "
+        "Jaccard diverges from the exact oracle by design; the unit "
+        "test pins that verbatim-duplicate pairs (uncapped j ≥ 0.9) "
+        "all survive capping."
+    ),
+    tags=("dedup", "lsh", "skew"),
+)
+def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.trim("text") != "")
+        )
+    )
+    n_docs = docs.count()  # one cheap action; at scale, a known catalog stat
+    cap = max(2, int(n_docs * _DF_CAP_FRACTION))
+
+    sh = with_shingles(docs, 3)
+    e = sh.select("doc_id", F.explode_outer("s").alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    # df per shingle; the banned set (df > cap) is tiny — broadcast-anti
+    banned = (
+        e.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > cap)
+    )
+    kept = e.join(F.broadcast(banned), "g", "left_anti")
+    # localCheckpoint: the capped sets feed three consumers (signatures
+    # + both verify sides); without the cut each replans the whole
+    # spread→explode→df→anti→regroup subtree (16 exchanges vs 6).
+    capped = (
+        kept.groupBy("doc_id")
+        .agg(F.collect_list("g").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+
+    sig = capped.select("doc_id", "s", minhash_signature(F.col("s")).alias("sig"))
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        ba.join(bb, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = capped.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = capped.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _VERIFY_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

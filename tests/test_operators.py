@@ -306,3 +306,22 @@ def test_ivf_layout_partition_pruning(spark, tmp_path):
     assert probed.count() == want > 0
     # nothing lost in the layout: every vector lands in exactly one cell
     assert lake.count() == assign.count()
+
+
+def test_dfcap_keeps_verbatim_duplicates(spark):
+    """Df-capping drops boilerplate shingles, not duplicate DOCS: every
+    pair at uncapped jaccard >= 0.9 must survive the capped pipeline."""
+    from fintech_etl_spark.operators import dedup as D
+
+    exact_high = {
+        (r.doc_a, r.doc_b)
+        for r in D.dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+        if r.jaccard >= 0.9
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.dedup_minhash_lsh_dfcap(spark, SF_SMOKE).collect()
+    }
+    assert exact_high, "smoke data should contain verbatim-level dups"
+    missing = exact_high - capped
+    assert not missing, f"df-cap lost verbatim dups: {sorted(missing)[:5]}"
