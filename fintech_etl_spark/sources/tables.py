@@ -93,3 +93,21 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .json(path)
     )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every star-schema table as a temp view so users can
+    query the engine with plain ``spark.sql("SELECT ... FROM lineitem")``
+    — the SQL half of the API surface. Views are lazy: no data is read
+    until a query runs, and each view carries the same declared-schema /
+    nanos-timestamp handling as :func:`load_table`. Returns the names."""
+    import os
+
+    from fintech_etl_spark.schemas import TABLE_NAMES
+
+    names = []
+    for t in TABLE_NAMES:
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+            names.append(t)
+    return names

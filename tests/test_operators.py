@@ -325,3 +325,24 @@ def test_dfcap_keeps_verbatim_duplicates(spark):
     assert exact_high, "smoke data should contain verbatim-level dups"
     missing = exact_high - capped
     assert not missing, f"df-cap lost verbatim dups: {sorted(missing)[:5]}"
+
+
+def test_register_views_sql_surface(spark):
+    """After register_views, plain spark.sql works against every table
+    and agrees with the DataFrame loader."""
+    from fintech_etl_spark.sources.tables import load_table, register_views
+
+    names = register_views(spark, SF_SMOKE)
+    assert set(names) >= {"lineitem", "orders", "documents", "events"}
+    got = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    ).collect()
+    want = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    )
+    assert {(r.l_returnflag, r.n) for r in got} == {
+        (r.l_returnflag, r["count"]) for r in want
+    }
