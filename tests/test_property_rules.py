@@ -59,3 +59,58 @@ def test_upc_property(spark, rows):
     for (a, b, c), r in zip(rows, got):
         assert r.upc == O.extract_upc(a, b, c), (a, b, c)
         assert r.sku == O.format_sku(c), c
+
+
+# Money-like amounts: two decimals, |v| ≥ 0.01 or exactly zero. Tiny
+# magnitudes (< 1e-3) are excluded deliberately — Spark renders them in
+# scientific notation ('1.0E-4') while Python str() stays decimal; the
+# reference only ever sees money columns, where the formats agree.
+amount = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("junk"),
+    st.just("0"),
+    st.just("0.00"),
+    st.integers(-100000, 100000).map(str),
+    st.floats(-1e5, 1e5, allow_nan=False).map(lambda f: f"{f:.2f}"),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(amount, amount, amount, amount), min_size=1, max_size=150))
+def test_notes_property(spark, rows):
+    df = spark.createDataFrame(rows, "di string, de string, mi string, dl string")
+    got = df.select(R.notes("di", "de", "mi", "dl").alias("n")).collect()
+    for (di, de, mi, dl), r in zip(rows, got):
+        assert r.n == O.notes(di, de, mi, dl), (di, de, mi, dl)
+
+
+# Date-ish pool: well-formed M/d/yyyy (4-digit years — 2-digit years
+# resolve differently between strptime %Y and Java yyyy), plus garbage
+# that fails both parsers.
+datestr = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("nan"),
+    st.just("not a date"),
+    st.just("2024-06-01"),  # ISO: rejected by BOTH (strict M/d/yyyy)
+    st.just("13/40/2024"),  # out of range: rejected by both
+    st.tuples(
+        st.integers(1, 12), st.integers(1, 28), st.integers(1900, 2100)
+    ).map(lambda t: f"{t[0]}/{t[1]}/{t[2]}"),
+    st.tuples(
+        st.integers(1, 12), st.integers(1, 28), st.integers(1900, 2100)
+    ).map(lambda t: f"{t[0]:02d}/{t[1]:02d}/{t[2]}"),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(datestr, min_size=1, max_size=150))
+def test_parse_invoice_date_property(spark, rows):
+    import datetime as dt
+
+    run_date = dt.date(2024, 6, 1)
+    df = spark.createDataFrame([(v,) for v in rows], "d string")
+    got = df.select(R.parse_invoice_date("d", run_date).alias("p")).collect()
+    for v, r in zip(rows, got):
+        assert r.p == O.parse_invoice_date(v, run_date), v
