@@ -213,32 +213,21 @@ _N_PROBE = 3  # cells searched per query
     "ann_ivf_probe",
     None,  # approximate by construction → rows-only check
     doc=(
-        "IVF-style ANN: cluster centroids (here: per-label mean vectors, "
-        "standing in for trained k-means), assign each vector to its "
-        "cell, probe the n_probe nearest cells per query, exact re-rank "
-        "inside. The corpus is partitioned by cell id — on a cluster "
-        "that's a bucketed layout, so a query reads only its probed "
-        "cells' files. Centroids are a tiny broadcast table."
+        "IVF ANN with TRAINED cells: distributed Lloyd's k-means (see "
+        "kmeans_fit) assigns every vector to a cell; each query probes "
+        "its n_probe nearest centroids and exact-reranks only inside "
+        "those cells. The corpus is partitioned by cell id — "
+        "write_ivf_layout materializes exactly that as directory "
+        "partitioning, so a probe reads only its cells' files. "
+        "Centroids are a k-row broadcast."
     ),
-    tags=("similarity", "topk"),
+    tags=("similarity", "topk", "iterative"),
 )
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim_idx = list(range(_DIM))
-    # Centroid per label: element-wise mean via posexplode + pivot-free agg.
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("im", lambda s: s["m"]).alias("centroid"),
-        )
-    )
+    cent, assign = kmeans_fit(emb)
 
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -257,8 +246,13 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qe", "cell")
     )
 
+    corpus = emb.join(assign.select("vec_id", "cell"), "vec_id")
     scored = (
-        probes.join(emb, (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")))
+        probes.join(
+            corpus,
+            ["cell"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
