@@ -206,7 +206,7 @@ _SHUFFLE_BUDGET = {
     "dedup_simhash": 4,  # spread + band join + verify
     "q20_dominant_suppliers": 4,  # 2-level grouped agg + distinct
     "quality_repetition_signals": 4,  # word + bigram explode-agg passes
-    "ann_ivf_probe": 3,  # centroid train + probe rank + rerank
+    "ann_ivf_probe": 4,  # trained-cell assign join + probe rank + in-cell rerank
     "events_weekly_retention": 3,  # cohort + activity + join
     "q11_part_value_concentration": 3,  # value agg + threshold + filter join
     "q15_top_supplier_by_revenue": 3,  # revenue view reused on both sides
