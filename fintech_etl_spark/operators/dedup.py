@@ -730,3 +730,44 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _VERIFY_TAU)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# The end product: the deduplicated corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_dedup_survivors",
+    None,  # fuzzy component membership is iterative — pinned by unit test
+    doc=(
+        "The dedup pipeline's end product: the corpus with exact AND "
+        "fuzzy duplicates removed. Exact groups (md5) and MinHash-LSH "
+        "components each elect their minimum doc_id; a document "
+        "survives iff it IS its component representative (or its md5 "
+        "survivor when it's in no fuzzy component). Exact duplicates "
+        "have Jaccard 1, so they always share a component with their "
+        "md5 partner — the component rule subsumes the exact rule "
+        "whenever both apply. The unit test proves the guarantees: "
+        "partition of the corpus, no surviving near-dup pair, every "
+        "dropped doc represented by a survivor."
+    ),
+    tags=("dedup", "iterative"),
+)
+def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact_survivor = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("md5_survivor")
+    )
+    comp = connected_components(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    annotated = (
+        docs.withColumn("fp", F.md5("text"))
+        .join(F.broadcast(exact_survivor), "fp")
+        .join(comp, "doc_id", "left")
+    )
+    keep = F.col("doc_id") == F.coalesce("component_id", "md5_survivor")
+    return annotated.filter(keep).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -345,3 +345,44 @@ def test_register_views_sql_surface(spark):
     assert {(r.l_returnflag, r.n) for r in got} == {
         (r.l_returnflag, r["count"]) for r in want
     }
+
+
+def test_corpus_survivors_guarantees(spark):
+    """Survivor-set guarantees: (1) survivors + dropped partition the
+    corpus, (2) no two survivors are near-dups at the verify threshold,
+    (3) every dropped doc has a surviving representative."""
+    from pyspark.sql import functions as F
+
+    from fintech_etl_spark.operators import dedup as D
+    from fintech_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    survivors = {
+        r.doc_id for r in D.corpus_dedup_survivors(spark, SF_SMOKE).collect()
+    }
+    assert survivors <= all_ids and len(survivors) < len(all_ids)
+
+    high = [
+        (r.doc_a, r.doc_b)
+        for r in D.dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    ]
+    for a, b in high:
+        assert not (a in survivors and b in survivors), (a, b)
+
+    # representative mapping: md5 survivor or component min
+    comp = {
+        m: r.component_id
+        for r in D.dedup_cluster_components(spark, SF_SMOKE).collect()
+        for m in r.member_ids
+    }
+    md5_min = {
+        r.fp: r.m
+        for r in docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("m"))
+        .collect()
+    }
+    fp_of = {r.doc_id: r.fp for r in docs.select("doc_id", F.md5("text").alias("fp")).collect()}
+    for d in all_ids - survivors:
+        rep = comp.get(d, md5_min[fp_of[d]])
+        assert rep in survivors, (d, rep)

@@ -207,6 +207,7 @@ _SHUFFLE_BUDGET = {
     "q20_dominant_suppliers": 4,  # 2-level grouped agg + distinct
     "quality_repetition_signals": 4,  # word + bigram explode-agg passes
     "ann_ivf_probe": 4,  # trained-cell assign join + probe rank + in-cell rerank
+    "corpus_dedup_survivors": 3,  # md5 agg + survivor join + component join
     "events_weekly_retention": 3,  # cohort + activity + join
     "q11_part_value_concentration": 3,  # value agg + threshold + filter join
     "q15_top_supplier_by_revenue": 3,  # revenue view reused on both sides
