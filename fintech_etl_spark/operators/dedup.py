@@ -518,6 +518,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
@@ -541,6 +542,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} with {changed} "
+            "labels still changing — returned components may be unconverged "
+            "(chains deeper than max_iter). Raise max_iter for deep graphs.",
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))
 
 
@@ -756,14 +766,18 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    exact_survivor = docs.groupBy(F.md5("text").alias("fp")).agg(
+    # coalesce: md5(NULL) is NULL and the fingerprint equi-join below
+    # would silently drop null-text docs (neither surviving nor
+    # represented); empty-string fingerprinting groups them together.
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    exact_survivor = docs.groupBy(fp.alias("fp")).agg(
         F.min("doc_id").alias("md5_survivor")
     )
     comp = connected_components(
         dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     )
     annotated = (
-        docs.withColumn("fp", F.md5("text"))
+        docs.withColumn("fp", fp)
         .join(F.broadcast(exact_survivor), "fp")
         .join(comp, "doc_id", "left")
     )

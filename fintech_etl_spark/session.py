@@ -49,6 +49,11 @@ def build_session(
         # Footer-stats pushdown: filterless count/min/max aggregates
         # read parquet metadata instead of data pages.
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS), which the vectorized
+        # reader rejects; read nanos as raw INT64 session-wide so the
+        # behavior doesn't depend on which table was loaded first
+        # (load_table also sets this for externally-built sessions).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -45,21 +45,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Read every star-schema table present under ``sf_dir``."""
+    """Read every star-schema table present under ``sf_dir``.
+
+    Delegates to :func:`load_table` so every table — notably ``events``
+    with its TIMESTAMP(NANOS) column — gets identical handling whether
+    loaded individually or in bulk (no order-dependent behavior).
+    """
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
     return out
-
-
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register each table as a temp view so SQL-form operators can run."""
-    tables = load_tables(spark, sf_dir)
-    for name, df in tables.items():
-        df.createOrReplaceTempView(name)
-    return tables
 
 
 def list_objects(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -101,10 +98,6 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     — the SQL half of the API surface. Views are lazy: no data is read
     until a query runs, and each view carries the same declared-schema /
     nanos-timestamp handling as :func:`load_table`. Returns the names."""
-    import os
-
-    from fintech_etl_spark.schemas import TABLE_NAMES
-
     names = []
     for t in TABLE_NAMES:
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):

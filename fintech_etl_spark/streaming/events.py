@@ -192,9 +192,18 @@ def enrich_events_stream(events: DataFrame, user_profile: DataFrame) -> DataFram
 
 
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Streaming exactly-once-per-event dedup: dropDuplicates on the
-    event id within a watermark horizon — the streaming twin of the
-    batch ``dedup_exact`` operator. State holds one key per event id
-    inside the horizon and is dropped past the watermark, so memory is
-    bounded by arrival rate × horizon, not stream length."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Streaming exactly-once-per-event dedup: drop duplicate event ids
+    within a watermark horizon — the streaming twin of the batch
+    ``dedup_exact`` operator.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is
+    load-bearing: with ``dropDuplicates(['event_id'])`` Spark only
+    evicts state when the event-time column is part of the dedup
+    subset, so keying on event_id alone would grow state unboundedly
+    despite the watermark. The WithinWatermark variant expires each key
+    once the watermark passes its first-seen event time, so memory is
+    bounded by arrival rate × horizon, not stream length.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
