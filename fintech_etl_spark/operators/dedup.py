@@ -200,6 +200,57 @@ _MINHASH_VERIFIED_ORACLE = _NGRAM_ORACLE.replace(
     f">= {_JACCARD_TAU}", f">= {_VERIFY_TAU}"
 )
 
+# Brute-force verified near-dup pairs at τ as a reusable CTE chain
+# (the body of _NGRAM_ORACLE re-expressed so downstream oracles —
+# connected components, survivors — can build on `pairs`).
+_PAIRS_CTES = f"""
+    w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+    sh AS (SELECT doc_id, {_shingle_sql(3)} AS s FROM w),
+    e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b
+              FROM common
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= {_VERIFY_TAU})
+"""
+
+# Min-label connected components over an edge-source CTE via transitive
+# closure: reach(node, r) = node reaches r; component id = min reachable
+# node. WITH RECURSIVE's UNION-distinct semantics make the fixpoint
+# terminate (nothing new to add once the closure is complete).
+
+
+def _components_ctes(src: str = "pairs") -> str:
+    return f"""
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM {src}
+              UNION
+              SELECT doc_b AS s, doc_a AS d FROM {src}),
+    reach AS (
+        SELECT s AS node, s AS r FROM edges
+        UNION
+        SELECT e2.s AS node, reach.r FROM edges e2
+        JOIN reach ON e2.d = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+"""
+
+
+_COMPONENT_ROLLUP_SELECT = """
+    SELECT component_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           string_agg(node::VARCHAR, ',' ORDER BY node) AS member_ids
+    FROM comp GROUP BY component_id
+"""
+
+_COMPONENTS_ORACLE = (
+    f"WITH RECURSIVE {_PAIRS_CTES}, {_components_ctes()} {_COMPONENT_ROLLUP_SELECT}"
+)
+
 
 def minhash_signature(shingles: F.Column, n_perm: int = _MINHASH_PERMS) -> F.Column:
     """MinHash signature as array<long>: min over xxhash64(shingle, seed)
@@ -554,29 +605,38 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))
 
 
+def _component_rollup(comp: DataFrame) -> DataFrame:
+    """(component_id, n_members, member_ids) with members serialized to
+    a comma-joined string (numeric sort before stringification) so the
+    output is flat-hashable by any cross-engine comparator."""
+    return (
+        comp.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id")).cast("array<string>")
+            ).alias("member_ids"),
+        )
+        .select("component_id", "n_members", "member_ids")
+    )
+
+
 @register(
     "dedup_cluster_components",
-    None,  # iterative fixpoint — not single-query SQL; pinned by unit test
+    _COMPONENTS_ORACLE,
     doc=(
         "End-to-end fuzzy-dedup clustering: MinHash-LSH verified pairs "
         "(τ=0.7) → connected components via min-label propagation → "
         "per-cluster survivor (min doc_id) and member count. The unit "
         "test cross-checks components against a brute-force union-find "
-        "on the same pairs."
+        "on the same pairs; the DuckDB oracle recomputes the fixpoint "
+        "as a WITH RECURSIVE transitive closure over brute-force pairs."
     ),
     tags=("dedup", "iterative"),
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(pairs)
-    return (
-        comp.groupBy("component_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
-        )
-        .select("component_id", "n_members", "member_ids")
-    )
+    return _component_rollup(connected_components(pairs))
 
 
 # ---------------------------------------------------------------------------
@@ -620,9 +680,22 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTISIGNAL_ORACLE = f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    sem AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= {_COS_TAU}),
+    all_pairs AS (SELECT doc_a, doc_b FROM pairs
+                  UNION SELECT doc_a, doc_b FROM sem),
+    {_components_ctes("all_pairs")}
+    {_COMPONENT_ROLLUP_SELECT}
+"""
+
+
 @register(
     "dedup_multisignal_components",
-    None,  # iterative composition — pinned by the consistency unit test
+    _MULTISIGNAL_ORACLE,
     doc=(
         "Multi-signal fuzzy dedup: union the near-dup pairs found by "
         "lexical MinHash-LSH (trigram Jaccard ≥ 0.7) and, where both "
@@ -641,15 +714,7 @@ def dedup_multisignal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     pairs = lexical.union(semantic).distinct()
-    comp = connected_components(pairs)
-    return (
-        comp.groupBy("component_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
-        )
-        .select("component_id", "n_members", "member_ids")
-    )
+    return _component_rollup(connected_components(pairs))
 
 
 # ---------------------------------------------------------------------------
@@ -747,9 +812,23 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SURVIVORS_ORACLE = f"""
+    WITH RECURSIVE {_PAIRS_CTES}, {_components_ctes()},
+    fp AS (SELECT doc_id, lang, source, n_chars,
+                  md5(coalesce(text, '')) AS f
+           FROM documents),
+    surv AS (SELECT f, min(doc_id) AS md5_survivor FROM fp GROUP BY f)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM fp d
+    JOIN surv ON d.f = surv.f
+    LEFT JOIN comp ON comp.node = d.doc_id
+    WHERE d.doc_id = coalesce(comp.component_id, surv.md5_survivor)
+"""
+
+
 @register(
     "corpus_dedup_survivors",
-    None,  # fuzzy component membership is iterative — pinned by unit test
+    _SURVIVORS_ORACLE,
     doc=(
         "The dedup pipeline's end product: the corpus with exact AND "
         "fuzzy duplicates removed. Exact groups (md5) and MinHash-LSH "

@@ -98,16 +98,47 @@ def receipt_first_line_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "receipts_nested_documents",
-    None,  # nested array<struct> — not ANSI-SQL-hashable; rows-only check
+    """
+    SELECT l_orderkey AS receipt_id,
+           CAST(count(*) AS INTEGER) AS item_count,
+           string_agg(
+               printf('%d|%d|%.2f|%.4f',
+                      l_linenumber, l_partkey, l_quantity, l_extendedprice),
+               ';' ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+           ) AS line_items
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
     doc=(
         "Full nested receipt document (R5/R6): one row per order with an "
         "ordered array<struct> of line items via collect_list + array_sort "
         "— the Spark shape of the reference's Pydantic receipt "
-        "(/root/reference/stream/schema.py:21-35)."
+        "(/root/reference/stream/schema.py:21-35). The nested array is "
+        "serialized to a delimited string at the query boundary (printf "
+        "both engines) so the cross-engine value hash covers every field "
+        "of every line item; callers wanting the structured form use "
+        ":func:`receipt_documents_nested` below."
     ),
     tags=("receipts", "nested"),
 )
 def receipts_nested_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = receipt_documents_nested(spark, sf_dir)
+    fmt = lambda s: F.format_string(  # noqa: E731
+        "%d|%d|%.2f|%.4f", s.line_no, s.partkey, s.qty, s.price
+    )
+    return nested.select(
+        "receipt_id",
+        "item_count",
+        F.concat_ws(";", F.transform("line_items", fmt)).alias("line_items"),
+    )
+
+
+def receipt_documents_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The structured form: ordered ``array<struct>`` of line items per
+    receipt — what a downstream consumer (webhook payload, training-doc
+    assembly) would ingest. One hash-aggregate shuffle on the order key;
+    the in-group sort is array_sort on the collected structs (struct
+    field order = sort key), not a window sort over the whole fact."""
     li = load_table(spark, sf_dir, "lineitem")
     item = F.struct(
         F.col("l_linenumber").alias("line_no"),
