@@ -337,21 +337,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SIMHASH_BITS = 60  # hash64 width — cross-engine md5-derived (see hashing.py)
+_SIMHASH_CHUNKS = 4  # 4 × 15-bit bands → catches Hamming ≤ 3 exactly
+_SIMHASH_CHUNK_BITS = _SIMHASH_BITS // _SIMHASH_CHUNKS
+_SIMHASH_CHUNK_MASK = (1 << _SIMHASH_CHUNK_BITS) - 1
+
+
 def simhash_fingerprints(docs: DataFrame, tokens: F.Column) -> DataFrame:
-    """(doc_id, sim) with a 64-bit SimHash per document.
+    """(doc_id, sim) with a 60-bit SimHash per document.
 
     Shape chosen for scale: explode tokens → hash once per token →
-    ONE partial+final hash aggregation computing all 64 per-bit
+    ONE partial+final hash aggregation computing all 60 per-bit
     majority votes (sum of ±1) → fold votes into the fingerprint.
     This is a single shuffle on doc_id; a transform-per-bit expression
-    tree over the token array would re-hash every token 64 times.
+    tree over the token array would re-hash every token 60 times.
+    The token hash is the md5-derived :func:`hash64` so the whole
+    fingerprint is bit-identical in the DuckDB oracle (xxhash64 would
+    be marginally faster in-engine but unverifiable cross-engine).
     """
+    from fintech_etl_spark.functions.hashing import hash64
+
     # explode_outer: see dedup_ngram_jaccard — avoids the inferred
     # size()>0 filter recomputing the split below the repartition.
     tok = (
         docs.select("doc_id", F.explode_outer(tokens).alias("t"))
         .filter(F.col("t").isNotNull())
-        .select("doc_id", F.xxhash64("t").alias("h"))
+        .select("doc_id", hash64("t").alias("h"))
     )
     votes = tok.groupBy("doc_id").agg(
         *[
@@ -360,11 +371,11 @@ def simhash_fingerprints(docs: DataFrame, tokens: F.Column) -> DataFrame:
                     F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
                 ).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(_SIMHASH_BITS)
         ]
     )
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(_SIMHASH_BITS):
         fp = fp.bitwiseOR(
             F.when(
                 F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
@@ -373,15 +384,51 @@ def simhash_fingerprints(docs: DataFrame, tokens: F.Column) -> DataFrame:
     return votes.select("doc_id", fp.alias("sim"))
 
 
+def _simhash_oracle() -> str:
+    from fintech_etl_spark.functions.hashing import hash64_sql
+
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    fold = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    chunk_nos = ", ".join(str(i) for i in range(_SIMHASH_CHUNKS))
+    return rf"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+                 FROM documents),
+    h AS (SELECT doc_id, {hash64_sql("t")} AS h FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fold} AS sim FROM votes),
+    chunks AS (SELECT doc_id, sim, i AS chunk_no,
+                      (sim >> ({_SIMHASH_CHUNK_BITS} * i)) & {_SIMHASH_CHUNK_MASK} AS chunk
+               FROM fp CROSS JOIN (SELECT unnest([{chunk_nos}]) AS i) u),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             a.sim AS sim_a, b.sim AS sim_b
+             FROM chunks a
+             JOIN chunks b ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+                          AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+
 @register(
     "dedup_simhash",
-    None,  # xxhash64 has no DuckDB twin → rows-only check
+    _simhash_oracle(),
     doc=(
-        "SimHash(64) near-dup: band the fingerprint into 4×16-bit chunks; "
+        "SimHash(60) near-dup: band the fingerprint into 4×15-bit chunks; "
         "pairs agreeing on ≥1 chunk are candidates (catches Hamming "
         "distance ≤ 3 exactly, pigeonhole), verified by popcount ≤ 3. "
         "Fingerprint+banding are pure projections; the candidate join "
-        "keys on 16-bit chunks so it scales like a hash join."
+        "keys on 15-bit chunks so it scales like a hash join. The md5-"
+        "derived token hash makes the whole pipeline value-checked "
+        "against the DuckDB oracle bit-for-bit."
     ),
     tags=("dedup", "lsh"),
 )
@@ -396,8 +443,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("sim", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftright("sim", _SIMHASH_CHUNK_BITS * i).bitwiseAND(
+                        F.lit(_SIMHASH_CHUNK_MASK)
+                    )
+                    for i in range(_SIMHASH_CHUNKS)
                 ]
             )
         ).alias("chunk_no", "chunk"),
@@ -724,9 +773,37 @@ def dedup_multisignal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DF_CAP_FRACTION = 0.01  # drop shingles present in > 1% of docs
 
 
+# Brute-force capped Jaccard: replicate the df-cap (drop shingles in
+# > cap docs) and verify ALL pairs at τ — no MinHash needed, because
+# LSH recall at 32 bands × 2 rows is 1 - (1-j²)^32 ≥ 1 - 5e-10 for
+# j ≥ 0.7 (the uncapped variant is driver-proven identical to its
+# brute-force oracle on this data).
+_DFCAP_ORACLE = f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents
+               WHERE text IS NOT NULL AND trim(text) != ''),
+    w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+    sh AS (SELECT doc_id, {_shingle_sql(3)} AS s FROM w),
+    e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    banned AS (SELECT g FROM e GROUP BY g
+               HAVING count(*) > (SELECT greatest(2, CAST(floor(n_docs * {_DF_CAP_FRACTION}) AS INTEGER)) FROM n)),
+    kept AS (SELECT doc_id, g FROM e ANTI JOIN banned USING (g)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {_VERIFY_TAU}
+"""
+
+
 @register(
     "dedup_minhash_lsh_dfcap",
-    None,  # capped shingle sets deliberately diverge from the exact oracle
+    _DFCAP_ORACLE,
     doc=(
         "The production variant of dedup_minhash_lsh: shingles whose "
         "document frequency exceeds 1% of the corpus are dropped before "

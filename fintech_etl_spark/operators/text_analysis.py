@@ -198,20 +198,59 @@ _WINNOW_K = 8   # char n-gram width
 _WINNOW_W = 16  # winnow window: keep the min hash of each window
 
 
+def _winnow_oracle() -> str:
+    from fintech_etl_spark.functions.hashing import hash64_sql
+
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    gh AS (SELECT doc_id,
+                  list_transform(
+                      generate_series(1, CASE WHEN length(t) >= {k}
+                                              THEN length(t) - {k - 1} ELSE 0 END),
+                      i -> {hash64_sql(f"substr(t, i, {k})")}) AS gh
+           FROM t),
+    wm AS (SELECT doc_id,
+                  list_transform(
+                      generate_series(1, CASE WHEN len(gh) >= {w}
+                                              THEN len(gh) - {w - 1} ELSE 0 END),
+                      i -> list_min(gh[i:i + {w - 1}])) AS wm
+           FROM gh),
+    fp AS (SELECT doc_id, list_sort(list_distinct(wm)) AS fp FROM wm)
+    SELECT doc_id,
+           CAST(len(fp) AS INTEGER) AS n_fingerprints,
+           md5(array_to_string(fp, ',')) AS fingerprint_set_id
+    FROM fp
+"""
+
+
+def _empty_guarded_sequence(n: F.Column) -> F.Column:
+    """1..n as an array, empty when n < 1. Spark's ``sequence(1, 0)``
+    returns the DESCENDING ``[1, 0]`` (step defaults to -1 when start >
+    stop) — not the empty array an ANSI ``generate_series(1, 0)``
+    yields — so short inputs need an explicit guard for oracle parity."""
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 @register(
     "doc_winnow_fingerprint",
-    None,  # xxhash64 has no cross-engine twin → rows-only check; the
-    #       algebraic invariants are pinned by tests/test_operators.py
+    _winnow_oracle(),
     doc=(
         "Winnowing document fingerprints (the MOSS scheme): hash every "
         "8-char gram, keep each 16-gram window's minimum — ~2/(w+1) of "
         "grams survive, position-robust. Pure higher-order-function "
         "projection (sequence→transform→aggregate); the fingerprint set "
-        "is the standard near-dup index key at corpus scale."
+        "is the standard near-dup index key at corpus scale. Gram "
+        "hashes are the md5-derived cross-engine hash64 and the set id "
+        "is md5 of the sorted hash list, so the DuckDB oracle verifies "
+        "the full fingerprint set bit-for-bit."
     ),
     tags=("text", "dedup"),
 )
 def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fintech_etl_spark.functions.hashing import hash64
     from fintech_etl_spark.operators.dedup import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -220,19 +259,19 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst re-hash every gram once per window (O(n·w) rehashes —
     # measured minutes instead of seconds at sf0.1).
     t = docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
-    n_grams = F.greatest(F.length("t") - (_WINNOW_K - 1), F.lit(0))
+    n_grams = (F.length("t") - (_WINNOW_K - 1)).cast("int")
     hashed = t.select(
         "doc_id",
         F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.xxhash64(F.col("t").substr(i.cast("int"), F.lit(_WINNOW_K))),
+            _empty_guarded_sequence(n_grams),
+            lambda i: hash64(F.col("t").substr(i.cast("int"), F.lit(_WINNOW_K))),
         ).alias("gh"),
     )
-    n_windows = F.greatest(F.size("gh") - (_WINNOW_W - 1), F.lit(0))
+    n_windows = (F.size("gh") - (_WINNOW_W - 1)).cast("int")
     mins = hashed.select(
         "doc_id",
         F.transform(
-            F.sequence(F.lit(1), n_windows),
+            _empty_guarded_sequence(n_windows),
             lambda i: F.array_min(F.slice("gh", i.cast("int"), _WINNOW_W)),
         ).alias("wm"),
     )
@@ -240,7 +279,7 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mins.select(
         "doc_id",
         F.size(fp).alias("n_fingerprints"),
-        F.abs(F.hash(F.concat_ws(",", fp.cast("array<string>")))).alias(
+        F.md5(F.concat_ws(",", fp.cast("array<string>"))).alias(
             "fingerprint_set_id"
         ),
     )
