@@ -290,14 +290,46 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# The synthesized payload is a pure function of the document text, so
+# the decode's output is closed-form SQL: pixel plane = first 144 chars
+# of the repeated text, mean = avg ascii. (Driver text is ASCII, so
+# char position == byte position; check_correctness would catch drift.)
+_PPM_PIXELS_CTE = """
+    WITH px AS (
+        SELECT doc_id,
+               substr(repeat(text,
+                             CAST(floor(144 / greatest(length(text), 1)) + 1 AS INTEGER)),
+                      1, 144) AS p
+        FROM documents)
+"""
+
+_DECODE_ORACLE = (
+    _PPM_PIXELS_CTE
+    + """
+    SELECT doc_id AS asset_id,
+           CAST(CASE WHEN length(p) >= 144 THEN 8 END AS INTEGER)   AS width,
+           CAST(CASE WHEN length(p) >= 144 THEN 6 END AS INTEGER)   AS height,
+           CAST(CASE WHEN length(p) >= 144 THEN 255 END AS INTEGER) AS maxval,
+           CASE WHEN length(p) >= 144 THEN
+               (SELECT sum(ascii(c)) FROM unnest(string_split(p, '')) u(c)) / 144.0
+           END AS mean_pixel,
+           CASE WHEN length(p) < 144 THEN 'truncated pixel plane' END AS decode_error
+    FROM px
+    """
+)
+
+
 @register(
     "media_image_decode",
-    None,  # binary plane decode — pinned by golden tests, rows-only here
+    _DECODE_ORACLE,
     doc=(
         "REAL image decode (PPM/P6, dependency-free): synthesized valid "
         "payloads → Arrow batches → header+pixel-plane parse → typed "
         "features, with per-asset error isolation. The plan shape is "
-        "identical with PIL/JPEG swapped into the kernel."
+        "identical with PIL/JPEG swapped into the kernel. Because the "
+        "payload is a deterministic function of the document text, the "
+        "decoded dims/mean are closed-form SQL — the binary kernel is "
+        "value-checked end-to-end, not just rows-counted."
     ),
     tags=("multimodal", "pandas_udf"),
 )
@@ -342,19 +374,56 @@ def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The structured form: (asset_id, thumb binary, thumb_w, thumb_h)
+    with the thumbnail as real P6 bytes — what a downstream stage would
+    re-decode. Golden tests decode these; the registered query below
+    serializes the thumb for cross-engine value checks."""
+    return synth_ppm_images(spark, sf_dir).mapInPandas(
+        _resize_batch, _RESIZE_SCHEMA
+    )
+
+
+def _resize_oracle() -> str:
+    # Nearest-neighbor 8×6 → 4×3 picks source pixel (2y, 2x): byte
+    # offset (2y*8 + 2x)*3, three bytes each — twelve fixed substrings
+    # of the pixel plane, prefixed by the P6 header (chr(10) newlines).
+    picks = " || ".join(
+        f"substr(p, {(2 * y * 8 + 2 * x) * 3 + 1}, 3)"
+        for y in range(3)
+        for x in range(4)
+    )
+    return (
+        _PPM_PIXELS_CTE
+        + f"""
+    SELECT doc_id AS asset_id,
+           md5('P6' || chr(10) || '4 3' || chr(10) || '255' || chr(10) || {picks}) AS thumb_md5,
+           CAST(4 AS INTEGER) AS thumb_w,
+           CAST(3 AS INTEGER) AS thumb_h
+    FROM px
+    """
+    )
+
+
 @register(
     "media_image_resize",
-    None,  # binary output — pinned by golden tests
+    _resize_oracle(),
     doc=(
         "Image resize (8×6 → 4×3 nearest-neighbor) over real PPM bytes "
         "through mapInPandas — the thumbnailing stage of a multimodal "
-        "ingest pipeline; output is itself a valid decodable image."
+        "ingest pipeline; output is itself a valid decodable image "
+        "(see :func:`resize_thumbnails`). The registered query emits "
+        "md5(thumb) so the exact output bytes are value-checked against "
+        "the oracle's closed-form pixel arithmetic."
     ),
     tags=("multimodal", "pandas_udf"),
 )
 def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return synth_ppm_images(spark, sf_dir).mapInPandas(
-        _resize_batch, _RESIZE_SCHEMA
+    return resize_thumbnails(spark, sf_dir).select(
+        "asset_id",
+        F.md5("thumb").alias("thumb_md5"),
+        "thumb_w",
+        "thumb_h",
     )
 
 
@@ -401,11 +470,26 @@ def _audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 @register(
     "media_audio_features",
-    None,  # sample-plane math — pinned by golden tests
+    """
+    SELECT doc_id AS asset_id,
+           CAST(length(text) AS INTEGER) AS n_samples,
+           1000.0 * length(text) / 8000  AS duration_ms,
+           coalesce(CASE WHEN length(text) > 0 THEN
+               round(sqrt((SELECT avg((ascii(c) - 128.0) * (ascii(c) - 128.0))
+                           FROM unnest(string_split(text, '')) u(c))), 4)
+           END, 0.0) AS rms,
+           coalesce(CASE WHEN length(text) > 0 THEN
+               CAST((SELECT max(ascii(c))
+                     FROM unnest(string_split(text, '')) u(c)) AS INTEGER)
+           END, 0) AS peak
+    FROM documents
+    """,
     doc=(
         "Audio feature extraction (u8 PCM): sample count, duration, RMS "
         "level, peak — the loudness/QC features an audio corpus filters "
-        "on, computed per clip in Arrow batches."
+        "on, computed per clip in Arrow batches. The PCM plane is the "
+        "document's (ASCII) bytes, so RMS/peak have closed-form SQL and "
+        "the NumPy kernel is value-checked, not just rows-counted."
     ),
     tags=("multimodal", "pandas_udf"),
 )

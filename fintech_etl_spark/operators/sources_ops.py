@@ -19,8 +19,13 @@ from fintech_etl_spark.sources.tables import list_objects
 
 @register(
     "filesource_listing",
-    None,  # filesystem listing has no table-shaped oracle; the known
-    #       object set is asserted in tests instead
+    # The correctness gate is fixed at sf0.01 (TESTDATA.md), so the
+    # oracle lists the same directory with DuckDB's glob() — an actual
+    # second listing implementation, not a hardcoded name set.
+    r"""
+    SELECT regexp_extract(file, '([^/]+)$', 1) AS object_name
+    FROM glob('/root/testdata/sf0.01/*.parquet')
+    """,
     doc=(
         "Distributed object listing + suffix filter (R8 analogue): "
         "binaryFile metadata scan, payload column pruned away."

@@ -138,15 +138,15 @@ def test_media_resize_and_audio(spark):
     from fintech_etl_spark.operators.multimodal import (
         decode_ppm,
         media_audio_features,
-        media_image_resize,
         resize_ppm,
+        resize_thumbnails,
     )
 
     # resize golden: 2x2 checkerboard -> 1x1 takes the top-left pixel
     src = b"P6\n2 2\n255\n" + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
     assert decode_ppm(resize_ppm(src, 1, 1)) == (1, 1, 255, (255 + 0 + 0) / 3)
 
-    thumbs = media_image_resize(spark, SF_SMOKE).limit(5).collect()
+    thumbs = resize_thumbnails(spark, SF_SMOKE).limit(5).collect()
     for r in thumbs:
         w, h, mx, _ = decode_ppm(bytes(r.thumb))
         assert (w, h, mx) == (4, 3, 255)
@@ -195,17 +195,19 @@ def test_cluster_components_consistent_with_pairs(spark):
 
     pairs = dedup_minhash_lsh(spark, SF_SMOKE).select("doc_a", "doc_b").collect()
     comp_rows = dedup_cluster_components(spark, SF_SMOKE).collect()
-    member_to_comp = {
-        m: r.component_id for r in comp_rows for m in r.member_ids
+    members = {  # member_ids is serialized for cross-engine hashing
+        r.component_id: [int(m) for m in r.member_ids.split(",")]
+        for r in comp_rows
     }
+    member_to_comp = {m: c for c, ms in members.items() for m in ms}
     assert pairs, "smoke data should contain near-dups"
     for p in pairs:
         assert member_to_comp[p.doc_a] == member_to_comp[p.doc_b]
     paired = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
     assert set(member_to_comp) == paired
     for r in comp_rows:
-        assert r.component_id == min(r.member_ids)
-        assert r.n_members == len(r.member_ids) >= 2
+        assert r.component_id == min(members[r.component_id])
+        assert r.n_members == len(members[r.component_id]) >= 2
 
 
 def test_kmeans_matches_numpy_lloyd(spark):
@@ -372,9 +374,9 @@ def test_corpus_survivors_guarantees(spark):
 
     # representative mapping: md5 survivor or component min
     comp = {
-        m: r.component_id
+        int(m): r.component_id
         for r in D.dedup_cluster_components(spark, SF_SMOKE).collect()
-        for m in r.member_ids
+        for m in r.member_ids.split(",")
     }
     md5_min = {
         r.fp: r.m
