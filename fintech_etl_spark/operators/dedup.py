@@ -21,6 +21,8 @@ document-frequency cap (skew-bounded by construction).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -271,8 +273,11 @@ def minhash_signature(shingles: F.Column, n_perm: int = _MINHASH_PERMS) -> F.Col
         "docs collide, so the verify join touches a vanishing fraction "
         "of pairs. P(miss | jaccard=0.7) = (1-0.49)^32 ≈ 5e-10, so the "
         "oracle (brute-force τ=0.7) and the LSH path agree on real data. "
-        "A df-cap on shingles (drop grams in >1% of docs) would bound "
-        "hot-bucket skew at scale; not applied here to keep oracle parity."
+        "PRODUCTION NOTE — this is the ORACLE-PARITY tier: one boiler"
+        "plate shingle shared by a large doc fraction makes one LSH "
+        "bucket (one reducer) quadratic. At scale use "
+        "dedup_minhash_lsh_dfcap, which drops >1%-df shingles and is "
+        "skew-bounded by construction."
     ),
     tags=("dedup", "lsh"),
 )
@@ -490,6 +495,15 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
     return dot / (norm(ad) * norm(bd))
 
 
+# The exact tier is O(N²) FLOPs by definition — no partitioning trick
+# changes that. Past this many vectors the registered query refuses to
+# run rather than melt a cluster; the sub-quadratic path is LSH/IVF
+# candidate pruning (operators/similarity.py) feeding the same verify.
+_EXACT_TIER_MAX_VECTORS = int(
+    os.environ.get("SPARK_GRAFT_EXACT_TIER_MAX", 200_000)
+)
+
+
 @register(
     "dedup_embedding_neardup",
     f"""
@@ -522,6 +536,16 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # metadata-only count (parquet aggregate pushdown)
+    if n > _EXACT_TIER_MAX_VECTORS:
+        raise ValueError(
+            f"dedup_embedding_neardup is the EXACT all-pairs tier "
+            f"({n:,} vectors > cap {_EXACT_TIER_MAX_VECTORS:,}; "
+            f"~{n * n / 2:.2e} pair scores). Use the candidate-pruned "
+            "paths instead — ann_lsh_bucketed / ann_ivf_probe in "
+            "operators/similarity.py — or raise "
+            "SPARK_GRAFT_EXACT_TIER_MAX explicitly."
+        )
     nb = _ND_BLOCKS
     v = F.col("embedding").cast("array<double>")
     norm = F.sqrt(
