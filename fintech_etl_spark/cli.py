@@ -1,6 +1,7 @@
 """Thin service layer over the engine — the reference's API surface
 (SURVEY §2.7) as a CLI, with the HTTP plumbing deliberately out of the
-query engine.
+query engine (the HTTP twin lives in fintech_etl_spark/service.py and
+delegates to the same functions).
 
 Commands mirror the reference endpoints:
 
