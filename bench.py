@@ -45,6 +45,10 @@ HEADLINE = (
     "grouped_zscore_applyinpandas",
     "quality_repetition_signals",
     "media_feature_extract",
+    # appended r3 (list is append-only so rounds stay comparable):
+    # the production skew-safe dedup path and the cross-engine simhash
+    "dedup_minhash_lsh_dfcap",
+    "dedup_simhash",
 )
 
 

@@ -1,0 +1,231 @@
+"""Corpus-construction operators: the steps between "deduped documents"
+and "training-ready data" that a 100 TB pipeline runs daily — weighted
+mixture sampling, deterministic sharded shuffling, lake upserts, and
+SCD2 attribute history. All pure column expressions (no UDFs), all
+value-checked against DuckDB oracles via the cross-engine
+:mod:`fintech_etl_spark.functions.hashing` hash.
+
+Determinism is the design constraint everywhere here: sampling and
+shuffling are functions of stable keys (not ``rand()``), so a re-run
+after a failure — or an incremental run over a grown corpus — keeps
+every prior decision. That is what makes these operators usable in a
+reproducible-training setting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fintech_etl_spark.functions.hashing import hash64, hash64_sql
+from fintech_etl_spark.registry import register
+from fintech_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Weighted mixture sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+# Per-source sampling rate, a deterministic function of the source name
+# (src0..src19 → 0.1..1.0): stands in for the mixture-weights table a
+# real pipeline would broadcast-join.
+_RATE_SQL = "(CAST(substr(source, 4) AS INTEGER) % 10 + 1) / 10.0"
+_MIX_DENOM = 1000
+
+
+def _rate_col() -> F.Column:
+    return (F.substring("source", 4, 10).cast("int") % 10 + 1) / 10.0
+
+
+@register(
+    "corpus_mixture_sample",
+    f"""
+    SELECT doc_id, source, n_chars,
+           round({_RATE_SQL}, 4) AS sample_rate
+    FROM documents
+    WHERE ({hash64_sql("('mix:' || CAST(doc_id AS VARCHAR))")} % {_MIX_DENOM})
+          < {_RATE_SQL} * {_MIX_DENOM}
+    """,
+    doc=(
+        "Weighted mixture sampling (domain up/down-weighting for data "
+        "mixing): each document is kept iff hash(doc_id) mod 1000 falls "
+        "under its source's rate — a pure filter, no shuffle, no rand(). "
+        "Hash-based Bernoulli means the decision is reproducible per "
+        "document: re-runs and incremental runs keep prior picks, and "
+        "changing one source's weight only flips that source's docs. At "
+        "100 TB the rate map is a broadcast dimension; the scan stays "
+        "embarrassingly parallel."
+    ),
+    tags=("corpus", "sampling"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        F.lit(_MIX_DENOM),
+    )
+    return docs.filter(bucket < _rate_col() * _MIX_DENOM).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(_rate_col(), 4).alias("sample_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sharded training shuffle
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@register(
+    "corpus_train_shuffle",
+    f"""
+    SELECT doc_id,
+           CAST({hash64_sql("('shard:' || CAST(doc_id AS VARCHAR))")} % {_N_SHARDS}
+                AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY {hash64_sql("('shard:' || CAST(doc_id AS VARCHAR))")} % {_N_SHARDS}
+               ORDER BY {hash64_sql("('ord:' || CAST(doc_id AS VARCHAR))")}, doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+    doc=(
+        "Deterministic global training shuffle, sharded: shard = "
+        "hash(doc_id) mod N, position = rank of a second independent "
+        "hash within the shard. Equivalent to a seeded permutation of "
+        "the corpus but with NO global sort: the only shuffle is the "
+        "hash partition into shards and each shard sorts locally — the "
+        "scale answer to ORDER BY rand(), whose single total order "
+        "bottlenecks on a range exchange. Readers consume shards in "
+        "index order for a reproducible epoch."
+    ),
+    tags=("corpus", "sampling"),
+)
+def corpus_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    shard = F.pmod(hash64(F.concat(F.lit("shard:"), key)), F.lit(_N_SHARDS))
+    ordh = hash64(F.concat(F.lit("ord:"), key))
+    w = Window.partitionBy(shard).orderBy(ordh, "doc_id")
+    return docs.select(
+        "doc_id",
+        shard.cast("int").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lake upsert (merge-latest-by-key)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lake_upsert_latest",
+    """
+    WITH base AS (SELECT o_orderkey, o_totalprice AS current_price, 1 AS version
+                  FROM orders),
+    upd AS (SELECT o_orderkey, round(o_totalprice * 1.1, 4), 2
+            FROM orders WHERE o_orderkey % 3 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+    SELECT o_orderkey,
+           round(max_by(current_price, version), 4) AS current_price,
+           CAST(max(version) AS INTEGER)            AS version
+    FROM u GROUP BY o_orderkey
+    """,
+    doc=(
+        "Lakehouse upsert as a set operation: base ∪ updates → latest "
+        "row per key by version, via ONE hash aggregation with map-side "
+        "combine (max_by) — no window sort, no row_number. This is the "
+        "merge-on-read resolve step of a MERGE INTO on a keyed lake; at "
+        "100 TB the aggregation shuffles once on the primary key, and a "
+        "bucketed base table makes even that shuffle one-sided."
+    ),
+    tags=("corpus", "lake"),
+)
+def lake_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("current_price"),
+        F.lit(1).alias("version"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("current_price"),
+        F.lit(2).alias("version"),
+    )
+    return (
+        base.unionAll(upd)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.max_by("current_price", "version"), 4).alias("current_price"),
+            F.max("version").cast("int").alias("version"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 attribute history (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_event_history",
+    """
+    WITH e AS (SELECT user_id, ts, event_type FROM events),
+    flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+    islands AS (
+        SELECT user_id, ts, event_type,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged),
+    intervals AS (
+        SELECT user_id, event_type, island,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM islands GROUP BY user_id, event_type, island)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           n_events
+    FROM intervals
+    """,
+    doc=(
+        "SCD2 history build (gaps-and-islands): collapse each user's "
+        "consecutive same-type events into validity intervals "
+        "[valid_from, valid_to) with the open current interval last — "
+        "the standard dimension-history shape. One shuffle on user_id "
+        "serves every window; islands come from a running sum over a "
+        "change flag, not a self-join. Deterministic under ts ties via "
+        "the (ts, event_type) composite order."
+    ),
+    tags=("corpus", "window", "events"),
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    islands = ev.withColumn(
+        "island",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return intervals.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
