@@ -159,14 +159,71 @@ def _pack_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             "seq_id": range(len(bins)),
             "n_docs": [nd for _, _, nd in bins],
             "n_tokens": [budget - free for free, _, _ in bins],
-            "doc_ids": [ids for _, ids, _ in bins],
+            # serialized (placement order) so the output is flat-
+            # hashable by the cross-engine comparator — array columns
+            # crash a pandas-canonicalizing harness
+            "doc_ids": [",".join(str(i) for i in ids) for _, ids, _ in bins],
         }
     )
 
 
+def _ffd_oracle() -> str:
+    """Greedy FFD replayed as a DuckDB recursive CTE: one recursion
+    step per document (sorted tokens-desc, doc_id-asc within source),
+    carrying the bins' free capacities and the placement list as LIST
+    state. ``nullif(..., 0)`` because list_position signals a miss as
+    0 here."""
+    pos = (
+        "nullif(list_position("
+        "list_transform(f.frees, x -> x >= o.n_tokens), true), 0)"
+    )
+    b = _PACK_BUDGET
+    return rf"""
+    WITH RECURSIVE
+    d AS (SELECT source, doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+    ord AS (SELECT source, doc_id, n_tokens,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_tokens DESC, doc_id) AS step,
+                  count(*) OVER (PARTITION BY source) AS n_steps
+            FROM d),
+    ffd AS (
+        SELECT source, CAST(0 AS BIGINT) AS step, n_steps,
+               CAST([] AS BIGINT[]) AS frees,
+               CAST([] AS STRUCT(doc_id BIGINT, bin BIGINT)[]) AS assign
+        FROM (SELECT DISTINCT source, n_steps FROM ord)
+        UNION ALL
+        SELECT f.source, f.step + 1, f.n_steps,
+               CASE WHEN {pos} IS NULL
+                    THEN list_append(f.frees, greatest({b} - o.n_tokens, 0))
+                    ELSE list_transform(f.frees,
+                         (x, i) -> CASE WHEN i = {pos} THEN x - o.n_tokens ELSE x END)
+               END,
+               list_append(f.assign,
+                   {{'doc_id': o.doc_id,
+                     'bin': CAST(coalesce({pos}, len(f.frees) + 1) AS BIGINT)}})
+        FROM ffd f
+        JOIN ord o ON o.source = f.source AND o.step = f.step + 1
+        WHERE f.step < f.n_steps
+    ),
+    final AS (SELECT source, frees, assign FROM ffd WHERE step = n_steps),
+    flat AS (SELECT source, i, assign[i].doc_id AS doc_id,
+                    assign[i].bin AS bin, frees
+             FROM final, unnest(generate_series(1, len(assign))) t(i))
+    SELECT source,
+           bin - 1                                 AS seq_id,
+           CAST(count(*) AS BIGINT)                AS n_docs,
+           CAST({b} - frees[bin] AS BIGINT)        AS n_tokens,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY i) AS doc_ids
+    FROM flat
+    GROUP BY source, bin, frees
+"""
+
+
 @register(
     "pack_sequences",
-    None,  # greedy bin packing is order-sensitive — pinned by unit test
+    _ffd_oracle(),
     doc=(
         "Sequence packing for pretraining: greedy first-fit-decreasing "
         "of documents into fixed token-budget rows (budget=256 here). "
@@ -174,7 +231,9 @@ def _pack_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         "runs in Python, per (source) group via applyInPandas, so the "
         "work distributes by source shard and each group is bounded. "
         "At 100 TB the group key becomes (source, hash-shard) to cap "
-        "group size; the kernel is unchanged."
+        "group size; the kernel is unchanged. The DuckDB oracle replays "
+        "the exact greedy sequence as a recursive CTE, so even this "
+        "order-sensitive kernel is value-checked bin-for-bin."
     ),
     tags=("pandas_udf", "text"),
 )
@@ -188,5 +247,5 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_tokens.groupBy("source").applyInPandas(
         _pack_kernel,
-        "source string, seq_id long, n_docs long, n_tokens long, doc_ids array<long>",
+        "source string, seq_id long, n_docs long, n_tokens long, doc_ids string",
     )

@@ -279,12 +279,13 @@ def test_pack_sequences_invariants(spark):
     }
     packed: list[int] = []
     for s in seqs:
-        assert s.n_docs == len(s.doc_ids) >= 1
-        total = sum(tok[d] for d in s.doc_ids)
-        assert total == s.n_tokens or (s.n_docs == 1 and tok[s.doc_ids[0]] > _PACK_BUDGET)
+        ids = [int(d) for d in s.doc_ids.split(",")]  # serialized list
+        assert s.n_docs == len(ids) >= 1
+        total = sum(tok[d] for d in ids)
+        assert total == s.n_tokens or (s.n_docs == 1 and tok[ids[0]] > _PACK_BUDGET)
         if s.n_docs > 1:
             assert total <= _PACK_BUDGET
-        packed.extend(s.doc_ids)
+        packed.extend(ids)
     assert sorted(packed) == sorted(tok)  # exactly-once packing
 
 
