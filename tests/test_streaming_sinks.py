@@ -460,3 +460,46 @@ def test_cli_query_command(spark, capsys, monkeypatch):
     assert lines and "l_returnflag" in lines[0]
 
     assert cli.main(["query", "nope_does_not_exist"]) == 2
+
+
+def test_streaming_corpus_intake_incremental_dedup(spark, tmp_path):
+    """The crawl-ingest loop: two JSONL drops with overlapping content
+    (and an internal duplicate) must leave the corpus duplicate-free,
+    and a re-run over the same landing dir must be a checkpointed no-op."""
+    import json as _json
+
+    from fintech_etl_spark.streaming.corpus import start_corpus_intake
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "crawl",
+             "n_chars": len(text)}
+        )
+
+    # drop 1: three docs, two sharing identical text (internal dup)
+    (landing / "batch1.jsonl").write_text(
+        "\n".join([doc(1, "alpha beta"), doc(2, "gamma"), doc(3, "alpha beta")]) + "\n"
+    )
+    start_corpus_intake(spark, str(landing), corpus, fps, ckpt).awaitTermination()
+    got = {r.doc_id: r.text for r in spark.read.parquet(corpus).collect()}
+    assert got == {1: "alpha beta", 2: "gamma"}  # min doc_id survives the dup
+
+    # drop 2: one repeat of drop-1 content, one novel doc
+    (landing / "batch2.jsonl").write_text(
+        "\n".join([doc(4, "gamma"), doc(5, "delta")]) + "\n"
+    )
+    start_corpus_intake(spark, str(landing), corpus, fps, ckpt).awaitTermination()
+    got = {r.doc_id: r.text for r in spark.read.parquet(corpus).collect()}
+    assert got == {1: "alpha beta", 2: "gamma", 5: "delta"}
+
+    # re-run with nothing new: checkpoint makes it a no-op (no growth,
+    # no reprocessing of already-consumed files)
+    start_corpus_intake(spark, str(landing), corpus, fps, ckpt).awaitTermination()
+    assert spark.read.parquet(corpus).count() == 3
+    assert spark.read.parquet(fps).count() == 3
