@@ -117,6 +117,72 @@ def corpus_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quality-ranked selection under a token budget (data selection)
+# ---------------------------------------------------------------------------
+
+_SELECT_BUDGET = 2000  # tokens per source
+
+
+@register(
+    "corpus_budget_select",
+    rf"""
+    WITH t AS (SELECT doc_id, source,
+                      len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                      len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq
+               FROM documents),
+    r AS (SELECT doc_id, source, n_tokens,
+                 n_uniq * 1.0 / n_tokens AS score,
+                 sum(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY n_uniq * 1.0 / n_tokens DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM t)
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT)   AS n_tokens,
+           score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens <= {_SELECT_BUDGET}
+    """,
+    doc=(
+        "Data selection under a token budget: rank each source's docs "
+        "by a quality score (unique-token ratio — deterministic, "
+        "engine-exact IEEE division, emitted unrounded) and keep the "
+        "prefix whose running token sum fits the per-source budget. "
+        "One shuffle on source serves both the rank and the running "
+        "sum; the greedy prefix-by-quality is the standard high-"
+        "quality-subset heuristic. At 100 TB the budget map is a "
+        "broadcast dimension keyed by source."
+    ),
+    tags=("corpus", "sampling", "window"),
+)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    score = F.col("n_uniq") / F.col("n_tokens")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(score.desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _SELECT_BUDGET)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            score.alias("score"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lake upsert (merge-latest-by-key)
 # ---------------------------------------------------------------------------
 
