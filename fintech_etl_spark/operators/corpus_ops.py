@@ -183,6 +183,141 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C4-style span-level exact dedup
+# ---------------------------------------------------------------------------
+
+_SPAN = 16  # tokens per dedup unit (the "line" of C4's line-level dedup)
+
+
+@register(
+    "corpus_span_dedup",
+    rf"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    s0 AS (SELECT doc_id, toks,
+                  unnest(generate_series(0, CAST((len(toks) - 1) // {_SPAN} AS INTEGER)))
+                      AS span_id
+           FROM t),
+    s AS (SELECT doc_id, CAST(span_id AS INTEGER) AS span_id,
+                 array_to_string(toks[(span_id * {_SPAN} + 1):(span_id * {_SPAN} + {_SPAN})], ' ')
+                     AS span_text,
+                 len(toks[(span_id * {_SPAN} + 1):(span_id * {_SPAN} + {_SPAN})]) AS span_len
+          FROM s0),
+    k AS (SELECT doc_id, span_id, span_len,
+                 row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_id) = 1
+                     AS kept
+          FROM s)
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER)                                AS n_spans,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INTEGER)   AS kept_spans,
+           CAST(sum(CASE WHEN kept THEN span_len ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM k GROUP BY doc_id
+    """,
+    doc=(
+        "C4-style exact span dedup: tokenize, cut each document into "
+        f"{_SPAN}-token spans, keep only the globally FIRST occurrence "
+        "of each distinct span (ordered by doc_id, span_id), and report "
+        "per-document survival. The C4 pipeline does exactly this at "
+        "line granularity ('keep one of every three-sentence span'); "
+        "here the unit is a fixed token window since the corpus is "
+        "unpunctuated. Two shuffles, both necessary and both keyed "
+        "wide: hash-partition on span_text for the global first-"
+        "occurrence (dup spans are rare → near-uniform keys), then "
+        "re-aggregate on doc_id. No UDFs; at 100 TB the explode is a "
+        "~6× row fan-out of the scan, not a materialized corpus copy."
+    ),
+    tags=("corpus", "dedup", "text"),
+)
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.floor((F.size(toks) - 1) / F.lit(_SPAN)).cast("int").alias("last_span"),
+    )
+    spans = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("last_span"))).alias("span_id"),
+    )
+    sliced = F.slice("toks", F.col("span_id") * _SPAN + 1, _SPAN)
+    s = spans.select(
+        "doc_id",
+        "span_id",
+        F.array_join(sliced, " ").alias("span_text"),
+        F.size(sliced).alias("span_len"),
+    )
+    w = Window.partitionBy("span_text").orderBy("doc_id", "span_id")
+    k = s.withColumn("kept", F.row_number().over(w) == 1)
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("int").alias("kept_spans"),
+        F.sum(F.when(F.col("kept"), F.col("span_len")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+_CH_WIN = 32  # tokens per chunk
+_CH_STRIDE = 24  # chunk start stride (overlap = _CH_WIN - _CH_STRIDE)
+
+
+@register(
+    "doc_chunk_sliding",
+    rf"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, CAST((len(toks) - 1) // {_CH_STRIDE} AS INTEGER)))
+                     AS chunk_id
+          FROM t)
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(toks[(chunk_id * {_CH_STRIDE} + 1):(chunk_id * {_CH_STRIDE} + {_CH_WIN})])
+                AS INTEGER) AS n_tokens,
+           array_to_string(toks[(chunk_id * {_CH_STRIDE} + 1):(chunk_id * {_CH_STRIDE} + {_CH_WIN})],
+                           ' ') AS chunk_text
+    FROM s
+    """,
+    doc=(
+        f"Sliding-window chunking for RAG / sequence prep: {_CH_WIN}-token "
+        f"windows starting every {_CH_STRIDE} tokens (={_CH_WIN - _CH_STRIDE}"
+        "-token overlap so no boundary context is lost), the standard "
+        "retrieval-index unit. Pure per-row explode+slice — ZERO "
+        "shuffles, embarrassingly parallel at any scale; a 100 TB corpus "
+        "chunks at scan speed with output partitioning inherited from "
+        "the input files."
+    ),
+    tags=("corpus", "text"),
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.floor((F.size(toks) - 1) / F.lit(_CH_STRIDE)).cast("int").alias("last_chunk"),
+    )
+    chunks = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("last_chunk"))).alias("chunk_id"),
+    )
+    sliced = F.slice("toks", F.col("chunk_id") * _CH_STRIDE + 1, _CH_WIN)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(sliced).alias("n_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lake upsert (merge-latest-by-key)
 # ---------------------------------------------------------------------------
 

@@ -450,3 +450,64 @@ def write_ivf_layout(spark: SparkSession, sf_dir: str, out_path: str) -> DataFra
     enriched = emb.join(assign.select("vec_id", "cell"), "vec_id")
     enriched.write.mode("overwrite").partitionBy("cell").parquet(out_path)
     return assign
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (index compression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    m AS (SELECT vec_id, e,
+                 list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+          FROM v)
+    SELECT vec_id,
+           scale,
+           array_to_string(list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INTEGER)),
+                           ',') AS q_csv,
+           round(sqrt(list_aggregate(list_transform(e,
+                 x -> (x - floor(x / scale + 0.5) * scale)
+                      * (x - floor(x / scale + 0.5) * scale)), 'sum')), 4) AS recon_err
+    FROM m
+    """,
+    doc=(
+        "Symmetric per-vector int8 quantization — the 4× index "
+        "compression step every large ANN deployment runs before "
+        "serving: scale = max|x|/127, q = round(x/scale), plus the L2 "
+        "reconstruction error. Pure higher-order column expressions "
+        "(transform/aggregate), zero shuffles, scan-speed at any scale. "
+        "Rounding is spelled floor(x/scale + 0.5) on BOTH engines so "
+        "the integer codes are bit-identical cross-engine (round() "
+        "half-away vs half-even varies); scale is emitted unrounded "
+        "because IEEE division is engine-exact. Codes serialize to CSV "
+        "at the query boundary (driver hash needs flat columns); the "
+        "production writer would keep array<tinyint>."
+    ),
+    tags=("similarity", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+
+    def _q(x: F.Column) -> F.Column:
+        return F.floor(x / scale + F.lit(0.5))
+
+    def _err_term(x: F.Column) -> F.Column:
+        d = x - _q(x) * scale
+        return d * d
+
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_join(
+            F.transform(v, lambda x: _q(x).cast("int").cast("string")), ","
+        ).alias("q_csv"),
+        F.round(
+            F.sqrt(F.aggregate(F.transform(v, _err_term), F.lit(0.0), lambda a, x: a + x)),
+            4,
+        ).alias("recon_err"),
+    )

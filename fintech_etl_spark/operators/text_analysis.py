@@ -619,3 +619,115 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("n_words") < 20, 1).otherwise(0)).alias("n_short_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term ranking and LM-based quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    d AS (SELECT doc_id, term, tf,
+                 count(*) OVER (PARTITION BY term)  AS df,
+                 sum(tf)  OVER (PARTITION BY doc_id) AS doc_len
+          FROM tf),
+    s AS (SELECT doc_id, term,
+                 (tf * 1.0 / doc_len)
+                 * ln((SELECT count(*) FROM documents) * 1.0 / df) AS tfidf
+          FROM d),
+    r AS (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rk
+          FROM s)
+    SELECT doc_id, term, CAST(rk AS INTEGER) AS rk, round(tfidf, 4) AS tfidf
+    FROM r WHERE rk <= 3
+    """,
+    doc=(
+        "Per-document top-3 TF-IDF terms — the classic keyword/topic "
+        "signal feeding clustering and mixture labeling. tf from one "
+        "(doc_id, term) aggregation; df as a count window over term; "
+        "doc length and the final rank share ONE doc_id exchange "
+        "(adjacent same-key windows reuse the partitioning — the plan "
+        "has no second doc_id shuffle); the corpus size N joins in as "
+        "a broadcast scalar. Ranking ties are exact-equal tfidf values "
+        "(identical integer inputs), broken by term, so cross-engine "
+        "order is stable despite ulp-level ln() differences."
+    ),
+    tags=("text", "window"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    d = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_doc = Window.partitionBy("doc_id")
+    s = (
+        d.crossJoin(F.broadcast(n))
+        .withColumn("doc_len", F.sum("tf").over(w_doc))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * 1.0 / F.col("doc_len"))
+            * F.log(F.col("n_docs") * 1.0 / F.col("df")),
+        )
+    )
+    rk = F.row_number().over(w_doc.orderBy(F.col("tfidf").desc(), "term"))
+    return (
+        s.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "rk", F.round("tfidf", 4).alias("tfidf"))
+    )
+
+
+@register(
+    "doc_unigram_lm_score",
+    r"""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+                 FROM documents),
+    cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS total FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_tokens,
+           round(avg(ln(c * 1.0 / total)), 4) AS avg_logp,
+           round(exp(-avg(ln(c * 1.0 / total))), 4) AS ppl
+    FROM tok JOIN cnt USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Unigram language-model quality score: corpus unigram "
+        "probabilities, then each document's mean log-probability and "
+        "perplexity — the cheap KenLM stand-in that flags gibberish "
+        "(very low avg_logp) and boilerplate (very high). The "
+        "vocabulary count table broadcasts to the token stream (at "
+        "100 TB: broadcast the top-V vocabulary and OOV-bucket the "
+        "tail), so the only shuffles are the two aggregations; the "
+        "scoring join itself is shuffle-free."
+    ),
+    tags=("text", "quality"),
+)
+def doc_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    logp = F.log(F.col("c") * 1.0 / F.col("total"))
+    return (
+        tok.join(F.broadcast(cnt), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg(logp)), 4).alias("ppl"),
+        )
+    )

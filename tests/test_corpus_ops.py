@@ -90,3 +90,56 @@ def test_scd2_intervals_tile_each_user(spark):
         # consecutive intervals never carry the same type (else not collapsed)
         for a, b in zip(ivs, ivs[1:]):
             assert not (a.event_type == b.event_type)
+
+
+def test_span_dedup_survival_accounting(spark):
+    from fintech_etl_spark.operators.corpus_ops import _SPAN, corpus_span_dedup
+
+    rows = corpus_span_dedup(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    assert len(rows) == len(docs)  # every doc reports, even fully-dup ones
+    # kept spans across the corpus == number of DISTINCT spans (each
+    # distinct span survives exactly once, C4 semantics)
+    distinct_spans = set()
+    total_spans = 0
+    for d in docs:
+        toks = d.text.strip().split()
+        spans = [
+            " ".join(toks[i : i + _SPAN]) for i in range(0, len(toks), _SPAN)
+        ]
+        total_spans += len(spans)
+        distinct_spans.update(spans)
+    assert sum(r.kept_spans for r in rows) == len(distinct_spans)
+    assert sum(r.n_spans for r in rows) == total_spans
+    for r in rows:
+        assert 0 <= r.kept_spans <= r.n_spans
+        assert r.kept_tokens <= r.n_spans * _SPAN
+
+
+def test_chunking_covers_and_overlaps(spark):
+    from fintech_etl_spark.operators.corpus_ops import (
+        _CH_STRIDE,
+        _CH_WIN,
+        doc_chunk_sliding,
+    )
+
+    chunks = doc_chunk_sliding(spark, SF_SMOKE).collect()
+    docs = {d.doc_id: d.text.strip().split() for d in
+            load_table(spark, SF_SMOKE, "documents").collect()}
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == set(docs)
+    for doc_id, cs in by_doc.items():
+        toks = docs[doc_id]
+        cs.sort(key=lambda c: c.chunk_id)
+        # chunk ids are dense 0..k and starts stride-spaced
+        assert [c.chunk_id for c in cs] == list(range(len(cs)))
+        for c in cs:
+            start = c.chunk_id * _CH_STRIDE
+            expect = toks[start : start + _CH_WIN]
+            assert c.chunk_text.split() == expect
+            assert c.n_tokens == len(expect)
+        # sliding coverage: every token index falls in some chunk
+        covered = max(cs[-1].chunk_id * _CH_STRIDE + cs[-1].n_tokens, 0)
+        assert covered == len(toks)

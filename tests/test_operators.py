@@ -389,3 +389,51 @@ def test_corpus_survivors_guarantees(spark):
     for d in all_ids - survivors:
         rep = comp.get(d, md5_min[fp_of[d]])
         assert rep in survivors, (d, rep)
+
+
+def test_int8_quantization_bounds(spark):
+    from fintech_etl_spark.operators.similarity import embedding_quantize_int8
+    from fintech_etl_spark.sources.tables import load_table
+
+    rows = embedding_quantize_int8(spark, SF_SMOKE).collect()
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    assert set(vecs) == {r.vec_id for r in rows}
+    for r in rows:
+        q = [int(s) for s in r.q_csv.split(",")]
+        v = vecs[r.vec_id]
+        assert len(q) == len(v)
+        assert all(-127 <= x <= 127 for x in q)  # int8 code range
+        # per-component quantization error is bounded by scale/2
+        for qi, xi in zip(q, v):
+            assert abs(xi - qi * r.scale) <= r.scale / 2 + 1e-12
+        # recon_err consistent with the codes (within round-4 slack)
+        err = sum((xi - qi * r.scale) ** 2 for qi, xi in zip(q, v)) ** 0.5
+        assert abs(err - r.recon_err) < 1e-3
+
+
+def test_tfidf_rank_shape_and_lm_score_consistency(spark):
+    from fintech_etl_spark.operators.text_analysis import (
+        doc_unigram_lm_score,
+        tfidf_top_terms,
+    )
+
+    top = tfidf_top_terms(spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in top:
+        assert 1 <= r.rk <= 3
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        rks = sorted(r.rk for r in rs)
+        assert rks == list(range(1, len(rks) + 1)), doc_id  # dense ranks
+        # tfidf non-increasing with rank
+        rs.sort(key=lambda r: r.rk)
+        for a, b in zip(rs, rs[1:]):
+            assert a.tfidf >= b.tfidf - 1e-9
+
+    lm = doc_unigram_lm_score(spark, SF_SMOKE).collect()
+    for r in lm:
+        assert r.avg_logp < 0  # probabilities < 1
+        assert abs(r.ppl - pytest.approx(2.718281828459045 ** (-r.avg_logp), rel=1e-3).expected) / max(r.ppl, 1) < 1e-2

@@ -207,6 +207,8 @@ _SHUFFLE_BUDGET = {
     "q20_dominant_suppliers": 4,  # 2-level grouped agg + distinct
     "quality_repetition_signals": 4,  # word + bigram explode-agg passes
     "ann_ivf_probe": 4,  # trained-cell assign join + probe rank + in-cell rerank
+    "tfidf_top_terms": 4,  # tf agg + df window(term) + N agg + shared doc_id window
+    "doc_unigram_lm_score": 3,  # vocab agg + total agg + per-doc agg (scoring join broadcast)
     "corpus_dedup_survivors": 3,  # md5 agg + survivor join + component join
     "events_weekly_retention": 3,  # cohort + activity + join
     "q11_part_value_concentration": 3,  # value agg + threshold + filter join
