@@ -440,7 +440,11 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    fp = simhash_fingerprints(docs, toks)
+    # Fingerprints are 16 bytes/doc — materialize once before the
+    # self-join (both sides otherwise replan the whole explode→hash→
+    # 60-vote aggregation; at scale this is the standard "write the
+    # signature table, then self-join it" shape).
+    fp = simhash_fingerprints(docs, toks).localCheckpoint(eager=False)
 
     chunks = fp.select(
         "doc_id",
@@ -848,25 +852,34 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").isNotNull() & (F.trim("text") != "")
         )
     )
-    n_docs = docs.count()  # one cheap action; at scale, a known catalog stat
-    cap = max(2, int(n_docs * _DF_CAP_FRACTION))
-
     sh = with_shingles(docs, 3)
-    e = sh.select("doc_id", F.explode_outer("s").alias("g")).filter(
-        F.col("g").isNotNull()
+    e = sh.select(F.explode_outer("s").alias("g")).filter(F.col("g").isNotNull())
+    # The banned set (df > cap, cap = max(2, 1% of docs)) is bounded by
+    # construction: Σdf over shingles ≤ n_docs·avg_shingles, so at most
+    # avg_shingles/_DF_CAP_FRACTION shingles can exceed the cap (~10k
+    # at any corpus size). Collapse it to ONE broadcast array and
+    # subtract per-document with array_except — each doc's capped set
+    # is rebuilt at scan speed, so no shingle string ever shuffles (the
+    # old shape re-grouped every exploded shingle with collect_list: a
+    # full-corpus string shuffle plus a checkpoint, ~2× the whole
+    # uncapped query's cost). The doc count folds into the same plan as
+    # a broadcast scalar — the query triggers no driver-side action.
+    cap = F.greatest(
+        F.lit(2).cast("long"),
+        F.floor(F.col("n_docs") * F.lit(_DF_CAP_FRACTION)).cast("long"),
     )
-    # df per shingle; the banned set (df > cap) is tiny — broadcast-anti
-    banned = (
-        e.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > cap)
-    )
-    kept = e.join(F.broadcast(banned), "g", "left_anti")
-    # localCheckpoint: the capped sets feed three consumers (signatures
-    # + both verify sides); without the cut each replans the whole
-    # spread→explode→df→anti→regroup subtree (16 exchanges vs 6).
-    capped = (
-        kept.groupBy("doc_id")
-        .agg(F.collect_list("g").alias("s"))
+    banned_arr = (
+        e.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs"))))
+        .filter(F.col("df") > cap)
+        .agg(F.collect_list("g").alias("banned"))
+        # one-row result; the checkpoint stops the three consumers of
+        # `capped` from each replanning the whole df-count subtree
         .localCheckpoint(eager=False)
+    )
+    capped = sh.crossJoin(F.broadcast(banned_arr)).select(
+        "doc_id", F.array_except("s", "banned").alias("s")
     )
 
     sig = capped.select("doc_id", "s", minhash_signature(F.col("s")).alias("sig"))

@@ -202,6 +202,7 @@ _SHUFFLE_BUDGET_DEFAULT = 2
 _SHUFFLE_BUDGET = {
     "q21_waiting_suppliers": 6,  # two derived facts + semi + anti + agg
     "dedup_minhash_lsh": 5,  # spread + band join + candidate dedup + verify
+    "dedup_minhash_lsh_dfcap": 5,  # same shape; banned-set agg hides behind its checkpoint
     "dedup_ngram_jaccard": 5,  # spread + inverted-index join + 2 size joins
     "dedup_simhash": 4,  # spread + band join + verify
     "q20_dominant_suppliers": 4,  # 2-level grouped agg + distinct
