@@ -430,3 +430,86 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (doc-level n-gram overlap filter)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # n-gram size for eval-overlap detection
+_DECON_EVAL_MOD = 97  # doc_id % 97 == 0 → held-out "benchmark" set
+
+
+@register(
+    "corpus_decontaminate",
+    rf"""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - {_DECON_N - 1}, 0)),
+                     i -> array_to_string(w[i:(i + {_DECON_N - 1})], ' ')))) AS gram
+          FROM w),
+    eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+    t AS (SELECT g.doc_id, g.gram, eg.gram IS NOT NULL AS hit
+          FROM g LEFT JOIN eg USING (gram)
+          WHERE g.doc_id % {_DECON_EVAL_MOD} != 0)
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER)                              AS n_grams,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS INTEGER)  AS n_hit_grams,
+           sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0               AS contaminated
+    FROM t GROUP BY doc_id
+    """,
+    doc=(
+        "Benchmark decontamination, the production step behind "
+        "text_contamination_probe's diagnostic: held-out eval docs "
+        f"(doc_id % {_DECON_EVAL_MOD} = 0) contribute their distinct "
+        f"{_DECON_N}-grams; every training doc sharing ANY of them is "
+        "flagged with its overlap count, zero-hit docs included — the "
+        "keep-set is `WHERE NOT contaminated`. Eval sets are benchmark-"
+        "sized (thousands of docs), so the eval-gram side stays a "
+        "broadcast hash set at any corpus scale and the training side "
+        "is one explode + one per-doc aggregation — a single shuffle "
+        "on doc_id, no corpus self-join."
+    ),
+    tags=("corpus", "safety", "join"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim("text")), r"\s+")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(w) - (_DECON_N - 1), F.lit(0)),
+                    ),
+                    lambda i: F.array_join(F.slice(w, i, _DECON_N), " "),
+                )
+            )
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        .join(
+            F.broadcast(eval_grams.withColumn("hit", F.lit(1))),
+            "gram",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hit_grams"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_hit_grams",
+        (F.col("n_hit_grams") > 0).alias("contaminated"),
+    )

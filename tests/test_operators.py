@@ -437,3 +437,38 @@ def test_tfidf_rank_shape_and_lm_score_consistency(spark):
     for r in lm:
         assert r.avg_logp < 0  # probabilities < 1
         assert abs(r.ppl - pytest.approx(2.718281828459045 ** (-r.avg_logp), rel=1e-3).expected) / max(r.ppl, 1) < 1e-2
+
+
+def test_int8_rerank_recall_vs_brute(spark):
+    from fintech_etl_spark.operators import similarity as S
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_cosine_brute(spark, SF_SMOKE).collect()
+    }
+    int8 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_int8_rerank(spark, SF_SMOKE).collect()
+    }
+    assert len(int8) == len(brute)
+    # int8 quantization barely perturbs a 20-candidate cut feeding a
+    # top-5 exact re-rank; require high overlap (measured 1.0 locally)
+    assert len(brute & int8) / len(brute) >= 0.8
+
+
+def test_decontaminate_partitions_train_set(spark):
+    from fintech_etl_spark.operators.corpus_ops import (
+        _DECON_EVAL_MOD,
+        corpus_decontaminate,
+    )
+    from fintech_etl_spark.sources.tables import load_table
+
+    rows = corpus_decontaminate(spark, SF_SMOKE).collect()
+    doc_ids = {
+        r.doc_id for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    train_ids = {d for d in doc_ids if d % _DECON_EVAL_MOD != 0}
+    assert {r.doc_id for r in rows} == train_ids  # eval docs never output
+    for r in rows:
+        assert 0 <= r.n_hit_grams <= r.n_grams
+        assert r.contaminated == (r.n_hit_grams > 0)
