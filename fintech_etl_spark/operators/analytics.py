@@ -485,3 +485,104 @@ def in_subquery_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.join(
         mach, orders.o_custkey == mach.c_custkey, "left_semi"
     ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "dq_expectations_report",
+    """
+    WITH ref AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                             AS BIGINT) AS v
+                 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+    pk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v
+           FROM orders),
+    pos AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v
+            FROM orders),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS v
+           FROM orders),
+    dom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v
+            FROM orders)
+    SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed
+    FROM (
+        SELECT 'orders_custkey_references_customer' AS check_name, n AS n_checked, v AS n_violations FROM ref
+        UNION ALL SELECT 'orders_orderkey_unique', n, v FROM pk
+        UNION ALL SELECT 'orders_totalprice_positive', n, v FROM pos
+        UNION ALL SELECT 'orders_orderdate_not_null', n, v FROM nn
+        UNION ALL SELECT 'orders_status_in_domain', n, v FROM dom
+    ) u
+    """,
+    doc=(
+        "Data-quality expectations battery (the Deequ/Great-"
+        "Expectations shape): referential integrity, key uniqueness, "
+        "positivity, non-null, and domain checks over orders, each "
+        "reduced to (n_checked, n_violations, passed). Every check is "
+        "a full-scan aggregate with map-side combine — violations "
+        "count in one pass, no row-level materialization; the "
+        "referential check is the one join (dimension side broadcast "
+        "here; at 100 TB a shuffled left join with the same verdict "
+        "columns). This is the gate a pipeline runs before publishing "
+        "a snapshot."
+    ),
+    tags=("quality", "relational"),
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def verdict(name: str, frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").alias("n_checked"),
+            F.col("v").alias("n_violations"),
+            (F.col("v") == 0).alias("passed"),
+        )
+
+    ref = verdict(
+        "orders_custkey_references_customer",
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("v"),
+        ),
+    )
+    pk = verdict(
+        "orders_orderkey_unique",
+        orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias("v"),
+        ),
+    )
+    pos = verdict(
+        "orders_totalprice_positive",
+        orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v"),
+        ),
+    )
+    nn = verdict(
+        "orders_orderdate_not_null",
+        orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("v"),
+        ),
+    )
+    dom = verdict(
+        "orders_status_in_domain",
+        orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            ).alias("v"),
+        ),
+    )
+    return ref.unionAll(pk).unionAll(pos).unionAll(nn).unionAll(dom)

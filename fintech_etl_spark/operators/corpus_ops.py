@@ -513,3 +513,44 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit_grams",
         (F.col("n_hit_grams") > 0).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (exact k per stratum)
+# ---------------------------------------------------------------------------
+
+_STRAT_K = 20  # docs kept per source
+
+
+@register(
+    "corpus_stratified_sample",
+    f"""
+    WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (
+                          PARTITION BY source
+                          ORDER BY {hash64_sql("('samp:' || CAST(doc_id AS VARCHAR))")},
+                                   doc_id) AS sample_rank
+               FROM documents)
+    SELECT doc_id, source, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM r WHERE sample_rank <= {_STRAT_K}
+    """,
+    doc=(
+        f"Stratified sampling with EXACT size guarantees: {_STRAT_K} "
+        "docs per source, chosen by ranking a salted hash of the key "
+        "within each stratum — the eval-slice/inspection-sample shape "
+        "where 'about k' (Bernoulli) isn't acceptable. Deterministic: "
+        "re-runs pick the same docs; a grown corpus only swaps docs "
+        "whose hash rank crossed the boundary. One shuffle on source; "
+        "rank truncation is pushed by WindowGroupLimit so only ~k rows "
+        "per stratum survive the exchange."
+    ),
+    tags=("corpus", "sampling", "window"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= _STRAT_K)
+    )

@@ -226,3 +226,58 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
         .select("user_id", "session_start", "n_events")
     )
+
+
+_SKEW_TOP = 5  # heaviest keys reported
+
+
+@register(
+    "events_key_skew_report",
+    f"""
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_keys
+          FROM c),
+    r AS (SELECT user_id, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
+          FROM c)
+    SELECT user_id, cnt, CAST(rk AS INTEGER) AS rk,
+           round(cnt * 1.0 / total, 4)            AS share,
+           round(cnt * 1.0 / (total * 1.0 / n_keys), 4) AS skew_vs_avg,
+           n_keys
+    FROM r CROSS JOIN t WHERE rk <= {_SKEW_TOP}
+    """,
+    doc=(
+        "Shuffle-skew diagnostic for a join/aggregation key: the "
+        f"top-{_SKEW_TOP} heaviest user_ids with their row share and "
+        "multiple-of-average — the report that tells you BEFORE a "
+        "100 TB join whether this key needs salting or AQE skew "
+        "handling (a key at 30× average means one reducer does 30× "
+        "the work). Per-key counts are one map-side-combined "
+        "aggregation; only the tiny (key,cnt) frame enters the global "
+        "rank, with WindowGroupLimit truncating to the top rows."
+    ),
+    tags=("events", "skew", "observability"),
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    r = c.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "user_id")),
+    ).filter(F.col("rk") <= _SKEW_TOP)
+    avg = F.col("total") * 1.0 / F.col("n_keys")
+    return r.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        "cnt",
+        F.col("rk").cast("int").alias("rk"),
+        F.round(F.col("cnt") * 1.0 / F.col("total"), 4).alias("share"),
+        F.round(F.col("cnt") * 1.0 / avg, 4).alias("skew_vs_avg"),
+        "n_keys",
+    )

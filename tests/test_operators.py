@@ -472,3 +472,55 @@ def test_decontaminate_partitions_train_set(spark):
     for r in rows:
         assert 0 <= r.n_hit_grams <= r.n_grams
         assert r.contaminated == (r.n_hit_grams > 0)
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    from fintech_etl_spark.operators.corpus_ops import (
+        _STRAT_K,
+        corpus_stratified_sample,
+    )
+    from fintech_etl_spark.sources.tables import load_table
+
+    rows = corpus_stratified_sample(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    per_src: dict[str, int] = {}
+    for d in docs:
+        per_src[d.source] = per_src.get(d.source, 0) + 1
+    got: dict[str, int] = {}
+    for r in rows:
+        got[r.source] = got.get(r.source, 0) + 1
+    for src, total in per_src.items():
+        assert got.get(src, 0) == min(_STRAT_K, total), src  # EXACT k
+    again = {(r.doc_id, r.sample_rank) for r in
+             corpus_stratified_sample(spark, SF_SMOKE).collect()}
+    assert again == {(r.doc_id, r.sample_rank) for r in rows}
+
+
+def test_skew_report_shape(spark):
+    from fintech_etl_spark.operators.events_analytics import (
+        _SKEW_TOP,
+        events_key_skew_report,
+    )
+
+    rows = sorted(events_key_skew_report(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= _SKEW_TOP
+    for a, b in zip(rows, rows[1:]):
+        assert a.cnt >= b.cnt  # heaviest first
+    assert sum(r.share for r in rows) <= 1.0 + 1e-6
+    for r in rows:
+        assert r.skew_vs_avg >= r.share  # avg share = 1/n_keys ≤ 1
+
+
+def test_dq_expectations_pass_on_clean_data(spark):
+    from fintech_etl_spark.operators.analytics import dq_expectations_report
+    from fintech_etl_spark.sources.tables import load_table
+
+    rows = {r.check_name: r for r in
+            dq_expectations_report(spark, SF_SMOKE).collect()}
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r.n_checked == n_orders
+        assert r.passed and r.n_violations == 0  # generator data is clean

@@ -210,6 +210,8 @@ _SHUFFLE_BUDGET = {
     "ann_ivf_probe": 4,  # trained-cell assign join + probe rank + in-cell rerank
     "tfidf_top_terms": 4,  # tf agg + df window(term) + N agg + shared doc_id window
     "doc_unigram_lm_score": 3,  # vocab agg + total agg + per-doc agg (scoring join broadcast)
+    "dq_expectations_report": 6,  # five independent scalar constraint aggregates + ref join
+    "events_key_skew_report": 3,  # per-key agg + totals agg + tiny global rank
     "corpus_dedup_survivors": 3,  # md5 agg + survivor join + component join
     "events_weekly_retention": 3,  # cohort + activity + join
     "q11_part_value_concentration": 3,  # value agg + threshold + filter join
