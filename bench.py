@@ -49,6 +49,13 @@ HEADLINE = (
     # the production skew-safe dedup path and the cross-engine simhash
     "dedup_minhash_lsh_dfcap",
     "dedup_simhash",
+    # appended r3, second wave: the corpus-construction / serving ops
+    "corpus_span_dedup",
+    "doc_chunk_sliding",
+    "embedding_quantize_int8",
+    "ann_topk_int8_rerank",
+    "corpus_decontaminate",
+    "tfidf_top_terms",
 )
 
 

@@ -491,7 +491,17 @@ def write_ivf_layout(spark: SparkSession, sf_dir: str, out_path: str) -> DataFra
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    # scale is hoisted into its own projection: referencing the
+    # array_max expression inside the lambdas would re-reduce the whole
+    # vector once PER ELEMENT (O(dim²) per row, ~7× slower measured).
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    scale = F.col("scale")
 
     def _q(x: F.Column) -> F.Column:
         return F.floor(x / scale + F.lit(0.5))
@@ -500,14 +510,16 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = x - _q(x) * scale
         return d * d
 
-    return emb.select(
+    return base.select(
         "vec_id",
         scale.alias("scale"),
         F.array_join(
-            F.transform(v, lambda x: _q(x).cast("int").cast("string")), ","
+            F.transform("v", lambda x: _q(x).cast("int").cast("string")), ","
         ).alias("q_csv"),
         F.round(
-            F.sqrt(F.aggregate(F.transform(v, _err_term), F.lit(0.0), lambda a, x: a + x)),
+            F.sqrt(
+                F.aggregate(F.transform("v", _err_term), F.lit(0.0), lambda a, x: a + x)
+            ),
             4,
         ).alias("recon_err"),
     )
@@ -560,9 +572,18 @@ def ann_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
-    code = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)))
-    base = emb.select("vec_id", v.alias("v"), code.alias("code"))
+    # two-step projection: scale first, then codes — keeps the
+    # array_max reduction out of the per-element lambda (see
+    # embedding_quantize_int8)
+    scaled = emb.select(
+        "vec_id",
+        v.alias("v"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    code = F.transform("v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)))
+    base = scaled.select("vec_id", "v", code.alias("code"))
     q = base.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
