@@ -476,8 +476,13 @@ _DECON_EVAL_MOD = 97  # doc_id % 97 == 0 → held-out "benchmark" set
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.trim("text")), r"\s+")
-    grams = docs.select(
+    # hoist the tokenization: an inline split expression inside the
+    # transform lambda would re-split the text once per gram index
+    tokenized = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    w = F.col("w")
+    grams = tokenized.select(
         "doc_id",
         F.explode(
             F.array_distinct(
