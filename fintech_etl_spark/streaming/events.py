@@ -24,23 +24,47 @@ SESSION_GAP_S = 3600
 
 def read_events_stream(spark, sf_dir: str, max_files: int = 1) -> DataFrame:
     """Stream the events table (parquet file source) — used by tests to
-    replay the batch testdata through the streaming operators."""
-    from fintech_etl_spark.sources.tables import load_table
+    replay the batch testdata through the streaming operators.
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The file source wants a directory: stream the sf_dir with a glob
-    # pinned to the events table (same NANOS→long→µs translation as the
-    # batch reader in sources/tables.py).
-    raw = (
+    The ``ts`` unit is detected from the parquet footer, not assumed:
+    a TIMESTAMP(NANOS) file must be read as raw INT64 and truncated to
+    µs (Spark's reader rejects NANOS), while a TIMESTAMP(MICROS) file
+    reads as a plain timestamp. Hardcoding the NANOS path silently
+    divided µs data by 1000 — every event landed in Jan 1970 and all
+    session gaps compressed 1000×, so downstream semantics broke with
+    NO read error. Footer sniffing (one driver-side metadata read, no
+    data pages) keeps the source correct for both generations of
+    testdata.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_type = pq.ParquetFile(path).schema_arrow.field("ts").type
+    ts_unit = getattr(ts_type, "unit", "us")
+
+    if ts_unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("maxFilesPerTrigger", max_files)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
+            "event_id long, ts timestamp, user_id long, event_type string, "
             "value double, props string"
         )
         .option("maxFilesPerTrigger", max_files)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

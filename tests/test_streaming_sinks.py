@@ -107,12 +107,17 @@ def test_stateful_sessionize_counts(spark, tmp_path):
         .start()
     )
     # ProcessingTimeTimeout keeps the query alive servicing timeouts
-    # even under availableNow — drain the real data, then stop.
+    # even under availableNow, so it never self-terminates — wait for
+    # the data batch's in-batch closures to COMMIT (status-message
+    # matching raced the first commit and stopped the query too early),
+    # then stop.
     import time
 
     for _ in range(60):
         time.sleep(2)
-        if not q.isActive or "no new data" in (q.status["message"] or "").lower():
+        if not q.isActive:
+            break
+        if spark.sql("select count(*) c from sessions_stream").collect()[0].c > 0:
             break
     if q.isActive:
         q.stop()
