@@ -524,3 +524,30 @@ def test_dq_expectations_pass_on_clean_data(spark):
     for r in rows.values():
         assert r.n_checked == n_orders
         assert r.passed and r.n_violations == 0  # generator data is clean
+
+
+def test_phash_dedup_catches_verbatim_image_dups(spark):
+    from fintech_etl_spark.operators.multimodal import (
+        _PHASH_HAM,
+        media_phash_dedup,
+    )
+    from fintech_etl_spark.sources.tables import load_table
+
+    pairs = media_phash_dedup(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    by_text: dict[str, list[int]] = {}
+    for d in docs:
+        by_text.setdefault(d.text, []).append(d.doc_id)
+    verbatim = {
+        (min(a, b), max(a, b))
+        for ids in by_text.values()
+        if len(ids) > 1
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    got = {(r.asset_a, r.asset_b): r.hamming for r in pairs}
+    for p in verbatim:  # identical text → identical image → hamming 0
+        assert got.get(p) == 0, p
+    for (a, b), h in got.items():
+        assert a < b and 0 <= h <= _PHASH_HAM
