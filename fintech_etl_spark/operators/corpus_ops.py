@@ -559,3 +559,60 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= _STRAT_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (multilingual/domain balancing)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.5  # temperature: 1.0 = proportional, 0.0 = uniform
+
+
+@register(
+    "corpus_temperature_weights",
+    f"""
+    WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS n_chars
+               FROM documents GROUP BY source),
+    t AS (SELECT sum(power(n_docs, {_MIX_ALPHA})) AS z,
+                 sum(n_docs) AS total
+          FROM s)
+    SELECT source, n_docs, n_chars,
+           round(n_docs * 1.0 / total, 4)                    AS raw_share,
+           round(power(n_docs, {_MIX_ALPHA}) / z, 4)         AS temp_weight,
+           round((power(n_docs, {_MIX_ALPHA}) / z)
+                 / (n_docs * 1.0 / total), 4)                AS upweight
+    FROM s CROSS JOIN t
+    """,
+    doc=(
+        "Temperature-scaled mixture weights (the multilingual-sampling "
+        f"formula: w_s ∝ n_s^α with α={_MIX_ALPHA}): flattens the "
+        "source distribution so small domains aren't drowned — "
+        "upweight > 1 marks sources the sampler boosts relative to "
+        "proportional sampling. Two aggregations (per-source, then the "
+        "broadcast normalizer) and no per-document work at all: this "
+        "is the planning step whose output feeds corpus_mixture_sample "
+        "as its rate map."
+    ),
+    tags=("corpus", "sampling"),
+)
+def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    t = s.agg(
+        F.sum(F.pow("n_docs", _MIX_ALPHA)).alias("z"),
+        F.sum("n_docs").alias("total"),
+    )
+    w = F.pow("n_docs", _MIX_ALPHA) / F.col("z")
+    raw = F.col("n_docs") * 1.0 / F.col("total")
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(raw, 4).alias("raw_share"),
+        F.round(w, 4).alias("temp_weight"),
+        F.round(w / raw, 4).alias("upweight"),
+    )

@@ -143,3 +143,16 @@ def test_chunking_covers_and_overlaps(spark):
         # sliding coverage: every token index falls in some chunk
         covered = max(cs[-1].chunk_id * _CH_STRIDE + cs[-1].n_tokens, 0)
         assert covered == len(toks)
+
+
+def test_temperature_weights_flatten_distribution(spark):
+    from fintech_etl_spark.operators.corpus_ops import corpus_temperature_weights
+
+    rows = corpus_temperature_weights(spark, SF_SMOKE).collect()
+    assert abs(sum(r.temp_weight for r in rows) - 1.0) < 1e-2  # normalized
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-2
+    # α<1 flattens: upweight strictly decreases as source size grows
+    by_size = sorted(rows, key=lambda r: r.n_docs)
+    for a, b in zip(by_size, by_size[1:]):
+        if a.n_docs < b.n_docs:
+            assert a.upweight >= b.upweight, (a.source, b.source)
