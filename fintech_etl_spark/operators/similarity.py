@@ -121,9 +121,53 @@ _N_PLANES = 4
 _N_BANDS = 12
 
 
+def _lsh_oracle() -> str:
+    """DuckDB replay of the EXACT LSH algorithm (not brute force): the
+    hyperplanes are deterministic literals, so bucketing + candidate
+    join + re-rank are all SQL-expressible. Cross-engine parity holds
+    because a sign bit flips only if a plane dot lies within float
+    noise of zero (|dot| ~ 0.125 typical → P(flip) ≈ 1e-13 per
+    projection); the re-rank score is rounded to 4 like the brute tier.
+    repr() round-trips each plane component exactly."""
+    planes = _deterministic_hyperplanes(_N_PLANES * _N_BANDS, _DIM)
+    values = ",\n        ".join(
+        f"({pid}, [{', '.join(repr(x) for x in pv)}]::DOUBLE[])"
+        for pid, pv in enumerate(planes)
+    )
+    return f"""
+    WITH planes(pid, pv) AS (VALUES
+        {values}),
+    n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_aggregate(
+                     list_transform(v, y -> y * y), 'sum'))) AS u
+          FROM n),
+    bits AS (SELECT vec_id, pid // {_N_PLANES} AS band,
+                    CASE WHEN list_dot_product(u.u, p.pv) >= 0.0
+                         THEN (CAST(1 AS BIGINT) << (pid % {_N_PLANES}))
+                         ELSE 0 END AS w
+             FROM u CROSS JOIN planes p),
+    bk AS (SELECT vec_id, band, CAST(sum(w) AS BIGINT) AS bucket
+           FROM bits GROUP BY vec_id, band),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
+             WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id),
+    s AS (SELECT query_id, neighbor_id,
+                 round(list_dot_product(uq.u, un.u), 4) AS cos
+          FROM cand
+          JOIN u uq ON uq.vec_id = query_id
+          JOIN u un ON un.vec_id = neighbor_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= {_TOP_K}
+    """
+
+
 @register(
     "ann_lsh_bucketed",
-    None,  # approximate: recall < 1 by construction → rows-only check
+    _lsh_oracle(),
     doc=(
         "ANN via random-hyperplane LSH: 12 bands × 4 sign bits. Candidates "
         "= vectors sharing a bucket with the query in any band; exact "
