@@ -251,11 +251,86 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _N_PROBE = 3  # cells searched per query
+_KM_K = 8  # IVF cells (k-means k)
+_KM_ITERS = 3  # fixed Lloyd iterations (deterministic unroll)
+
+# k-means is "iterative" only in the unbounded sense — with a FIXED
+# deterministic iteration count (3) and deterministic init (k lowest
+# vec_ids), the whole training run unrolls into SQL: three
+# (distance → argmin → per-dim mean) CTE rounds. Cross-engine parity
+# holds because every distance fold is spelled in the same index order
+# on both engines; the only unordered float reduction is the centroid
+# mean, whose ulp-level engine difference flips an assignment only for
+# a vector within ~1e-13 of a Voronoi boundary.
+_KM_ITER_SQL = """
+    d{i} AS (SELECT v.vec_id, v.v, c.cell,
+                list_aggregate(list_transform(generate_series(1, {dim}),
+                    j -> (v.v[j] - c.centroid[j]) * (v.v[j] - c.centroid[j])),
+                    'sum') AS dist
+          FROM v CROSS JOIN c{prev} c),
+    a{i} AS (SELECT vec_id, v, cell, dist FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cell) AS rn
+              FROM d{i}) t WHERE rn = 1),
+    e{i} AS (SELECT cell, j, avg(x) AS m
+          FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS j
+                FROM a{i}) u
+          GROUP BY cell, j),
+    c{i} AS (SELECT cell, list(m ORDER BY j) AS centroid FROM e{i} GROUP BY cell)"""
+
+
+def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _DIM) -> str:
+    """Shared WITH-clause body: v, deterministic init c0, then
+    ``iters`` unrolled Lloyd rounds ending at assignment a{iters} and
+    centroids c{iters} — mirrors kmeans_fit exactly (min-struct
+    tie-break = ORDER BY dist, cell)."""
+    rounds = ",".join(
+        _KM_ITER_SQL.format(i=i, prev=i - 1, dim=dim) for i in range(1, iters + 1)
+    )
+    return f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell,
+                  v AS centroid
+           FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k}) q),
+    {rounds}"""
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    """DuckDB twin of :func:`cosine` — same dot/(|a|·|b|) shape, same
+    sequential fold order."""
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum')) * "
+        f"sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum'))))"
+    )
+
+
+def _ivf_probe_oracle() -> str:
+    it = _KM_ITERS
+    return f"""
+    WITH {_kmeans_ctes()},
+    qc AS (SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+                  {_sql_cosine("q.v", "c.centroid")} AS ccos
+           FROM v q CROSS JOIN c{it} c WHERE q.vec_id < {_N_QUERIES}),
+    pr AS (SELECT query_id, qv, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY ccos DESC, cell) AS prank
+              FROM qc) t WHERE prank <= {_N_PROBE}),
+    sc AS (SELECT pr.query_id, n.vec_id AS neighbor_id,
+                  round({_sql_cosine("pr.qv", "n.v")}, 4) AS cos
+           FROM pr JOIN a{it} n ON n.cell = pr.cell
+           WHERE n.vec_id <> pr.query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+          FROM sc)
+    SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= {_TOP_K}
+    """
 
 
 @register(
     "ann_ivf_probe",
-    None,  # approximate by construction → rows-only check
+    _ivf_probe_oracle(),
     doc=(
         "IVF ANN with TRAINED cells: distributed Lloyd's k-means (see "
         "kmeans_fit) assigns every vector to a cell; each query probes "
@@ -386,10 +461,6 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Distributed k-means (Lloyd's) — the IVF training step, for real
 # ---------------------------------------------------------------------------
 
-_KM_K = 8
-_KM_ITERS = 3
-
-
 def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
     d = F.zip_with(a, b, lambda x, y: x - y)
     return F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
@@ -457,7 +528,13 @@ def kmeans_fit(
 
 @register(
     "kmeans_ivf_cells",
-    None,  # iterative fixpoint — pinned by the NumPy-oracle unit test
+    f"""
+    WITH {_kmeans_ctes()}
+    SELECT CAST(cell AS INTEGER) AS cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(sum(dist), 4) AS inertia
+    FROM a{_KM_ITERS} GROUP BY cell
+    """,
     doc=(
         "Distributed Lloyd's k-means (k=8, 3 iterations, deterministic "
         "init) over the embeddings — the real IVF training step whose "
