@@ -586,3 +586,84 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ref.unionAll(pk).unionAll(pos).unionAll(nn).unionAll(dom)
+
+
+@register(
+    "scalar_map_funcs",
+    """
+    WITH m AS (SELECT o_orderkey,
+                      MAP(['status', 'priority'],
+                          [o_orderstatus, o_orderpriority]) AS m
+               FROM orders)
+    SELECT o_orderkey,
+           to_json(m)                                   AS m_json,
+           CAST(cardinality(m) AS INTEGER)              AS m_size,
+           array_to_string(map_keys(m), ',')            AS keys_csv,
+           array_to_string(map_values(m), ',')          AS vals_csv,
+           m['status'][1]                               AS status_val,
+           m['missing'][1]                              AS missing_val
+    FROM m
+    """,
+    doc=(
+        "Map-type scalar battery: construction, to_json round-trip, "
+        "cardinality, key/value extraction, present and absent lookups "
+        "— the semi-structured column surface (feature maps, tags, "
+        "configs) exercised as pure projections. Insertion order is "
+        "deterministic on both engines, so the JSON rendering is "
+        "hash-stable."
+    ),
+    tags=("scalar", "map"),
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    base = orders.select("o_orderkey", m.alias("m"))
+    return base.select(
+        "o_orderkey",
+        F.to_json("m").alias("m_json"),
+        F.size("m").alias("m_size"),
+        F.array_join(F.map_keys("m"), ",").alias("keys_csv"),
+        F.array_join(F.map_values("m"), ",").alias("vals_csv"),
+        F.element_at("m", F.lit("status")).alias("status_val"),
+        F.element_at("m", F.lit("missing")).alias("missing_val"),
+    )
+
+
+@register(
+    "scalar_try_funcs",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)      AS prio_num,
+           TRY_CAST(o_orderpriority AS INTEGER)                    AS bad_int,
+           TRY_CAST(o_orderpriority AS DATE)                       AS bad_date,
+           TRY_CAST(CAST(o_orderdate AS VARCHAR) AS DATE)          AS roundtrip_date,
+           round(o_totalprice / nullif(o_orderkey % 5, 0), 4)      AS safe_div
+    FROM orders
+    """,
+    doc=(
+        "Error-safe coercion battery (the ANSI-mode survival kit): "
+        "try_cast on good/garbage numerics and dates, string→date "
+        "round-trip, and divide-by-zero guarded with nullif — every "
+        "expression returns NULL instead of failing the 100 TB job on "
+        "one malformed row. Same family as functions/rules.py's "
+        "safe_num, exercised over the relational tables."
+    ),
+    tags=("scalar", "quality"),
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_int"),
+        F.expr("try_cast(o_orderpriority AS DATE)").alias("bad_date"),
+        F.expr("try_cast(CAST(o_orderdate AS STRING) AS DATE)").alias(
+            "roundtrip_date"
+        ),
+        F.round(
+            F.col("o_totalprice") / F.nullif(F.col("o_orderkey") % 5, F.lit(0)), 4
+        ).alias("safe_div"),
+    )
