@@ -616,3 +616,138 @@ def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 4).alias("temp_weight"),
         F.round(w / raw, 4).alias("upweight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The end product: one declarative plan from raw corpus to training manifest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_build_manifest",
+    rf"""
+    WITH d0 AS (
+        SELECT doc_id, source, text
+        FROM documents
+        WHERE ({hash64_sql("('mix:' || CAST(doc_id AS VARCHAR))")} % {_MIX_DENOM})
+              < {_RATE_SQL} * {_MIX_DENOM}),
+    fp AS (SELECT doc_id, source, text, md5(coalesce(text, '')) AS f FROM d0),
+    surv AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+    d1 AS (SELECT fp.doc_id, fp.source, fp.text
+           FROM fp JOIN surv ON fp.f = surv.f AND fp.doc_id = surv.keep_id),
+    w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - {_DECON_N - 1}, 0)),
+                     i -> array_to_string(w[i:(i + {_DECON_N - 1})], ' ')))) AS gram
+          FROM w),
+    eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+    dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram)),
+    d2 AS (SELECT d1.* FROM d1
+           LEFT JOIN dirty ON d1.doc_id = dirty.doc_id
+           WHERE dirty.doc_id IS NULL AND d1.doc_id % {_DECON_EVAL_MOD} != 0),
+    t AS (SELECT doc_id, source,
+                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                 len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq
+          FROM d2),
+    r AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY n_uniq * 1.0 / n_tokens DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM t)
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT)   AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens <= {_SELECT_BUDGET}
+    """,
+    doc=(
+        "The WHOLE corpus build as one declarative plan: mixture-"
+        "sampled (hash-Bernoulli scan filter) → exact-dedup survivors "
+        "(min doc_id per md5) → benchmark-decontaminated (no shared "
+        f"{_DECON_N}-gram with the eval slice, eval docs excluded) → "
+        "per-source quality prefix under the token budget. Composes "
+        "four operator families end-to-end exactly as a production "
+        "training-set build would, and Catalyst fuses it: the mixture "
+        "filter rides the scan, the dedup shuffle keys on md5, the "
+        "eval-gram set broadcasts, one source-keyed window closes. "
+        "Every stage is individually oracle-checked elsewhere; this "
+        "query value-checks their composition."
+    ),
+    tags=("corpus", "dedup", "sampling", "pipeline"),
+)
+def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    # Stage 1: mixture sample (pure scan filter)
+    bucket = F.pmod(
+        hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        F.lit(_MIX_DENOM),
+    )
+    d0 = docs.filter(bucket < _rate_col() * _MIX_DENOM).select(
+        "doc_id", "source", "text"
+    )
+
+    # Stage 2: exact-dedup survivors (min doc_id per fingerprint)
+    fp = d0.withColumn("f", F.md5(F.coalesce("text", F.lit(""))))
+    surv = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    d1 = fp.join(surv, "f").filter(F.col("doc_id") == F.col("keep_id")).select(
+        "doc_id", "source", "text"
+    )
+
+    # Stage 3: decontamination (eval grams from the FULL corpus, broadcast)
+    tokenized = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    w = F.col("w")
+    grams = tokenized.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(w) - (_DECON_N - 1), F.lit(0)),
+                    ),
+                    lambda i: F.array_join(F.slice(w, i, _DECON_N), " "),
+                )
+            )
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0).select("gram").distinct()
+    )
+    dirty = (
+        grams.join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    d2 = (
+        d1.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        .join(dirty, "doc_id", "left_anti")
+    )
+
+    # Stage 4: per-source quality prefix under the token budget
+    toks = F.split(F.trim("text"), r"\s+")
+    t = d2.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    score = F.col("n_uniq") / F.col("n_tokens")
+    win = (
+        Window.partitionBy("source")
+        .orderBy(score.desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(win))
+        .filter(F.col("cum_tokens") <= _SELECT_BUDGET)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )

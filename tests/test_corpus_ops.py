@@ -156,3 +156,37 @@ def test_temperature_weights_flatten_distribution(spark):
     for a, b in zip(by_size, by_size[1:]):
         if a.n_docs < b.n_docs:
             assert a.upweight >= b.upweight, (a.source, b.source)
+
+
+def test_manifest_composes_stage_guarantees(spark):
+    from fintech_etl_spark.operators.corpus_ops import (
+        _SELECT_BUDGET,
+        corpus_build_manifest,
+        corpus_decontaminate,
+        corpus_mixture_sample,
+    )
+
+    manifest = corpus_build_manifest(spark, SF_SMOKE).collect()
+    assert manifest
+    mixture = {r.doc_id for r in corpus_mixture_sample(spark, SF_SMOKE).collect()}
+    contaminated = {
+        r.doc_id
+        for r in corpus_decontaminate(spark, SF_SMOKE).collect()
+        if r.contaminated
+    }
+    texts = {
+        d.doc_id: d.text for d in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    by_src_cum: dict[str, int] = {}
+    seen_texts: dict[str, int] = {}
+    for r in sorted(manifest, key=lambda r: r.doc_id):
+        assert r.doc_id in mixture  # stage 1: sampled in
+        assert r.doc_id not in contaminated  # stage 3: decontaminated
+        # stage 2: exact-dedup survivor — first occurrence of its text
+        # among SAMPLED docs (dedup runs on the sampled set)
+        prior = seen_texts.get(texts[r.doc_id])
+        assert prior is None or prior == r.doc_id
+        seen_texts.setdefault(texts[r.doc_id], r.doc_id)
+        by_src_cum[r.source] = max(by_src_cum.get(r.source, 0), r.cum_tokens)
+    for src, cum in by_src_cum.items():  # stage 4: budget respected
+        assert cum <= _SELECT_BUDGET, src

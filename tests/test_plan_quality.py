@@ -211,6 +211,8 @@ _SHUFFLE_BUDGET = {
     "tfidf_top_terms": 4,  # tf agg + df window(term) + N agg + shared doc_id window
     "doc_unigram_lm_score": 3,  # vocab agg + total agg + per-doc agg (scoring join broadcast)
     "dq_expectations_report": 6,  # five independent scalar constraint aggregates + ref join
+    "corpus_build_manifest": 4,  # md5-dedup agg+join, eval-gram agg, dirty-doc agg, budget window
+    "corpus_temperature_weights": 3,  # per-source agg + broadcast normalizer agg (+its exchange)
     "events_key_skew_report": 3,  # per-key agg + totals agg + tiny global rank
     "corpus_dedup_survivors": 3,  # md5 agg + survivor join + component join
     "events_weekly_retention": 3,  # cohort + activity + join
