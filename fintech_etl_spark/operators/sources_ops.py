@@ -37,3 +37,36 @@ def filesource_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return objs.filter(F.col("path").endswith(".parquet")).select(
         F.regexp_extract("path", r"([^/]+)$", 1).alias("object_name")
     )
+
+
+@register(
+    "inbox_source_scan",
+    # Fixed-dir oracle like filesource_listing: a genuinely independent
+    # second listing (DuckDB read_blob) of the same directory.
+    r"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
+           CAST(size AS BIGINT) AS size
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+    doc=(
+        "Custom Python DataSource scan (PySpark 4 extension API): the "
+        "inbox listing as a pluggable `invoice_inbox` format with one "
+        "input partition per object and planner-level filter pushdown "
+        "— the `.parquet` suffix predicate reaches the reader's "
+        "pushFilters and prunes the listing BEFORE partitions launch, "
+        "the same contract a parquet scan honors. The reference pages "
+        "its bucket client-side on the driver; this distributes."
+    ),
+    tags=("source", "connector"),
+)
+def inbox_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fintech_etl_spark.sources.inbox import register_inbox_source
+
+    register_inbox_source(spark)
+    return (
+        spark.read.format("invoice_inbox")
+        .option("path", sf_dir)
+        .load()
+        .filter(F.col("name").endswith(".parquet"))
+        .select("name", "size")
+    )

@@ -54,6 +54,9 @@ def build_session(
         # behavior doesn't depend on which table was loaded first
         # (load_table also sets this for externally-built sessions).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # planner-level filter pushdown into Python DataSources
+        # (sources/inbox.py implements pushFilters)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -551,3 +551,41 @@ def test_phash_dedup_catches_verbatim_image_dups(spark):
         assert got.get(p) == 0, p
     for (a, b), h in got.items():
         assert a < b and 0 <= h <= _PHASH_HAM
+
+
+def test_inbox_source_filter_pushdown_prunes_listing(spark):
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringEndsWith
+
+    from fintech_etl_spark.sources.inbox import InboxReader
+
+    r = InboxReader({"path": SF_SMOKE})
+    # planner pushes three filters; the reader absorbs the two it can
+    # serve and returns the rest to stay in the Spark plan
+    leftover = list(
+        r.pushFilters(
+            [
+                StringEndsWith(("name",), ".parquet"),
+                EqualTo(("name",), "orders.parquet"),
+                GreaterThan(("size",), 0),
+            ]
+        )
+    )
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+    parts = r.partitions()
+    assert len(parts) == 1  # listing pruned BEFORE any partition launches
+    assert parts[0].path.endswith("orders.parquet")
+    rows = list(r.read(parts[0]))
+    assert rows[0][0] == "orders.parquet" and rows[0][1] > 0
+
+    # e2e: the registered query agrees with an independent os listing
+    import os
+
+    from fintech_etl_spark.operators.sources_ops import inbox_source_scan
+
+    got = {(r2.name, r2.size) for r2 in inbox_source_scan(spark, SF_SMOKE).collect()}
+    want = {
+        (n, os.stat(os.path.join(SF_SMOKE, n)).st_size)
+        for n in os.listdir(SF_SMOKE)
+        if n.endswith(".parquet")
+    }
+    assert got == want
