@@ -56,6 +56,9 @@ HEADLINE = (
     "ann_topk_int8_rerank",
     "corpus_decontaminate",
     "tfidf_top_terms",
+    # appended r3, third wave: end-to-end build + binary-kernel dedup
+    "corpus_build_manifest",
+    "media_phash_dedup",
 )
 
 
