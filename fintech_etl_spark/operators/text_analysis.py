@@ -731,3 +731,84 @@ def doc_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.avg(logp)), 4).alias("ppl"),
         )
     )
+
+
+@register(
+    "quality_mad_outliers",
+    r"""
+    WITH t AS (SELECT doc_id, source,
+                      len(list_distinct(string_split_regex(trim(text), '\s+'))) * 1.0
+                      / len(string_split_regex(trim(text), '\s+')) AS score
+               FROM documents),
+    r AS (SELECT doc_id, source, score,
+                 row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+                 count(*)    OVER (PARTITION BY source) AS n
+          FROM t),
+    m AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN score END)
+                        OVER (PARTITION BY source) AS med
+          FROM r),
+    d AS (SELECT *, abs(score - med) AS dev FROM m),
+    dr AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS drn
+           FROM d),
+    mm AS (SELECT *, max(CASE WHEN drn = (n + 1) // 2 THEN dev END)
+                         OVER (PARTITION BY source) AS mad
+           FROM dr)
+    SELECT doc_id, source,
+           round(score, 4) AS score,
+           round(med, 4)   AS med,
+           round(mad, 4)   AS mad,
+           (score < med - 3 * mad OR score > med + 3 * mad) AS is_outlier
+    FROM mm
+    """,
+    doc=(
+        "Robust per-source quality outliers (median ± 3·MAD): both the "
+        "median and the MAD are RANK-SELECTED elements (the lower "
+        "median at position (n+1)/2 by (value, doc_id)), never an "
+        "interpolating percentile — interpolation arithmetic differs "
+        "across engines in the last ulp, rank selection cannot. The "
+        "outlier comparison runs on exact unrounded doubles that both "
+        "engines compute identically (IEEE division, subtraction, one "
+        "multiply). One shuffle on source feeds every window; the two "
+        "rank passes add sorts, not exchanges."
+    ),
+    tags=("text", "quality", "window"),
+)
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)).alias("score"),
+    )
+    ws = Window.partitionBy("source")
+    r = t.select(
+        "*",
+        F.row_number().over(ws.orderBy("score", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    med_pos = F.floor((F.col("n") + 1) / 2)
+    m = r.withColumn(
+        "med",
+        F.max(F.when(F.col("rn") == med_pos, F.col("score"))).over(ws),
+    )
+    d = m.withColumn("dev", F.abs(F.col("score") - F.col("med")))
+    dr = d.withColumn(
+        "drn", F.row_number().over(ws.orderBy("dev", "doc_id"))
+    )
+    mm = dr.withColumn(
+        "mad",
+        F.max(F.when(F.col("drn") == med_pos, F.col("dev"))).over(ws),
+    )
+    lo = F.col("med") - 3 * F.col("mad")
+    hi = F.col("med") + 3 * F.col("mad")
+    return mm.select(
+        "doc_id",
+        "source",
+        F.round("score", 4).alias("score"),
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        ((F.col("score") < lo) | (F.col("score") > hi)).alias("is_outlier"),
+    )

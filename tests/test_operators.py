@@ -589,3 +589,26 @@ def test_inbox_source_filter_pushdown_prunes_listing(spark):
         if n.endswith(".parquet")
     }
     assert got == want
+
+
+def test_mad_outliers_rank_median_semantics(spark):
+    from fintech_etl_spark.operators.text_analysis import quality_mad_outliers
+
+    rows = quality_mad_outliers(spark, SF_SMOKE).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        meds = {r.med for r in rs}
+        mads = {r.mad for r in rs}
+        assert len(meds) == 1 and len(mads) == 1, src  # per-source scalars
+        med, mad = meds.pop(), mads.pop()
+        scores = sorted((r.score, r.doc_id) for r in rs)
+        # lower median: the element at position (n+1)//2 (1-based)
+        assert abs(scores[(len(scores) + 1) // 2 - 1][0] - med) < 1e-3, src
+        for r in rs:
+            flagged = r.score < med - 3 * mad or r.score > med + 3 * mad
+            # round-4 display can straddle the exact threshold only
+            # within a hair of it
+            if abs(abs(r.score - med) - 3 * mad) > 1e-3:
+                assert r.is_outlier == flagged, (src, r.doc_id)
