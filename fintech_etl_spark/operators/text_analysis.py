@@ -812,3 +812,53 @@ def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 4).alias("mad"),
         ((F.col("score") < lo) | (F.col("score") > hi)).alias("is_outlier"),
     )
+
+
+_POSTINGS_CAP = 20  # posting-list prefix emitted per term
+
+
+@register(
+    "build_inverted_index",
+    rf"""
+    WITH tok AS (SELECT DISTINCT doc_id,
+                        unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                 FROM documents),
+    p AS (SELECT term,
+                 CAST(count(*) AS BIGINT) AS df,
+                 list_sort(list(doc_id)) AS postings
+          FROM tok GROUP BY term)
+    SELECT term, df,
+           array_to_string(postings[1:{_POSTINGS_CAP}], ',') AS postings_head,
+           CAST(len(postings) AS INTEGER) AS postings_len
+    FROM p
+    """,
+    doc=(
+        "Inverted-index construction — the retrieval artifact a RAG/"
+        "search stack builds from the corpus: per term, document "
+        "frequency and the doc-id-sorted posting list (emitted as a "
+        f"{_POSTINGS_CAP}-entry head + length; the production writer "
+        "keeps the full list as array<long> partitioned by term "
+        "range). One distinct-explode and one term-keyed aggregation "
+        "with map-side combine; at 100 TB the term key is naturally "
+        "high-cardinality, and hot stopword terms are exactly what the "
+        "df-cap machinery in the dedup family drops before indexing."
+    ),
+    tags=("text", "index"),
+)
+def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    ).distinct()
+    p = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_sort(F.collect_list("doc_id")).alias("postings"),
+    )
+    return p.select(
+        "term",
+        "df",
+        F.array_join(F.slice("postings", 1, _POSTINGS_CAP), ",").alias(
+            "postings_head"
+        ),
+        F.size("postings").alias("postings_len"),
+    )
