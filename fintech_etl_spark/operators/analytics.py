@@ -667,3 +667,42 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") / F.nullif(F.col("o_orderkey") % 5, F.lit(0)), 4
         ).alias("safe_div"),
     )
+
+
+@register(
+    "window_distribution_funcs",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INTEGER)        AS bal_quartile,
+           round(percent_rank() OVER w, 4)         AS pct_rank,
+           round(cume_dist() OVER w, 4)            AS cume,
+           round(nth_value(c_acctbal, 1) OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+               AS seg_min_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    doc=(
+        "Distribution window battery: ntile quartiles, percent_rank, "
+        "cume_dist, nth_value — the ranking-distribution surface "
+        "(completes rank/dense_rank/row_number from the rank battery). "
+        "The ordering key is made unique with the tie-break column, so "
+        "every value is an exact rational of integer ranks — no "
+        "interpolation, hash-stable across engines. One segment-keyed "
+        "shuffle serves all four."
+    ),
+    tags=("window",),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.round(F.nth_value("c_acctbal", 1).over(wf), 4).alias("seg_min_bal"),
+    )
