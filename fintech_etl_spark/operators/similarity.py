@@ -9,9 +9,12 @@ Three tiers over the ``embeddings`` table (array<float> vectors):
   centroid, probe the closest cells only.
 
 Everything is JVM-side higher-order-function arithmetic (zip_with /
-aggregate); the hyperplanes are deterministic literals so results are
-stable and testable. A real deployment would swap the hand-rolled
-centroids for trained ones — the Spark plan shape is identical.
+aggregate) except the one sanctioned Arrow matmul in the LSH bucketer;
+the hyperplanes are deterministic literals and the IVF cells come from
+the in-repo distributed Lloyd's k-means, so every tier is reproducible
+and (via literal-plane / unrolled-iteration SQL replays) value-checked.
+int8 quantization and the code-scored re-rank round out the serving
+path.
 """
 
 from __future__ import annotations
