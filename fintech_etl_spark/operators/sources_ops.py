@@ -42,7 +42,10 @@ def filesource_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "inbox_source_scan",
     # Fixed-dir oracle like filesource_listing: a genuinely independent
-    # second listing (DuckDB read_blob) of the same directory.
+    # second listing (DuckDB read_blob) of the same directory. NOTE:
+    # unlike filesource_listing (names only), the size column ties this
+    # oracle to the gate's fixed sf0.01 dir — a sweep pointed at
+    # another sf_dir reports a legitimate size mismatch here.
     r"""
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
            CAST(size AS BIGINT) AS size
