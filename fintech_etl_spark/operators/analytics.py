@@ -706,3 +706,37 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 4).alias("cume"),
         F.round(F.nth_value("c_acctbal", 1).over(wf), 4).alias("seg_min_bal"),
     )
+
+
+@register(
+    "agg_bitwise_battery",
+    """
+    SELECT o_orderstatus,
+           CAST(bit_or(o_orderkey % 256)  AS BIGINT) AS flags_or,
+           CAST(bit_and(o_orderkey % 256) AS BIGINT) AS flags_and,
+           CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS flags_xor,
+           bool_and(o_totalprice > 0)                AS all_positive,
+           bool_or(o_totalprice > 400000)            AS any_jumbo,
+           CAST(count(*) AS BIGINT)                  AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Bitwise/boolean aggregate battery: bit_or/bit_and/bit_xor over "
+        "a derived flag byte plus bool_and/bool_or — the flag-rollup "
+        "surface (permission masks, feature flags, error bitsets). All "
+        "map-side combinable; integers are exact so the check is "
+        "bit-for-bit."
+    ),
+    tags=("agg",),
+)
+def agg_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    flags = F.col("o_orderkey") % 256
+    return orders.groupBy("o_orderstatus").agg(
+        F.bit_or(flags).alias("flags_or"),
+        F.bit_and(flags).alias("flags_and"),
+        F.bit_xor(flags).alias("flags_xor"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -281,3 +281,62 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cnt") * 1.0 / avg, 4).alias("skew_vs_avg"),
         "n_keys",
     )
+
+
+@register(
+    "events_first_touch_attribution",
+    """
+    WITH s AS (SELECT event_id, user_id, ts, event_type,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                           OR date_diff('second', lag(ts) OVER w, ts) > 3600
+                           THEN 1 ELSE 0 END AS new_session
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    i AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM s),
+    f AS (SELECT *,
+                 first_value(event_type) OVER ws AS first_touch,
+                 row_number() OVER ws AS pos_in_session
+          FROM i WINDOW ws AS (PARTITION BY user_id, session_no ORDER BY ts, event_id))
+    SELECT event_id, user_id, ts,
+           CAST(session_no AS BIGINT)          AS session_no,
+           first_touch,
+           CAST(pos_in_session - 1 AS INTEGER) AS n_prior_in_session
+    FROM f WHERE event_type = 'purchase'
+    """,
+    doc=(
+        "First-touch attribution: every purchase is credited to the "
+        "event type that OPENED its session (1h-gap sessionization via "
+        "lag + running sum, then first_value within the session) — the "
+        "marketing-attribution composite of the sessionize and window "
+        "families. One user_id shuffle serves the lag, the island sum, "
+        "and the per-session windows (same partition prefix, sorts "
+        "only)."
+    ),
+    tags=("events", "window", "attribution"),
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    s = ev.withColumn(
+        "new_session", (gap.isNull() | (gap > 3600)).cast("int")
+    )
+    i = s.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    f = i.withColumn("first_touch", F.first("event_type").over(ws)).withColumn(
+        "pos_in_session", F.row_number().over(ws)
+    )
+    return f.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("session_no").cast("long").alias("session_no"),
+        "first_touch",
+        (F.col("pos_in_session") - 1).cast("int").alias("n_prior_in_session"),
+    )
