@@ -638,3 +638,118 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= _PHASH_HAM)
         .select("asset_a", "asset_b", hamming.cast("int").alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Video keyframe selection (scene-change detection over frame phashes)
+# ---------------------------------------------------------------------------
+
+_KF_STRIDE = 8  # sample every 8th frame (matches media_frame_sample)
+_KF_HAM = 12  # scene cut: frame differs from previous by > 12/48 bits
+_KF_REPS = "CAST(floor(1100 / greatest(length(text), 1)) + 1 AS INTEGER)"
+
+_KF_SCHEMA = "asset_id long, frame_idx long, phash long"
+
+
+def _frame_phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for asset_id, frame_idx, content in zip(
+            pdf["asset_id"], pdf["frame_idx"], pdf["content"]
+        ):
+            try:
+                rows.append((asset_id, frame_idx, ahash_ppm(bytes(content))))
+            except (ValueError, IndexError):
+                continue
+        yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "phash"])
+
+
+@register(
+    "media_keyframe_select",
+    rf"""
+    WITH f0 AS (SELECT doc_id AS asset_id, text, (n_chars % 240 + 24) AS n_frames
+                FROM documents WHERE doc_id % 3 = 2),
+    fr AS (SELECT asset_id, text,
+                  unnest(generate_series(0, n_frames - 1, {_KF_STRIDE})) AS frame_idx
+           FROM f0),
+    px AS (SELECT asset_id, frame_idx,
+                  substr(repeat(text, {_KF_REPS}), frame_idx * 3 + 1, 144) AS p
+           FROM fr),
+    grays AS (SELECT asset_id, frame_idx,
+                     list_transform(generate_series(0, 47),
+                         i -> (ascii(substr(p, 3 * i + 1, 1))
+                               + ascii(substr(p, 3 * i + 2, 1))
+                               + ascii(substr(p, 3 * i + 3, 1))) / 3.0) AS g
+              FROM px),
+    fp AS (SELECT asset_id, frame_idx,
+                  sum(CASE WHEN v > m THEN (CAST(1 AS BIGINT) << (i - 1))
+                           ELSE 0 END) AS phash
+           FROM (SELECT asset_id, frame_idx, unnest(g) AS v,
+                        generate_subscripts(g, 1) AS i,
+                        list_aggregate(g, 'sum') / 48.0 AS m
+                 FROM grays)
+           GROUP BY asset_id, frame_idx),
+    k AS (SELECT asset_id, frame_idx, phash,
+                 lag(phash) OVER (PARTITION BY asset_id ORDER BY frame_idx) AS prev
+          FROM fp)
+    SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN prev IS NULL THEN 48
+                     ELSE bit_count(xor(phash, prev)) END AS INTEGER) AS hamming_prev,
+           (prev IS NULL OR bit_count(xor(phash, prev)) > {_KF_HAM}) AS is_keyframe
+    FROM k
+    """,
+    doc=(
+        "Video keyframe selection = scene-change detection: every "
+        f"{_KF_STRIDE}th frame renders to real P6 bytes (a sliding "
+        "window over the source text, so consecutive frames drift and "
+        "occasionally jump), the aHash kernel fingerprints each frame "
+        "Arrow-batched, and a per-video lag window flags frames whose "
+        f"hash moved > {_KF_HAM}/48 bits from the previous sample — "
+        "the shot-boundary primitive a video corpus dedups and indexes "
+        "on. One asset-keyed window after a scan-parallel kernel; the "
+        "WHOLE path including the binary kernel is value-checked."
+    ),
+    tags=("multimodal", "pandas_udf", "window"),
+)
+def media_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vids = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("asset_id"),
+        "text",
+        (F.col("n_chars") % 240 + 24).alias("n_frames"),
+    )
+    frames = vids.select(
+        "asset_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("n_frames") - 1).cast("long"),
+                F.lit(_KF_STRIDE).cast("long"),
+            )
+        ).alias("frame_idx"),
+    )
+    reps = (F.floor(F.lit(1100) / F.greatest(F.length("text"), F.lit(1))) + 1).cast(
+        "int"
+    )
+    plane = F.substring(
+        F.repeat(F.col("text"), reps), F.col("frame_idx").cast("int") * 3 + 1, 144
+    )
+    payload = frames.select(
+        "asset_id",
+        "frame_idx",
+        F.concat(F.encode(F.lit("P6\n8 6\n255\n"), "utf-8"), F.encode(plane, "utf-8"))
+        .alias("content"),
+    )
+    fp = payload.mapInPandas(_frame_phash_batch, _KF_SCHEMA)
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    hamming = F.bit_count(F.col("phash").bitwiseXOR(prev))
+    return fp.select(
+        "asset_id",
+        "frame_idx",
+        F.when(prev.isNull(), 48).otherwise(hamming).cast("int").alias("hamming_prev"),
+        (prev.isNull() | (hamming > _KF_HAM)).alias("is_keyframe"),
+    )
