@@ -978,3 +978,63 @@ def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotated.filter(keep).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE blocking components (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+_BLOCK_WALK_SQL = """
+WITH RECURSIVE fp AS (SELECT doc_id, source, n_chars FROM {src}),
+p AS (SELECT doc_id,
+             lag(doc_id) OVER (PARTITION BY source, n_chars ORDER BY doc_id) AS prev,
+             count(*)    OVER (PARTITION BY source, n_chars) AS block_size
+      FROM fp),
+grp AS (SELECT doc_id, prev FROM p WHERE block_size > 1),
+walk(node, cur) AS (
+    SELECT doc_id, doc_id FROM grp
+    UNION ALL
+    SELECT walk.node, g.prev FROM walk JOIN grp g
+    ON walk.cur = g.doc_id AND g.prev IS NOT NULL),
+comp AS (SELECT node, min(cur) AS component_id FROM walk GROUP BY node)
+SELECT component_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       {members} AS member_ids
+FROM comp GROUP BY component_id
+"""
+
+
+@register(
+    "blocking_components_recursive",
+    _BLOCK_WALK_SQL.format(
+        src="documents",
+        members="string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)",
+    ),
+    doc=(
+        "Candidate-duplicate components via SQL recursion (Spark 4 "
+        "WITH RECURSIVE): sorted-neighborhood blocking on the cheap "
+        "(source, n_chars) key links each doc to its predecessor in "
+        "the block, and the recursive walk follows the STRICTLY "
+        "DECREASING predecessor chain to the block head — an acyclic "
+        "formulation, because Spark's recursive CTEs support UNION ALL "
+        "only and cyclic min-label propagation would never terminate. "
+        "Same min-label component semantics as the iterative "
+        "connected_components loop, expressed declaratively; the "
+        "iterative form remains the deep-graph tool (recursion depth "
+        "here = block size). Both engines run near-identical SQL."
+    ),
+    tags=("dedup", "recursive", "blocking"),
+)
+def blocking_components_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    return spark.sql(
+        _BLOCK_WALK_SQL.format(
+            src=f"parquet.`{path}`",
+            members=(
+                "array_join(transform(array_sort(collect_list(node)),"
+                " x -> CAST(x AS STRING)), ',')"
+            ),
+        )
+    )
