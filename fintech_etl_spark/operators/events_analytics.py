@@ -340,3 +340,66 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         "first_touch",
         (F.col("pos_in_session") - 1).cast("int").alias("n_prior_in_session"),
     )
+
+
+@register(
+    "events_ltv_cohort_triangle",
+    """
+    WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+               FROM events GROUP BY user_id),
+    a AS (SELECT e.user_id, f.cohort_week,
+                 (date_diff('day', CAST(f.cohort_week AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7)
+                     AS age_weeks,
+                 e.value
+          FROM events e JOIN f ON e.user_id = f.user_id
+          WHERE e.event_type = 'purchase')
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(age_weeks AS INTEGER) AS age_weeks,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS revenue,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers
+    FROM a GROUP BY cohort_week, age_weeks
+    """,
+    doc=(
+        "LTV cohort triangle: users keyed by first-seen ISO week, "
+        "purchase revenue rolled up by (cohort, weeks-since-cohort) — "
+        "the lifetime-value matrix every growth team plots. First-touch "
+        "week from one user aggregation (broadcast back), then one "
+        "grouped rollup; week age measured in whole days/7 between "
+        "Monday-start week truncations, identical on both engines."
+    ),
+    tags=("events", "cohort"),
+)
+def events_ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(f), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            ).alias("age_weeks"),
+            "value",
+        )
+    )
+    return a.groupBy("cohort_week", "age_weeks").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("revenue"),
+        F.count_distinct("user_id").alias("n_buyers"),
+    ).select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        F.col("age_weeks").cast("int").alias("age_weeks"),
+        "n_purchases",
+        "revenue",
+        "n_buyers",
+    )

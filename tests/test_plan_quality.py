@@ -216,6 +216,7 @@ _SHUFFLE_BUDGET = {
     "events_key_skew_report": 3,  # per-key agg + totals agg + tiny global rank
     "corpus_dedup_survivors": 3,  # md5 agg + survivor join + component join
     "events_weekly_retention": 3,  # cohort + activity + join
+    "events_ltv_cohort_triangle": 3,  # cohort agg + purchase join + triangle rollup
     "q11_part_value_concentration": 3,  # value agg + threshold + filter join
     "q15_top_supplier_by_revenue": 3,  # revenue view reused on both sides
     "text_top_bigrams_per_lang": 3,  # explode + count + rank
