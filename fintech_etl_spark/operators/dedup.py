@@ -878,8 +878,17 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # `capped` from each replanning the whole df-count subtree
         .localCheckpoint(eager=False)
     )
-    capped = sh.crossJoin(F.broadcast(banned_arr)).select(
-        "doc_id", F.array_except("s", "banned").alias("s")
+    capped = (
+        sh.crossJoin(F.broadcast(banned_arr))
+        .select("doc_id", F.array_except("s", "banned").alias("s"))
+        # A doc whose shingles are ALL banned keeps an empty set here;
+        # empty sets hash to identical minhash signatures, so they
+        # would collide in EVERY band and form one O(m²) candidate
+        # clique — exactly the skew this operator exists to bound.
+        # Dropping them changes nothing downstream (the oracle's kept
+        # CTE excludes them too, and an empty set can't reach the
+        # jaccard threshold against any non-empty one).
+        .filter(F.size("s") > 0)
     )
 
     sig = capped.select("doc_id", "s", minhash_signature(F.col("s")).alias("sig"))
@@ -984,13 +993,27 @@ def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Recursive-CTE blocking components (Spark 4 WITH RECURSIVE)
 # ---------------------------------------------------------------------------
 
+#: Hard bound on predecessor-chain length. Walk depth equals segment
+#: size and the walk materializes O(segment²) rows, so an uncapped
+#: block would (a) exceed Spark's ``spark.sql.cteRecursionLevelLimit``
+#: (default 100) the moment one (source, n_chars) block tops 100 docs
+#: and (b) go quadratic on hot blocks. Segmenting every block into
+#: runs of at most this many docs bounds BOTH: depth ≤ 64 < 100 and
+#: walk rows ≤ 64·n. At gate scale the largest block is 5 docs, so
+#: segmentation is invisible; at 100 TB it is the difference between
+#: a bounded plan and a hard failure.
+_BLOCK_SEGMENT = 64
+
 _BLOCK_WALK_SQL = """
 WITH RECURSIVE fp AS (SELECT doc_id, source, n_chars FROM {src}),
 p AS (SELECT doc_id,
-             lag(doc_id) OVER (PARTITION BY source, n_chars ORDER BY doc_id) AS prev,
-             count(*)    OVER (PARTITION BY source, n_chars) AS block_size
+             lag(doc_id)   OVER (PARTITION BY source, n_chars ORDER BY doc_id) AS prev,
+             row_number()  OVER (PARTITION BY source, n_chars ORDER BY doc_id) AS rn,
+             count(*)      OVER (PARTITION BY source, n_chars) AS block_size
       FROM fp),
-grp AS (SELECT doc_id, prev FROM p WHERE block_size > 1),
+grp AS (SELECT doc_id,
+               CASE WHEN (rn - 1) % {seg} = 0 THEN NULL ELSE prev END AS prev
+        FROM p WHERE block_size > 1),
 walk(node, cur) AS (
     SELECT doc_id, doc_id FROM grp
     UNION ALL
@@ -1008,6 +1031,7 @@ FROM comp GROUP BY component_id
     "blocking_components_recursive",
     _BLOCK_WALK_SQL.format(
         src="documents",
+        seg=_BLOCK_SEGMENT,
         members="string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)",
     ),
     doc=(
@@ -1020,8 +1044,12 @@ FROM comp GROUP BY component_id
         "only and cyclic min-label propagation would never terminate. "
         "Same min-label component semantics as the iterative "
         "connected_components loop, expressed declaratively; the "
-        "iterative form remains the deep-graph tool (recursion depth "
-        "here = block size). Both engines run near-identical SQL."
+        "iterative form remains the deep-graph tool. Blocks are "
+        "segmented into runs of at most 64 docs, so recursion depth "
+        "(= segment size) stays under Spark's cteRecursionLevelLimit "
+        "default of 100 and the O(segment²) walk stays linear in the "
+        "corpus (≤ 64·n rows) no matter how hot one (source, n_chars) "
+        "key gets. Both engines run near-identical SQL."
     ),
     tags=("dedup", "recursive", "blocking"),
 )
@@ -1032,6 +1060,7 @@ def blocking_components_recursive(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(
         _BLOCK_WALK_SQL.format(
             src=f"parquet.`{path}`",
+            seg=_BLOCK_SEGMENT,
             members=(
                 "array_join(transform(array_sort(collect_list(node)),"
                 " x -> CAST(x AS STRING)), ',')"

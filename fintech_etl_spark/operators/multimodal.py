@@ -680,7 +680,11 @@ def _frame_phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                          i -> (ascii(substr(p, 3 * i + 1, 1))
                                + ascii(substr(p, 3 * i + 2, 1))
                                + ascii(substr(p, 3 * i + 3, 1))) / 3.0) AS g
-              FROM px),
+              -- mirror _PHASH_ORACLE: drop truncated pixel planes the
+              -- same way the Spark side's ahash_ppm raises ValueError,
+              -- so the two engines stay in lockstep even if the
+              -- 1100/240 frame constants change
+              FROM px WHERE length(p) >= 144),
     fp AS (SELECT asset_id, frame_idx,
                   sum(CASE WHEN v > m THEN (CAST(1 AS BIGINT) << (i - 1))
                            ELSE 0 END) AS phash

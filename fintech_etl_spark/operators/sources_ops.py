@@ -42,13 +42,16 @@ def filesource_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "inbox_source_scan",
     # Fixed-dir oracle like filesource_listing: a genuinely independent
-    # second listing (DuckDB read_blob) of the same directory. NOTE:
-    # unlike filesource_listing (names only), the size column ties this
-    # oracle to the gate's fixed sf0.01 dir — a sweep pointed at
-    # another sf_dir reports a legitimate size mismatch here.
+    # second listing (DuckDB read_blob) of the same directory. The raw
+    # size is NOT projected — file sizes differ per scale factor, and
+    # the oracle string is run verbatim at the gate's sf0.01 while the
+    # Spark side lists whatever sf_dir the sweep points at. Projecting
+    # the scale-independent ``nonempty`` flag instead keeps the check
+    # directory-portable while still value-checking that the source
+    # plumbs a real, positive size for every object.
     r"""
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
-           CAST(size AS BIGINT) AS size
+           CAST(size > 0 AS BOOLEAN) AS nonempty
     FROM read_blob('/root/testdata/sf0.01/*.parquet')
     """,
     doc=(
@@ -71,5 +74,5 @@ def inbox_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", sf_dir)
         .load()
         .filter(F.col("name").endswith(".parquet"))
-        .select("name", "size")
+        .select("name", (F.col("size") > 0).alias("nonempty"))
     )

@@ -584,9 +584,9 @@ def test_inbox_source_filter_pushdown_prunes_listing(spark):
 
     from fintech_etl_spark.operators.sources_ops import inbox_source_scan
 
-    got = {(r2.name, r2.size) for r2 in inbox_source_scan(spark, SF_SMOKE).collect()}
+    got = {(r2.name, r2.nonempty) for r2 in inbox_source_scan(spark, SF_SMOKE).collect()}
     want = {
-        (n, os.stat(os.path.join(SF_SMOKE, n)).st_size)
+        (n, os.stat(os.path.join(SF_SMOKE, n)).st_size > 0)
         for n in os.listdir(SF_SMOKE)
         if n.endswith(".parquet")
     }
