@@ -66,6 +66,15 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # Provenance: 1-minute load average BEFORE our own Spark session
+    # spins up, normalized by CPU count. r3's driver-recorded bench
+    # read 39 s where a solo rerun read 32 s — this field lets a reader
+    # tell a contended run from a regression. > ~0.5 means another
+    # full workload was already active on the box.
+    try:
+        load_per_cpu = round(os.getloadavg()[0] / (os.cpu_count() or 1), 3)
+    except OSError:
+        load_per_cpu = None
 
     from fintech_etl_spark.registry import queries
     from fintech_etl_spark.session import build_session
@@ -99,6 +108,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_per_cpu_at_start": load_per_cpu,
             }
         )
     )

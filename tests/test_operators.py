@@ -14,9 +14,11 @@ from tests.conftest import SF_SMOKE
 
 def test_registry_complete_and_importable():
     specs = all_specs()
-    # 142 registered as of round 3 — a drop below 140 means an operator
-    # module failed to import and silently fell out of the driver gate
-    assert len(specs) >= 140
+    # EXACT pin (not a floor): a silent drop means an operator module
+    # failed to import and fell out of the driver gate; a silent rise
+    # means COVERAGE.md's totals are stale. Update both together.
+    assert len(specs) == 144
+    assert sum(1 for s in specs.values() if s.oracle is not None) == 143
     # every family present
     for family in ("dedup_", "ann_", "media_", "q1_", "window_", "text_stats"):
         assert any(n.startswith(family) for n in specs), family
@@ -614,3 +616,54 @@ def test_mad_outliers_rank_median_semantics(spark):
             # within a hair of it
             if abs(abs(r.score - med) - 3 * mad) > 1e-3:
                 assert r.is_outlier == flagged, (src, r.doc_id)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_approx_sketches_within_documented_bounds(spark, sf_dir):
+    """Pin agg_approx_sketches quantitatively: the driver row is
+    rows-only by design (sketch values are engine-defined), so the
+    accuracy contract is asserted here instead — HLL++ distinct counts
+    within a multiple of the default 5% rsd, and percentile_approx
+    within its documented rank-error bound (1/accuracy = 1/10000)
+    against exact DuckDB values, at both gate and sweep scale."""
+    import duckdb
+
+    from fintech_etl_spark.operators.analytics import agg_approx_sketches
+
+    rows = {r.l_returnflag: r for r in agg_approx_sketches(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    exact = {
+        r[0]: r
+        for r in con.execute(
+            f"""
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS parts,
+                   count(DISTINCT l_suppkey) AS supps,
+                   count(*) AS n
+            FROM read_parquet('{sf_dir}/lineitem.parquet')
+            GROUP BY l_returnflag
+            """
+        ).fetchall()
+    }
+    assert set(rows) == set(exact)
+    for flag, r in rows.items():
+        _, parts, supps, n = exact[flag]
+        # HLL++ default rsd = 0.05; 4 sigma is comfortably inside what
+        # a correct sketch produces and far outside what a broken one does
+        assert abs(r.approx_parts - parts) <= 4 * 0.05 * parts, (flag, r.approx_parts, parts)
+        assert abs(r.approx_supps - supps) <= 4 * 0.05 * supps, (flag, r.approx_supps, supps)
+        # percentile_approx(accuracy=10000): returned value's rank must
+        # be within 1/10000 of the 0.5 target (plus one-row discreteness)
+        lt, le = con.execute(
+            f"""
+            SELECT count(*) FILTER (l_extendedprice < {r.approx_median_price}),
+                   count(*) FILTER (l_extendedprice <= {r.approx_median_price})
+            FROM read_parquet('{sf_dir}/lineitem.parquet')
+            WHERE l_returnflag = '{flag}'
+            """
+        ).fetchone()
+        tol = 1.0 / 10000 + 1.0 / n
+        assert lt / n <= 0.5 + tol, (flag, lt / n)
+        assert le / n >= 0.5 - tol, (flag, le / n)
