@@ -394,6 +394,15 @@ aggregate(
 """
 
 
+def simhash_column(df: DataFrame, tokens: F.Column, out: str = "sim") -> DataFrame:
+    """Add a 60-bit SimHash column computed per-row from ``tokens``
+    (see :data:`_SIMHASH_HOF`). Null/empty token arrays yield a null
+    fingerprint — callers that must dedup empty docs should pair this
+    with an exact-hash rule, as the streaming corpus intake does."""
+    hof = _SIMHASH_HOF.format(bits=_SIMHASH_BITS, maxbit=_SIMHASH_BITS - 1)
+    return df.withColumn("_toks", tokens).withColumn(out, F.expr(hof)).drop("_toks")
+
+
 def simhash_fingerprints(docs: DataFrame, tokens: F.Column) -> DataFrame:
     """(doc_id, sim) with a 60-bit SimHash per document.
 

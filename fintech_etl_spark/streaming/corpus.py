@@ -4,11 +4,26 @@ micro-batch is fingerprinted, deduped against everything already in
 the corpus (and within itself), and only novel documents are appended.
 
 This is the streaming twin of the batch ``dedup_incremental_batch``
-operator: the corpus side reduces to a distinct-fingerprint parquet
-table that is tiny relative to the corpus (128-bit keys vs full text),
-maintained incrementally — never recomputed from the lake. At 100 TB
-the fingerprint table is bucketed by fingerprint so the per-batch
-anti-join is a one-sided shuffle of just the (small) incoming batch.
+operator, now at BOTH tiers the batch side offers:
+
+- **exact**: md5 fingerprint anti-join (byte-identical text);
+- **near**: 60-bit SimHash (same per-row fold as the batch
+  ``dedup_simhash`` operator) banded into 4×15-bit chunks; an
+  incoming doc agreeing with any corpus doc on ≥1 chunk AND within
+  Hamming ≤ 3 is dropped as a near-duplicate. The chunk agreement
+  catches Hamming ≤ 3 exactly (pigeonhole), so streaming and batch
+  verdicts coincide — pinned by the batch-parity test.
+
+The corpus side reduces to a fingerprint parquet table ((fp, sim) —
+24 bytes/doc vs full text), maintained incrementally — never
+recomputed from the lake. Per batch the probe explodes the corpus
+sims into chunks and joins against the BROADCAST batch chunks; at
+100 TB the layout upgrade is to materialize the 4-rows-per-doc banded
+index partitioned by chunk prefix, turning the probe into a pruned
+partition read instead of a full fingerprint scan. Within-batch
+near-dups use a greedy min-id rule (a doc drops iff a smaller-id
+batch doc is within Hamming ≤ 3); full transitive components remain
+the batch ``dedup_cluster_components`` operator's job.
 
 Delivery: the file source is checkpoint-exactly-once; the two writes
 per batch (corpus append, fingerprint append) are individually atomic
@@ -29,11 +44,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
+from fintech_etl_spark.operators.dedup import (
+    _SIMHASH_CHUNK_BITS,
+    _SIMHASH_CHUNK_MASK,
+    _SIMHASH_CHUNKS,
+    simhash_column,
+)
+
+_NEAR_HAMMING = 3  # same verify threshold as the batch dedup_simhash
+
 
 def _fingerprint(df: DataFrame) -> DataFrame:
     # coalesce: null-text docs must still dedup (against each other),
-    # not silently pass the anti-join as always-novel
-    return df.withColumn("fp", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    # not silently pass the anti-join as always-novel. The SimHash is
+    # computed over the same coalesced text so both tiers see one doc.
+    text = F.coalesce(F.col("text"), F.lit(""))
+    df = df.withColumn("fp", F.md5(text))
+    return simhash_column(df, F.split(F.lower(F.trim(text)), r"\s+"))
+
+
+def _chunks(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Explode the 60-bit ``sim`` into its 4 15-bit LSH chunks."""
+    return df.select(
+        *cols,
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sim", _SIMHASH_CHUNK_BITS * i).bitwiseAND(
+                        F.lit(_SIMHASH_CHUNK_MASK)
+                    )
+                    for i in range(_SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_no", "chunk"),
+    )
 
 
 def start_corpus_intake(
@@ -46,10 +91,11 @@ def start_corpus_intake(
     max_files_per_trigger: int = 32,
 ) -> StreamingQuery:
     """Watch ``landing_glob`` for JSONL document files; append novel
-    (never-seen-fingerprint) documents to ``corpus_dir`` and their
-    fingerprints to ``fingerprints_dir``. Returns the started query
-    (``availableNow`` drains pending files then stops — call repeatedly
-    for cron-style intake, or swap the trigger for continuous)."""
+    (no exact or near duplicate already seen) documents to
+    ``corpus_dir`` and their (fp, sim) fingerprints to
+    ``fingerprints_dir``. Returns the started query (``availableNow``
+    drains pending files then stops — call repeatedly for cron-style
+    intake, or swap the trigger for continuous)."""
     from fintech_etl_spark.schemas import STAR_SCHEMAS
 
     incoming = (
@@ -59,11 +105,13 @@ def start_corpus_intake(
         .json(landing_glob)
     )
 
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch = _fingerprint(batch_df)
-        # within-batch dedup first: one doc per fingerprint (min doc_id,
-        # deterministic), so a batch containing its own duplicates
-        # contributes exactly one survivor
+        # within-batch exact dedup first: one doc per fingerprint (min
+        # doc_id, deterministic), so a batch containing its own
+        # duplicates contributes exactly one survivor
         batch = (
             batch.withColumn(
                 "_rn",
@@ -72,19 +120,54 @@ def start_corpus_intake(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # then against the corpus fingerprint table (anti-join on fp)
+        # within-batch NEAR dedup (greedy min-id): drop any doc with a
+        # smaller-id batch doc inside the hamming radius
+        bc = _chunks(batch, ("doc_id",))
+        ba = bc.select(
+            F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
+            "chunk_no", "chunk",
+        )
+        bb = bc.select(
+            F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
+            "chunk_no", "chunk",
+        )
+        near_in_batch = (
+            ba.join(bb, ["chunk_no", "chunk"])
+            .filter((F.col("doc_a") < F.col("doc_b")) & (ham <= _NEAR_HAMMING))
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        batch = batch.join(near_in_batch, "doc_id", "left_anti")
+
         if os.path.exists(fingerprints_dir):
-            seen = spark.read.parquet(fingerprints_dir).select("fp").distinct()
-            novel = batch.join(seen, "fp", "left_anti")
-        else:
-            novel = batch
-        novel = novel.persist()
+            seen = spark.read.parquet(fingerprints_dir)
+            # exact tier: anti-join on md5
+            batch = batch.join(seen.select("fp").distinct(), "fp", "left_anti")
+            # near tier: banded probe — corpus chunks stream past the
+            # BROADCAST batch chunks, so the per-batch cost is one scan
+            # of the (tiny) fingerprint table and zero shuffles of it
+            probe = _chunks(batch, ("doc_id",)).select(
+                F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
+                "chunk_no", "chunk",
+            )
+            corpus_chunks = _chunks(seen, ()).select(
+                F.col("sim").alias("sim_a"), "chunk_no", "chunk"
+            )
+            near_hits = (
+                corpus_chunks.join(F.broadcast(probe), ["chunk_no", "chunk"])
+                .filter(ham <= _NEAR_HAMMING)
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            batch = batch.join(near_hits, "doc_id", "left_anti")
+
+        novel = batch.persist()
         try:
             if novel.limit(1).count() == 0:
                 return
             # corpus first: see module docstring for the crash ordering
-            novel.drop("fp").write.mode("append").parquet(corpus_dir)
-            novel.select("fp").write.mode("append").parquet(fingerprints_dir)
+            novel.drop("fp", "sim").write.mode("append").parquet(corpus_dir)
+            novel.select("fp", "sim").write.mode("append").parquet(fingerprints_dir)
         finally:
             novel.unpersist()
 

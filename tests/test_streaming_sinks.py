@@ -508,3 +508,71 @@ def test_streaming_corpus_intake_incremental_dedup(spark, tmp_path):
     start_corpus_intake(spark, str(landing), corpus, fps, ckpt).awaitTermination()
     assert spark.read.parquet(corpus).count() == 3
     assert spark.read.parquet(fps).count() == 3
+
+
+def test_streaming_near_dup_matches_batch_verdict(spark, tmp_path):
+    """Batch-parity for the streaming NEAR tier: a document that is a
+    near-duplicate (NOT byte-identical) of a batch-N corpus doc must be
+    dropped in batch N+1, and the drop verdict must agree with the
+    batch dedup_simhash operator (hamming ≤ 3 on the same md5-derived
+    fingerprints). A genuinely different doc in the same drop
+    survives."""
+    import json as _json
+
+    from fintech_etl_spark.operators.dedup import simhash_fingerprints
+    from fintech_etl_spark.streaming.corpus import start_corpus_intake
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"token{i}" for i in range(200))
+    near = " ".join(f"token{i}" for i in range(199)) + " zzz"  # 1 token edit
+    far = "completely different words entirely unrelated content here"
+
+    # precondition = the BATCH verdict: base/near are within the radius,
+    # base/far are not (same fingerprint fold dedup_simhash uses)
+    fps = {
+        r.doc_id: r.sim
+        for r in simhash_fingerprints(
+            spark.createDataFrame(
+                [(1, base), (2, near), (3, far)], "doc_id long, text string"
+            ),
+            F.split(F.lower(F.trim("text")), r"\s+"),
+        ).collect()
+    }
+    assert bin(fps[1] ^ fps[2]).count("1") <= 3
+    assert bin(fps[1] ^ fps[3]).count("1") > 3
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    fpdir = str(tmp_path / "fps")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "crawl",
+             "n_chars": len(text)}
+        )
+
+    (landing / "batch1.jsonl").write_text(doc(1, base) + "\n")
+    start_corpus_intake(spark, str(landing), corpus, fpdir, ckpt).awaitTermination()
+
+    # batch 2: one near-dup of corpus content, one genuinely novel doc
+    (landing / "batch2.jsonl").write_text(doc(10, near) + "\n" + doc(11, far) + "\n")
+    start_corpus_intake(spark, str(landing), corpus, fpdir, ckpt).awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 11}  # near-dup dropped, novel doc kept
+
+    # within-batch near tier: two fresh near-dups arriving TOGETHER
+    # keep only the min doc_id
+    newbase = " ".join(f"other{i}" for i in range(200))
+    newnear = " ".join(f"other{i}" for i in range(199)) + " pp"
+    (landing / "batch3.jsonl").write_text(
+        doc(20, newbase) + "\n" + doc(21, newnear) + "\n"
+    )
+    start_corpus_intake(spark, str(landing), corpus, fpdir, ckpt).awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 11, 20}
+    # fingerprint table carries both tiers for every survivor
+    fprows = spark.read.parquet(fpdir)
+    assert set(fprows.columns) == {"fp", "sim"}
+    assert fprows.count() == 3
