@@ -1149,3 +1149,189 @@ def blocking_components_recursive(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Banding-parameter sweep: the b×r tradeoff as data
+# ---------------------------------------------------------------------------
+
+#: Bandings swept over the fixed 64-slot signature: (n_bands,
+#: rows_per_band) with n_bands·rows_per_band = 64. The S-curve
+#: steepens as rows_per_band grows — (64,1) candidates anything
+#: sharing one permutation (max recall, worst precision), (8,8) only
+#: near-verbatim pairs (near-perfect precision, lowest recall).
+_SWEEP_BANDINGS = ((64, 1), (32, 2), (16, 4), (8, 8))
+
+#: Seeded md5-derived minhash for the sweep (NOT xxhash64): DuckDB has
+#: no xxhash64, so a value-checked banding sweep needs a hash family
+#: both engines can compute bit-identically. Same single-pass
+#: accumulator fold as :func:`minhash_signature`.
+_SWEEP_SIG_HOF = """
+aggregate(s,
+  array_repeat(cast(9223372036854775807 as long), 64),
+  (acc, g) -> zip_with(acc,
+      transform(sequence(0, 63),
+                i -> cast(conv(substring(md5(concat(cast(i as string), ':', g)),
+                               1, 15), 16, 10) as long)),
+      (a, b) -> least(a, b)))
+"""
+
+
+def _sweep_oracle() -> str:
+    per_banding = []
+    for b, r in _SWEEP_BANDINGS:
+        per_banding.append(
+            f"""
+    bands_{b}_{r} AS (
+        SELECT doc_id, k AS band_no,
+               array_to_string(list_transform(
+                   list_slice(sig, k * {r} + 1, k * {r} + {r}),
+                   x -> CAST(x AS VARCHAR)), ',') AS bucket
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {b - 1})) AS k)),
+    cand_{b}_{r} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_{b}_{r} a JOIN bands_{b}_{r} b
+          ON a.band_no = b.band_no AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id),
+    stats_{b}_{r} AS (
+        SELECT CAST({b} AS INTEGER) AS n_bands,
+               CAST({r} AS INTEGER) AS rows_per_band,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(coalesce(sum(CASE WHEN t.doc_a IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_caught
+        FROM cand_{b}_{r} c LEFT JOIN truep t
+          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM stats_{b}_{r}" for b, r in _SWEEP_BANDINGS
+    )
+    return f"""
+    WITH {_PAIRS_CTES},
+    truep AS (SELECT doc_a, doc_b FROM pairs),
+    ntrue AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truep),
+    sigv AS (SELECT doc_id, i,
+                    min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g),
+                              1, 15)) AS BIGINT)) AS v
+             FROM e CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) se
+             GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sigv GROUP BY doc_id),
+    {",".join(per_banding)}
+    SELECT n_bands, rows_per_band, n_candidates, n_caught, n_true,
+           round(n_caught * 1.0 / n_true, 4) AS recall,
+           round(n_caught * 1.0 / n_candidates, 4) AS precision
+    FROM ({unions}) CROSS JOIN ntrue
+    """
+
+
+@register(
+    "dedup_minhash_banding_sweep",
+    _sweep_oracle(),
+    doc=(
+        "The LSH banding tradeoff AS DATA: one row per (n_bands, "
+        "rows_per_band) factorization of the 64-slot signature, with "
+        "measured candidate count, true-pair catch count, recall and "
+        "precision against exact trigram-Jaccard ≥ 0.7 — the table an "
+        "operator of a 100 TB dedup run reads before committing to a "
+        "banding. Uses the seeded md5-derived hash family so the ENTIRE "
+        "sweep (signatures, buckets, candidate sets, stats) is value-"
+        "checked bit-for-bit against the DuckDB oracle, not just "
+        "recall-bounded. Signatures and true pairs are each computed "
+        "once and checkpointed; the four bandings re-slice the same "
+        "signature table."
+    ),
+    tags=("dedup", "lsh", "sweep"),
+)
+def dedup_minhash_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = with_shingles(docs, 3)
+
+    # true pairs at the verify threshold (same inverted-index shape as
+    # dedup_ngram_jaccard; consumed by all four bandings → checkpoint)
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    e = sh.select("doc_id", F.explode_outer("s").alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    ea = e.select(F.col("doc_id").alias("doc_a"), "g")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "g")
+    common = (
+        ea.join(eb, ["g"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    truep = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _VERIFY_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    n_true = truep.agg(F.count(F.lit(1)).alias("n_true"))
+
+    sig = (
+        sh.select("doc_id", F.expr(_SWEEP_SIG_HOF).alias("sig"))
+        # 64 longs/doc; consumed by four bandings → materialize once
+        .localCheckpoint(eager=False)
+    )
+
+    stats = []
+    for b, r in _SWEEP_BANDINGS:
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", k * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                        for k in range(b)
+                    ]
+                )
+            ).alias("band_no", "bucket"),
+        )
+        cand = (
+            bands.groupBy("band_no", "bucket")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("m"))
+            .filter(F.size("m") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(m, (x, i) -> "
+                        "transform(slice(m, i + 2, size(m) - i - 1), "
+                        "y -> struct(x AS doc_a, y AS doc_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+        stats.append(
+            cand.join(
+                truep.withColumn("_t", F.lit(1)), ["doc_a", "doc_b"], "left"
+            ).agg(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_caught"),
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.crossJoin(F.broadcast(n_true)).select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_caught",
+        "n_true",
+        F.round(F.col("n_caught") / F.col("n_true"), 4).alias("recall"),
+        F.round(F.col("n_caught") / F.col("n_candidates"), 4).alias("precision"),
+    )

@@ -17,8 +17,8 @@ def test_registry_complete_and_importable():
     # EXACT pin (not a floor): a silent drop means an operator module
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
-    assert len(specs) == 144
-    assert sum(1 for s in specs.values() if s.oracle is not None) == 143
+    assert len(specs) == 145
+    assert sum(1 for s in specs.values() if s.oracle is not None) == 144
     # every family present
     for family in ("dedup_", "ann_", "media_", "q1_", "window_", "text_stats"):
         assert any(n.startswith(family) for n in specs), family
@@ -667,3 +667,30 @@ def test_approx_sketches_within_documented_bounds(spark, sf_dir):
         tol = 1.0 / 10000 + 1.0 / n
         assert lt / n <= 0.5 + tol, (flag, lt / n)
         assert le / n >= 0.5 - tol, (flag, le / n)
+
+
+def test_ivf_and_lsh_recall_at_sweep_scale(spark):
+    """Recall floors re-pinned at sf0.1 (10× the smoke data): the
+    trained-kmeans IVF probe and the LSH-bucketed path must both keep
+    recall against the exact brute-force top-3 as the corpus grows —
+    the property that makes them legitimate scale substitutes for the
+    capped exact tier."""
+    from fintech_etl_spark.operators import similarity as S
+
+    sf01 = "/root/testdata/sf0.1"
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_cosine_brute(spark, sf01).collect()
+        if r.rank <= 3
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_probe(spark, sf01).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_lsh_bucketed(spark, sf01).collect()
+    }
+    assert brute, "brute tier must produce neighbors at sf0.1"
+    assert len(brute & ivf) / len(brute) >= 0.6
+    assert len(brute & lsh) / len(brute) >= 0.5

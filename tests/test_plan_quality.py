@@ -201,6 +201,11 @@ def test_partition_pruning_on_receipt_lake(spark, tmp_path):
 _SHUFFLE_BUDGET_DEFAULT = 2
 _SHUFFLE_BUDGET = {
     "q21_waiting_suppliers": 6,  # two derived facts + semi + anti + agg
+    # four bandings × (bucket groupBy + pair distinct + truth join) +
+    # the exact-jaccard truth subtree — it IS four LSH plans plus a
+    # brute-force verifier in one diagnostic query; signature and
+    # truth tables are checkpointed so nothing upstream re-shuffles
+    "dedup_minhash_banding_sweep": 20,
     "dedup_minhash_lsh": 5,  # spread + band join + candidate dedup + verify
     "dedup_minhash_lsh_dfcap": 5,  # same shape; banned-set agg hides behind its checkpoint
     "dedup_ngram_jaccard": 5,  # spread + inverted-index join + 2 size joins
