@@ -862,3 +862,152 @@ def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size("postings").alias("postings_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the rewrite stage text_pii_scan's doc promises)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH r AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(coalesce(text, ''),
+                                      '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g'),
+                   '{_IDLIKE_RE}', '<ID>', 'g') AS red,
+               len(regexp_extract_all(coalesce(text, ''), '{_EMAIL_RE}'))
+               + len(regexp_extract_all(coalesce(text, ''), '{_PHONE_RE}'))
+               + len(regexp_extract_all(coalesce(text, ''), '{_IDLIKE_RE}'))
+                   AS n_red
+        FROM documents)
+    SELECT doc_id,
+           CAST(n_red AS INTEGER) AS n_redactions,
+           md5(red)               AS redacted_fingerprint,
+           n_red > 0              AS changed
+    FROM r
+    """,
+    doc=(
+        "PII redaction: the rewrite stage over text_pii_scan's match "
+        "surface — email, phone and SSN-shaped spans replaced by typed "
+        "placeholders in one chained regexp_replace projection (scan "
+        "speed, no shuffle, trivially parallel at 100 TB). The redacted "
+        "text is value-checked via its md5 so the driver hash stays "
+        "compact; the literal-string behavior (overlaps, placement, "
+        "multi-hit docs) is pinned by the unit test on crafted rows."
+    ),
+    tags=("text", "safety"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fintech_etl_spark.operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    text = F.coalesce(F.col("text"), F.lit(""))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IDLIKE_RE,
+        "<ID>",
+    )
+    n = lambda pat: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+    n_red = n(_EMAIL_RE) + n(_PHONE_RE) + n(_IDLIKE_RE)
+    return docs.select(
+        "doc_id",
+        n_red.cast("int").alias("n_redactions"),
+        F.md5(red).alias("redacted_fingerprint"),
+        (n_red > 0).alias("changed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate report (CCNet-style df-based common-span detection)
+# ---------------------------------------------------------------------------
+
+_BOILER_N = 5  # word n-gram width for boilerplate detection
+
+
+def _boilerplate_oracle() -> str:
+    from fintech_etl_spark.operators.dedup import _DF_CAP_FRACTION, _shingle_sql
+
+    return f"""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+               FROM documents
+               WHERE text IS NOT NULL AND trim(text) <> ''),
+    sh AS (SELECT doc_id, {_shingle_sql(_BOILER_N)} AS s FROM w),
+    e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    nd AS (SELECT count(*) AS n_docs FROM w),
+    dfc AS (SELECT g, count(*) AS df FROM e GROUP BY g),
+    b AS (SELECT coalesce(list(g), []) AS banned
+          FROM dfc CROSS JOIN nd
+          WHERE df > greatest(2, CAST(floor(n_docs * {_DF_CAP_FRACTION}) AS BIGINT)))
+    SELECT doc_id,
+           CAST(len(s) AS INTEGER) AS n_grams,
+           CAST(len(list_intersect(s, banned)) AS INTEGER) AS n_boiler,
+           round(len(list_intersect(s, banned)) * 1.0
+                 / greatest(len(s), 1), 4) AS boilerplate_ratio
+    FROM sh CROSS JOIN b
+    """
+
+
+@register(
+    "text_boilerplate_report",
+    _boilerplate_oracle(),
+    doc=(
+        "CCNet-style boilerplate detector: word 5-grams whose document "
+        "frequency exceeds max(2, 1% of docs) are boilerplate (nav "
+        "chrome, license headers, templated footers); each doc reports "
+        "how much of its distinct-gram surface is boilerplate — the "
+        "signal corpus builders threshold on before training. Same "
+        "bounded-banned-set shape as dedup_minhash_lsh_dfcap: the df "
+        "aggregation is the only shuffle, the banned set collapses to "
+        "ONE broadcast array (Σdf bounds its size at ~n-grams/1% "
+        "regardless of corpus size), and the per-doc intersect runs at "
+        "scan speed."
+    ),
+    tags=("text", "quality", "skew"),
+)
+def text_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fintech_etl_spark.operators.dedup import (
+        _DF_CAP_FRACTION,
+        spread,
+        with_shingles,
+    )
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.trim("text") != "")
+        )
+    )
+    sh = with_shingles(docs, _BOILER_N)
+    e = sh.select(F.explode_outer("s").alias("g")).filter(F.col("g").isNotNull())
+    cap = F.greatest(
+        F.lit(2).cast("long"),
+        F.floor(F.col("n_docs") * F.lit(_DF_CAP_FRACTION)).cast("long"),
+    )
+    banned_arr = (
+        e.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs"))))
+        .filter(F.col("df") > cap)
+        # collect_list over zero rows still yields one row with [] —
+        # no coalesce needed on the Spark side (the oracle's list()
+        # returns NULL on empty input, hence its coalesce)
+        .agg(F.collect_list("g").alias("banned"))
+        .localCheckpoint(eager=False)
+    )
+    boiler = F.size(F.array_intersect("s", "banned"))
+    return sh.crossJoin(F.broadcast(banned_arr)).select(
+        "doc_id",
+        F.size("s").cast("int").alias("n_grams"),
+        boiler.cast("int").alias("n_boiler"),
+        F.round(boiler / F.greatest(F.size("s"), F.lit(1)), 4).alias(
+            "boilerplate_ratio"
+        ),
+    )

@@ -17,8 +17,8 @@ def test_registry_complete_and_importable():
     # EXACT pin (not a floor): a silent drop means an operator module
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
-    assert len(specs) == 145
-    assert sum(1 for s in specs.values() if s.oracle is not None) == 144
+    assert len(specs) == 147
+    assert sum(1 for s in specs.values() if s.oracle is not None) == 146
     # every family present
     for family in ("dedup_", "ann_", "media_", "q1_", "window_", "text_stats"):
         assert any(n.startswith(family) for n in specs), family
@@ -694,3 +694,66 @@ def test_ivf_and_lsh_recall_at_sweep_scale(spark):
     assert brute, "brute tier must produce neighbors at sf0.1"
     assert len(brute & ivf) / len(brute) >= 0.6
     assert len(brute & lsh) / len(brute) >= 0.5
+
+
+def test_pii_redaction_literal_behavior(spark):
+    """The registered query hashes the redacted text (driver-hash
+    compactness); the literal replacement behavior is pinned here on
+    crafted rows — every category replaced everywhere it appears,
+    non-PII text untouched."""
+    from pyspark.sql import functions as F
+
+    from fintech_etl_spark.operators.text_analysis import (
+        _EMAIL_RE,
+        _IDLIKE_RE,
+        _PHONE_RE,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@corp.example.com or 555-123-4567 now"),
+            (2, "ssn 123-45-6789 twice 123-45-6789"),
+            (3, "no pii here at all"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    text = F.coalesce(F.col("text"), F.lit(""))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _IDLIKE_RE,
+        "<ID>",
+    )
+    got = {r.doc_id: r.red for r in rows.select("doc_id", red.alias("red")).collect()}
+    assert got[1] == "contact <EMAIL> or <PHONE> now"
+    assert got[2] == "ssn <ID> twice <ID>"
+    assert got[3] == "no pii here at all"
+    assert got[4] == ""
+
+
+def test_boilerplate_report_flags_common_grams(spark):
+    """Docs sharing a templated 5-gram above the df cap must show a
+    positive boilerplate ratio; a unique doc must show zero. Runs the
+    REGISTERED operator against a throwaway parquet dir so the banned
+    set derives from the data under test."""
+    import os
+
+    from fintech_etl_spark.operators.text_analysis import text_boilerplate_report
+
+    # the report derives its cap from corpus size: cap = max(2, 1%·n),
+    # so with 300+ docs sharing one template gram it is always banned
+    tpl = "all rights reserved by corp"
+    rows = [(i, f"{tpl} unique{i} filler{i} words{i} here{i} pad{i}") for i in range(300)]
+    rows.append((999, "completely original content with no shared spans at all"))
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in text_boilerplate_report(spark, d).collect()}
+    assert got[999].n_boiler == 0 and got[999].boilerplate_ratio == 0.0
+    assert all(got[i].n_boiler >= 1 for i in range(300))
+    assert all(got[i].boilerplate_ratio > 0 for i in range(300))
