@@ -332,18 +332,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    # In-bucket pair generation — same shape as the dfcap variant: one
+    # groupBy shuffle, pairs generated inside the bucket's task.
     cand = (
-        ba.join(bb, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("m"))
+        .filter(F.size("m") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (x, i) -> "
+                    "transform(slice(m, i + 2, size(m) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
-    # Exact verification on candidates only.
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    # Exact verification on candidates only: re-shingle JUST the docs
+    # that appear in a candidate pair (broadcast semi on 8-byte ids)
+    # instead of replanning the full-corpus shingling for each side.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    needed = with_shingles(docs.join(F.broadcast(cand_ids), "doc_id", "semi"), 3)
+    sa = needed.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = needed.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     jac = inter / union

@@ -215,15 +215,23 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     buckets_udf = pandas_udf(_buckets, "array<long>")
 
+    # ONE Arrow/Python pass over the corpus, checkpointed (vec_id, u,
+    # 12 packed bucket ids — tiny); query side is a filter of the same
+    # materialized table, so the UDF doesn't run a second time and the
+    # band explode happens JVM-side on both branches.
+    packed = unit.select(
+        "vec_id", "u", buckets_udf(F.col("u")).alias("bks")
+    ).localCheckpoint(eager=False)
+
     def with_buckets(df: DataFrame, idcol: str) -> DataFrame:
         return df.select(
             F.col("vec_id").alias(idcol),
             F.col("u").alias(f"{idcol}_u"),
-            F.posexplode(buckets_udf(F.col("u"))).alias("band", "bucket"),
+            F.posexplode("bks").alias("band", "bucket"),
         )
 
-    corpus = with_buckets(unit, "neighbor_id")
-    queries = with_buckets(unit.filter(F.col("vec_id") < _N_QUERIES), "query_id")
+    corpus = with_buckets(packed, "neighbor_id")
+    queries = with_buckets(packed.filter(F.col("vec_id") < _N_QUERIES), "query_id")
 
     # Score candidates straight off the bucket join — a pair colliding
     # in k bands is scored k times (k ≤ 3 in practice), then deduped on
