@@ -64,3 +64,95 @@ def test_hash64_null_propagates(spark):
     df = spark.createDataFrame([(None,), ("x",)], "x string")
     rows = df.select(hash64("x", seed=1).alias("h")).collect()
     assert [r.h is None for r in rows] == [True, False]
+
+
+def _py_hash64(t: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+
+def test_simhash_hof_matches_python_reference(spark):
+    """The round-4 single-fold SimHash (no explode, no groupBy) must
+    reproduce the straightforward per-token Python computation exactly
+    — the fast path earns no correctness discount. Random token lists
+    plus adversarial shapes (single token, repeated token, empty-string
+    token, unicode)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fintech_etl_spark.operators.dedup import (
+        _SIMHASH_BITS,
+        simhash_fingerprints,
+    )
+
+    rng = random.Random(7)
+    vocab = ["tok%d" % i for i in range(50)] + ["ü√é", "", "x"]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 40))))
+        for i in range(40)
+    ]
+    docs += [(100, "solo"), (101, "dup dup dup dup"), (102, "ü√é ü√é x")]
+
+    def py_sim(text: str) -> int:
+        toks = text.lower().strip().split()
+        votes = [0] * _SIMHASH_BITS
+        for t in toks:
+            h = _py_hash64(t)
+            for i in range(_SIMHASH_BITS):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(_SIMHASH_BITS) if votes[i] > 0)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.sim
+        for r in simhash_fingerprints(
+            df, F.split(F.lower(F.trim("text")), r"\s+")
+        ).collect()
+    }
+    # NB: python split() drops empty strings; spark split keeps them —
+    # build the expected values from the SAME token lists spark sees
+    import re
+
+    want = {}
+    for i, text in docs:
+        toks = re.split(r"\s+", text.lower().strip())
+        votes = [0] * _SIMHASH_BITS
+        for t in toks:
+            h = _py_hash64(t)
+            for b in range(_SIMHASH_BITS):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        want[i] = sum(1 << b for b in range(_SIMHASH_BITS) if votes[b] > 0)
+    assert got == want
+
+
+def test_minhash_hof_matches_python_reference(spark):
+    """The single-pass 64-slot minhash fold must equal the naive
+    per-permutation Python minimum over xxhash64(shingle, seed)."""
+    from pyspark.sql import functions as F
+
+    from fintech_etl_spark.operators.dedup import minhash_signature
+
+    rows = [
+        (1, ["a b c", "b c d", "c d e"]),
+        (2, ["x y z"]),
+        (3, ["a b c", "a b c"]),  # duplicate element
+        (4, ["ü ü ü", ""]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s array<string>")
+    got = {r.doc_id: list(r.sig) for r in df.select(
+        "doc_id", minhash_signature("s").alias("sig")).collect()}
+    # reference: spark's own xxhash64 per (shingle, seed), min per seed
+    def perm_min(seed: int):
+        # one-arg lambda on purpose: a two-arg transform lambda would
+        # receive the ELEMENT INDEX as its second argument and silently
+        # shadow the seed
+        return F.array_min(F.transform("s", lambda g: F.xxhash64(g, F.lit(seed))))
+
+    ref_rows = df.select(
+        "doc_id",
+        F.array(*[perm_min(i) for i in range(64)]).alias("sig"),
+    ).collect()
+    want = {r.doc_id: list(r.sig) for r in ref_rows}
+    assert got == want
