@@ -743,3 +743,248 @@ def ann_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance (the FAISS-style scale stack)
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = 8  # subspaces: 64-dim → 8 × 8-dim
+_PQ_SUBDIM = _DIM // _PQ_SUBS
+_PQ_K = 16  # centroids per subspace codebook → a 4-bit code per subspace
+_PQ_ITERS = 2  # fixed Lloyd rounds per codebook (deterministic unroll)
+
+_PQ_ITER_SQL = """
+    pd{i} AS (SELECT s.vec_id, s.sub, s.sv, c.cell,
+                 list_aggregate(list_transform(generate_series(1, {sd}),
+                     j -> (s.sv[j] - c.centroid[j]) * (s.sv[j] - c.centroid[j])),
+                     'sum') AS dist
+           FROM subs s JOIN pc{prev} c ON c.sub = s.sub),
+    pa{i} AS (SELECT vec_id, sub, sv, cell, dist FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                            ORDER BY dist, cell) AS rn
+               FROM pd{i}) t WHERE rn = 1),
+    pe{i} AS (SELECT sub, cell, j, avg(x) AS m
+           FROM (SELECT sub, cell, unnest(sv) AS x,
+                        generate_subscripts(sv, 1) AS j
+                 FROM pa{i}) u
+           GROUP BY sub, cell, j),
+    pc{i} AS (SELECT sub, cell, list(m ORDER BY j) AS centroid
+              FROM pe{i} GROUP BY sub, cell)"""
+
+
+def _pq_ctes() -> str:
+    """v → per-(vec, subspace) slices → deterministic per-sub init →
+    unrolled grouped Lloyd rounds. ALL {subs} codebooks train in the
+    same relational rounds — subspace is just another grouping key."""
+    rounds = ",".join(
+        _PQ_ITER_SQL.format(i=i, prev=i - 1, sd=_PQ_SUBDIM)
+        for i in range(1, _PQ_ITERS + 1)
+    )
+    return f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT vec_id, sub,
+                    list_slice(v, sub * {_PQ_SUBDIM} + 1,
+                               sub * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sv
+             FROM v CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_SUBS - 1}))
+                                AS sub) sx),
+    pc0 AS (SELECT sub,
+                   CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id)
+                        AS INTEGER) AS cell,
+                   sv AS centroid
+            FROM (SELECT * FROM subs
+                  WHERE vec_id IN (SELECT vec_id FROM v
+                                   ORDER BY vec_id LIMIT {_PQ_K})) q),
+    {rounds}"""
+
+
+_PQ_CAND = 50  # ADC shortlist size fed to the exact re-rank
+
+
+def _pq_adc_oracle() -> str:
+    it = _PQ_ITERS
+    return f"""
+    WITH {_pq_ctes()},
+    qt AS (SELECT q.vec_id AS query_id, c.sub, c.cell,
+                  list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+                      j -> (q.sv[j] - c.centroid[j]) * (q.sv[j] - c.centroid[j])),
+                      'sum') AS tdist
+           FROM subs q JOIN pc{it} c ON c.sub = q.sub
+           WHERE q.vec_id < {_N_QUERIES}),
+    sc AS (SELECT qt.query_id, n.vec_id AS neighbor_id,
+                  round(sum(qt.tdist), 4) AS approx_dist
+           FROM pa{it} n JOIN qt ON qt.sub = n.sub AND qt.cell = n.cell
+           WHERE n.vec_id <> qt.query_id
+           GROUP BY qt.query_id, n.vec_id),
+    shortlist AS (SELECT query_id, neighbor_id, approx_dist FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY approx_dist, neighbor_id) AS crank
+                    FROM sc) t WHERE crank <= {_PQ_CAND}),
+    ex AS (SELECT s.query_id, s.neighbor_id, s.approx_dist,
+                  round(list_aggregate(list_transform(generate_series(1, {_DIM}),
+                      j -> (vq.v[j] - vn.v[j]) * (vq.v[j] - vn.v[j])),
+                      'sum'), 4) AS dist
+           FROM shortlist s
+           JOIN v vq ON vq.vec_id = s.query_id
+           JOIN v vn ON vn.vec_id = s.neighbor_id),
+    r AS (SELECT query_id, neighbor_id, approx_dist, dist,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+          FROM ex)
+    SELECT query_id, neighbor_id, approx_dist, dist, rank
+    FROM r WHERE rank <= {_TOP_K}
+    """
+
+
+def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train all {_PQ_SUBS} product-quantization codebooks in one set of
+    distributed Lloyd rounds (subspace is a grouping key, NOT a Python
+    loop): returns ``(codebooks(sub, cell, centroid), codes(vec_id,
+    sub, cell))``. Deterministic init (each subspace seeds from the
+    {_PQ_K} lowest vec_ids' slices) mirrors :func:`kmeans_fit`. Per
+    iteration: one broadcast of ≤ subs·k tiny centroids, one corpus
+    pass for argmin, one (sub, cell, dim)-keyed mean — the corpus
+    itself never shuffles."""
+    from pyspark.sql import Window as W
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+                    )
+                    for s in range(_PQ_SUBS)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.sub", "x.sv")
+
+    seed_ids = vecs.orderBy("vec_id").limit(_PQ_K).select("vec_id")
+    cent = (
+        subs.join(F.broadcast(seed_ids), "vec_id", "semi")
+        .withColumn(
+            "cell",
+            F.row_number().over(W.partitionBy("sub").orderBy("vec_id")),
+        )
+        .select("sub", "cell", F.col("sv").alias("centroid"))
+        .localCheckpoint()
+    )
+    assign = None
+    for _ in range(_PQ_ITERS):
+        scored = subs.join(F.broadcast(cent), "sub").select(
+            "vec_id",
+            "sub",
+            "sv",
+            "cell",
+            _sq_dist(F.col("sv"), F.col("centroid")).alias("dist"),
+        )
+        assign = (
+            scored.groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("dist", "cell", "sv")).alias("best"))
+            .select(
+                "vec_id",
+                "sub",
+                F.col("best.cell").alias("cell"),
+                F.col("best.sv").alias("sv"),
+            )
+            .localCheckpoint()
+        )
+        cent = (
+            assign.select("sub", "cell", F.posexplode("sv").alias("i", "x"))
+            .groupBy("sub", "cell", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+            .select(
+                "sub", "cell", F.transform("im", lambda s: s["m"]).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+    return cent, assign.select("vec_id", "sub", "cell")
+
+
+@register(
+    "ann_pq_adc",
+    _pq_adc_oracle(),
+    doc=(
+        "Product quantization + asymmetric distance computation, the "
+        "FAISS-style memory-scale stack: 8 trained 16-centroid "
+        "codebooks compress each 64-dim vector to 8 four-bit codes "
+        "(64 bytes → 4), and a query scores the WHOLE corpus from a "
+        "broadcast query×sub×cell distance table joined to the code "
+        "table — per-neighbor cost is 8 table lookups + a sum, never a "
+        "64-dim dot. The ADC shortlist (top-50) then gets an exact "
+        "L2 re-rank on raw vectors, the FAISS refine step — only "
+        "50 full vectors per query are ever read back. All codebooks "
+        "train in the same grouped Lloyd rounds (subspace is a "
+        "grouping key, not a loop over trainings); the entire pipeline "
+        "— training, encoding, ADC shortlist, exact re-rank — is "
+        "value-checked against a DuckDB replay of the identical "
+        "unrolled algorithm."
+    ),
+    tags=("similarity", "topk", "iterative", "quantization"),
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, codes = pq_fit(emb)
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qsubs = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("qsv"),
+                    )
+                    for s in range(_PQ_SUBS)
+                ]
+            )
+        ).alias("x"),
+    ).select("query_id", "x.sub", "x.qsv")
+    # the ADC table: queries × subs × cells, ≤ 10·8·16 rows → broadcast
+    qtab = qsubs.join(F.broadcast(cent), "sub").select(
+        "query_id",
+        "sub",
+        "cell",
+        _sq_dist(F.col("qsv"), F.col("centroid")).alias("tdist"),
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["sub", "cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("tdist"), 4).alias("approx_dist"))
+    )
+    w = W.partitionBy("query_id")
+    shortlist = scored.withColumn(
+        "crank",
+        F.row_number().over(w.orderBy(F.col("approx_dist").asc(), "neighbor_id")),
+    ).filter(F.col("crank") <= _PQ_CAND)
+    # exact refine: only the shortlist's raw vectors come back
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    exact = (
+        shortlist.join(F.broadcast(qv.filter(F.col("query_id") < _N_QUERIES)), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_dist",
+            F.round(_sq_dist(F.col("qv"), F.col("nv")), 4).alias("dist"),
+        )
+    )
+    return (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(w.orderBy(F.col("dist").asc(), "neighbor_id")),
+        )
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "approx_dist", "dist", "rank")
+    )

@@ -17,8 +17,8 @@ def test_registry_complete_and_importable():
     # EXACT pin (not a floor): a silent drop means an operator module
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
-    assert len(specs) == 147
-    assert sum(1 for s in specs.values() if s.oracle is not None) == 146
+    assert len(specs) == 148
+    assert sum(1 for s in specs.values() if s.oracle is not None) == 147
     # every family present
     for family in ("dedup_", "ann_", "media_", "q1_", "window_", "text_stats"):
         assert any(n.startswith(family) for n in specs), family
@@ -757,3 +757,33 @@ def test_boilerplate_report_flags_common_grams(spark):
     assert got[999].n_boiler == 0 and got[999].boilerplate_ratio == 0.0
     assert all(got[i].n_boiler >= 1 for i in range(300))
     assert all(got[i].boilerplate_ratio > 0 for i in range(300))
+
+
+def test_pq_adc_refine_recall(spark):
+    """PQ is lossy by design (8×4-bit codes for 64 random dims is the
+    adversarial case — no cluster structure to exploit), so the
+    operator's value is the ADC-shortlist + exact-refine composition.
+    Floor the refined recall@5 vs exact L2 at both smoke and sweep
+    scale (measured 0.88 / 0.64)."""
+    import duckdb
+    import numpy as np
+
+    from fintech_etl_spark.operators.similarity import ann_pq_adc
+
+    for sf, floor in ((SF_SMOKE, 0.7), ("/root/testdata/sf0.1", 0.5)):
+        rows = duckdb.sql(
+            f"select vec_id, embedding from read_parquet('{sf}/embeddings.parquet')"
+        ).fetchall()
+        ids = np.array([r[0] for r in rows])
+        V = np.array([r[1] for r in rows], dtype=np.float64)
+        exact = {}
+        for q in range(10):
+            qi = np.where(ids == q)[0][0]
+            d = ((V - V[qi]) ** 2).sum(axis=1)
+            order = sorted((dd, int(i)) for dd, i in zip(d, ids) if i != q)
+            exact[q] = {i for _, i in order[:5]}
+        got: dict[int, set] = {}
+        for r in ann_pq_adc(spark, sf).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact[q] & got.get(q, set())) for q in range(10))
+        assert hits / 50 >= floor, (sf, hits / 50)
