@@ -59,6 +59,13 @@ HEADLINE = (
     # appended r3, third wave: end-to-end build + binary-kernel dedup
     "corpus_build_manifest",
     "media_phash_dedup",
+    # appended r4: safety rewrite, boilerplate detection, and the
+    # PQ train→encode→ADC→refine pipeline (the heaviest single query —
+    # it is a full index build plus a search, kept headline because
+    # that IS the production shape)
+    "text_pii_redact",
+    "text_boilerplate_report",
+    "ann_pq_adc",
 )
 
 

@@ -871,7 +871,7 @@ def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.row_number().over(W.partitionBy("sub").orderBy("vec_id")),
         )
         .select("sub", "cell", F.col("sv").alias("centroid"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     assign = None
     for _ in range(_PQ_ITERS):
@@ -891,7 +891,7 @@ def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
                 F.col("best.cell").alias("cell"),
                 F.col("best.sv").alias("sv"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cent = (
             assign.select("sub", "cell", F.posexplode("sv").alias("i", "x"))
@@ -902,7 +902,7 @@ def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             .select(
                 "sub", "cell", F.transform("im", lambda s: s["m"]).alias("centroid")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return cent, assign.select("vec_id", "sub", "cell")
 
