@@ -89,13 +89,25 @@ def start_corpus_intake(
     checkpoint_dir: str,
     *,
     max_files_per_trigger: int = 32,
+    redact_pii: bool = False,
+    min_chars: int = 0,
 ) -> StreamingQuery:
     """Watch ``landing_glob`` for JSONL document files; append novel
     (no exact or near duplicate already seen) documents to
     ``corpus_dir`` and their (fp, sim) fingerprints to
     ``fingerprints_dir``. Returns the started query (``availableNow``
     drains pending files then stops — call repeatedly for cron-style
-    intake, or swap the trigger for continuous)."""
+    intake, or swap the trigger for continuous).
+
+    Optional production stages, applied BEFORE fingerprinting so two
+    docs differing only in PII or trailing junk dedup as one:
+
+    - ``redact_pii`` — the same email/phone/SSN rewrite as the batch
+      ``text_pii_redact`` operator; the corpus stores redacted text.
+    - ``min_chars`` — quality gate: drop docs whose (post-redaction)
+      text is shorter; the reject never fingerprints, so a later
+      longer version of the same doc is not shadowed.
+    """
     from fintech_etl_spark.schemas import STAR_SCHEMAS
 
     incoming = (
@@ -108,6 +120,31 @@ def start_corpus_intake(
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if redact_pii:
+            from fintech_etl_spark.operators.text_analysis import (
+                _EMAIL_RE,
+                _IDLIKE_RE,
+                _PHONE_RE,
+            )
+
+            red = F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.coalesce(F.col("text"), F.lit("")),
+                        _EMAIL_RE,
+                        "<EMAIL>",
+                    ),
+                    _PHONE_RE,
+                    "<PHONE>",
+                ),
+                _IDLIKE_RE,
+                "<ID>",
+            )
+            batch_df = batch_df.withColumn("text", red)
+        if min_chars > 0:
+            batch_df = batch_df.filter(
+                F.length(F.coalesce(F.col("text"), F.lit(""))) >= min_chars
+            )
         batch = _fingerprint(batch_df)
         # within-batch exact dedup first: one doc per fingerprint (min
         # doc_id, deterministic), so a batch containing its own

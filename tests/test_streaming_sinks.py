@@ -576,3 +576,55 @@ def test_streaming_near_dup_matches_batch_verdict(spark, tmp_path):
     fprows = spark.read.parquet(fpdir)
     assert set(fprows.columns) == {"fp", "sim"}
     assert fprows.count() == 3
+
+
+def test_streaming_intake_redaction_and_quality_gate(spark, tmp_path):
+    """The optional production stages: PII is redacted BEFORE
+    fingerprinting (so two docs differing only in PII dedup as one and
+    the corpus never stores the raw span), and the min_chars gate drops
+    junk docs without poisoning the fingerprint table."""
+    import json as _json
+
+    from fintech_etl_spark.streaming.corpus import start_corpus_intake
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    fpdir = str(tmp_path / "fps")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "crawl",
+             "n_chars": len(text)}
+        )
+
+    filler = " ".join(f"pad{i}" for i in range(30))
+    (landing / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                doc(1, f"contact alice@example.com about {filler}"),
+                # same doc, different PII — must dedup as ONE after redaction
+                doc(2, f"contact bob@example.org about {filler}"),
+                doc(3, "tiny"),  # fails the quality gate
+                doc(4, f"clean document with no pii {filler}"),
+            ]
+        )
+        + "\n"
+    )
+    start_corpus_intake(
+        spark, str(landing), corpus, fpdir, ckpt, redact_pii=True, min_chars=20
+    ).awaitTermination()
+    got = {r.doc_id: r.text for r in spark.read.parquet(corpus).collect()}
+    assert set(got) == {1, 4}
+    assert got[1].startswith("contact <EMAIL> about ")
+    assert "alice" not in got[1]
+    # the rejected tiny doc left no fingerprint, so a longer revision
+    # of it lands later
+    (landing / "b2.jsonl").write_text(
+        doc(30, f"tiny but now grown into a real document {filler}") + "\n"
+    )
+    start_corpus_intake(
+        spark, str(landing), corpus, fpdir, ckpt, redact_pii=True, min_chars=20
+    ).awaitTermination()
+    assert 30 in {r.doc_id for r in spark.read.parquet(corpus).collect()}
