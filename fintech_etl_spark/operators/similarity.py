@@ -505,7 +505,7 @@ def kmeans_fit(
             F.row_number().over(W.orderBy("vec_id")).alias("cell"),
             F.col("v").alias("centroid"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     assign = None
     for _ in range(max_iter):
@@ -523,7 +523,7 @@ def kmeans_fit(
                 F.col("best.dist").alias("dist"),
                 F.col("best.v").alias("v"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cent = (
             assign.select("cell", F.posexplode("v").alias("i", "x"))
@@ -532,7 +532,7 @@ def kmeans_fit(
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
             .select("cell", F.transform("im", lambda s: s["m"]).alias("centroid"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return cent, assign.select("vec_id", "cell", "dist")
 
