@@ -1011,3 +1011,113 @@ def text_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boilerplate_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate funnel (per-stage attrition of the corpus filter chain)
+# ---------------------------------------------------------------------------
+
+_GATE_MIN_CHARS = 50
+_GATE_LANGS = ("en", "de", "fr", "es", "zh")
+_GATE_MIN_TTR = 0.3  # distinct-token / token floor (repetition gate)
+_GATE_MAX_DIGIT = 0.3  # digit-character ceiling
+
+
+@register(
+    "corpus_quality_funnel",
+    rf"""
+    WITH g AS (
+        SELECT (text IS NOT NULL AND trim(text) <> '') AS c1,
+               coalesce(n_chars, 0) >= {_GATE_MIN_CHARS} AS c2,
+               lang IN ({", ".join(f"'{l}'" for l in _GATE_LANGS)}) AS c3,
+               len(list_distinct(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'))) * 1.0
+                   / greatest(len(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')), 1)
+                   >= {_GATE_MIN_TTR} AS c4,
+               len(regexp_extract_all(coalesce(text, ''), '[0-9]')) * 1.0
+                   / greatest(coalesce(n_chars, 0), 1) <= {_GATE_MAX_DIGIT} AS c5
+        FROM documents),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS s0,
+                 CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                 CAST(sum(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+                 CAST(sum(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+                 CAST(sum(CASE WHEN c1 AND c2 AND c3 AND c4 AND c5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+          FROM g)
+    SELECT u.stage_no, u.stage, u.n_in, u.n_out,
+           u.n_in - u.n_out AS n_dropped,
+           round((u.n_in - u.n_out) * 1.0 / greatest(u.n_in, 1), 4) AS drop_pct
+    FROM f, LATERAL (VALUES
+        (1, 'has_text',       s0, s1),
+        (2, 'min_length',     s1, s2),
+        (3, 'known_lang',     s2, s3),
+        (4, 'low_repetition', s3, s4),
+        (5, 'digit_ratio',    s4, s5)) AS u(stage_no, stage, n_in, n_out)
+    """,
+    doc=(
+        "The corpus filter chain as a funnel: five conjunctive gates "
+        "(non-empty, length, language allowlist, type-token repetition "
+        "floor, digit-ratio ceiling) counted in ONE scan + ONE "
+        "aggregate — every per-doc gate boolean is a scan-fused "
+        "projection, the funnel is six conditional counts, and the "
+        "per-stage reshape happens on the single aggregate row. The "
+        "attrition report every corpus build reads before committing "
+        "to a gate config; at 100 TB its cost is exactly one pass."
+    ),
+    tags=("text", "quality", "corpus"),
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fintech_etl_spark.operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    c1 = F.col("text").isNotNull() & (F.trim("text") != "")
+    c2 = F.coalesce(F.col("n_chars"), F.lit(0)) >= _GATE_MIN_CHARS
+    c3 = F.col("lang").isin(*_GATE_LANGS)
+    c4 = (
+        F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+    ) >= _GATE_MIN_TTR
+    c5 = (
+        F.size(F.regexp_extract_all(text, F.lit("[0-9]"), F.lit(0)))
+        / F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1))
+    ) <= _GATE_MAX_DIGIT
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    f = docs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        cnt(c1).alias("s1"),
+        cnt(c1 & c2).alias("s2"),
+        cnt(c1 & c2 & c3).alias("s3"),
+        cnt(c1 & c2 & c3 & c4).alias("s4"),
+        cnt(c1 & c2 & c3 & c4 & c5).alias("s5"),
+    )
+    stages = f.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("stage_no"),
+                        F.lit(name).alias("stage"),
+                        F.col(f"s{i - 1}").alias("n_in"),
+                        F.col(f"s{i}").alias("n_out"),
+                    )
+                    for i, name in (
+                        (1, "has_text"),
+                        (2, "min_length"),
+                        (3, "known_lang"),
+                        (4, "low_repetition"),
+                        (5, "digit_ratio"),
+                    )
+                ]
+            )
+        ).alias("u")
+    ).select("u.*")
+    return stages.select(
+        "stage_no",
+        "stage",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        F.round(
+            (F.col("n_in") - F.col("n_out")) / F.greatest(F.col("n_in"), F.lit(1)), 4
+        ).alias("drop_pct"),
+    )
