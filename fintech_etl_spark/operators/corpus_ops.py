@@ -751,3 +751,66 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch plan — the training-run data recipe
+# ---------------------------------------------------------------------------
+
+_EPOCH_BUDGET_X = 2.0  # token budget = 2× the corpus (a "2-epoch" run)
+
+
+@register(
+    "corpus_epoch_plan",
+    f"""
+    WITH s AS (SELECT source,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      sum(n_chars) / 4.0 AS est_tokens
+               FROM documents GROUP BY source),
+    t AS (SELECT sum(power(n_docs, {_MIX_ALPHA})) AS z,
+                 sum(est_tokens) AS corpus_tokens
+          FROM s)
+    SELECT source,
+           n_docs,
+           round(est_tokens, 4) AS est_tokens,
+           round(power(n_docs, {_MIX_ALPHA}) / z, 4) AS temp_weight,
+           round(corpus_tokens * {_EPOCH_BUDGET_X} * (power(n_docs, {_MIX_ALPHA}) / z), 4)
+               AS effective_tokens,
+           round(corpus_tokens * {_EPOCH_BUDGET_X} * (power(n_docs, {_MIX_ALPHA}) / z)
+                 / est_tokens, 4) AS epochs
+    FROM s CROSS JOIN t
+    """,
+    doc=(
+        "The training-run data recipe: given a token budget "
+        f"({_EPOCH_BUDGET_X}× the corpus) and temperature-scaled "
+        f"mixture weights (w_s ∝ n_s^{_MIX_ALPHA}), how many EPOCHS "
+        "of each source does the run actually consume? Low-resource "
+        "sources get upweighted past the average epoch count and "
+        "high-resource ones below it — the over/under-sampling table "
+        "every mixture decision is judged by (and the repetition-risk "
+        "signal: sources pushed past ~4 epochs start memorizing). "
+        "Tokens are estimated at 4 chars/token; one grouped scan, one "
+        "broadcast normalizer."
+    ),
+    tags=("corpus", "sampling"),
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars") / 4.0).alias("est_tokens"),
+    )
+    t = s.agg(
+        F.sum(F.pow("n_docs", F.lit(_MIX_ALPHA))).alias("z"),
+        F.sum("est_tokens").alias("corpus_tokens"),
+    )
+    w = F.pow("n_docs", F.lit(_MIX_ALPHA)) / F.col("z")
+    eff = F.col("corpus_tokens") * _EPOCH_BUDGET_X * w
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.round("est_tokens", 4).alias("est_tokens"),
+        F.round(w, 4).alias("temp_weight"),
+        F.round(eff, 4).alias("effective_tokens"),
+        F.round(eff / F.col("est_tokens"), 4).alias("epochs"),
+    )

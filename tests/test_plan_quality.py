@@ -218,6 +218,7 @@ _SHUFFLE_BUDGET = {
     "dq_expectations_report": 6,  # five independent scalar constraint aggregates + ref join
     "corpus_build_manifest": 4,  # md5-dedup agg+join, eval-gram agg, dirty-doc agg, budget window
     "corpus_temperature_weights": 3,  # per-source agg + broadcast normalizer agg (+its exchange)
+    "corpus_epoch_plan": 3,  # same shape: per-source agg + broadcast normalizer agg
     "events_key_skew_report": 3,  # per-key agg + totals agg + tiny global rank
     "corpus_dedup_survivors": 3,  # md5 agg + survivor join + component join
     "events_weekly_retention": 3,  # cohort + activity + join
