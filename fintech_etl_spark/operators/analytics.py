@@ -830,3 +830,38 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "agg_linreg_battery",
+    """
+    SELECT event_type,
+           CAST(regr_count(value, hour(ts)) AS BIGINT)       AS n,
+           round(regr_slope(value, hour(ts)), 4)             AS slope,
+           round(regr_intercept(value, hour(ts)), 4)         AS intercept,
+           round(regr_r2(value, hour(ts)), 4)                AS r2,
+           round(regr_avgx(value, hour(ts)), 4)              AS avg_hour,
+           round(regr_avgy(value, hour(ts)), 4)              AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Linear-regression aggregate battery (SQL:2003 regr_*): per "
+        "event type, OLS of event value against hour-of-day — slope, "
+        "intercept, R², and the regression means, all as single-pass "
+        "mergeable aggregates (sum/sum-of-products sketches per "
+        "partition, one reduce) — the time-of-day trend screen that "
+        "needs no ML library and shuffles one row per (group, stat)."
+    ),
+    tags=("agg", "stats"),
+)
+def agg_linreg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.hour("ts")
+    return ev.groupBy("event_type").agg(
+        F.regr_count("value", x).cast("long").alias("n"),
+        _r4(F.regr_slope("value", x)).alias("slope"),
+        _r4(F.regr_intercept("value", x)).alias("intercept"),
+        _r4(F.regr_r2("value", x)).alias("r2"),
+        _r4(F.regr_avgx("value", x)).alias("avg_hour"),
+        _r4(F.regr_avgy("value", x)).alias("avg_value"),
+    )
