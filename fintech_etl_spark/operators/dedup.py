@@ -959,8 +959,9 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs"))))
         .filter(F.col("df") > cap)
         .agg(F.collect_list("g").alias("banned"))
-        # one-row result; the checkpoint stops the three consumers of
-        # `capped` from each replanning the whole df-count subtree
+        # one-row result; the checkpoint stops its two consumers (the
+        # signature path's `capped` and the verify sides' candidate
+        # re-shingle) from each replanning the whole df-count subtree
         .localCheckpoint(eager=False)
     )
     capped = (
