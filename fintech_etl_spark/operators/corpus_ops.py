@@ -814,3 +814,103 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eff, 4).alias("effective_tokens"),
         F.round(eff / F.col("est_tokens"), 4).alias("epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature bucket count. 256 buckets keeps the weight table a
+#: guaranteed broadcast (256 rows regardless of vocabulary size) while
+#: still separating content words from boilerplate — the DSIR paper's
+#: insight is that bag-of-hashed-ngrams is enough signal for domain
+#: weighting, and the bucket count only trades variance, not scale.
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "corpus_dsir_weights",
+    rf"""
+    WITH d AS (SELECT doc_id, lang,
+                      string_split_regex(lower(trim(text)), '\s+') AS w
+               FROM documents
+               WHERE text IS NOT NULL AND trim(text) != ''),
+    tok AS (SELECT doc_id, lang, unnest(w) AS tk FROM d),
+    tk2 AS (SELECT doc_id,
+                   {hash64_sql('tk')} % {_DSIR_BUCKETS} AS b,
+                   lang = '{_DSIR_TARGET_LANG}' AS is_tgt
+            FROM tok WHERE tk != ''),
+    cnt AS (SELECT b,
+                   CAST(count(*) AS DOUBLE) AS c_raw,
+                   CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS DOUBLE) AS c_tgt
+            FROM tk2 GROUP BY b),
+    tot AS (SELECT sum(c_raw) AS raw_tot, sum(c_tgt) AS tgt_tot FROM cnt),
+    lw AS (SELECT b,
+                  ln((c_tgt + 1.0) / (tgt_tot + {_DSIR_BUCKETS}))
+                - ln((c_raw + 1.0) / (raw_tot + {_DSIR_BUCKETS})) AS lw
+           FROM cnt CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lw.lw), 4)     AS dsir_logweight
+    FROM tk2 JOIN lw USING (b) GROUP BY doc_id
+    """,
+    doc=(
+        "DSIR-style importance weights (Xie et al. 2023, 'Data "
+        "Selection via Importance Resampling'): per-document "
+        "log-likelihood ratio between a target domain (here the "
+        f"'{_DSIR_TARGET_LANG}' slice) and the raw corpus, under "
+        f"add-1-smoothed bag-of-hashed-unigrams with {_DSIR_BUCKETS} "
+        "buckets. The two feature distributions fall out of ONE "
+        "grouped count over the hashed token stream (target as a "
+        "conditional sum, no second scan), the per-bucket log-ratio "
+        f"table is {_DSIR_BUCKETS} rows — broadcast by construction at "
+        "any corpus size — and each doc's weight is a map-side join + "
+        "one doc_id aggregation. Docs with weight above a chosen "
+        "quantile feed corpus_budget_select; the md5-derived hash64 "
+        "makes the bucketing bit-identical in both engines."
+    ),
+    tags=("corpus", "selection", "agg"),
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == _DSIR_TARGET_LANG).alias("is_tgt"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tk"),
+    ).filter(F.col("tk") != "")
+    tk2 = tok.select(
+        "doc_id", (hash64("tk") % _DSIR_BUCKETS).alias("b"), "is_tgt"
+    )
+    cnt = (
+        tk2.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("c_raw"),
+            F.sum(F.when(F.col("is_tgt"), 1).otherwise(0))
+            .cast("double")
+            .alias("c_tgt"),
+        )
+        # two consumers (totals + ratios) — cut the replan of the
+        # token-hash aggregation
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.agg(
+        F.sum("c_raw").alias("raw_tot"), F.sum("c_tgt").alias("tgt_tot")
+    )
+    lw = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1.0) / (F.col("tgt_tot") + _DSIR_BUCKETS))
+            - F.log((F.col("c_raw") + 1.0) / (F.col("raw_tot") + _DSIR_BUCKETS))
+        ).alias("lw"),
+    )
+    return (
+        tk2.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lw"), 4).alias("dsir_logweight"),
+        )
+    )

@@ -403,3 +403,53 @@ def events_ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "n_buyers",
     )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+    t AS (SELECT prev, event_type AS cur, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+    SELECT prev, cur, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev), 4) AS p
+    FROM t
+    """,
+    doc=(
+        "First-order Markov transition matrix of per-user event "
+        "sequences: lag over (user_id, event-time) pairs consecutive "
+        "event types, then transition counts normalize to P(next|cur) "
+        "per source state. ONE shuffle on user_id for the lag; the "
+        "count table is |event_types|² rows, so the normalizing window "
+        "is driver-trivial at any corpus size. Ties in event time "
+        "break on event_id so both engines pair identically. The "
+        "behavioral-model primitive behind next-action prediction and "
+        "anomalous-session scoring."
+    ),
+    tags=("events", "window", "agg"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    t = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return t.select(
+        "prev",
+        "cur",
+        "n",
+        _r4(F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("prev"))).alias("p"),
+    )

@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "corpus_ops",
     "dedup",
     "events_analytics",
+    "graph_ops",
     "multimodal",
     "receipts_demo",
     "relational",

@@ -17,8 +17,8 @@ def test_registry_complete_and_importable():
     # EXACT pin (not a floor): a silent drop means an operator module
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
-    assert len(specs) == 152
-    assert sum(1 for s in specs.values() if s.oracle is not None) == 151
+    assert len(specs) == 156
+    assert sum(1 for s in specs.values() if s.oracle is not None) == 155
     # every family present
     for family in ("dedup_", "ann_", "media_", "q1_", "window_", "text_stats"):
         assert any(n.startswith(family) for n in specs), family
@@ -787,3 +787,90 @@ def test_pq_adc_refine_recall(spark):
             got.setdefault(r.query_id, set()).add(r.neighbor_id)
         hits = sum(len(exact[q] & got.get(q, set())) for q in range(10))
         assert hits / 50 >= floor, (sf, hits / 50)
+
+
+def test_pagerank_mass_conservation_and_hub_ordering(spark):
+    """Invariants the CTE oracle can't express as a value check: total
+    rank mass equals 1 (pr_norm averages to 1.0 over nodes), every
+    node keeps positive rank, and rank correlates positively with
+    degree (hubs outrank leaves on this co-purchase graph)."""
+    from fintech_etl_spark.operators.graph_ops import graph_copurchase_pagerank
+
+    rows = graph_copurchase_pagerank(spark, SF_SMOKE).collect()
+    assert rows, "co-purchase graph is empty at smoke scale"
+    n = len(rows)
+    assert abs(sum(r.pr_norm for r in rows) / n - 1.0) < 1e-3
+    assert all(r.pr_norm > 0 for r in rows)
+    by_deg = sorted(rows, key=lambda r: r.degree)
+    lo = [r.pr_norm for r in by_deg[: n // 4]]
+    hi = [r.pr_norm for r in by_deg[-(n // 4) :]]
+    assert sum(hi) / len(hi) > sum(lo) / len(lo)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Orientation-trick count vs an adjacency-set brute force on the
+    same support-filtered edges (feasible at smoke scale)."""
+    from itertools import combinations
+
+    from fintech_etl_spark.operators.graph_ops import (
+        copurchase_edges,
+        graph_triangle_clustering,
+    )
+
+    edges = {
+        (r.src, r.dst) for r in copurchase_edges(spark, SF_SMOKE).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for v, nb in adj.items()
+        for a, b in combinations(sorted(nb), 2)
+        if v < a and (a, b) in edges
+    )
+    row = graph_triangle_clustering(spark, SF_SMOKE).collect()[0]
+    assert row.n_triangles == brute
+    assert row.n_edges == len(edges)
+    assert 0.0 <= row.global_clustering <= 1.0
+
+
+def test_markov_rows_are_proper_distributions(spark):
+    """Each source state's outgoing probabilities sum to 1 (up to the
+    4-decimal rounding the cross-engine check pins)."""
+    from collections import defaultdict
+
+    from fintech_etl_spark.operators.events_analytics import (
+        events_markov_transitions,
+    )
+
+    by_prev = defaultdict(float)
+    for r in events_markov_transitions(spark, SF_SMOKE).collect():
+        assert 0.0 < r.p <= 1.0
+        by_prev[r.prev] += r.p
+    assert by_prev, "no transitions at smoke scale"
+    for prev, tot in by_prev.items():
+        assert abs(tot - 1.0) < 5e-3, (prev, tot)
+
+
+def test_dsir_weights_separate_target_language(spark):
+    """The whole point of the weights: target-language docs must score
+    higher on average than off-target docs (token-length normalized,
+    since the weight is a sum over tokens)."""
+    import duckdb
+
+    from fintech_etl_spark.operators.corpus_ops import corpus_dsir_weights
+
+    langs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        ).fetchall()
+    )
+    en, other = [], []
+    for r in corpus_dsir_weights(spark, SF_SMOKE).collect():
+        (en if langs[r.doc_id] == "en" else other).append(
+            r.dsir_logweight / r.n_tokens
+        )
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
