@@ -17,8 +17,8 @@ def test_registry_complete_and_importable():
     # EXACT pin (not a floor): a silent drop means an operator module
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
-    assert len(specs) == 156
-    assert sum(1 for s in specs.values() if s.oracle is not None) == 155
+    assert len(specs) == 157
+    assert sum(1 for s in specs.values() if s.oracle is not None) == 156
     # every family present
     for family in ("dedup_", "ann_", "media_", "q1_", "window_", "text_stats"):
         assert any(n.startswith(family) for n in specs), family
@@ -874,3 +874,35 @@ def test_dsir_weights_separate_target_language(spark):
         )
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_link_prediction_candidates_are_nonadjacent(spark):
+    """Every predicted pair must share ≥1 common neighbor, must NOT be
+    an existing edge, and the brute-force Adamic-Adar score over the
+    same capped centers must agree."""
+    import math
+
+    from fintech_etl_spark.operators.graph_ops import (
+        _AA_DEG_CAP,
+        copurchase_edges,
+        graph_link_prediction_aa,
+    )
+
+    edges = {(r.src, r.dst) for r in copurchase_edges(spark, SF_SMOKE).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = graph_link_prediction_aa(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert (r.part_a, r.part_b) not in edges
+        commons = {
+            v
+            for v in adj.get(r.part_a, set()) & adj.get(r.part_b, set())
+            if 2 <= len(adj[v]) <= _AA_DEG_CAP
+        }
+        assert len(commons) == r.common_neighbors
+        want = sum(1.0 / math.log(len(adj[v])) for v in commons)
+        assert abs(want - r.aa_score) < 5e-4
