@@ -226,6 +226,12 @@ _SHUFFLE_BUDGET = {
     "q11_part_value_concentration": 3,  # value agg + threshold + filter join
     "q15_top_supplier_by_revenue": 3,  # revenue view reused on both sides
     "text_top_bigrams_per_lang": 3,  # explode + count + rank
+    "events_markov_transitions": 3,  # user_id lag window + pair count + per-prev normalizer window
+    # orientation + wedge self-join on center + closing-edge join on the
+    # (t_a, t_b) pair + three scalar aggregates; all joins are on node
+    # ids and the wedge side is arboricity-bounded, so every exchange
+    # carries (id, id)-sized rows — count is high, bytes are tiny
+    "graph_triangle_clustering": 8,
 }
 
 
