@@ -22,7 +22,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 SESSION_GAP_S = 3600
 
 
-def read_events_stream(spark, sf_dir: str, max_files: int = 1) -> DataFrame:
+def read_events_stream(
+    spark, sf_dir: str, max_files: int = 1, glob: str = "events.parquet"
+) -> DataFrame:
     """Stream the events table (parquet file source) — used by tests to
     replay the batch testdata through the streaming operators.
 
@@ -40,7 +42,9 @@ def read_events_stream(spark, sf_dir: str, max_files: int = 1) -> DataFrame:
 
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, "events.parquet")
+    import glob as _glob
+
+    path = sorted(_glob.glob(os.path.join(sf_dir, glob)))[0]
     ts_type = pq.ParquetFile(path).schema_arrow.field("ts").type
     ts_unit = getattr(ts_type, "unit", "us")
 
@@ -52,7 +56,7 @@ def read_events_stream(spark, sf_dir: str, max_files: int = 1) -> DataFrame:
                 "value double, props string"
             )
             .option("maxFilesPerTrigger", max_files)
-            .option("pathGlobFilter", "events.parquet")
+            .option("pathGlobFilter", glob)
             .parquet(sf_dir)
         )
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -62,7 +66,7 @@ def read_events_stream(spark, sf_dir: str, max_files: int = 1) -> DataFrame:
             "value double, props string"
         )
         .option("maxFilesPerTrigger", max_files)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
 
@@ -230,4 +234,74 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
     """
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful first-order transitions (streaming twin of
+# operators/events_analytics.events_markov_transitions)
+# ---------------------------------------------------------------------------
+
+_TRANSITION_OUT_SCHEMA = "user_id long, prev string, cur string"
+_TRANSITION_STATE_SCHEMA = "last_type string"
+
+
+def _transitions_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit one (prev, cur) row per consecutive event pair for this
+    user. State is ONE string — the last event type seen — so the
+    file-boundary transition (last event of batch N → first of batch
+    N+1) is emitted exactly once, which a per-batch lag window cannot
+    do. Events sort by (ts, event_id) within the batch, the same tie
+    break as the batch operator."""
+    (user_id,) = key
+    rows: list[tuple[int, int, str]] = []
+    for pdf in pdfs:
+        for t, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+            rows.append((int(t.value), int(eid), str(et)))
+    rows.sort()
+    last = state.get[0] if state.exists else None
+    prevs: list[str] = []
+    curs: list[str] = []
+    for _, _, et in rows:
+        if last is not None:
+            prevs.append(last)
+            curs.append(et)
+        last = et
+    if rows:
+        state.update((last,))
+    if prevs:
+        yield pd.DataFrame(
+            {"user_id": [user_id] * len(prevs), "prev": prevs, "cur": curs}
+        )
+
+
+def markov_transitions_stateful(events: DataFrame) -> DataFrame:
+    """Per-user event-type transitions on an unbounded stream
+    (applyInPandasWithState). The batch twin is a lag window; on a
+    stream the lag must survive micro-batch boundaries, so the last
+    type per user lives in keyed state — O(users) strings, partitioned
+    by user_id across executors, no timeout (a quiet user just holds
+    one string until their next event). Downstream transition-matrix
+    aggregation composes as a normal streaming groupBy on the output.
+
+    Contract: per-user event-time order across micro-batches (the
+    intake path's time-partitioned landing guarantees it); an
+    out-of-order straggler would append its transition in processing
+    order rather than re-splicing history — same trade every
+    last-value-state operator makes.
+    """
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transitions_fn,
+            outputStructType=_TRANSITION_OUT_SCHEMA,
+            stateStructType=_TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -628,3 +628,62 @@ def test_streaming_intake_redaction_and_quality_gate(spark, tmp_path):
         spark, str(landing), corpus, fpdir, ckpt, redact_pii=True, min_chars=20
     ).awaitTermination()
     assert 30 in {r.doc_id for r in spark.read.parquet(corpus).collect()}
+
+
+def test_streaming_transitions_match_batch_markov(spark, tmp_path):
+    """The stateful streaming transitions, replayed over the events
+    table split into two time-half files (one micro-batch each), must
+    reproduce the batch lag-window transition counts EXACTLY — the
+    file-boundary transition per user only exists if keyed state
+    carried the last event type across micro-batches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fintech_etl_spark.operators.events_analytics import (
+        events_markov_transitions,
+    )
+    from fintech_etl_spark.sources.tables import load_table
+    from fintech_etl_spark.streaming.events import (
+        markov_transitions_stateful,
+        read_events_stream,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5)").alias("c")
+    ).collect()[0].c
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, half in enumerate(
+        (
+            ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) <= cut),
+            ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) > cut),
+        )
+    ):
+        pdf = half.orderBy("ts", "event_id").toPandas()
+        path = str(src / f"events_{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        # deterministic source ordering: batch i+1 strictly newer
+        os.utime(path, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = read_events_stream(spark, str(src), glob="events_*.parquet")
+    q = (
+        markov_transitions_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("transitions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got: dict[tuple[str, str], int] = {}
+    for r in spark.sql("select * from transitions_stream").collect():
+        got[(r.prev, r.cur)] = got.get((r.prev, r.cur), 0) + 1
+    want = {
+        (r.prev, r.cur): r.n
+        for r in events_markov_transitions(spark, SF_SMOKE).collect()
+    }
+    assert got == want
