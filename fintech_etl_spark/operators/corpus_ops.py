@@ -829,9 +829,7 @@ _DSIR_BUCKETS = 256
 _DSIR_TARGET_LANG = "en"
 
 
-@register(
-    "corpus_dsir_weights",
-    rf"""
+_DSIR_WEIGHTS_SQL = rf"""
     WITH d AS (SELECT doc_id, lang,
                       string_split_regex(lower(trim(text)), '\s+') AS w
                FROM documents
@@ -854,7 +852,12 @@ _DSIR_TARGET_LANG = "en"
            CAST(count(*) AS BIGINT) AS n_tokens,
            round(sum(lw.lw), 4)     AS dsir_logweight
     FROM tk2 JOIN lw USING (b) GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "corpus_dsir_weights",
+    _DSIR_WEIGHTS_SQL,
     doc=(
         "DSIR-style importance weights (Xie et al. 2023, 'Data "
         "Selection via Importance Resampling'): per-document "
@@ -912,5 +915,60 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.sum("lw"), 4).alias("dsir_logweight"),
+        )
+    )
+
+
+@register(
+    "corpus_dsir_select",
+    f"""
+    WITH dw AS ({_DSIR_WEIGHTS_SQL}),
+    d2 AS (SELECT dw.doc_id, dw.n_tokens, dw.dsir_logweight, d.source
+           FROM dw JOIN documents d USING (doc_id)),
+    r AS (SELECT doc_id, source, n_tokens,
+                 round(dsir_logweight / n_tokens, 6) AS score,
+                 sum(n_tokens) OVER (
+                     PARTITION BY source
+                     ORDER BY round(dsir_logweight / n_tokens, 6) DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM d2)
+    SELECT doc_id, source, n_tokens, score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens <= {_SELECT_BUDGET}
+    """,
+    doc=(
+        "The DSIR pipeline's second half: rank each source's docs by "
+        "PER-TOKEN importance weight (corpus_dsir_weights normalized "
+        "by length, so long docs can't buy rank with volume) and keep "
+        "the prefix whose running token sum fits the per-source "
+        "budget — corpus_budget_select's selection shape driven by "
+        "the principled target-domain score instead of the lexical "
+        "unique-token heuristic. Ordering is by the ROUNDED score "
+        "with doc_id tie-break, so both engines cut an identical "
+        "prefix. Same scale posture as budget_select: one shuffle on "
+        "source serves rank + running sum; the weight table feeding "
+        "the score is a 256-row broadcast."
+    ),
+    tags=("corpus", "selection", "window"),
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    dw = corpus_dsir_weights(spark, sf_dir)
+    score = F.round(F.col("dsir_logweight") / F.col("n_tokens"), 6)
+    d2 = dw.join(docs, "doc_id").withColumn("score", score)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d2.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _SELECT_BUDGET)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "score",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )

@@ -453,3 +453,51 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         _r4(F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("prev"))).alias("p"),
     )
+
+
+@register(
+    "cdc_apply_tombstones",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        FROM events)
+    SELECT user_id,
+           event_type        AS last_event_type,
+           round(value, 4)   AS last_value,
+           ts                AS last_ts,
+           n_ops
+    FROM ranked WHERE rn = 1 AND event_type != 'error'
+    """,
+    doc=(
+        "CDC change-feed apply with tombstones: the event stream is a "
+        "keyed change feed (user_id = primary key, 'error' = delete "
+        "marker), and the materialized view is latest-op-wins with "
+        "tombstoned keys absent — the full MERGE semantics "
+        "lake_upsert_latest's insert/update-only shape lacks. "
+        "Resolution is ONE hash aggregation: max_by over the (ts, "
+        "event_id) ordering struct with map-side combine — no window "
+        "sort, no row_number — so a 100 TB feed shuffles once on the "
+        "key and each partial aggregate carries one candidate row per "
+        "key. The oracle expresses the same semantics as rank-1 "
+        "selection."
+    ),
+    tags=("events", "lake", "cdc"),
+)
+def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    last = F.max_by(
+        F.struct("event_type", "value", "ts"), F.struct("ts", "event_id")
+    )
+    resolved = ev.groupBy("user_id").agg(
+        last.alias("last"), F.count(F.lit(1)).alias("n_ops")
+    )
+    return resolved.filter(F.col("last.event_type") != "error").select(
+        "user_id",
+        F.col("last.event_type").alias("last_event_type"),
+        _r4(F.col("last.value")).alias("last_value"),
+        F.col("last.ts").alias("last_ts"),
+        "n_ops",
+    )

@@ -232,6 +232,7 @@ _SHUFFLE_BUDGET = {
     # ids and the wedge side is arboricity-bounded, so every exchange
     # carries (id, id)-sized rows — count is high, bytes are tiny
     "graph_triangle_clustering": 8,
+    "corpus_dsir_select": 3,  # bucket count agg + per-doc weight agg + source rank window
 }
 
 
