@@ -66,6 +66,11 @@ HEADLINE = (
     "text_pii_redact",
     "text_boilerplate_report",
     "ann_pq_adc",
+    # appended r4, second wave: the graph family's iterative showcase,
+    # the DSIR selection pipeline, and the CDC merge primitive
+    "graph_copurchase_pagerank",
+    "corpus_dsir_select",
+    "cdc_apply_tombstones",
 )
 
 
