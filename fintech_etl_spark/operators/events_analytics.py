@@ -501,3 +501,181 @@ def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.ts").alias("last_ts"),
         "n_ops",
     )
+
+
+@register(
+    "events_rfm_scores",
+    """
+    WITH p AS (SELECT user_id, max(ts) AS last_purchase,
+                      CAST(count(*) AS BIGINT) AS frequency,
+                      round(sum(value), 4) AS monetary
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    mx AS (SELECT max(ts) AS ref_ts FROM events),
+    b AS (SELECT user_id,
+                 CAST(date_diff('day', CAST(last_purchase AS DATE),
+                                CAST(ref_ts AS DATE)) AS INTEGER) AS recency_days,
+                 frequency, monetary
+          FROM p CROSS JOIN mx),
+    sc AS (SELECT *,
+                  5 - ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+                  5 - ntile(4) OVER (ORDER BY frequency DESC, user_id)  AS f_score,
+                  5 - ntile(4) OVER (ORDER BY monetary DESC, user_id)   AS m_score
+           FROM b)
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_code
+    FROM sc
+    """,
+    doc=(
+        "RFM segmentation: per purchasing user, days since last "
+        "purchase / purchase count / revenue, each quartiled into a "
+        "1-4 score (4 = best; ties broken by user_id so both engines "
+        "tile identically) and composed into the classic 3-digit RFM "
+        "code. The heavy pass is ONE grouped aggregation over the "
+        "purchase stream; the ntile windows run over one row per "
+        "purchasing user — at lake scale the exact global sort would "
+        "be replaced by three broadcast quartile boundaries from "
+        "percentile_approx, the documented trade for an exact oracle "
+        "here."
+    ),
+    tags=("events", "window", "agg"),
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count(F.lit(1)).alias("frequency"),
+            _r4(F.sum("value")).alias("monetary"),
+        )
+    )
+    mx = ev.agg(F.max("ts").alias("ref_ts"))
+    b = p.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff(
+            F.col("ref_ts").cast("date"), F.col("last_purchase").cast("date")
+        )
+        .cast("int")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), "user_id")
+    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
+    m_w = Window.orderBy(F.col("monetary").desc(), "user_id")
+    sc = (
+        b.withColumn("r_score", (5 - F.ntile(4).over(r_w)).cast("int"))
+        .withColumn("f_score", (5 - F.ntile(4).over(f_w)).cast("int"))
+        .withColumn("m_score", (5 - F.ntile(4).over(m_w)).cast("int"))
+    )
+    return sc.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_code"),
+    )
+
+
+@register(
+    "events_linear_attribution",
+    """
+    WITH o AS (SELECT user_id, ts, event_id, event_type, value,
+                      coalesce(sum(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0) AS seg
+               FROM events),
+    t AS (SELECT user_id, seg,
+                 CAST(sum(CASE WHEN event_type IN ('click', 'view')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_touches
+          FROM o GROUP BY 1, 2),
+    p AS (SELECT user_id, seg, value FROM o WHERE event_type = 'purchase'),
+    c AS (SELECT o.event_type, p.value / t.n_touches AS credit
+          FROM o JOIN p USING (user_id, seg) JOIN t USING (user_id, seg)
+          WHERE o.event_type IN ('click', 'view') AND t.n_touches > 0)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+           round(sum(credit), 4) AS credited_revenue
+    FROM c GROUP BY event_type
+    UNION ALL
+    SELECT 'unattributed', CAST(count(*) AS BIGINT), round(sum(p.value), 4)
+    FROM p JOIN t USING (user_id, seg) WHERE t.n_touches = 0
+    """,
+    doc=(
+        "Linear multi-touch attribution, the fair-share counterpart "
+        "of events_first_touch_attribution: each purchase's value "
+        "splits equally across the click/view touches since the "
+        "user's previous purchase. The exclusive running purchase "
+        "count assigns every event a segment — each segment ends at "
+        "(and contains exactly) one purchase, so touch sets never "
+        "overlap — then two segment-keyed aggregations and one join "
+        "produce per-channel credited revenue, with zero-touch "
+        "purchases reported as 'unattributed' rather than dropped. "
+        "Everything shuffles on (user_id[, seg]): the window and both "
+        "groupBys share the same partitioning prefix."
+    ),
+    tags=("events", "window", "attribution"),
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(
+            F.sum((F.col("event_type") == "purchase").cast("int")).over(w),
+            F.lit(0),
+        ).alias("seg"),
+    ).localCheckpoint(eager=False)  # three consumers below
+    t = o.groupBy("user_id", "seg").agg(
+        F.sum(F.col("event_type").isin("click", "view").cast("int"))
+        .cast("long")
+        .alias("n_touches")
+    )
+    p = o.filter(F.col("event_type") == "purchase").select(
+        "user_id", "seg", "value"
+    )
+    touches = (
+        o.filter(F.col("event_type").isin("click", "view"))
+        .join(p.withColumnRenamed("value", "p_value"), ["user_id", "seg"])
+        .join(t.filter(F.col("n_touches") > 0), ["user_id", "seg"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            _r4(F.sum(F.col("p_value") / F.col("n_touches"))).alias(
+                "credited_revenue"
+            ),
+        )
+    )
+    unattributed = (
+        p.join(t.filter(F.col("n_touches") == 0), ["user_id", "seg"])
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            _r4(F.sum("value")).alias("credited_revenue"),
+        )
+        .select(
+            F.lit("unattributed").alias("event_type"),
+            "n_touches",
+            "credited_revenue",
+        )
+    )
+    return touches.unionAll(unattributed)

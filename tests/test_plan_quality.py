@@ -233,6 +233,8 @@ _SHUFFLE_BUDGET = {
     # carries (id, id)-sized rows — count is high, bytes are tiny
     "graph_triangle_clustering": 8,
     "corpus_dsir_select": 3,  # bucket count agg + per-doc weight agg + source rank window
+    "events_rfm_scores": 3,  # purchase agg + three one-row-per-user ntile windows
+    "events_linear_attribution": 4,  # segment window + touch agg + credit join + channel rollup
 }
 
 
