@@ -235,6 +235,7 @@ _SHUFFLE_BUDGET = {
     "corpus_dsir_select": 3,  # bucket count agg + per-doc weight agg + source rank window
     "events_rfm_scores": 3,  # purchase agg + three one-row-per-user ntile windows
     "events_linear_attribution": 4,  # segment window + touch agg + credit join + channel rollup
+    "entity_canonicalize_catalog": 3,  # vocab agg + canonical rank window + rewrite-map join
 }
 
 
