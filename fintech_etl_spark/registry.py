@@ -53,6 +53,7 @@ def register(
 #: are not offered" instead of killing every entry point.
 _OPERATOR_MODULES = (
     "analytics",
+    "audit_ops",
     "corpus_ops",
     "dedup",
     "events_analytics",

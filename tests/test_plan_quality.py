@@ -236,6 +236,7 @@ _SHUFFLE_BUDGET = {
     "events_rfm_scores": 3,  # purchase agg + three one-row-per-user ntile windows
     "events_linear_attribution": 4,  # segment window + touch agg + credit join + channel rollup
     "entity_canonicalize_catalog": 3,  # vocab agg + canonical rank window + rewrite-map join
+    "audit_benford_screen": 3,  # digit count agg + broadcast total agg (+its exchange)
 }
 
 
