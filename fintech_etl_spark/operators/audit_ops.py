@@ -149,3 +149,91 @@ def audit_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(share - benford, 2) / benford * F.col("total"), 4
         ).alias("chi2_contrib"),
     )
+
+
+@register(
+    "audit_order_reconciliation",
+    """
+    WITH r AS (SELECT l_orderkey,
+                      -- all arithmetic in 10^-4 currency units as
+                      -- BIGINT: the per-line double is bit-identical
+                      -- in both engines, floor() of it is too, and
+                      -- integer sums are associative — no accumulation
+                      -- -order noise and no double->DECIMAL rounding
+                      -- divergence (engines disagree at .xxxx5 ties)
+                      sum(CAST(floor(l_extendedprice * (1 + l_tax)
+                                     * (1 - l_discount) * 10000)
+                               AS BIGINT)) AS recomputed_e4
+               FROM lineitem GROUP BY l_orderkey),
+    j AS (SELECT o.o_orderkey,
+                 CAST(floor(o.o_totalprice * 10000) AS BIGINT) AS booked_e4,
+                 r.recomputed_e4,
+                 abs(CAST(floor(o.o_totalprice * 10000) AS BIGINT)
+                     - coalesce(r.recomputed_e4, 0)) AS diff_e4
+          FROM orders o LEFT JOIN r ON o.o_orderkey = r.l_orderkey),
+    k AS (SELECT *,
+                 CASE WHEN recomputed_e4 IS NULL THEN 'no_lineitems'
+                      WHEN diff_e4 <= 100 THEN 'match'
+                      WHEN 100 * diff_e4 <= booked_e4 THEN 'minor_variance'
+                      ELSE 'major_variance' END AS status
+          FROM j)
+    SELECT status,
+           CAST(count(*) AS BIGINT)                  AS n_orders,
+           round(sum(booked_e4) / 10000.0, 4)        AS booked_total,
+           round(sum(diff_e4) / 10000.0, 4)          AS abs_variance
+    FROM k GROUP BY status
+    """,
+    doc=(
+        "Invoice recomputation control — THE three-way-match step of "
+        "an AP audit: every order's booked total is re-derived from "
+        "its line items (extended price grossed for tax, net of "
+        "discount) and bucketed into match / minor (≤1%) / major "
+        "variance / no-line-items orphans, with order counts and "
+        "absolute variance per bucket. One orderkey-keyed aggregation "
+        "plus one orderkey join — both sides shuffle on the fact "
+        "table's natural key, so the control costs one co-partitioned "
+        "pass at any ledger size. On the synthetic book it correctly "
+        "reports wholesale variance (the generator does not maintain "
+        "the TPC-H total invariant) and 257 orphaned orders — the "
+        "screen's job is to say so."
+    ),
+    tags=("audit", "join", "dq"),
+)
+def audit_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # integer 10^-4 currency units throughout — see the oracle comment
+    line_e4 = F.floor(
+        F.col("l_extendedprice")
+        * (1 + F.col("l_tax"))
+        * (1 - F.col("l_discount"))
+        * 10000
+    ).cast("long")
+    r = li.groupBy("l_orderkey").agg(F.sum(line_e4).alias("recomputed_e4"))
+    booked_e4 = F.floor(F.col("o_totalprice") * 10000).cast("long")
+    j = (
+        orders.join(r, orders.o_orderkey == r.l_orderkey, "left")
+        .withColumn("booked_e4", booked_e4)
+        .withColumn(
+            "diff_e4",
+            F.abs(
+                F.col("booked_e4") - F.coalesce("recomputed_e4", F.lit(0))
+            ),
+        )
+    )
+    status = (
+        F.when(F.col("recomputed_e4").isNull(), "no_lineitems")
+        .when(F.col("diff_e4") <= 100, "match")
+        .when(100 * F.col("diff_e4") <= F.col("booked_e4"), "minor_variance")
+        .otherwise("major_variance")
+    )
+    return (
+        j.withColumn("status", status)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("booked_e4") / 10000.0, 4).alias("booked_total"),
+            F.round(F.sum("diff_e4") / 10000.0, 4).alias("abs_variance"),
+        )
+    )
+
