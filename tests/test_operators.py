@@ -906,3 +906,70 @@ def test_link_prediction_candidates_are_nonadjacent(spark):
         assert len(commons) == r.common_neighbors
         want = sum(1.0 / math.log(len(adj[v])) for v in commons)
         assert abs(want - r.aa_score) < 5e-4
+
+
+def test_audit_family_invariants(spark):
+    """Cross-row invariants the per-row oracle can't express: Benford
+    shares form a distribution, duplicate pairs are canonical and
+    within band, reconciliation buckets partition the order book."""
+    from fintech_etl_spark.operators.audit_ops import (
+        _DUP_REL_TOL,
+        _DUP_WINDOW_DAYS,
+        audit_benford_screen,
+        audit_duplicate_payments,
+        audit_order_reconciliation,
+    )
+    from fintech_etl_spark.sources.tables import load_table
+
+    ben = audit_benford_screen(spark, SF_SMOKE).collect()
+    assert {r.digit for r in ben} <= {str(d) for d in range(1, 10)}
+    assert abs(sum(r.observed_share for r in ben) - 1.0) < 5e-3
+    assert abs(sum(r.benford_share for r in ben) - 1.0) < 5e-3
+    assert all(r.chi2_contrib >= 0 for r in ben)
+
+    dups = audit_duplicate_payments(spark, SF_SMOKE).collect()
+    for r in dups:
+        assert r.order_a < r.order_b
+        assert 0 <= r.days_apart <= _DUP_WINDOW_DAYS
+        assert r.rel_diff <= _DUP_REL_TOL + 1e-9
+
+    rec = audit_order_reconciliation(spark, SF_SMOKE).collect()
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.n_orders for r in rec) == n_orders
+    assert all(r.abs_variance >= 0 for r in rec)
+    by_status = {r.status: r for r in rec}
+    if "no_lineitems" in by_status:
+        # orphans' variance equals their booked total (nothing recomputed)
+        orphan = by_status["no_lineitems"]
+        assert abs(orphan.abs_variance - orphan.booked_total) < 1e-6
+
+
+def test_entity_canonicalize_is_total_and_consistent(spark):
+    """The rewrite map must cover every distinct name exactly once,
+    canonical names must be cluster members with maximal support, and
+    is_variant must agree with the mapping."""
+    from fintech_etl_spark.operators.dedup import (
+        entity_canonicalize_catalog,
+        fuzzy_name_match_catalog,
+    )
+    from fintech_etl_spark.sources.tables import load_table
+
+    rows = entity_canonicalize_catalog(spark, SF_SMOKE).collect()
+    names = [r.name for r in rows]
+    distinct_names = {
+        r.p_name
+        for r in load_table(spark, SF_SMOKE, "part").select("p_name").distinct().collect()
+    }
+    assert sorted(names) == sorted(distinct_names)
+    by_name = {r.name: r for r in rows}
+    for r in rows:
+        assert r.is_variant == (r.canonical_name != r.name)
+        canon = by_name[r.canonical_name]
+        # canonical maps to itself and has at least this name's support
+        assert canon.canonical_name == canon.name
+        assert canon.n_parts >= r.n_parts or r.canonical_name == r.name
+
+    pairs = fuzzy_name_match_catalog(spark, SF_SMOKE).collect()
+    for p in pairs:
+        # matched names resolve to the same canonical
+        assert by_name[p.name_a].canonical_name == by_name[p.name_b].canonical_name
