@@ -865,3 +865,105 @@ def agg_linreg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.regr_avgx("value", x)).alias("avg_hour"),
         _r4(F.regr_avgy("value", x)).alias("avg_value"),
     )
+
+
+@register(
+    "revenue_concentration_gini",
+    """
+    WITH c AS (SELECT o_custkey,
+                      -- integer cents (floor of the bit-identical
+                      -- double) so per-customer revenue, ranks, and
+                      -- every sum below are engine- and order-exact
+                      sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev
+               FROM orders GROUP BY o_custkey),
+    r AS (SELECT o_custkey, rev,
+                 row_number() OVER (ORDER BY rev ASC, o_custkey)  AS rk,
+                 row_number() OVER (ORDER BY rev DESC, o_custkey) AS drk
+          FROM c),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(rev)                  AS tot,
+                 sum(rk * rev)             AS wsum
+          FROM r),
+    s AS (SELECT max(t.n) AS n, max(t.tot) AS tot, max(t.wsum) AS wsum,
+                 sum(CASE WHEN r.drk <= greatest(1, CAST(floor(t.n * 0.01) AS BIGINT))
+                          THEN r.rev ELSE 0 END) AS top1,
+                 sum(CASE WHEN r.drk <= CAST(floor(t.n * 0.10) AS BIGINT)
+                          THEN r.rev ELSE 0 END) AS top10,
+                 sum(CASE WHEN r.drk <= CAST(floor(t.n * 0.20) AS BIGINT)
+                          THEN r.rev ELSE 0 END) AS top20
+          FROM r CROSS JOIN t)
+    SELECT n AS n_customers,
+           round(tot / 100.0, 2)                          AS total_revenue,
+           round(2.0 * wsum / (1.0 * n * tot) - (n + 1.0) / n, 4) AS gini,
+           round(top1 * 1.0 / tot, 4)                     AS top1pct_share,
+           round(top10 * 1.0 / tot, 4)                    AS top10pct_share,
+           round(top20 * 1.0 / tot, 4)                    AS top20pct_share
+    FROM s
+    """,
+    doc=(
+        "Revenue concentration: the Gini coefficient of per-customer "
+        "revenue (rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over the "
+        "ascending-sorted revenues) plus the Lorenz points — share of "
+        "revenue held by the top 1/10/20% of customers — the standard "
+        "whale-dependence screen. All revenue arithmetic runs in "
+        "integer cents, so ranks and weighted sums are exact and both "
+        "engines compute bit-identical concentration numbers; the "
+        "rank windows run over one row per CUSTOMER (the order book "
+        "itself never sorts globally), and at lake scale the exact "
+        "rank weighting would hand off to a quantile-sketch Lorenz "
+        "approximation, the documented trade."
+    ),
+    tags=("agg", "window", "audit"),
+)
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    r = c.select(
+        "o_custkey",
+        "rev",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").asc(), "o_custkey"))
+        .alias("rk"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), "o_custkey"))
+        .alias("drk"),
+    ).localCheckpoint(eager=False)
+    t = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("tot"),
+        F.sum(F.col("rk") * F.col("rev")).alias("wsum"),
+    )
+    top = lambda frac: F.sum(  # noqa: E731
+        F.when(
+            F.col("drk")
+            <= F.greatest(
+                F.lit(1).cast("long") if frac == 0.01 else F.lit(0).cast("long"),
+                F.floor(F.col("n") * frac).cast("long"),
+            ),
+            F.col("rev"),
+        ).otherwise(0)
+    )
+    s = r.crossJoin(F.broadcast(t)).agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.max("wsum").alias("wsum"),
+        top(0.01).alias("top1"),
+        top(0.10).alias("top10"),
+        top(0.20).alias("top20"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("tot") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("wsum") / (1.0 * F.col("n") * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
+        F.round(F.col("top1") * 1.0 / F.col("tot"), 4).alias("top1pct_share"),
+        F.round(F.col("top10") * 1.0 / F.col("tot"), 4).alias("top10pct_share"),
+        F.round(F.col("top20") * 1.0 / F.col("tot"), 4).alias("top20pct_share"),
+    )

@@ -679,3 +679,90 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return touches.unionAll(unattributed)
+
+
+@register(
+    "events_ab_test_summary",
+    """
+    WITH u AS (SELECT user_id,
+                      CASE WHEN user_id % 2 = 0 THEN 'treatment'
+                           ELSE 'control' END AS arm,
+                      max(CASE WHEN event_type = 'purchase' AND value >= 150
+                               THEN 1 ELSE 0 END) AS converted
+               FROM events GROUP BY user_id),
+    a AS (SELECT arm,
+                 CAST(count(*) AS BIGINT)      AS n_users,
+                 CAST(sum(converted) AS BIGINT) AS n_converted,
+                 avg(converted)                 AS rate
+          FROM u GROUP BY arm),
+    w AS (SELECT max(CASE WHEN arm = 'treatment' THEN rate END)        AS rt,
+                 max(CASE WHEN arm = 'control' THEN rate END)          AS rc,
+                 max(CASE WHEN arm = 'treatment' THEN n_users END)     AS nt,
+                 max(CASE WHEN arm = 'control' THEN n_users END)       AS nc,
+                 sum(n_converted) * 1.0 / sum(n_users)                 AS pool
+          FROM a)
+    SELECT a.arm, a.n_users, a.n_converted, round(a.rate, 4) AS rate,
+           round(w.rt - w.rc, 4) AS lift_abs,
+           round((w.rt - w.rc)
+                 / sqrt(w.pool * (1 - w.pool) * (1.0 / w.nt + 1.0 / w.nc)),
+                 4) AS z_stat
+    FROM a CROSS JOIN w
+    """,
+    doc=(
+        "A/B experiment readout (conversion = any high-value, ≥150, "
+        "purchase — the base purchase rate is saturated at 1.0 in this "
+        "data, which would zero the z denominator): users assigned by a "
+        "deterministic id-hash rule (parity here; salted hash64 in "
+        "production — same shape), per-arm conversion to purchase, "
+        "absolute lift, and the pooled two-proportion z statistic — "
+        "the experimentation primitive every event lake serves daily. "
+        "ONE user-grain aggregation (conversion as a conditional max, "
+        "no joins) then a two-row rollup; the z-test inputs are a "
+        "broadcast scalar, so the whole readout costs one shuffle on "
+        "user_id at any scale."
+    ),
+    tags=("events", "agg", "experiment"),
+)
+def events_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150)
+            ).cast("int")
+        ).alias("converted")
+    ).withColumn(
+        "arm",
+        F.when(F.col("user_id") % 2 == 0, "treatment").otherwise("control"),
+    )
+    a = (
+        u.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.avg("converted").alias("rate"),
+        )
+        # two consumers (the per-arm rows and the z-test rollup) — cut
+        # the replan of the user-grain aggregation
+        .localCheckpoint(eager=False)
+    )
+    w = a.agg(
+        F.max(F.when(F.col("arm") == "treatment", F.col("rate"))).alias("rt"),
+        F.max(F.when(F.col("arm") == "control", F.col("rate"))).alias("rc"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n_users"))).alias("nt"),
+        F.max(F.when(F.col("arm") == "control", F.col("n_users"))).alias("nc"),
+        (F.sum("n_converted") * 1.0 / F.sum("n_users")).alias("pool"),
+    )
+    z = (F.col("rt") - F.col("rc")) / F.sqrt(
+        F.col("pool")
+        * (1 - F.col("pool"))
+        * (1.0 / F.col("nt") + 1.0 / F.col("nc"))
+    )
+    return a.crossJoin(F.broadcast(w)).select(
+        "arm",
+        "n_users",
+        "n_converted",
+        _r4(F.col("rate")).alias("rate"),
+        _r4(F.col("rt") - F.col("rc")).alias("lift_abs"),
+        _r4(z).alias("z_stat"),
+    )
