@@ -967,3 +967,53 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("top10") * 1.0 / F.col("tot"), 4).alias("top10pct_share"),
         F.round(F.col("top20") * 1.0 / F.col("tot"), 4).alias("top20pct_share"),
     )
+
+
+@register(
+    "orders_seasonal_backtest",
+    """
+    WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                      sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_e2
+               FROM orders GROUP BY 1),
+    f AS (SELECT month, rev_e2,
+                 lag(rev_e2, 12) OVER (ORDER BY month) AS fc_e2
+          FROM m)
+    SELECT month,
+           round(rev_e2 / 100.0, 2)                    AS actual,
+           round(fc_e2 / 100.0, 2)                     AS forecast,
+           round(abs(rev_e2 - fc_e2) / 100.0, 2)       AS abs_err,
+           round(abs(rev_e2 - fc_e2) * 1.0 / rev_e2, 4) AS ape
+    FROM f WHERE fc_e2 IS NOT NULL
+    """,
+    doc=(
+        "Seasonal-naive forecast backtest: monthly revenue predicted "
+        "by the same month last year (lag 12 over the month series), "
+        "with per-month absolute and percentage error — the baseline "
+        "every forecasting model must beat, and the standard sanity "
+        "screen for seasonality strength. Revenue aggregates in "
+        "integer cents (exact, order-independent); the lag window "
+        "runs over ONE row per month, so the global ordering is "
+        "driver-trivial at any ledger size — the heavy shuffle is the "
+        "single month groupBy of the scan."
+    ),
+    tags=("agg", "window", "timeseries"),
+)
+def orders_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_e2"))
+    f = m.withColumn("fc_e2", F.lag("rev_e2", 12).over(Window.orderBy("month")))
+    return f.filter(F.col("fc_e2").isNotNull()).select(
+        "month",
+        F.round(F.col("rev_e2") / 100.0, 2).alias("actual"),
+        F.round(F.col("fc_e2") / 100.0, 2).alias("forecast"),
+        F.round(F.abs(F.col("rev_e2") - F.col("fc_e2")) / 100.0, 2).alias(
+            "abs_err"
+        ),
+        F.round(
+            F.abs(F.col("rev_e2") - F.col("fc_e2")) * 1.0 / F.col("rev_e2"), 4
+        ).alias("ape"),
+    )
