@@ -766,3 +766,89 @@ def events_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("rt") - F.col("rc")).alias("lift_abs"),
         _r4(z).alias("z_stat"),
     )
+
+
+@register(
+    "events_rolling_anomaly_zscore",
+    """
+    WITH e AS (SELECT event_id, user_id, ts, value,
+                      CAST(floor(value * 100) AS BIGINT) AS v_e2
+               FROM events),
+    w AS (SELECT event_id, user_id, ts, value,
+                 v_e2,
+                 sum(v_e2) OVER pw         AS s1,
+                 sum(v_e2 * v_e2) OVER pw  AS s2,
+                 count(*) OVER pw          AS n
+          FROM e
+          WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, ts,
+           round(value, 4) AS value,
+           -- explicit half-up on the (bit-identical) double: engine
+           -- round() builtins disagree exactly at .xxxx5, and s1/(100n)
+           -- produces such ties systematically (integer / integer)
+           floor(s1 / (100.0 * n) * 10000 + 0.5) / 10000.0 AS rolling_mean,
+           floor((v_e2 - s1 * 1.0 / n)
+                 / sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1)))
+                 * 10000 + 0.5) / 10000.0 AS z,
+           abs((v_e2 - s1 * 1.0 / n)
+               / sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1)))) > 3
+               AS is_anomaly
+    FROM w WHERE n >= 5 AND n * s2 - s1 * s1 > 0
+    """,
+    doc=(
+        "Per-user rolling anomaly detection: each event's value "
+        "z-scored against the trailing window of its user's previous "
+        "10 events (frame excludes the current row, so the baseline "
+        "is strictly historical — no leakage), flagged at |z| > 3. "
+        "The rolling moments accumulate in integer cents (sum and "
+        "sum-of-squares as BIGINT window aggregates), so mean, "
+        "variance, and even the zero-variance guard (n·Σx² − (Σx)² "
+        "as an exact integer test) are bit-identical across engines — "
+        "a double `avg` over the frame rounds differently at .xxxx5 "
+        "boundaries. Rows with fewer than 5 priors or a degenerate "
+        "baseline are excluded rather than emitting NaN/±inf. ONE "
+        "user_id shuffle serves the whole computation; the stateful "
+        "streaming twin would carry the trailing window in keyed "
+        "state exactly like markov_transitions_stateful carries its "
+        "lag."
+    ),
+    tags=("events", "window", "anomaly"),
+)
+def events_rolling_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v_e2", F.floor(F.col("value") * 100).cast("long")
+    )
+    pw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "v_e2",
+        F.sum("v_e2").over(pw).alias("s1"),
+        F.sum(F.col("v_e2") * F.col("v_e2")).over(pw).alias("s2"),
+        F.count(F.lit(1)).over(pw).alias("n"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (F.col("v_e2") - F.col("s1") * 1.0 / F.col("n")) / F.sqrt(
+        var_num * 1.0 / (F.col("n") * (F.col("n") - 1))
+    )
+    return w.filter((F.col("n") >= 5) & (var_num > 0)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        _r4(F.col("value")).alias("value"),
+        # explicit half-up — see the oracle comment on round() ties
+        (F.floor(F.col("s1") / (100.0 * F.col("n")) * 10000 + 0.5) / 10000.0).alias(
+            "rolling_mean"
+        ),
+        (F.floor(z * 10000 + 0.5) / 10000.0).alias("z"),
+        (F.abs(z) > 3).alias("is_anomaly"),
+    )
