@@ -25,6 +25,8 @@ DEFAULT = (
     "dedup_embedding_neardup",
     "ann_topk_cosine_brute",
     "events_salted_heavy_hitters",
+    "graph_copurchase_pagerank",
+    "audit_order_reconciliation",
 )
 
 
