@@ -1017,3 +1017,91 @@ def orders_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("rev_e2") - F.col("fc_e2")) * 1.0 / F.col("rev_e2"), 4
         ).alias("ape"),
     )
+
+
+@register(
+    "histogram_doc_lengths",
+    """
+    SELECT CAST(floor(n_chars / 50) * 50 AS INTEGER) AS bucket_start,
+           CAST(count(*) AS BIGINT)                  AS n_docs,
+           CAST(min(n_chars) AS INTEGER)             AS min_chars,
+           CAST(max(n_chars) AS INTEGER)             AS max_chars
+    FROM documents GROUP BY 1
+    """,
+    doc=(
+        "Equi-width histogram of document lengths (50-char buckets) — "
+        "the distribution primitive behind every corpus length-filter "
+        "decision, as ONE grouped aggregation with integer bucket "
+        "keys: a map-side combine reduces each partition to its "
+        "occupied buckets, so the shuffle carries O(buckets) rows "
+        "regardless of corpus size (contrast with exact percentiles, "
+        "which need rank machinery — the histogram is the cheap first "
+        "look)."
+    ),
+    tags=("agg", "corpus", "stats"),
+)
+def histogram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        (F.floor(F.col("n_chars") / 50) * 50).cast("int").alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("int").alias("min_chars"),
+        F.max("n_chars").cast("int").alias("max_chars"),
+    )
+
+
+@register(
+    "concurrent_open_orders",
+    """
+    WITH iv AS (SELECT o.o_orderkey,
+                       CAST(o.o_orderdate AS DATE)   AS sd,
+                       CAST(max(l.l_shipdate) AS DATE) AS ed
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                GROUP BY 1, 2),
+    b AS (SELECT sd AS day, 1 AS delta FROM iv
+          UNION ALL
+          SELECT ed + 1 AS day, -1 AS delta FROM iv),
+    e AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net_delta
+          FROM b GROUP BY day)
+    SELECT day, net_delta,
+           CAST(sum(net_delta) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_orders
+    FROM e
+    """,
+    doc=(
+        "Concurrent-interval counting — how many orders are OPEN "
+        "(placed, not yet fully shipped) on each day the count "
+        "changes: the interval-stabbing primitive behind backlog, "
+        "occupancy, and concurrency dashboards. Each order interval "
+        "[orderdate, last shipdate] becomes a +1/-1 boundary event, "
+        "one day-grain aggregation collapses the events, and a "
+        "running sum over the ~thousands of DISTINCT boundary days "
+        "yields the open count — no calendar join, no per-day "
+        "explosion of the fact table; the only full-size shuffle is "
+        "the per-order max-shipdate aggregation on the fact table's "
+        "natural key."
+    ),
+    tags=("agg", "window", "timeseries"),
+)
+def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("sd"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("ed"))
+    )
+    b = iv.select(F.col("sd").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("ed", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    e = b.groupBy("day").agg(F.sum("delta").cast("long").alias("net_delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return e.select(
+        "day",
+        "net_delta",
+        F.sum("net_delta").over(w).cast("long").alias("open_orders"),
+    )

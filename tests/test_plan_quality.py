@@ -237,6 +237,7 @@ _SHUFFLE_BUDGET = {
     "events_linear_attribution": 4,  # segment window + touch agg + credit join + channel rollup
     "entity_canonicalize_catalog": 3,  # vocab agg + canonical rank window + rewrite-map join
     "audit_benford_screen": 3,  # digit count agg + broadcast total agg (+its exchange)
+    "concurrent_open_orders": 4,  # interval agg + boundary-day agg + tiny day-grain running-sum sort
 }
 
 
