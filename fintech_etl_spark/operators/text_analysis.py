@@ -1121,3 +1121,72 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_in") - F.col("n_out")) / F.greatest(F.col("n_in"), F.lit(1)), 4
         ).alias("drop_pct"),
     )
+
+
+@register(
+    "text_readability_scores",
+    r"""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS tx FROM documents
+               WHERE text IS NOT NULL AND trim(text) != ''),
+    c AS (SELECT doc_id,
+                 CAST(len(string_split_regex(tx, '\s+')) AS BIGINT) AS n_words,
+                 CAST(greatest(len(list_filter(
+                      string_split_regex(tx, '[.!?]+'),
+                      x -> trim(x) != '')), 1) AS BIGINT)           AS n_sentences,
+                 CAST(len(regexp_extract_all(tx, '[aeiouy]+')) AS BIGINT)
+                     AS n_syllables
+          FROM t)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(0.39 * (n_words * 1.0 / n_sentences)
+                 + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 4)
+               AS fk_grade
+    FROM c WHERE n_words > 0
+    """,
+    doc=(
+        "Readability scoring (Flesch-Kincaid grade with the standard "
+        "vowel-group syllable proxy): words by whitespace, sentences "
+        "by terminal punctuation (floored at 1 so headline-style docs "
+        "don't divide by zero), syllables as [aeiouy]+ runs — the "
+        "classic corpus quality feature complementing the stopword/"
+        "repetition signals. Pure per-row string expressions (regex "
+        "count, split, arithmetic on exact integer counts), zero "
+        "shuffles beyond the scan; both engines evaluate the same "
+        "literal formula on identical integers, so round-4 is exact."
+    ),
+    tags=("text", "quality"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    tx = F.lower(F.trim("text"))
+    n_words = F.size(F.split(tx, r"\s+")).cast("long")
+    n_sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(tx, r"[.!?]+"), lambda x: F.trim(x) != ""
+            )
+        ),
+        F.lit(1),
+    ).cast("long")
+    n_syllables = F.size(F.regexp_extract_all(tx, F.lit("[aeiouy]+"), 0)).cast(
+        "long"
+    )
+    c = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    fk = (
+        0.39 * (F.col("n_words") * 1.0 / F.col("n_sentences"))
+        + 11.8 * (F.col("n_syllables") * 1.0 / F.col("n_words"))
+        - 15.59
+    )
+    return c.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(fk, 4).alias("fk_grade"),
+    )
