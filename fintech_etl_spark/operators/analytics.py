@@ -1105,3 +1105,127 @@ def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_delta",
         F.sum("net_delta").over(w).cast("long").alias("open_orders"),
     )
+
+
+@register(
+    "supplier_scorecard",
+    """
+    WITH f AS (SELECT l.l_suppkey,
+                      CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)                        AS net_e2,
+                      l.l_partkey,
+                      CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+                      CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                           THEN 1 ELSE 0 END                 AS late
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    s AS (SELECT l_suppkey,
+                 CAST(count(*) AS BIGINT)                    AS n_lines,
+                 sum(net_e2)                                 AS rev_e2,
+                 CAST(count(DISTINCT l_partkey) AS BIGINT)   AS n_parts,
+                 CAST(sum(ret) AS BIGINT)                    AS n_returned,
+                 CAST(sum(late) AS BIGINT)                   AS n_late
+          FROM f GROUP BY l_suppkey)
+    SELECT s.l_suppkey AS suppkey, su.s_name AS supplier,
+           n_lines, round(rev_e2 / 100.0, 2) AS net_revenue, n_parts,
+           round(n_returned * 1.0 / n_lines, 4) AS return_rate,
+           round(n_late * 1.0 / n_lines, 4)     AS late_ship_rate
+    FROM s JOIN supplier su ON s.l_suppkey = su.s_suppkey
+    """,
+    doc=(
+        "Per-supplier operational scorecard: shipped lines, net "
+        "revenue (integer cents — exact), part diversity, return "
+        "rate, and >90-day late-ship rate, joined to the supplier "
+        "dimension — the vendor-management composite every "
+        "procurement dashboard starts from (and the analytical face "
+        "of the reference's vendor-centric domain). One fact-key join "
+        "(orders broadcast-eligible per AQE at dim scale, "
+        "co-partitioned at lake scale) + one suppkey aggregation; "
+        "the supplier dimension broadcasts onto the result."
+    ),
+    tags=("agg", "join", "audit"),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    f = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("net_e2"),
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .cast("int")
+        .alias("late"),
+    )
+    s = f.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("net_e2").alias("rev_e2"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.sum("ret").cast("long").alias("n_returned"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    return s.join(
+        F.broadcast(sup.select("s_suppkey", "s_name")),
+        s.l_suppkey == F.col("s_suppkey"),
+    ).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supplier"),
+        "n_lines",
+        F.round(F.col("rev_e2") / 100.0, 2).alias("net_revenue"),
+        "n_parts",
+        F.round(F.col("n_returned") * 1.0 / F.col("n_lines"), 4).alias(
+            "return_rate"
+        ),
+        F.round(F.col("n_late") * 1.0 / F.col("n_lines"), 4).alias(
+            "late_ship_rate"
+        ),
+    )
+
+
+@register(
+    "revenue_waterfall",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+               AS gross,
+           round(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT))
+                 / 100.0, 2) AS discount_given,
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS net,
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * l_tax * 100)
+                          AS BIGINT)) / 100.0, 2) AS tax_collected,
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                * 100) AS BIGINT)) / 100.0, 2) AS charged
+    FROM lineitem
+    """,
+    doc=(
+        "Revenue bridge (waterfall): gross extended price → discount "
+        "given → net → tax collected → total charged, as ONE full-"
+        "ledger aggregation in exact integer cents (each component "
+        "floored from its bit-identical per-row double, summed as "
+        "BIGINT — associative, engine-exact at any ledger size). The "
+        "single-row finance summary whose components must reconcile "
+        "by construction: gross − discount ≈ net and net + tax ≈ "
+        "charged, up to the per-row floor."
+    ),
+    tags=("agg", "audit"),
+)
+def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cents(expr: F.Column) -> F.Column:
+        return F.sum(F.floor(expr * 100).cast("long"))
+
+    ep = F.col("l_extendedprice")
+    disc = F.col("l_discount")
+    tax = F.col("l_tax")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(cents(ep) / 100.0, 2).alias("gross"),
+        F.round(cents(ep * disc) / 100.0, 2).alias("discount_given"),
+        F.round(cents(ep * (1 - disc)) / 100.0, 2).alias("net"),
+        F.round(cents(ep * (1 - disc) * tax) / 100.0, 2).alias("tax_collected"),
+        F.round(cents(ep * (1 - disc) * (1 + tax)) / 100.0, 2).alias("charged"),
+    )
