@@ -852,3 +852,125 @@ def events_rolling_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.floor(z * 10000 + 0.5) / 10000.0).alias("z"),
         (F.abs(z) > 3).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_funnel_time_windowed",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id),
+    d AS (SELECT user_id, t_signup, t_purchase,
+                 date_diff('second', t_signup, t_purchase) AS lag_s
+          FROM per_user WHERE t_signup IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(count(CASE WHEN lag_s > 0 THEN 1 END) AS BIGINT)
+               AS n_converted_ever,
+           CAST(count(CASE WHEN lag_s > 0 AND lag_s <= 3600 THEN 1 END)
+                AS BIGINT) AS n_within_1h,
+           CAST(count(CASE WHEN lag_s > 0 AND lag_s <= 86400 THEN 1 END)
+                AS BIGINT) AS n_within_24h,
+           round(count(CASE WHEN lag_s > 0 AND lag_s <= 86400 THEN 1 END)
+                 * 1.0 / count(*), 4) AS cvr_24h
+    FROM d
+    """,
+    doc=(
+        "Time-windowed conversion funnel: among signed-up users, how "
+        "many purchased ever / within 1 hour / within 24 hours of "
+        "their first signup — the SLA-bounded variant of "
+        "events_funnel_conversion (unbounded conversion flatters the "
+        "metric; growth teams quote windowed CVR). Still ONE "
+        "conditional-min aggregation per user and a global rollup — "
+        "no joins, no window sort; second-granularity lags are exact "
+        "integers so every count and the 4-decimal CVR are engine-"
+        "identical."
+    ),
+    tags=("events", "agg", "funnel"),
+)
+def events_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    lag_s = F.unix_timestamp(
+        F.col("t_purchase").cast("timestamp")
+    ) - F.unix_timestamp(F.col("t_signup").cast("timestamp"))
+    d = per_user.filter(F.col("t_signup").isNotNull()).withColumn(
+        "lag_s", lag_s
+    )
+    conv = F.col("lag_s") > 0
+    return d.agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count(F.when(conv, 1)).alias("n_converted_ever"),
+        F.count(F.when(conv & (F.col("lag_s") <= 3600), 1)).alias(
+            "n_within_1h"
+        ),
+        F.count(F.when(conv & (F.col("lag_s") <= 86400), 1)).alias(
+            "n_within_24h"
+        ),
+        F.round(
+            F.count(F.when(conv & (F.col("lag_s") <= 86400), 1))
+            * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("cvr_24h"),
+    )
+
+
+@register(
+    "customer_purchase_gaps",
+    """
+    WITH p AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_ts
+               FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT user_id,
+                 date_diff('second', prev_ts, ts) AS gap_s
+          FROM p WHERE prev_ts IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)            AS n_gaps,
+           CAST(min(gap_s) AS BIGINT)          AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT)          AS max_gap_s,
+           round(avg(gap_s), 4)                AS avg_gap_s
+    FROM g GROUP BY user_id
+    """,
+    doc=(
+        "Inter-purchase cadence per customer: the gap series between "
+        "consecutive purchases (lag over event-time, event_id tie-"
+        "break) reduced to count/min/max/mean seconds — the "
+        "repurchase-rhythm feature behind churn-risk and next-order "
+        "prediction, and the per-entity complement of the RFM "
+        "recency point-read. One user_id shuffle serves the lag and "
+        "the per-user rollup; gaps are exact integer seconds, and "
+        "avg(gap_s) is an integer-sum / count ratio — deterministic "
+        "in both engines."
+    ),
+    tags=("events", "window", "agg"),
+)
+def customer_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+    gap_s = F.unix_timestamp(
+        F.col("ts").cast("timestamp")
+    ) - F.unix_timestamp(F.col("prev_ts").cast("timestamp"))
+    g = p.filter(F.col("prev_ts").isNotNull()).select(
+        "user_id", gap_s.alias("gap_s")
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+    )
