@@ -972,3 +972,45 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    """
+    WITH f AS (SELECT source, md5(text) AS fp FROM documents
+               WHERE text IS NOT NULL),
+    g AS (SELECT source, fp, CAST(count(*) AS BIGINT) AS n
+          FROM f GROUP BY source, fp)
+    SELECT source,
+           CAST(sum(n) AS BIGINT)                       AS n_docs,
+           CAST(count(*) AS BIGINT)                     AS n_distinct,
+           CAST(sum(n) - count(*) AS BIGINT)            AS n_redundant,
+           round((sum(n) - count(*)) * 1.0 / sum(n), 4) AS dup_rate
+    FROM g GROUP BY source
+    """,
+    doc=(
+        "Per-source exact-duplication rate: md5 fingerprint counts "
+        "collapsed per (source, fp), then rolled up to docs vs "
+        "distinct vs redundant per source — the triage view that "
+        "tells a corpus team WHICH feed is flooding the lake with "
+        "copies before any expensive near-dup pass runs. Two grouped "
+        "aggregations sharing the source key prefix; fingerprints "
+        "are md5 (bit-identical cross-engine), counts exact."
+    ),
+    tags=("corpus", "dedup", "agg"),
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    g = docs.groupBy("source", F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_redundant"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))) * 1.0 / F.sum("n"), 4
+        ).alias("dup_rate"),
+    )

@@ -974,3 +974,78 @@ def customer_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").alias("max_gap_s"),
         F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
     )
+
+
+@register(
+    "events_cart_abandonment",
+    """
+    WITH s AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                           OR date_diff('second', lag(ts) OVER w, ts) > 3600
+                           THEN 1 ELSE 0 END AS new_session
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    i AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM s),
+    ses AS (SELECT user_id, session_no,
+                   max(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+                       AS browsed,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS purchased
+            FROM i GROUP BY user_id, session_no)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN browsed = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_browsing,
+           CAST(sum(CASE WHEN browsed = 1 AND purchased = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_abandoned,
+           round(sum(CASE WHEN browsed = 1 AND purchased = 0 THEN 1 ELSE 0 END)
+                 * 1.0
+                 / greatest(sum(CASE WHEN browsed = 1 THEN 1 ELSE 0 END), 1), 4)
+               AS abandonment_rate
+    FROM ses
+    """,
+    doc=(
+        "Cart/session abandonment: 1h-gap sessionization (the same "
+        "lag + island sum as first-touch attribution), each session "
+        "reduced to browsed/purchased flags, rolled up to the share "
+        "of browsing sessions that end without a purchase — the "
+        "conversion-leak metric product teams track beside windowed "
+        "CVR. One user_id shuffle serves the lag, the island sum, "
+        "and the session flags; the rollup is a single row."
+    ),
+    tags=("events", "window", "funnel"),
+)
+def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    i = ev.withColumn(
+        "new_session", (gap.isNull() | (gap > 3600)).cast("int")
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ses = i.groupBy("user_id", "session_no").agg(
+        F.max(
+            F.col("event_type").isin("click", "view").cast("int")
+        ).alias("browsed"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "purchased"
+        ),
+    )
+    browsed = F.sum(F.when(F.col("browsed") == 1, 1).otherwise(0))
+    abandoned = F.sum(
+        F.when((F.col("browsed") == 1) & (F.col("purchased") == 0), 1).otherwise(0)
+    )
+    return ses.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        browsed.cast("long").alias("n_browsing"),
+        abandoned.cast("long").alias("n_abandoned"),
+        F.round(
+            abandoned * 1.0 / F.greatest(browsed, F.lit(1)), 4
+        ).alias("abandonment_rate"),
+    )
