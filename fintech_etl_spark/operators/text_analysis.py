@@ -1190,3 +1190,71 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         F.round(fk, 4).alias("fk_grade"),
     )
+
+
+@register(
+    "lang_id_eval_report",
+    rf"""
+    WITH t AS (
+        SELECT lang = 'en' AS actual,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\s+')) >= 0.08 AS pred
+        FROM documents),
+    c AS (SELECT
+              CAST(sum(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM t)
+    SELECT tp, fp, fn, tn,
+           round(tp * 1.0 / greatest(tp + fp, 1), 4) AS precision,
+           round(tp * 1.0 / greatest(tp + fn, 1), 4) AS recall,
+           round(2.0 * tp / greatest(2 * tp + fp + fn, 1), 4) AS f1,
+           round((tp + tn) * 1.0 / (tp + fp + fn + tn), 4) AS accuracy
+    FROM c
+    """,
+    doc=(
+        "Classifier evaluation as a query: the stopword-density "
+        "lang-ID heuristic scored against the gold `lang` label — "
+        "confusion counts (TP/FP/FN/TN) plus precision/recall/F1/"
+        "accuracy in ONE scan and one scalar rollup. The "
+        "model-evaluation primitive a data-quality pipeline runs "
+        "after every heuristic change; exact integer counts make "
+        "every ratio engine-identical. Also the honest receipt on "
+        "the heuristic itself: its errors are visible, not claimed "
+        "away."
+    ),
+    tags=("text", "quality", "eval"),
+)
+def lang_id_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double")
+        / F.size(tokens("text"))
+    )
+    t = docs.select(
+        (F.col("lang") == "en").alias("actual"), (ratio >= 0.08).alias("pred")
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    c = t.agg(
+        cnt(F.col("pred") & F.col("actual")).alias("tp"),
+        cnt(F.col("pred") & ~F.col("actual")).alias("fp"),
+        cnt(~F.col("pred") & F.col("actual")).alias("fn"),
+        cnt(~F.col("pred") & ~F.col("actual")).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp * 1.0 / F.greatest(tp + fp, F.lit(1)), 4).alias("precision"),
+        F.round(tp * 1.0 / F.greatest(tp + fn, F.lit(1)), 4).alias("recall"),
+        F.round(
+            2.0 * tp / F.greatest(2 * tp + fp + fn, F.lit(1)), 4
+        ).alias("f1"),
+        F.round((tp + tn) * 1.0 / (tp + fp + fn + tn), 4).alias("accuracy"),
+    )
