@@ -1229,3 +1229,128 @@ def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cents(ep * (1 - disc) * tax) / 100.0, 2).alias("tax_collected"),
         F.round(cents(ep * (1 - disc) * (1 + tax)) / 100.0, 2).alias("charged"),
     )
+
+
+@register(
+    "brand_share_yoy",
+    """
+    WITH f AS (SELECT p.p_brand,
+                      CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+                      CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT) AS net_e2
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    b AS (SELECT p_brand, yr, sum(net_e2) AS rev_e2
+          FROM f GROUP BY p_brand, yr),
+    s AS (SELECT p_brand, yr, rev_e2,
+                 round(rev_e2 * 1.0 / sum(rev_e2) OVER (PARTITION BY yr), 4)
+                     AS share
+          FROM b)
+    SELECT p_brand, yr,
+           round(rev_e2 / 100.0, 2) AS net_revenue,
+           share,
+           round(share - lag(share) OVER (PARTITION BY p_brand ORDER BY yr), 4)
+               AS share_delta_yoy
+    FROM s
+    """,
+    doc=(
+        "Brand mix-shift analysis: each brand's share of yearly net "
+        "revenue and its year-over-year share delta — the screen that "
+        "separates 'the category grew' from 'this brand took share'. "
+        "Revenue in exact integer cents; shares are single divisions "
+        "of exact sums (per-year totals via a window over the "
+        "brand-year aggregate, tens of rows), and the YoY delta is a "
+        "lag over each brand's short year series. The only full-size "
+        "shuffle is the (brand, year) aggregation; the part dimension "
+        "broadcasts onto the fact scan."
+    ),
+    tags=("agg", "window", "join"),
+)
+def brand_share_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    f = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("net_e2"),
+    )
+    b = f.groupBy("p_brand", "yr").agg(F.sum("net_e2").alias("rev_e2"))
+    share = F.round(
+        F.col("rev_e2") * 1.0 / F.sum("rev_e2").over(Window.partitionBy("yr")), 4
+    )
+    s = b.withColumn("share", share)
+    return s.select(
+        "p_brand",
+        "yr",
+        F.round(F.col("rev_e2") / 100.0, 2).alias("net_revenue"),
+        "share",
+        F.round(
+            F.col("share")
+            - F.lag("share").over(Window.partitionBy("p_brand").orderBy("yr")),
+            4,
+        ).alias("share_delta_yoy"),
+    )
+
+
+@register(
+    "brand_realized_vs_list",
+    """
+    WITH f AS (SELECT p.p_brand,
+                      CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)              AS net_e2,
+                      CAST(l.l_quantity AS BIGINT) AS qty,
+                      CAST(floor(p.p_retailprice * 100) AS BIGINT)
+                          * CAST(l.l_quantity AS BIGINT) AS list_e2
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT p_brand,
+           CAST(sum(qty) AS BIGINT)                    AS units,
+           round(sum(net_e2) / 100.0, 2)               AS realized,
+           round(sum(list_e2) / 100.0, 2)              AS at_list,
+           round(1.0 - sum(net_e2) * 1.0 / sum(list_e2), 4)
+               AS effective_discount
+    FROM f GROUP BY p_brand
+    """,
+    doc=(
+        "Realized-vs-list pricing screen per brand: units, revenue "
+        "actually charged (net of line discounts), what the same "
+        "units would have fetched at list (retail price × quantity), "
+        "and the effective discount rate — the price-realization "
+        "metric behind every pricing review, and a channel-leakage "
+        "screen in the reference's vendor-invoice domain. Quantities "
+        "are integral in this data (checked), so all sums are exact "
+        "integer cents; one broadcast dim join + one brand "
+        "aggregation."
+    ),
+    tags=("agg", "join", "audit"),
+)
+def brand_realized_vs_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("long")
+    f = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_retailprice")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("net_e2"),
+        qty.alias("qty"),
+        (F.floor(F.col("p_retailprice") * 100).cast("long") * qty).alias(
+            "list_e2"
+        ),
+    )
+    return f.groupBy("p_brand").agg(
+        F.sum("qty").cast("long").alias("units"),
+        F.round(F.sum("net_e2") / 100.0, 2).alias("realized"),
+        F.round(F.sum("list_e2") / 100.0, 2).alias("at_list"),
+        F.round(
+            1.0 - F.sum("net_e2") * 1.0 / F.sum("list_e2"), 4
+        ).alias("effective_discount"),
+    )

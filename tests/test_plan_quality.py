@@ -238,6 +238,7 @@ _SHUFFLE_BUDGET = {
     "entity_canonicalize_catalog": 3,  # vocab agg + canonical rank window + rewrite-map join
     "audit_benford_screen": 3,  # digit count agg + broadcast total agg (+its exchange)
     "concurrent_open_orders": 4,  # interval agg + boundary-day agg + tiny day-grain running-sum sort
+    "brand_share_yoy": 3,  # brand-year agg + per-year share window + per-brand lag window
 }
 
 
