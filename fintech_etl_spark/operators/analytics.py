@@ -1354,3 +1354,96 @@ def brand_realized_vs_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.sum("net_e2") * 1.0 / F.sum("list_e2"), 4
         ).alias("effective_discount"),
     )
+
+
+@register(
+    "nation_trade_balance",
+    """
+    WITH net AS (SELECT l_orderkey, l_suppkey,
+                        CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT) AS net_e2
+                 FROM lineitem),
+    exp AS (SELECT n.n_name AS nation, sum(net.net_e2) AS exp_e2
+            FROM net
+            JOIN supplier s ON net.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name),
+    imp AS (SELECT n.n_name AS nation, sum(net.net_e2) AS imp_e2
+            FROM net
+            JOIN orders o ON net.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name)
+    SELECT coalesce(exp.nation, imp.nation) AS nation,
+           round(coalesce(exp_e2, 0) / 100.0, 2) AS supplied,
+           round(coalesce(imp_e2, 0) / 100.0, 2) AS purchased,
+           round((coalesce(exp_e2, 0) - coalesce(imp_e2, 0)) / 100.0, 2)
+               AS net_balance
+    FROM exp FULL OUTER JOIN imp ON exp.nation = imp.nation
+    """,
+    doc=(
+        "Trade-balance matrix collapsed per nation: revenue each "
+        "nation's suppliers SHIPPED vs revenue its customers BOUGHT, "
+        "and the net — the q7-family rollup that answers 'is this "
+        "geography a net producer or consumer on our platform'. Both "
+        "legs aggregate the same integer-cent fact expression; "
+        "supplier/nation broadcast onto the fact scan, the customer "
+        "leg routes through the orderkey join, and the final "
+        "full-outer stitch runs on 25 nation rows. Exact cents, so "
+        "both engines net to the penny."
+    ),
+    tags=("agg", "join"),
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    net = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("net_e2"),
+    )
+    exp = (
+        net.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            net.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("net_e2").alias("exp_e2"))
+    )
+    imp = (
+        net.join(orders, net.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("net_e2").alias("imp_e2"))
+    )
+    j = exp.withColumnRenamed("nation", "exp_nation").join(
+        imp.withColumnRenamed("nation", "imp_nation"),
+        F.col("exp_nation") == F.col("imp_nation"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("exp_nation", "imp_nation").alias("nation"),
+        F.round(F.coalesce("exp_e2", F.lit(0)) / 100.0, 2).alias("supplied"),
+        F.round(F.coalesce("imp_e2", F.lit(0)) / 100.0, 2).alias("purchased"),
+        F.round(
+            (F.coalesce("exp_e2", F.lit(0)) - F.coalesce("imp_e2", F.lit(0)))
+            / 100.0,
+            2,
+        ).alias("net_balance"),
+    )

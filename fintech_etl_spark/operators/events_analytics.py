@@ -938,7 +938,9 @@ def events_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT)            AS n_gaps,
            CAST(min(gap_s) AS BIGINT)          AS min_gap_s,
            CAST(max(gap_s) AS BIGINT)          AS max_gap_s,
-           round(avg(gap_s), 4)                AS avg_gap_s
+           -- explicit half-up: integer-ratio means can land on .xxxx5
+           -- ties where engine round() builtins disagree
+           floor(avg(gap_s) * 10000 + 0.5) / 10000.0 AS avg_gap_s
     FROM g GROUP BY user_id
     """,
     doc=(
@@ -972,7 +974,7 @@ def customer_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.min("gap_s").alias("min_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
-        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        (F.floor(F.avg("gap_s") * 10000 + 0.5) / 10000.0).alias("avg_gap_s"),
     )
 
 
@@ -1048,4 +1050,45 @@ def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             abandoned * 1.0 / F.greatest(browsed, F.lit(1)), 4
         ).alias("abandonment_rate"),
+    )
+
+
+@register(
+    "events_daypart_matrix",
+    """
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           -- explicit half-up: integer-ratio means land on .xxxx5 ties
+           -- where engine round() builtins disagree
+           floor(sum(CAST(floor(value * 100) AS BIGINT))
+                 / (100.0 * count(*)) * 10000 + 0.5) / 10000.0 AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc=(
+        "Daypart heat matrix: event volume and mean value per "
+        "(hour-of-day × event type) — the load/engagement screen "
+        "behind capacity planning and send-time optimization. ONE "
+        "grouped aggregation whose key space is fixed (24 × event "
+        "types), so map-side combine reduces any event volume to a "
+        "few hundred shuffle rows; value sums in integer cents keep "
+        "the mean an exact-integer ratio."
+    ),
+    tags=("events", "agg"),
+)
+def events_daypart_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.floor(
+                F.sum(F.floor(F.col("value") * 100).cast("long"))
+                / (100.0 * F.count(F.lit(1)))
+                * 10000
+                + 0.5
+            )
+            / 10000.0
+        ).alias("avg_value"),
     )
