@@ -1092,3 +1092,56 @@ def events_daypart_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("avg_value"),
     )
+
+
+@register(
+    "events_new_vs_returning",
+    """
+    WITH fu AS (SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+                FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT CAST(e.ts AS DATE) AS day, e.user_id
+            FROM events e),
+    j AS (SELECT act.day, act.user_id, fu.first_day
+          FROM act JOIN fu ON act.user_id = fu.user_id)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(CASE WHEN first_day = day THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(sum(CASE WHEN first_day < day THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users,
+           round(sum(CASE WHEN first_day < day THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS returning_share
+    FROM j GROUP BY day
+    """,
+    doc=(
+        "Growth accounting: per day, active users split into new "
+        "(first-ever event that day) vs returning — the DAU "
+        "decomposition every growth team charts first. One user-grain "
+        "min (first day), one distinct (day, user) reduction, and a "
+        "user-keyed join — all three shuffle on user_id, so the plan "
+        "re-uses one partitioning; exact integer counts make the "
+        "returning share engine-identical. Day-grain casts match the "
+        "oracle's DATE truncation exactly."
+    ),
+    tags=("events", "agg", "growth"),
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fu = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    act = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    j = act.join(fu, "user_id")
+    returning = F.sum(
+        F.when(F.col("first_day") < F.col("day"), 1).otherwise(0)
+    )
+    return j.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum(F.when(F.col("first_day") == F.col("day"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        returning.cast("long").alias("returning_users"),
+        F.round(returning * 1.0 / F.count(F.lit(1)), 4).alias(
+            "returning_share"
+        ),
+    )

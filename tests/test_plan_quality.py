@@ -239,6 +239,7 @@ _SHUFFLE_BUDGET = {
     "audit_benford_screen": 3,  # digit count agg + broadcast total agg (+its exchange)
     "concurrent_open_orders": 4,  # interval agg + boundary-day agg + tiny day-grain running-sum sort
     "brand_share_yoy": 3,  # brand-year agg + per-year share window + per-brand lag window
+    "events_new_vs_returning": 3,  # first-day agg + (day,user) distinct + day rollup, all on user_id
 }
 
 
