@@ -1447,3 +1447,42 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("net_balance"),
     )
+
+
+@register(
+    "order_size_distribution",
+    """
+    WITH o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+               FROM lineitem GROUP BY l_orderkey)
+    SELECT n_items,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS share
+    FROM o GROUP BY n_items
+    """,
+    doc=(
+        "Basket-size distribution: orders bucketed by line-item "
+        "count, with each size's share of all orders — the shape "
+        "parameter behind picking/packing capacity and the pair-"
+        "generation cost model of the graph/affinity operators "
+        "(which are quadratic per basket). Two grouped counts, the "
+        "second over at most a few dozen distinct sizes; the share "
+        "normalizer is a single-row window over those sizes. Exact "
+        "integer counts throughout."
+    ),
+    tags=("agg", "stats"),
+)
+def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    d = o.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
+    return d.select(
+        "n_items",
+        "n_orders",
+        F.round(
+            F.col("n_orders") * 1.0
+            / F.sum("n_orders").over(Window.partitionBy()),
+            4,
+        ).alias("share"),
+    )

@@ -1145,3 +1145,70 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returning_share"
         ),
     )
+
+
+@register(
+    "events_session_length_stats",
+    """
+    WITH s AS (SELECT user_id, ts, event_id,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                           OR date_diff('second', lag(ts) OVER w, ts) > 3600
+                           THEN 1 ELSE 0 END AS new_session
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    i AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM s),
+    ses AS (SELECT user_id, session_no,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   date_diff('second', min(ts), max(ts)) AS duration_s
+            FROM i GROUP BY user_id, session_no)
+    SELECT n_events,
+           CAST(count(*) AS BIGINT)           AS n_sessions,
+           CAST(min(duration_s) AS BIGINT)    AS min_duration_s,
+           CAST(max(duration_s) AS BIGINT)    AS max_duration_s,
+           floor(avg(duration_s) * 10000 + 0.5) / 10000.0 AS avg_duration_s
+    FROM ses GROUP BY n_events
+    """,
+    doc=(
+        "Session-length distribution: 1h-gap sessions (the shared "
+        "sessionization expression) bucketed by event count, with "
+        "duration stats per bucket — the engagement-depth profile "
+        "behind stickiness metrics and the state-size model for the "
+        "stateful streaming sessionizer (its memory is one row per "
+        "OPEN session, so this distribution bounds it). Durations "
+        "are exact integer seconds; the bucket mean uses the "
+        "explicit floor-based half-up (integer-ratio means land on "
+        "round() ties). One user_id shuffle + one small bucket "
+        "rollup."
+    ),
+    tags=("events", "window", "stats"),
+)
+def events_session_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    i = ev.withColumn(
+        "new_session", (gap.isNull() | (gap > 3600)).cast("int")
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ses = i.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts").cast("timestamp"))
+            - F.unix_timestamp(F.min("ts").cast("timestamp"))
+        ).alias("duration_s"),
+    )
+    return ses.groupBy("n_events").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.min("duration_s").alias("min_duration_s"),
+        F.max("duration_s").alias("max_duration_s"),
+        (F.floor(F.avg("duration_s") * 10000 + 0.5) / 10000.0).alias(
+            "avg_duration_s"
+        ),
+    )

@@ -240,6 +240,7 @@ _SHUFFLE_BUDGET = {
     "concurrent_open_orders": 4,  # interval agg + boundary-day agg + tiny day-grain running-sum sort
     "brand_share_yoy": 3,  # brand-year agg + per-year share window + per-brand lag window
     "events_new_vs_returning": 3,  # first-day agg + (day,user) distinct + day rollup, all on user_id
+    "order_size_distribution": 3,  # per-order count + per-size count + single-row share window
 }
 
 
