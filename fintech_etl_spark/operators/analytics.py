@@ -1486,3 +1486,60 @@ def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("share"),
     )
+
+
+@register(
+    "customer_balance_deciles",
+    """
+    WITH c AS (SELECT c_custkey,
+                      CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_e2
+               FROM customer),
+    r AS (SELECT bal_e2,
+                 ntile(10) OVER (ORDER BY bal_e2, c_custkey) AS decile
+          FROM c)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(min(bal_e2) / 100.0, 2) AS min_balance,
+           round(max(bal_e2) / 100.0, 2) AS max_balance,
+           floor(sum(bal_e2) / (100.0 * count(*)) * 10000 + 0.5) / 10000.0
+               AS avg_balance
+    FROM r GROUP BY decile
+    """,
+    doc=(
+        "Account-balance decile table: customers tiled into 10 "
+        "equal-count bands by balance (integer cents, custkey tie-"
+        "break so both engines tile identically), with per-decile "
+        "count/min/max/mean — the distribution summary credit teams "
+        "read before setting exposure thresholds. The ntile runs "
+        "over one slim (balance, key) row per customer; at lake "
+        "scale the exact tiling hands off to percentile_approx "
+        "boundaries like the RFM scores. Mean uses the explicit "
+        "floor-based half-up (integer-ratio round() ties)."
+    ),
+    tags=("agg", "window", "stats"),
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_e2"),
+    )
+    r = c.select(
+        "bal_e2",
+        F.ntile(10)
+        .over(Window.orderBy("bal_e2", "c_custkey"))
+        .alias("decile"),
+    )
+    return r.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("bal_e2") / 100.0, 2).alias("min_balance"),
+        F.round(F.max("bal_e2") / 100.0, 2).alias("max_balance"),
+        (
+            F.floor(
+                F.sum("bal_e2") / (100.0 * F.count(F.lit(1))) * 10000 + 0.5
+            )
+            / 10000.0
+        ).alias("avg_balance"),
+    )

@@ -1525,3 +1525,60 @@ def entity_canonicalize_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "near_dup_rate_by_source",
+    f"""
+    WITH p AS ({_simhash_oracle()}),
+    ids AS (SELECT DISTINCT doc_id FROM
+            (SELECT doc_a AS doc_id FROM p
+             UNION ALL SELECT doc_b AS doc_id FROM p)),
+    d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+    inv AS (SELECT dd.source, CAST(count(*) AS BIGINT) AS n_near
+            FROM ids JOIN documents dd ON ids.doc_id = dd.doc_id
+            GROUP BY dd.source)
+    SELECT d.source, d.n_docs,
+           CAST(coalesce(inv.n_near, 0) AS BIGINT) AS n_near_dup_docs,
+           round(coalesce(inv.n_near, 0) * 1.0 / d.n_docs, 4)
+               AS near_dup_rate
+    FROM d LEFT JOIN inv ON d.source = inv.source
+    """,
+    doc=(
+        "Near-duplication triage per source: the share of each feed's "
+        "documents that participate in at least one SimHash near-dup "
+        "pair (Hamming ≤ 3) — the fuzzy counterpart of "
+        "corpus_dup_rate_by_source, naming the feeds that ship "
+        "templated/boilerplate variants rather than byte copies. "
+        "Composes the value-checked dedup_simhash pair set (the "
+        "oracle embeds the same fingerprint SQL as a CTE), reduces "
+        "pairs to distinct involved docs, and rolls up against "
+        "per-source totals — the expensive banded join is the same "
+        "one the base operator already bounds; everything after it "
+        "is id-sized."
+    ),
+    tags=("dedup", "corpus", "agg"),
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_simhash(spark, sf_dir)
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    inv = (
+        ids.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return d.join(inv, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near_dup_docs"),
+        F.round(
+            F.coalesce("n_near", F.lit(0)) * 1.0 / F.col("n_docs"), 4
+        ).alias("near_dup_rate"),
+    )

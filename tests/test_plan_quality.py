@@ -210,6 +210,9 @@ _SHUFFLE_BUDGET = {
     "dedup_minhash_lsh_dfcap": 5,  # same shape; banned-set agg hides behind its checkpoint
     "dedup_ngram_jaccard": 5,  # spread + inverted-index join + 2 size joins
     "dedup_simhash": 4,  # spread + band join + verify
+    # the simhash plan (4) + involved-id distinct + source join + two
+    # per-source rollups — everything past the banded join is id-sized
+    "near_dup_rate_by_source": 9,
     "q20_dominant_suppliers": 4,  # 2-level grouped agg + distinct
     "quality_repetition_signals": 4,  # word + bigram explode-agg passes
     "ann_ivf_probe": 4,  # trained-cell assign join + probe rank + in-cell rerank
