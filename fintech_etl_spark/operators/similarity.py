@@ -1053,3 +1053,89 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "lang", "cos", "rank")
     )
+
+
+@register(
+    "embedding_label_separation",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      generate_subscripts(embedding, 1) AS i,
+                      unnest(CAST(embedding AS DOUBLE[])) AS x
+               FROM embeddings),
+    c AS (SELECT label, i, avg(x) AS m FROM e GROUP BY label, i),
+    intra AS (SELECT e.label, e.vec_id, sum(pow(e.x - c.m, 2)) AS d2
+              FROM e JOIN c ON e.label = c.label AND e.i = c.i
+              GROUP BY e.label, e.vec_id),
+    il AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+                  sqrt(avg(d2)) AS intra_rms
+           FROM intra GROUP BY label),
+    cd AS (SELECT a.label AS la, b.label AS lb,
+                  sqrt(sum(pow(a.m - b.m, 2))) AS d
+           FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+           GROUP BY a.label, b.label),
+    mind AS (SELECT label, min(d) AS min_inter FROM
+             (SELECT la AS label, d FROM cd
+              UNION ALL SELECT lb AS label, d FROM cd)
+             GROUP BY label)
+    SELECT il.label, il.n_vectors,
+           round(il.intra_rms, 4)                  AS intra_rms,
+           round(mind.min_inter, 4)                AS min_inter_centroid,
+           round(mind.min_inter / il.intra_rms, 4) AS separation_ratio
+    FROM il JOIN mind ON il.label = mind.label
+    """,
+    doc=(
+        "Label-separation screen for an embedding table: per label, "
+        "the RMS distance of member vectors to their own centroid "
+        "(cohesion) vs the distance to the NEAREST other centroid "
+        "(separation), and their ratio — the silhouette-style sanity "
+        "check run before trusting labels for classifier training or "
+        "stratified sampling. Centroids come from one (label, dim) "
+        "mean — the same shuffle shape as IVF training, corpus never "
+        "collected; the centroid-pair matrix is |labels|² tiny rows. "
+        "A ratio well above 1 means the labels are geometrically "
+        "real; near 1 means label noise."
+    ),
+    tags=("similarity", "agg", "eval"),
+)
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    c = e.groupBy("label", "i").agg(F.avg("x").alias("m")).localCheckpoint(
+        eager=False
+    )  # feeds both the intra join and the centroid-pair matrix
+    intra = (
+        e.join(F.broadcast(c), ["label", "i"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum(F.pow(F.col("x") - F.col("m"), 2)).alias("d2"))
+    )
+    il = intra.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sqrt(F.avg("d2")).alias("intra_rms"),
+    )
+    a = c.select(F.col("label").alias("la"), "i", F.col("m").alias("ma"))
+    b = c.select(F.col("label").alias("lb"), "i", F.col("m").alias("mb"))
+    cd = (
+        a.join(b, "i")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sqrt(F.sum(F.pow(F.col("ma") - F.col("mb"), 2))).alias("d"))
+    )
+    mind = (
+        cd.select(F.col("la").alias("label"), "d")
+        .unionAll(cd.select(F.col("lb").alias("label"), "d"))
+        .groupBy("label")
+        .agg(F.min("d").alias("min_inter"))
+    )
+    return il.join(F.broadcast(mind), "label").select(
+        "label",
+        "n_vectors",
+        F.round("intra_rms", 4).alias("intra_rms"),
+        F.round("min_inter", 4).alias("min_inter_centroid"),
+        F.round(F.col("min_inter") / F.col("intra_rms"), 4).alias(
+            "separation_ratio"
+        ),
+    )

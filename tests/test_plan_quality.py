@@ -213,6 +213,10 @@ _SHUFFLE_BUDGET = {
     # the simhash plan (4) + involved-id distinct + source join + two
     # per-source rollups — everything past the banded join is id-sized
     "near_dup_rate_by_source": 9,
+    # (label,dim) centroid agg + per-vector intra agg + label rollup +
+    # centroid-pair agg + min-inter rollup — every post-centroid stage
+    # runs on |labels|- or |labels|²-sized inputs
+    "embedding_label_separation": 5,
     "q20_dominant_suppliers": 4,  # 2-level grouped agg + distinct
     "quality_repetition_signals": 4,  # word + bigram explode-agg passes
     "ann_ivf_probe": 4,  # trained-cell assign join + probe rank + in-cell rerank
