@@ -80,25 +80,97 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_sketches_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates + exact ground truth + rank counts, per
+    l_returnflag. HLL++ distinct counts and the KLL-style approximate
+    median next to their exact values, plus how many rows fall
+    strictly below / at-or-below the approximate median — everything
+    the deterministic bound verdicts in :func:`agg_approx_sketches`
+    need, and what the pytest accuracy pin inspects directly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50"
+        ),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).localCheckpoint(eager=False)
+    # ^ the 3-row sketch result is referenced twice below (probe side
+    # and final join). Without the checkpoint each branch re-runs the
+    # aggregation, and a re-merged percentile sketch can return a value
+    # one data-point off — the rank counts would then be measured
+    # against a DIFFERENT median than the one reported.
+    # rank-position of the approximate median: one more scan joined to
+    # the 3-row sketch result (broadcast), counting rows below / at it
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(agg.select("l_returnflag", "approx_p50")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("approx_p50"), 1).otherwise(0)
+            ).alias("n_lt"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("approx_p50"), 1).otherwise(0)
+            ).alias("n_le"),
+        )
+    )
+    return agg.join(ranks, "l_returnflag")
+
+
 @register(
     "agg_approx_sketches",
-    None,  # sketch outputs are engine-specific by design → rows-only
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           CAST(count(*) AS BIGINT)                  AS n_rows,
+           TRUE AS parts_ok,
+           TRUE AS supps_ok,
+           TRUE AS p50_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc=(
         "Sketch aggregates for 100 TB interactive profiling: HLL++ "
-        "distinct counts and t-digest-style approximate percentiles. "
-        "Fixed-size mergeable state per partition — the scan is the only "
-        "full pass. Rows-only check (sketches are engine-defined)."
+        "distinct counts and KLL-style approximate percentiles, fixed-"
+        "size mergeable state per partition. Raw sketch outputs are "
+        "engine-specific, so the registered row projects DETERMINISTIC "
+        "verdicts instead: exact ground truth (both engines compute "
+        "it) plus boolean accuracy bounds — HLL within 4× the default "
+        "5 % rsd (|approx−exact|·5 ≤ exact, pure BIGINT), and the "
+        "approximate median's rank within 1/accuracy + one row of the "
+        "0.5 target (cross-multiplied to BIGINT). The oracle computes "
+        "the same exact columns and asserts the bounds hold (TRUE "
+        "literals) — a wrong sketch value-fails the row. The pytest "
+        "accuracy pin (tests/test_operators.py) checks the raw sketch "
+        "numbers directly via approx_sketches_raw."
     ),
     tags=("agg", "stats", "sketch"),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        _r4(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
-        ).alias("approx_median_price"),
+    raw = approx_sketches_raw(spark, sf_dir)
+    # all bounds in integer arithmetic so the booleans are engine-exact:
+    #   |approx − exact| ≤ 4·0.05·exact        ⇔ |approx−exact|·5 ≤ exact
+    #   n_lt/n ≤ 0.5 + 1/10000 + 1/n           ⇔ n_lt·20000 ≤ 10000·n + 2·n + 20000
+    #   n_le/n ≥ 0.5 − (1/10000 + 1/n)         ⇔ n_le·20000 ≥ 10000·n − 2·n − 20000
+    hll_ok = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) * 5 <= F.col(e)
+    )
+    n = F.col("n_rows")
+    return raw.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        "n_rows",
+        hll_ok("approx_parts", "exact_parts").alias("parts_ok"),
+        hll_ok("approx_supps", "exact_supps").alias("supps_ok"),
+        (
+            (F.col("n_lt") * 20000 <= 10000 * n + 2 * n + 20000)
+            & (F.col("n_le") * 20000 >= 10000 * n - 2 * n - 20000)
+        ).alias("p50_ok"),
     )
 
 
@@ -882,19 +954,24 @@ def agg_linreg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM c),
     t AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  sum(rev)                  AS tot,
-                 sum(rk * rev)             AS wsum
+                 -- DECIMAL(38,0): rank-weighted sum grows as n²·rev;
+                 -- BIGINT would wrap in Spark / raise in DuckDB at
+                 -- tens of millions of customers
+                 sum(CAST(rk AS DECIMAL(18,0)) * CAST(rev AS DECIMAL(18,0))) AS wsum
           FROM r),
+    -- top-N cutoffs as BIGINT integer division (n//100 etc.): double
+    -- n*frac can floor one ulp low in one engine only
     s AS (SELECT max(t.n) AS n, max(t.tot) AS tot, max(t.wsum) AS wsum,
-                 sum(CASE WHEN r.drk <= greatest(1, CAST(floor(t.n * 0.01) AS BIGINT))
+                 sum(CASE WHEN r.drk <= greatest(1, t.n // 100)
                           THEN r.rev ELSE 0 END) AS top1,
-                 sum(CASE WHEN r.drk <= CAST(floor(t.n * 0.10) AS BIGINT)
+                 sum(CASE WHEN r.drk <= t.n // 10
                           THEN r.rev ELSE 0 END) AS top10,
-                 sum(CASE WHEN r.drk <= CAST(floor(t.n * 0.20) AS BIGINT)
+                 sum(CASE WHEN r.drk <= t.n // 5
                           THEN r.rev ELSE 0 END) AS top20
           FROM r CROSS JOIN t)
     SELECT n AS n_customers,
            round(tot / 100.0, 2)                          AS total_revenue,
-           round(2.0 * wsum / (1.0 * n * tot) - (n + 1.0) / n, 4) AS gini,
+           round(2.0 * CAST(wsum AS DOUBLE) / (1.0 * n * tot) - (n + 1.0) / n, 4) AS gini,
            round(top1 * 1.0 / tot, 4)                     AS top1pct_share,
            round(top10 * 1.0 / tot, 4)                    AS top10pct_share,
            round(top20 * 1.0 / tot, 4)                    AS top20pct_share
@@ -932,17 +1009,25 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("rev").desc(), "o_custkey"))
         .alias("drk"),
     ).localCheckpoint(eager=False)
+    # wsum = Σ rank·rev grows as n²·avg_rev: as BIGINT it would wrap
+    # silently in Spark but raise in DuckDB once n reaches tens of
+    # millions — DECIMAL(38,0) gives both engines the same exact value
+    # (and the same loud overflow mode) up to 10^38.
+    dec = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
     t = r.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev").alias("tot"),
-        F.sum(F.col("rk") * F.col("rev")).alias("wsum"),
+        F.sum(dec("rk") * dec("rev")).alias("wsum"),
     )
-    top = lambda frac: F.sum(  # noqa: E731
+    # top-N cutoffs in pure BIGINT division (n div 100/10/5): a double
+    # n*frac can land one ulp below an exact integer and floor to k-1
+    # in one engine but k in the other — integer div is engine-exact.
+    top = lambda divisor, at_least_one: F.sum(  # noqa: E731
         F.when(
             F.col("drk")
             <= F.greatest(
-                F.lit(1).cast("long") if frac == 0.01 else F.lit(0).cast("long"),
-                F.floor(F.col("n") * frac).cast("long"),
+                F.lit(1 if at_least_one else 0).cast("long"),
+                F.expr(f"n div {divisor}"),
             ),
             F.col("rev"),
         ).otherwise(0)
@@ -951,15 +1036,15 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n"),
         F.max("tot").alias("tot"),
         F.max("wsum").alias("wsum"),
-        top(0.01).alias("top1"),
-        top(0.10).alias("top10"),
-        top(0.20).alias("top20"),
+        top(100, True).alias("top1"),
+        top(10, False).alias("top10"),
+        top(5, False).alias("top20"),
     )
     return s.select(
         F.col("n").alias("n_customers"),
         F.round(F.col("tot") / 100.0, 2).alias("total_revenue"),
         F.round(
-            2.0 * F.col("wsum") / (1.0 * F.col("n") * F.col("tot"))
+            2.0 * F.col("wsum").cast("double") / (1.0 * F.col("n") * F.col("tot"))
             - (F.col("n") + 1.0) / F.col("n"),
             4,
         ).alias("gini"),
@@ -1304,9 +1389,9 @@ def brand_share_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH f AS (SELECT p.p_brand,
                       CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
                            AS BIGINT)              AS net_e2,
-                      CAST(l.l_quantity AS BIGINT) AS qty,
+                      CAST(floor(l.l_quantity) AS BIGINT) AS qty,
                       CAST(floor(p.p_retailprice * 100) AS BIGINT)
-                          * CAST(l.l_quantity AS BIGINT) AS list_e2
+                          * CAST(floor(l.l_quantity) AS BIGINT) AS list_e2
                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
     SELECT p_brand,
            CAST(sum(qty) AS BIGINT)                    AS units,
@@ -1323,16 +1408,21 @@ def brand_share_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and the effective discount rate — the price-realization "
         "metric behind every pricing review, and a channel-leakage "
         "screen in the reference's vendor-invoice domain. Quantities "
-        "are integral in this data (checked), so all sums are exact "
-        "integer cents; one broadcast dim join + one brand "
-        "aggregation."
+        "pass through floor() before the BIGINT cast so Spark "
+        "(truncating cast) and DuckDB (half-even cast) agree even on "
+        "fractional quantities; all sums are exact integer cents; one "
+        "broadcast dim join + one brand aggregation."
     ),
     tags=("agg", "join", "audit"),
 )
 def brand_realized_vs_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    qty = F.col("l_quantity").cast("long")
+    # floor() before the BIGINT cast: a bare double→BIGINT cast rounds
+    # half-even in DuckDB but truncates in Spark — floor first makes
+    # both engines truncate identically (repo-wide pinned convention,
+    # same as audit_benford_screen).
+    qty = F.floor(F.col("l_quantity")).cast("long")
     f = li.join(
         F.broadcast(part.select("p_partkey", "p_brand", "p_retailprice")),
         li.l_partkey == F.col("p_partkey"),

@@ -285,17 +285,22 @@ _AA_TOP_K = 100
     ctr AS (SELECT v, deg FROM deg WHERE deg BETWEEN 2 AND {_AA_DEG_CAP}),
     w AS (SELECT a.dst AS na, b.dst AS nb,
                  CAST(count(*) AS BIGINT) AS common_neighbors,
-                 sum(1.0 / ln(ctr.deg)) AS aa
+                 -- scaled-integer AA: each 1/ln(deg) term quantized to
+                 -- 1e-12 and summed as BIGINT — order-independent and
+                 -- engine-exact, unlike a double accumulation whose
+                 -- partial-sum order can flip a rounded score at the
+                 -- LIMIT boundary
+                 sum(CAST(floor(1e12 / ln(ctr.deg)) AS BIGINT)) AS aa_e12
           FROM e a
           JOIN e b ON a.src = b.src AND a.dst < b.dst
           JOIN ctr ON a.src = ctr.v
           GROUP BY 1, 2),
-    cand AS (SELECT w.na, w.nb, w.common_neighbors, w.aa
+    cand AS (SELECT w.na, w.nb, w.common_neighbors, w.aa_e12
              FROM w ANTI JOIN u ON w.na = u.src AND w.nb = u.dst)
     SELECT na AS part_a, nb AS part_b, common_neighbors,
-           round(aa, 4) AS aa_score
+           round(aa_e12 / 1e12, 4) AS aa_score
     FROM cand
-    ORDER BY round(aa, 4) DESC, na, nb
+    ORDER BY aa_e12 DESC, na, nb
     LIMIT {_AA_TOP_K}
     """,
     doc=(
@@ -307,9 +312,12 @@ _AA_TOP_K = 100
         "= O(cap·m), linear in edges and hub-immune, and the dropped "
         "hub centers are exactly the ones whose 1/ln(deg) contribution "
         "is weakest (degree-1 centers contribute no wedge at all). "
-        "Existing edges anti-join away; deterministic top-"
-        f"{_AA_TOP_K} by (rounded score, pair) so both engines cut the "
-        "same prefix."
+        "Existing edges anti-join away; AA terms are quantized to "
+        "1e-12 and summed as BIGINT (order-independent, engine-exact) "
+        "and the deterministic top-"
+        f"{_AA_TOP_K} cut orders by the exact integer score, so both "
+        "engines cut the same prefix with no rounding-boundary "
+        "flakiness."
     ),
     tags=("graph", "join", "topk"),
 )
@@ -326,7 +334,12 @@ def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("na", "nb")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
-            F.sum(F.lit(1.0) / F.log(F.col("deg"))).alias("aa"),
+            # scaled-integer sum (see oracle SQL): BIGINT accumulation
+            # is partial-aggregate-order independent; ordering by the
+            # exact integer (not the rounded double) pins the top-k cut
+            F.sum(F.floor(F.lit(1e12) / F.log(F.col("deg"))).cast("long")).alias(
+                "aa_e12"
+            ),
         )
     )
     cand = w.join(
@@ -339,8 +352,10 @@ def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("na").alias("part_a"),
             F.col("nb").alias("part_b"),
             "common_neighbors",
-            F.round("aa", 4).alias("aa_score"),
+            F.round(F.col("aa_e12") / 1e12, 4).alias("aa_score"),
+            F.col("aa_e12"),
         )
-        .orderBy(F.col("aa_score").desc(), "part_a", "part_b")
+        .orderBy(F.col("aa_e12").desc(), "part_a", "part_b")
         .limit(_AA_TOP_K)
+        .drop("aa_e12")
     )

@@ -77,13 +77,16 @@ def build_receipts(
     gcs_path: str = "",
     google_drive_url: str | None = None,
     gmail_id: str | None = None,
-    run_date: _dt.date | None = None,
+    run_date: _dt.date,
     run_ts: int = 0,
     processed_at: str = "",
     per_file: bool = False,
 ) -> DataFrame:
     """Transform a scanned invoice frame (see sources.invoice_csv) into
-    one receipt row per invoice. All "now" values injected (SURVEY §4.2).
+    one receipt row per invoice. All "now" values injected (SURVEY §4.2):
+    ``run_date`` is REQUIRED — there is no ``date.today()`` fallback, so
+    the same input always yields the same output. Interactive callers
+    (CLI/service) inject "now" at their argument-parsing boundary.
 
     ``per_file=True`` adds the source path to the group key and derives
     ``source_file``/``gcs_path`` from it. Required whenever one scan
@@ -92,8 +95,6 @@ def build_receipts(
     number appearing in two files must yield two receipts, not one
     merged across files.
     """
-    run_date = run_date or _dt.date.today()
-
     first = lambda c: F.min_by(c, F.col(ROW_IDX))  # first row in file order
 
     rows = invoice_df.filter(F.col(INVOICE_KEY).isNotNull()).select(

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import logging
 import os
 import threading
 import time
@@ -45,6 +46,8 @@ from pyspark.sql import SparkSession
 from fintech_etl_spark.operators.receipts import build_receipts, to_webhook_payloads
 from fintech_etl_spark.sinks import WebhookSink, land_raw_files, write_receipts_parquet
 from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
+
+_log = logging.getLogger(__name__)
 
 
 class EtlHttpService:
@@ -190,7 +193,10 @@ class EtlHttpService:
                     return
                 try:
                     ok = service.spark.sparkContext is not None
-                except Exception:  # noqa: BLE001 - stopped session
+                except Exception as exc:  # noqa: BLE001 - stopped session
+                    # don't swallow silently: the degraded verdict should
+                    # leave a trace of WHY the session probe failed
+                    _log.warning("health probe: spark session check failed: %s", exc)
                     ok = False
                 self._json(
                     200,

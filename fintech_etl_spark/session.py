@@ -12,6 +12,27 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+#: parquet reader rejects outright; with this legacy flag the column
+#: surfaces as raw INT64 nanos instead (callers truncate to µs with
+#: integer div). Single source of truth for the config key — set at
+#: build time below and ensured at read time by
+#: :func:`ensure_nanos_as_long` for externally-built sessions.
+NANOS_AS_LONG_KEY = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Set ``nanosAsLong`` on an already-running session if unset.
+
+    ``build_session`` bakes it into the builder; the round driver and
+    other embedders hand query functions an externally built
+    SparkSession that never went through ``build_session`` — for those
+    this runtime ensure is load-bearing, not duplication. Guarded so a
+    session that already has it is left untouched.
+    """
+    if spark.conf.get(NANOS_AS_LONG_KEY, "false") != "true":
+        spark.conf.set(NANOS_AS_LONG_KEY, "true")
+
 
 def build_session(
     app_name: str = "fintech_etl_spark",
@@ -49,11 +70,9 @@ def build_session(
         # Footer-stats pushdown: filterless count/min/max aggregates
         # read parquet metadata instead of data pages.
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # events.parquet carries TIMESTAMP(NANOS), which the vectorized
-        # reader rejects; read nanos as raw INT64 session-wide so the
-        # behavior doesn't depend on which table was loaded first
-        # (load_table also sets this for externally-built sessions).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # see NANOS_AS_LONG_KEY: session-wide so behavior doesn't
+        # depend on which table was loaded first.
+        .config(NANOS_AS_LONG_KEY, "true")
         # planner-level filter pushdown into Python DataSources
         # (sources/inbox.py implements pushFilters)
         .config("spark.sql.python.filterPushdown.enabled", "true")

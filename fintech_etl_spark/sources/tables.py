@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from fintech_etl_spark.schemas import TABLE_NAMES
+from fintech_etl_spark.session import ensure_nanos_as_long
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -29,13 +30,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    # build_session() already sets this (session.py), but the round
-    # driver and any other embedder hand query functions an externally
-    # built SparkSession that never went through build_session — for
-    # those, this runtime ensure is load-bearing, not duplication.
-    # Guarded so a session that already has it is left untouched.
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_as_long(spark)
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType

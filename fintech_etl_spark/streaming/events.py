@@ -44,12 +44,19 @@ def read_events_stream(
 
     import glob as _glob
 
-    path = sorted(_glob.glob(os.path.join(sf_dir, glob)))[0]
+    matches = sorted(_glob.glob(os.path.join(sf_dir, glob)))
+    if not matches:
+        raise FileNotFoundError(
+            f"no files match {glob!r} under {sf_dir!r} (schema probe needs one)"
+        )
+    path = matches[0]
     ts_type = pq.ParquetFile(path).schema_arrow.field("ts").type
     ts_unit = getattr(ts_type, "unit", "us")
 
     if ts_unit == "ns":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from fintech_etl_spark.session import ensure_nanos_as_long
+
+        ensure_nanos_as_long(spark)
         raw = (
             spark.readStream.schema(
                 "event_id long, ts long, user_id long, event_type string, "

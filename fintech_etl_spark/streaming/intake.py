@@ -38,7 +38,7 @@ def start_invoice_stream(
     on_receipts: BatchHandler,
     *,
     gcs_bucket: str = "",
-    run_date: _dt.date | None = None,
+    run_date: _dt.date,
     run_ts: int = 0,
     max_files_per_trigger: int = 32,
 ) -> StreamingQuery:

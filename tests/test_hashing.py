@@ -156,3 +156,32 @@ def test_minhash_hof_matches_python_reference(spark):
     ).collect()
     want = {r.doc_id: list(r.sig) for r in ref_rows}
     assert got == want
+
+
+def test_aa_quantization_ln_parity_across_engines(spark):
+    """Canary for graph_link_prediction_aa's scaled-integer AA terms:
+    floor(1e12 / ln(deg)) must be the SAME BIGINT in Spark (JVM
+    Math.log) and DuckDB (libm log) for every degree the operator can
+    see (2..cap). The quantized sum is order-independent by
+    construction; this pins the one residual cross-engine hazard — a
+    last-ulp ln() difference straddling an integer boundary."""
+    import duckdb
+
+    from fintech_etl_spark.operators.graph_ops import _AA_DEG_CAP
+
+    degs = list(range(2, _AA_DEG_CAP + 1))
+    spark_vals = {
+        r.d: r.q
+        for r in spark.createDataFrame([(d,) for d in degs], "d int")
+        .selectExpr("d", "CAST(floor(1e12 / ln(d)) AS BIGINT) AS q")
+        .collect()
+    }
+    duck_vals = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT d, CAST(floor(1e12 / ln(d)) AS BIGINT) FROM "
+            f"unnest(range(2, {_AA_DEG_CAP + 1})) AS t(d)"
+        )
+        .fetchall()
+    )
+    assert spark_vals == duck_vals
