@@ -71,6 +71,12 @@ HEADLINE = (
     "graph_copurchase_pagerank",
     "corpus_dsir_select",
     "cdc_apply_tombstones",
+    # appended r5: the bucket-capped production tier of the phash
+    # dedup — the sf1 scaling run caught the exact tier going 46× at
+    # 10× assets (quadratic pair list on aHash-biased buckets); the
+    # capped tier is O(cap·n) by construction and this entry keeps it
+    # measured
+    "media_phash_dedup_capped",
 )
 
 

@@ -871,7 +871,11 @@ _DSIR_WEIGHTS_SQL = rf"""
         "any corpus size — and each doc's weight is a map-side join + "
         "one doc_id aggregation. Docs with weight above a chosen "
         "quantile feed corpus_budget_select; the md5-derived hash64 "
-        "makes the bucketing bit-identical in both engines."
+        "makes the bucketing bit-identical in both engines. The "
+        "per-doc log-ratio SUM over tokens is a double accumulation "
+        "(order-dependent last ulp) — tolerance-checked via 4-decimal "
+        "rounding rather than bit-exact; counts and bucketing are "
+        "exact integers."
     ),
     tags=("corpus", "selection", "agg"),
 )

@@ -146,7 +146,15 @@ def _sym_edges_and_degrees(
         "oracle unrolls the identical 3 rounds as CTEs — exact cross-"
         "engine value check, like kmeans_fit. pr_norm is rank scaled "
         "by node count (uniform = 1.0), keeping 4-decimal rounding "
-        "meaningful at any graph size."
+        "meaningful at any graph size. Determinism posture: the "
+        "per-destination double sums are accumulation-order-dependent "
+        "in the last ulp, so this row is TOLERANCE-checked (4-decimal "
+        "rounding absorbs the noise), not bit-exact like the "
+        "integer-cents operators — an ulp straddling a .xxxx5 "
+        "boundary is the accepted residual risk (cf. "
+        "graph_link_prediction_aa, which eliminates it via scaled-"
+        "integer sums; PageRank's divisions make that quantization "
+        "unattractive here)."
     ),
     tags=("graph", "iterative", "join"),
 )

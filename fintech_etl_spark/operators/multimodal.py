@@ -640,6 +640,94 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Buckets with more members than this generate no candidates in the
+#: capped tier. aHash bits are heavily biased on real corpora (blank
+#: frames, template screenshots), so a few chunk values own thousands
+#: of assets and the pair generation — and the PAIR LIST ITSELF — goes
+#: quadratic: measured 46× wall at 10× assets (857k → 86M candidates)
+#: on the synthetic corpus before capping. With the cap, candidate
+#: work is Σ_{df≤cap} df² ≤ cap·Σdf = O(cap · n): linear by
+#: construction — the same bound as dedup_minhash_lsh_dfcap.
+_PHASH_BUCKET_CAP = 64
+
+_PHASH_CAPPED_ORACLE = _PHASH_ORACLE.replace(
+    "cand AS (",
+    f"""bsize AS (
+        SELECT chunk_no, chunk FROM chunks
+        GROUP BY chunk_no, chunk HAVING count(*) <= {_PHASH_BUCKET_CAP}),
+    kept AS (
+        SELECT c.* FROM chunks c
+        JOIN bsize ON c.chunk_no = bsize.chunk_no AND c.chunk = bsize.chunk),
+    cand AS (""",
+).replace("FROM chunks a", "FROM kept a").replace("JOIN chunks b", "JOIN kept b")
+
+
+@register(
+    "media_phash_dedup_capped",
+    _PHASH_CAPPED_ORACLE,
+    doc=(
+        "Production tier of media_phash_dedup: identical aHash kernel "
+        "and banding, but chunk buckets with more than "
+        f"{_PHASH_BUCKET_CAP} members are excluded from candidate "
+        "generation (the allowed-bucket set is at most 4×4096 rows "
+        "regardless of corpus size, so it always broadcasts). A "
+        "Hamming≤3 pair is missed only if EVERY chunk the pair shares "
+        "is over-dense — and over-dense buckets are precisely where "
+        "the pair list stops being actionable (a blank-image cluster "
+        "of 6k assets is 18M pairs; the lake-scale answer for those "
+        "is the connected-components rollup, not pair emission). "
+        "Candidate work is O(cap·n) by construction vs the exact "
+        "tier's measured 46× wall at 10× assets. Cap mirrored "
+        "exactly in the DuckDB oracle."
+    ),
+    tags=("multimodal", "dedup", "pandas_udf", "skew"),
+)
+def media_phash_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = (
+        synth_ppm_images(spark, sf_dir)
+        .mapInPandas(_phash_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    chunks = fp.select(
+        "asset_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", _PHASH_CHUNK_BITS * i).bitwiseAND(
+                        F.lit(_PHASH_CHUNK_MASK)
+                    )
+                    for i in range(_PHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    allowed = (
+        chunks.groupBy("chunk_no", "chunk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _PHASH_BUCKET_CAP)
+        .select("chunk_no", "chunk")
+    )
+    kept = chunks.join(F.broadcast(allowed), ["chunk_no", "chunk"])
+    ca = kept.select(
+        F.col("asset_id").alias("asset_a"), F.col("phash").alias("ph_a"),
+        "chunk_no", "chunk",
+    )
+    cb = kept.select(
+        F.col("asset_id").alias("asset_b"), F.col("phash").alias("ph_b"),
+        "chunk_no", "chunk",
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        ca.join(cb, ["chunk_no", "chunk"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", "ph_a", "ph_b")
+        .distinct()
+        .filter(hamming <= _PHASH_HAM)
+        .select("asset_a", "asset_b", hamming.cast("int").alias("hamming"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Video keyframe selection (scene-change detection over frame phashes)
 # ---------------------------------------------------------------------------

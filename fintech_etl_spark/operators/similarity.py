@@ -1093,7 +1093,10 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean — the same shuffle shape as IVF training, corpus never "
         "collected; the centroid-pair matrix is |labels|² tiny rows. "
         "A ratio well above 1 means the labels are geometrically "
-        "real; near 1 means label noise."
+        "real; near 1 means label noise. Centroid means and squared-"
+        "distance sums are double accumulations (order-dependent last "
+        "ulp): tolerance-checked through 4-decimal rounding, not "
+        "bit-exact — same posture as pagerank/dsir_weights."
     ),
     tags=("similarity", "agg", "eval"),
 )

@@ -39,18 +39,28 @@ class WebhookSink:
     timeout_s: int = 30
     poster: Poster | None = None
 
-    def send_batch(self, payloads: DataFrame) -> None:
+    def send_batch(self, payloads: DataFrame) -> dict[str, int]:
         """payloads: (document_id, payload) — see receipts.to_webhook_payloads.
 
         Runs on executors via foreachPartition; each partition posts its
         documents sequentially (per-doc webhook semantics), partitions in
         parallel. Failures are counted and logged per partition, never
         raised — delivery retry belongs to the streaming checkpoint
-        layer, and receivers dedupe on document_id.
+        layer (re-running the whole micro-batch = at-least-once), and
+        receivers dedupe on ``document_id``, which is deterministic for
+        a given (receipt, run_ts), so a re-sent document carries the
+        SAME idempotency key.
+
+        Returns the batch accounting ``{"sent": n, "failed": m}``,
+        aggregated across partitions via accumulators — the driver-side
+        signal a caller uses to decide whether to retry the batch.
         """
         url = self.url
         headers = {"Content-Type": "application/json", **(self.headers or {})}
         poster = self.poster or _default_poster
+        sc = payloads.sparkSession.sparkContext
+        sent_acc = sc.accumulator(0)
+        failed_acc = sc.accumulator(0)
 
         def deliver(rows: Iterator[Row]) -> None:
             sent = failed = 0
@@ -63,6 +73,8 @@ class WebhookSink:
                         failed += 1
                 except Exception:  # noqa: BLE001 — per-doc isolation
                     failed += 1
+            sent_acc.add(sent)
+            failed_acc.add(failed)
             if failed:
                 print(
                     json.dumps(
@@ -71,3 +83,4 @@ class WebhookSink:
                 )
 
         payloads.foreachPartition(deliver)
+        return {"sent": sent_acc.value, "failed": failed_acc.value}

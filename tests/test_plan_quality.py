@@ -248,6 +248,16 @@ _SHUFFLE_BUDGET = {
     "brand_share_yoy": 3,  # brand-year agg + per-year share window + per-brand lag window
     "events_new_vs_returning": 3,  # first-day agg + (day,user) distinct + day rollup, all on user_id
     "order_size_distribution": 3,  # per-order count + per-size count + single-row share window
+    # ---- top-of-bench tier pinned EXPLICITLY (round-5 verdict #5):
+    # these are the most expensive queries in BENCH_r*.json; their
+    # post-checkpoint plans are deliberately shallow (checkpoints cut
+    # lineage, broadcasts carry the small sides), and a regression that
+    # adds a shuffle here is exactly the one that hurts at 100 TB.
+    "ann_pq_adc": 2,  # code-assign agg + per-query top-k window; ADC table broadcast
+    "graph_copurchase_pagerank": 1,  # per-iteration plans checkpointed; final rank agg only
+    "dedup_embedding_neardup": 2,  # block assignment + cogrouped GEMM exchange
+    "ann_lsh_bucketed": 2,  # bucket spread + per-query top-k window
+    "media_phash_dedup_capped": 3,  # bucket-df agg + allowed-set broadcast + pair distinct
 }
 
 
@@ -259,3 +269,141 @@ def test_every_query_within_shuffle_budget(spark, specs):
         if n > _SHUFFLE_BUDGET.get(name, _SHUFFLE_BUDGET_DEFAULT):
             over[name] = n
     assert not over, f"queries over shuffle budget: {over}"
+
+
+def _write_events_fixture(path, skewed: bool, n: int = 400_000) -> None:
+    """Synthetic events table split into 8 files (a skewed REDUCER
+    partition can only be split along MAPPER boundaries — one input
+    file would make AQE's skew split structurally impossible). The
+    payload column keeps the join shuffle fat enough for byte-based
+    skew detection."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    rng = np.random.default_rng(7)
+    hot = int(n * 0.3)
+    if skewed:
+        user = np.concatenate([np.full(hot, 1), rng.integers(2, 1001, n - hot)])
+        rng.shuffle(user)
+    else:
+        user = rng.integers(1, 1001, n)
+    payload = [bytes(b).hex() for b in rng.integers(0, 256, (n, 64), dtype=np.uint8)]
+    etype = np.array(["view", "click", "purchase"])[rng.integers(0, 3, n)]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                np.datetime64("2024-01-01", "us")
+                + rng.integers(0, 30 * 86_400_000_000, n).astype("timedelta64[us]")
+            ),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(etype, pa.string()),
+            "value": np.round(rng.random(n), 4),
+            "props": pa.array(["{}"] * n),
+            "payload": pa.array(payload),
+        }
+    )
+    os.makedirs(path)
+    for i in range(8):
+        pq.write_table(t.slice(i * n // 8, n // 8), f"{path}/part-{i}.parquet")
+
+
+_SKEW_CONF = {
+    # force the shuffled-join path (no broadcast escape hatch) and make
+    # AQE's byte thresholds reachable at test scale
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+}
+
+
+def test_aqe_skew_join_splits_hot_key(spark, tmp_path):
+    """Adversarial skew injection (round-5 verdict #3): one user owns
+    30% of events (~14x the average key). Assert (a) AQE actually
+    splits the skewed partition (SortMergeJoin(skew=true) in the final
+    adaptive plan), (b) results are identical to the uniform path's
+    semantics, and (c) wall-time stays within a small factor of the
+    uniform fixture — the skew is absorbed by the split, not serialized
+    through one reducer."""
+    import time
+
+    skew_dir = str(tmp_path / "skew" / "events.parquet")
+    flat_dir = str(tmp_path / "flat" / "events.parquet")
+    _write_events_fixture(skew_dir, skewed=True)
+    _write_events_fixture(flat_dir, skewed=False)
+
+    dim = spark.range(1, 1001).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("grp")
+    )
+
+    def run(events_dir):
+        ev = spark.read.parquet(events_dir)
+        return (
+            ev.join(dim, "user_id")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("payload")).alias("payload_bytes"),
+            )
+        )
+
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONF}
+    try:
+        for k, v in _SKEW_CONF.items():
+            spark.conf.set(k, v)
+
+        # (a) the skew split engages on the skewed fixture
+        j = run(skew_dir)
+        skew_rows = {r.grp: (r.n, r.payload_bytes) for r in j.collect()}
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+
+        # (b) values: every event lands exactly once despite the split
+        assert sum(n for n, _ in skew_rows.values()) == 400_000
+        assert all(b == n * 128 for n, b in skew_rows.values())
+
+        # (c) wall-time: skewed within 3x of uniform (min-of-3 to damp
+        # box noise; an unsplit hot reducer serializes ~30% of ALL rows
+        # through one task and blows far past this)
+        def wall(events_dir):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run(events_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        flat_t = wall(flat_dir)
+        skew_t = wall(skew_dir)
+        assert skew_t <= max(3.0 * flat_t, flat_t + 1.0), (skew_t, flat_t)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # salted-aggregation tier: the engine's answer for skewed GROUP BY
+    # (AQE skew handling only covers joins). Verify the salted two-phase
+    # rollup on the skewed fixture matches the plain groupBy exactly.
+    from fintech_etl_spark.operators.events_analytics import (
+        events_salted_heavy_hitters,
+    )
+
+    got = {
+        r.event_type: (r.n, r.total)
+        for r in events_salted_heavy_hitters(spark, str(tmp_path / "skew")).collect()
+    }
+    ev = spark.read.parquet(skew_dir)
+    want = {
+        r.event_type: (r.n, r.total)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    }
+    assert got == want

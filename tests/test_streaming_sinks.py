@@ -687,3 +687,68 @@ def test_streaming_transitions_match_batch_markov(spark, tmp_path):
         for r in events_markov_transitions(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_webhook_retry_after_midbatch_failure_no_double_delivery(spark, tmp_path):
+    """At-least-once + idempotency, PROVEN (round-5 verdict #6): the
+    endpoint dies mid-batch (INV1 delivered, INV2 errors), the caller
+    re-sends the whole batch — the checkpoint layer's at-least-once
+    contract — and the receiver, deduping on document_id, materializes
+    every document EXACTLY once even though INV1 crossed the wire
+    twice. Also pins the sink's returned accounting at each attempt."""
+    from fintech_etl_spark.operators.receipts import (
+        build_receipts,
+        to_webhook_payloads,
+    )
+    from fintech_etl_spark.sinks import WebhookSink
+    from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
+
+    fixture = tmp_path / "f.csv"
+    fixture.write_text(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    payloads = to_webhook_payloads(
+        build_receipts(read_invoice_csv(spark, str(fixture)), run_date=RUN_DATE)
+    ).coalesce(1)  # one partition → deterministic INV1-then-INV2 order
+
+    wire_log = tmp_path / "wire.log"  # every POST that reached the endpoint
+    store = tmp_path / "store"  # receiver state, keyed by document_id
+    store.mkdir()
+    outage_marker = tmp_path / "outage_done"
+
+    def poster(url, body, headers, _log=str(wire_log), _store=str(store),
+               _marker=str(outage_marker)):
+        doc = json.loads(body)
+        did = doc["document_id"]
+        with open(_log, "a") as f:
+            f.write(did + "\n")
+        if doc["receiptId"] == "INV2" and not os.path.exists(_marker):
+            # endpoint dies mid-batch, exactly once
+            open(_marker, "w").close()
+            raise ConnectionError("endpoint down mid-batch")
+        # receiver-side idempotency: first delivery wins
+        path = os.path.join(_store, did.replace("/", "_"))
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(body.decode())
+        return 200
+
+    sink = WebhookSink(url="http://example.invalid/hook", poster=poster)
+
+    first = sink.send_batch(payloads)
+    assert first == {"sent": 1, "failed": 1}  # INV1 ok, INV2 failed
+
+    retry = sink.send_batch(payloads)  # caller re-sends the WHOLE batch
+    assert retry == {"sent": 2, "failed": 0}
+
+    # the wire saw 4 posts (INV1 twice — at-least-once means duplicates
+    # on failure paths), with the SAME document_id both times
+    wire = wire_log.read_text().splitlines()
+    assert len(wire) == 4
+    assert len(set(wire)) == 2  # deterministic idempotency keys
+
+    # ...but the receiver materialized each document exactly once
+    stored = sorted(os.listdir(store))
+    assert len(stored) == 2
+    receipt_ids = sorted(
+        json.load(open(store / p))["receiptId"] for p in stored
+    )
+    assert receipt_ids == ["INV1", "INV2"]
