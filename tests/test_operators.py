@@ -17,10 +17,10 @@ def test_registry_complete_and_importable():
     # EXACT pin (not a floor): a silent drop means an operator module
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
-    assert len(specs) == 191
+    assert len(specs) == 192
     # every registered query is oracle-checkable as of round 5:
     # agg_approx_sketches projects deterministic bound verdicts
-    assert sum(1 for s in specs.values() if s.oracle is not None) == 191
+    assert sum(1 for s in specs.values() if s.oracle is not None) == 192
     # every family present
     for family in ("dedup_", "ann_", "media_", "q1_", "window_", "text_stats"):
         assert any(n.startswith(family) for n in specs), family
@@ -991,3 +991,69 @@ def test_entity_canonicalize_is_total_and_consistent(spark):
     for p in pairs:
         # matched names resolve to the same canonical
         assert by_name[p.name_a].canonical_name == by_name[p.name_b].canonical_name
+
+
+def test_phash_capped_subset_and_gate_scale_equality(spark):
+    """media_phash_dedup_capped ⊆ media_phash_dedup always (the cap
+    only REMOVES candidate buckets), and at gate scale — where no
+    bucket exceeds the cap — the two tiers are IDENTICAL, so the
+    production tier inherits the exact tier's oracle semantics
+    wherever the cap is inactive."""
+    from fintech_etl_spark.operators.multimodal import (
+        media_phash_dedup,
+        media_phash_dedup_capped,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {(r.asset_a, r.asset_b, r.hamming) for r in media_phash_dedup(spark, sf).collect()}
+    capped = {(r.asset_a, r.asset_b, r.hamming) for r in media_phash_dedup_capped(spark, sf).collect()}
+    assert capped <= exact
+    assert capped == exact  # max bucket at sf0.01 is ~50 < cap 64
+    assert exact, "gate-scale data should contain near-dup pairs"
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    """dedup_semantic_semdedup's Arrow kernel re-verified against an
+    independent NumPy implementation of the same rule (cluster members
+    from the SAME kmeans_fit, prune against smaller-id members at τ),
+    including the pruned_by representative choice."""
+    import numpy as np
+
+    from fintech_etl_spark.operators.similarity import (
+        _SEMDEDUP_TAU,
+        dedup_semantic_semdedup,
+        kmeans_fit,
+    )
+    from fintech_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.vec_id: (r.cell, r.kept, r.pruned_by)
+        for r in dedup_semantic_semdedup(spark, sf).collect()
+    }
+
+    emb = load_table(spark, sf, "embeddings")
+    _, assign = kmeans_fit(emb)
+    rows = assign.join(emb, "vec_id").select("vec_id", "cell", "embedding").collect()
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for r in rows:
+        cells[r.cell].append((r.vec_id, np.array(r.embedding, dtype=np.float64)))
+    want = {}
+    n_pruned = 0
+    for cell, members in cells.items():
+        members.sort()
+        ids = [i for i, _ in members]
+        V = np.stack([v for _, v in members])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ V.T
+        for j in range(len(ids)):
+            qual = [i for i in range(j) if S[i, j] >= _SEMDEDUP_TAU]
+            if qual:
+                want[ids[j]] = (cell, False, ids[qual[0]])
+                n_pruned += 1
+            else:
+                want[ids[j]] = (cell, True, None)
+    assert got == want
+    assert n_pruned > 0, "tau should have observable work at gate scale"

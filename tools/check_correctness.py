@@ -61,7 +61,12 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from fintech_etl_spark.session import build_session
 
-    filters = sys.argv[1:]
+    # positional args: include-substrings; "-name" args: exclude-substrings
+    # (used to skip known-quadratic ORACLES — brute-force pair joins —
+    # when sweeping large generated sf_dirs; the Spark side scales, the
+    # DuckDB replay doesn't)
+    filters = [a for a in sys.argv[1:] if not a.startswith("-")]
+    excludes = [a[1:] for a in sys.argv[1:] if a.startswith("-")]
     spark = build_session("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
@@ -77,6 +82,8 @@ def main() -> int:
     n_pass = n_fail = 0
     for name, fn in sorted(qs.items()):
         if filters and not any(f in name for f in filters):
+            continue
+        if name in excludes:
             continue
         t0 = time.time()
         try:

@@ -41,9 +41,12 @@ PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 STATUSES = ["O", "F", "P"]
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
 LANGS = ["en", "de", "es", "fr", "zh"]
-PTYPE_A = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
-PTYPE_B = ["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"]
-PTYPE_C = ["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"]
+PTYPES = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
+# bounded name vocabulary (8 adj × 8 noun = 64 names), mirroring the
+# driver's data model: entity-resolution ops run label propagation on
+# the name VOCABULARY, which must NOT scale with row count
+PART_ADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+PART_NOUN = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
 DOC_VOCAB = (
     "spark table column row key value data query scan filter group agg "
     "join sort hash merge window stream batch part order line fast slow "
@@ -89,32 +92,29 @@ def generate(sf: float, out_dir: str) -> None:
     }))
 
     _write(out_dir, "customer", pa.table({
-        "c_custkey": pa.array(np.arange(1, n_cust + 1), pa.int64()),
-        "c_name": [f"Customer#{i:09d}" for i in range(1, n_cust + 1)],
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
         "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
         "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_cust), 2),
         "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]),
     }))
 
     _write(out_dir, "supplier", pa.table({
-        "s_suppkey": pa.array(np.arange(1, n_supp + 1), pa.int64()),
-        "s_name": [f"Supplier#{i:09d}" for i in range(1, n_supp + 1)],
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
         "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_supp), 2),
     }))
 
-    ta = np.array(PTYPE_A)[rng.integers(0, len(PTYPE_A), n_part)]
-    tb = np.array(PTYPE_B)[rng.integers(0, len(PTYPE_B), n_part)]
-    tc = np.array(PTYPE_C)[rng.integers(0, len(PTYPE_C), n_part)]
-    retail = np.round(900.0 + (np.arange(1, n_part + 1) % 1000) / 10.0
+    adj = np.array(PART_ADJ)[rng.integers(0, len(PART_ADJ), n_part)]
+    noun = np.array(PART_NOUN)[rng.integers(0, len(PART_NOUN), n_part)]
+    retail = np.round(900.0 + (np.arange(n_part) % 1000) / 10.0
                       + rng.uniform(0, 100, n_part), 2)
     _write(out_dir, "part", pa.table({
-        "p_partkey": pa.array(np.arange(1, n_part + 1), pa.int64()),
-        "p_name": [f"part {i} {w}" for i, w in zip(
-            range(1, n_part + 1),
-            np.array(DOC_VOCAB)[rng.integers(0, len(DOC_VOCAB), n_part)])],
+        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        "p_name": [f"{a} {b}" for a, b in zip(adj, noun)],
         "p_brand": pa.array([f"Brand#{b}" for b in rng.integers(1, 26, n_part)]),
-        "p_type": pa.array([f"{a} {b} {c}" for a, b, c in zip(ta, tb, tc)]),
+        "p_type": pa.array(np.array(PTYPES)[rng.integers(0, len(PTYPES), n_part)]),
         "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
         "p_retailprice": retail,
     }))
@@ -132,8 +132,8 @@ def generate(sf: float, out_dir: str) -> None:
     p_mask = rng.random(n_orders) < 0.03
     o_status[p_mask] = "P"
     _write(out_dir, "orders", pa.table({
-        "o_orderkey": pa.array(np.arange(1, n_orders + 1), pa.int64()),
-        "o_custkey": pa.array(rng.integers(1, n_cust + 1, n_orders), pa.int64()),
+        "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_orders), pa.int64()),
         "o_orderstatus": pa.array(o_status, pa.string()),
         "o_totalprice": o_total,
         "o_orderdate": pa.array(o_date_us, pa.timestamp("us")),
@@ -142,7 +142,7 @@ def generate(sf: float, out_dir: str) -> None:
 
     # lineitem: 1..7 lines per order, ~4 avg → ~6M at sf1
     lines_per = rng.integers(1, 8, n_orders)
-    l_orderkey = np.repeat(np.arange(1, n_orders + 1), lines_per)
+    l_orderkey = np.repeat(np.arange(n_orders), lines_per)
     n_li = len(l_orderkey)
     l_linenumber = np.concatenate([np.arange(1, k + 1) for k in lines_per]) \
         if n_orders else np.array([], dtype=np.int64)
@@ -158,8 +158,8 @@ def generate(sf: float, out_dir: str) -> None:
     lstat = np.where(rng.random(n_li) < 0.5, "O", "F")
     _write(out_dir, "lineitem", pa.table({
         "l_orderkey": pa.array(l_orderkey, pa.int64()),
-        "l_partkey": pa.array(rng.integers(1, n_part + 1, n_li), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(1, n_supp + 1, n_li), pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
         "l_linenumber": pa.array(l_linenumber, pa.int32()),
         "l_quantity": qty,
         "l_extendedprice": ext,
@@ -183,9 +183,9 @@ def generate(sf: float, out_dir: str) -> None:
     value = np.where(etype == "purchase",
                      np.round(rng.gamma(2.0, 40.0, n_events), 2), 0.0)
     _write(out_dir, "events", pa.table({
-        "event_id": pa.array(np.arange(1, n_events + 1), pa.int64()),
+        "event_id": pa.array(np.arange(n_events), pa.int64()),
         "ts": pa.array(ts_ns, pa.timestamp("ns")),
-        "user_id": pa.array(rng.choice(np.arange(1, n_users + 1), n_events,
+        "user_id": pa.array(rng.choice(np.arange(n_users), n_events,
                                        p=user_w), pa.int64()),
         "event_type": pa.array(etype, pa.string()),
         "value": value,
@@ -206,7 +206,7 @@ def generate(sf: float, out_dir: str) -> None:
         elif r < 12:
             texts[i] = texts[dup_src[i]] + " extra"
     _write(out_dir, "documents", pa.table({
-        "doc_id": pa.array(np.arange(1, n_docs + 1), pa.int64()),
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
         "text": texts,
         "lang": pa.array(np.array(LANGS)[
             rng.choice(5, n_docs, p=[0.5, 0.15, 0.15, 0.1, 0.1])]),
@@ -220,7 +220,7 @@ def generate(sf: float, out_dir: str) -> None:
     labels = rng.integers(0, k, n_vecs)
     vecs = (centers[labels] + rng.normal(0, 0.35, (n_vecs, dim))).astype(np.float32)
     _write(out_dir, "embeddings", pa.table({
-        "vec_id": pa.array(np.arange(1, n_vecs + 1), pa.int64()),
+        "vec_id": pa.array(np.arange(n_vecs), pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
         "label": pa.array(labels, pa.int32()),
     }))
