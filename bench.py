@@ -77,6 +77,9 @@ HEADLINE = (
     # capped tier is O(cap·n) by construction and this entry keeps it
     # measured
     "media_phash_dedup_capped",
+    # appended r5, second wave: SemDeDup (cluster-then-prune semantic
+    # dedup — kmeans + per-cell GEMM; 1.96 s at sf0.1, 3.3× at 10×)
+    "dedup_semantic_semdedup",
 )
 
 

@@ -198,8 +198,15 @@ def events_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH gaps AS (
         SELECT user_id, ts,
+               -- microsecond-exact, INCLUSIVE split bound: Spark's
+               -- session_window end is EXCLUSIVE (event at exactly
+               -- t+30min starts a new session), and a whole-second
+               -- date_diff would truncate gaps in (1800, 1801) s into
+               -- the same session — invisible at gate scale, 26 rows
+               -- of divergence at sf1 where ~30-min gaps are common
                CASE WHEN lag(ts) OVER w IS NULL
-                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    OR date_diff('microsecond', lag(ts) OVER w, ts)
+                       >= 1800 * 1000000
                     THEN 1 ELSE 0 END AS new_sess
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (

@@ -906,20 +906,31 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier_by_revenue",
     """
     WITH revenue AS (
+        -- integer cents, NOT a double sum: the view is evaluated twice
+        -- (rows + max scalar), and at a few million rows a parallel
+        -- double accumulation can make the re-evaluated max equal NO
+        -- value of the first evaluation — measured at sf1 as DuckDB
+        -- returning 0 rows. BIGINT sums are order-exact, so the
+        -- self-equality is safe in both engines at any scale.
         SELECT l_suppkey AS supplier_no,
-               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS rev_e2
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+    SELECT s_suppkey, s_name, round(rev_e2 / 100.0, 2) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE rev_e2 = (SELECT max(rev_e2) FROM revenue)
     """,
     doc=(
         "TPC-H Q15 shape: derived revenue view joined back against its "
         "own max — the aggregate is computed once and reused on both "
-        "sides (scalar subquery becomes a broadcast 1-row join)."
+        "sides (scalar subquery becomes a broadcast 1-row join). "
+        "Revenue accumulates in integer cents so the self-equality "
+        "against a re-evaluated aggregate cannot be broken by "
+        "accumulation-order ulps (the sf1 sweep caught the double-sum "
+        "form returning zero rows in DuckDB)."
     ),
     tags=("join", "agg", "subquery"),
 )
@@ -929,17 +940,21 @@ def q15_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("rev_e2")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    max_rev = revenue.agg(F.max("rev_e2").alias("mx"))
     sup = load_table(spark, sf_dir, "supplier")
     return (
         sup.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
-        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(max_rev), F.col("rev_e2") == F.col("mx"))
         .select(
-            "s_suppkey", "s_name", _r4(F.col("total_revenue")).alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_e2") / 100.0, 2).alias("total_revenue"),
         )
     )
 
@@ -986,39 +1001,55 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_idle_rich_customers",
     """
-    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+    WITH b AS (SELECT c_custkey, c_name,
+                      CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_e2
+               FROM customer),
+    -- the avg comparison as exact integers: c_acctbal > avg(pos)
+    -- becomes bal_e2 · n_pos > total_pos_e2 — immune to the
+    -- re-evaluated-double-aggregate ulp class the sf1 sweep caught
+    t AS (SELECT CAST(sum(bal_e2) AS BIGINT) AS tot_e2,
+                 CAST(count(*) AS BIGINT) AS n_pos
+          FROM b WHERE bal_e2 > 0),
     eligible AS (
-        SELECT substr(c_name, 10, 1) AS name_digit, c_custkey, c_acctbal
-        FROM customer, avg_bal
-        WHERE c_acctbal > ab
+        SELECT substr(c_name, 10, 1) AS name_digit, c_custkey, bal_e2
+        FROM b, t
+        WHERE bal_e2 * n_pos > tot_e2
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_totalprice > 400000))
     SELECT name_digit, CAST(count(*) AS BIGINT) AS n_cust,
-           round(sum(c_acctbal), 4) AS total_bal
+           round(sum(bal_e2) / 100.0, 2) AS total_bal
     FROM eligible GROUP BY name_digit
     """,
     doc=(
         "TPC-H Q22 shape: scalar average subquery (1-row broadcast), "
-        "anti-join against filtered orders, substring bucketing rollup."
+        "anti-join against filtered orders, substring bucketing "
+        "rollup. Balances quantize to integer cents and the average "
+        "test is the exact cross-multiplied BIGINT comparison "
+        "bal·n > total, so neither the threshold nor the rollup "
+        "depends on double accumulation order at any scale."
     ),
     tags=("join", "agg", "subquery"),
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("ab")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_e2"),
+    )
+    t = cust.filter(F.col("bal_e2") > 0).agg(
+        F.sum("bal_e2").alias("tot_e2"), F.count(F.lit(1)).alias("n_pos")
     )
     big_orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 400000
     )
     eligible = (
-        cust.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        cust.join(F.broadcast(t))
+        .filter(F.col("bal_e2") * F.col("n_pos") > F.col("tot_e2"))
         .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
     )
     return eligible.groupBy(
         F.substring("c_name", 10, 1).alias("name_digit")
     ).agg(
         F.count(F.lit(1)).alias("n_cust"),
-        _r4(F.sum("c_acctbal")).alias("total_bal"),
+        F.round(F.sum("bal_e2") / 100.0, 2).alias("total_bal"),
     )

@@ -365,21 +365,32 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_part_value_concentration",
     """
     WITH value AS (
-        SELECT l_partkey, sum(l_extendedprice * l_quantity) AS part_value
+        -- integer cents: the view is re-evaluated for the scalar
+        -- subquery, and a double threshold from a second accumulation
+        -- order can disagree with the first by an ulp (the exact
+        -- failure the sf1 sweep caught on q15's self-equality);
+        -- 0.002·total becomes the EXACT BIGINT test 500·part > total
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * l_quantity * 100) AS BIGINT))
+                   AS value_e2
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_5'
         GROUP BY l_partkey)
-    SELECT l_partkey, round(part_value, 4) AS part_value
+    SELECT l_partkey, round(value_e2 / 100.0, 2) AS part_value
     FROM value
-    WHERE part_value > (SELECT sum(part_value) * 0.002 FROM value)
+    WHERE value_e2 * 500 > (SELECT sum(value_e2) FROM value)
     """,
     doc=(
         "TPC-H Q11 shape: parts holding an outsized share of one "
         "nation's traded value — the grouped value view is computed "
         "once and compared against its own grand total (scalar "
-        "subquery → 1-row broadcast cross join)."
+        "subquery → 1-row broadcast cross join). Values accumulate in "
+        "integer cents and the 0.2% threshold is the exact BIGINT "
+        "test 500·part > total, so the comparison against the "
+        "re-evaluated grand total cannot be broken by accumulation-"
+        "order ulps."
     ),
     tags=("join", "agg", "subquery"),
 )
@@ -393,13 +404,21 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * F.col("l_quantity") * 100
+                ).cast("long")
+            ).alias("value_e2")
+        )
     )
-    threshold = value.agg((F.sum("part_value") * 0.002).alias("thresh"))
+    total = value.agg(F.sum("value_e2").alias("total_e2"))
     return (
-        value.join(F.broadcast(threshold))
-        .filter(F.col("part_value") > F.col("thresh"))
-        .select("l_partkey", _r4(F.col("part_value")).alias("part_value"))
+        value.join(F.broadcast(total))
+        .filter(F.col("value_e2") * 500 > F.col("total_e2"))
+        .select(
+            "l_partkey", F.round(F.col("value_e2") / 100.0, 2).alias("part_value")
+        )
     )
 
 

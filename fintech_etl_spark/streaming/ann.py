@@ -1,0 +1,153 @@
+"""Streaming ANN serving: the online half of the similarity-search
+tier. Query vectors arrive continuously as JSONL micro-batches; each
+batch probes a PREBUILT LSH bucket index of the static corpus (the
+same 12-band × 4-sign-bit scheme as the batch ``ann_lsh_bucketed``
+operator, same deterministic hyperplanes) and emits per-query top-k
+cosine neighbors.
+
+Index/layout contract (the 100 TB shape):
+
+- ``build_lsh_index`` materializes the corpus side ONCE: unit-
+  normalized vectors exploded to (band, bucket, neighbor_id, u),
+  written as parquet **partitioned by band** — at lake scale the
+  layout upgrade is (band, bucket-prefix) directory partitioning so a
+  probe becomes a pruned partition read; rebuilding the index is a
+  linear pass, never part of the query path.
+- per micro-batch, the QUERY side is tiny and broadcasts: bucket the
+  batch with one Arrow matmul (identical kernel to the batch tier),
+  broadcast-join it against the index on (band, bucket), score one
+  dot per candidate, window-rank to top-k. Only (ids, double) rows
+  shuffle; the corpus vectors never leave their scan.
+
+Batch-parity: for the same query vectors, the emitted neighbor sets
+equal ``ann_lsh_bucketed``'s — pinned by
+``tests/test_streaming_sinks.py::test_streaming_ann_matches_batch_lsh``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from fintech_etl_spark.operators.similarity import (
+    _DIM,
+    _N_BANDS,
+    _N_PLANES,
+    _TOP_K,
+    _deterministic_hyperplanes,
+    dot,
+)
+from fintech_etl_spark.sources.tables import load_table
+
+ResultHandler = Callable[[DataFrame, int], None]
+
+_QUERY_SCHEMA = f"query_id long, embedding array<double>"
+
+
+def _bucketed_units(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(id…, u, bks): unit-normalize + all 48 plane projections in one
+    Arrow matmul — the identical kernel as ann_lsh_bucketed, factored
+    for reuse by the index build and the per-batch query path."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(
+        _deterministic_hyperplanes(_N_PLANES * _N_BANDS, _DIM), dtype=np.float64
+    ).T
+    weights = 1 << np.arange(_N_PLANES)
+
+    def _buckets(u):  # (pd.Series) -> pd.Series
+        U = np.stack(u.to_numpy())
+        bits = (U @ P >= 0).astype(np.int64)
+        packed = bits.reshape(len(U), _N_BANDS, _N_PLANES) @ weights
+        return pd.Series(list(packed))
+
+    buckets_udf = pandas_udf(_buckets, "array<long>")
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return df.withColumn("u", F.transform(v, lambda x: x / norm)).withColumn(
+        "bks", buckets_udf(F.col("u"))
+    )
+
+
+def build_lsh_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
+    """Materialize the corpus LSH index: (band, bucket, neighbor_id, u)
+    parquet partitioned by band. Returns the number of index rows
+    (= corpus size × bands). Linear single pass; idempotent overwrite."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _bucketed_units(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "u",
+        F.posexplode("bks").alias("band", "bucket"),
+    )
+    idx.write.mode("overwrite").partitionBy("band").parquet(index_path)
+    return spark.read.parquet(index_path).count()
+
+
+def start_ann_queries(
+    spark: SparkSession,
+    queries_glob: str,
+    checkpoint_dir: str,
+    index_path: str,
+    on_results: ResultHandler,
+    *,
+    top_k: int = _TOP_K,
+    max_files_per_trigger: int = 32,
+) -> StreamingQuery:
+    """Watch ``queries_glob`` for JSONL query files ({query_id,
+    embedding}); per micro-batch emit (query_id, neighbor_id, cos,
+    rank) top-k rows to ``on_results``. availableNow trigger — drains
+    pending files then stops (cron-style serving; swap the trigger for
+    continuous)."""
+    from pyspark.sql.window import Window as W
+
+    index = spark.read.parquet(index_path)
+
+    incoming = (
+        spark.readStream.schema(_QUERY_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(queries_glob)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        q = _bucketed_units(batch_df.filter(F.col("embedding").isNotNull()))
+        qx = q.select(
+            "query_id",
+            F.col("u").alias("q_u"),
+            F.posexplode("bks").alias("band", "bucket"),
+        )
+        scored = (
+            index.join(F.broadcast(qx), ["band", "bucket"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(dot(F.col("q_u"), F.col("u")), 4).alias("c"),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.first("c").alias("cos"))
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+        on_results(
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "neighbor_id", "cos", "rank"),
+            batch_id,
+        )
+
+    return (
+        incoming.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -752,3 +752,63 @@ def test_webhook_retry_after_midbatch_failure_no_double_delivery(spark, tmp_path
         json.load(open(store / p))["receiptId"] for p in stored
     )
     assert receipt_ids == ["INV1", "INV2"]
+
+
+def test_streaming_ann_matches_batch_lsh(spark, tmp_path):
+    """Streaming ANN serving parity: the same query vectors fed as two
+    JSONL micro-batch files against the prebuilt LSH index must emit
+    exactly the neighbor sets the batch ann_lsh_bucketed computes —
+    same buckets, same candidates, same rounded scores, same ranks."""
+    from fintech_etl_spark.operators.similarity import (
+        _N_QUERIES,
+        ann_lsh_bucketed,
+    )
+    from fintech_etl_spark.sources.tables import load_table
+    from fintech_etl_spark.streaming.ann import build_lsh_index, start_ann_queries
+
+    sf = "/root/testdata/sf0.001"
+    n_idx = build_lsh_index(spark, sf, str(tmp_path / "index"))
+    n_corpus = load_table(spark, sf, "embeddings").count()
+    assert n_idx == n_corpus * 12  # one index row per (vector, band)
+
+    # queries = the batch tier's probe set, split across two files
+    qrows = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .collect()
+    )
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    for fno, chunk in enumerate((qrows[:5], qrows[5:])):
+        with open(qdir / f"batch{fno}.jsonl", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {"query_id": r.query_id, "embedding": list(r.embedding)}
+                    )
+                    + "\n"
+                )
+
+    got = {}
+
+    def collect_results(df, batch_id):
+        for r in df.collect():
+            got[(r.query_id, r.rank)] = (r.neighbor_id, r.cos)
+
+    q = start_ann_queries(
+        spark,
+        str(qdir / "*.jsonl"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "index"),
+        collect_results,
+        max_files_per_trigger=1,  # force ≥2 micro-batches
+    )
+    q.awaitTermination()
+
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in ann_lsh_bucketed(spark, sf).collect()
+    }
+    assert got == want
+    assert len({qid for qid, _ in got}) == _N_QUERIES
