@@ -1258,3 +1258,135 @@ def lang_id_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f1"),
         F.round((tp + tn) * 1.0 / (tp + fp + fn + tn), 4).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity filter
+# ---------------------------------------------------------------------------
+
+#: head/middle/tail cut points on per-token negative log-likelihood
+#: (CCNet buckets by LM perplexity and keeps the head for training).
+#: Chosen at the ~30/70 percentiles of this corpus's nll distribution
+#: (observed range 3.23–3.66 nats/token under the add-1 bigram LM).
+_PPL_HEAD_NLL = 3.38
+_PPL_TAIL_NLL = 3.43
+
+_PPL_BIGRAMS_SQL = (
+    "unnest(list_transform(generate_series(2, len(t)), "
+    "i -> {'w1': t[i-1], 'w2': t[i]}))"
+)
+
+
+@register(
+    "text_lm_perplexity_bucket",
+    rf"""
+    WITH tok AS (SELECT doc_id, lang,
+                        string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents
+                 WHERE text IS NOT NULL AND trim(text) <> ''),
+    tb AS (SELECT {_PPL_BIGRAMS_SQL} AS b FROM tok WHERE lang = 'en'),
+    big AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+            FROM tb GROUP BY 1, 2),
+    uni AS (SELECT b.w1 AS w1, CAST(count(*) AS BIGINT) AS cw
+            FROM tb GROUP BY 1),
+    vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS V FROM
+              (SELECT unnest(t) AS w FROM tok WHERE lang = 'en')),
+    bg AS (SELECT doc_id, {_PPL_BIGRAMS_SQL} AS b FROM tok),
+    p AS (SELECT doc_id,
+                 ln((coalesce(big.c, 0) + 1.0)
+                    / (coalesce(uni.cw, 0) + vocab.V)) AS lp
+          FROM bg CROSS JOIN vocab
+          LEFT JOIN big ON bg.b.w1 = big.w1 AND bg.b.w2 = big.w2
+          LEFT JOIN uni ON bg.b.w1 = uni.w1),
+    d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 -sum(lp) AS nll
+          FROM p GROUP BY doc_id)
+    SELECT tok.doc_id, tok.lang,
+           CAST(len(tok.t) AS INTEGER)  AS n_tokens,
+           round(d.nll / d.n_bigrams, 4) AS nll_per_token,
+           CASE WHEN d.n_bigrams IS NULL THEN 'tail'
+                WHEN d.nll / d.n_bigrams < {_PPL_HEAD_NLL} THEN 'head'
+                WHEN d.nll / d.n_bigrams < {_PPL_TAIL_NLL} THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM tok LEFT JOIN d ON tok.doc_id = d.doc_id
+    """,
+    doc=(
+        "CCNet-style LM quality filter (Wenzek et al. 2020): an add-1-"
+        "smoothed bigram LM is trained on the target slice (lang='en') "
+        "— p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) with context counts from "
+        "the same bigram stream — and EVERY document is scored by per-"
+        "token negative log-likelihood, then bucketed head/middle/tail "
+        "(training keeps the head). Counts and vocab are exact "
+        "integers; the LM table is bounded by observed bigrams and "
+        "broadcasts here (at web-scale vocab it becomes a hash-bucket "
+        "join keyed on w1 — same plan with the broadcast hint "
+        "dropped). Determinism posture: per-bigram ln() of an exact "
+        "integer ratio is one IEEE op per row; the per-DOC sum is "
+        "order-dependent only at ~1e-13 absolute (small magnitudes), "
+        "far inside the 4-decimal rounding — tolerance-checked like "
+        "the cosine family. Docs with <2 tokens score null → 'tail'."
+    ),
+    tags=("text", "quality", "agg"),
+)
+def text_lm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    ).localCheckpoint(eager=False)
+    # ^ feeds the train counts, the vocab, AND the scoring explode —
+    # without the checkpoint the tokenization would re-run three times
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+    tb = (
+        tok.filter(F.col("lang") == "en")
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    big = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=False
+    )
+    # context counts re-aggregate the (small) bigram table, not the
+    # full token stream — one full-stream shuffle instead of two
+    uni = big.groupBy("w1").agg(F.sum("c").alias("cw"))
+    vocab = (
+        tok.filter(F.col("lang") == "en")
+        .select(F.explode("t").alias("w"))
+        .agg(F.count_distinct("w").alias("V"))
+    )
+    bg = tok.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    p = (
+        bg.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), ["w1"], "left")
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce("c", F.lit(0)) + 1.0)
+                / (F.coalesce("cw", F.lit(0)) + F.col("V"))
+            ).alias("lp"),
+        )
+    )
+    d = p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), (-F.sum("lp")).alias("nll")
+    )
+    nllpt = F.col("nll") / F.col("n_bigrams")
+    return tok.join(d, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("n_tokens"),
+        F.round(nllpt, 4).alias("nll_per_token"),
+        F.when(F.col("n_bigrams").isNull(), "tail")
+        .when(nllpt < _PPL_HEAD_NLL, "head")
+        .when(nllpt < _PPL_TAIL_NLL, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

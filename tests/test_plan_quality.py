@@ -258,6 +258,11 @@ _SHUFFLE_BUDGET = {
     "dedup_embedding_neardup": 2,  # block assignment + cogrouped GEMM exchange
     "ann_lsh_bucketed": 2,  # bucket spread + per-query top-k window
     "media_phash_dedup_capped": 3,  # bucket-df agg + allowed-set broadcast + pair distinct
+    # LM training (bigram agg + vocab distinct), per-doc NLL agg, and
+    # the doc-side output join; every exchange carries (word, count) or
+    # (doc_id, double) rows — token text never shuffles twice (context
+    # counts re-aggregate the bigram table, not the stream)
+    "text_lm_perplexity_bucket": 5,
 }
 
 
