@@ -51,8 +51,8 @@ EXTRA = (
     "lake_upsert_latest",
     "window_lead_lag_gaps",
     "events_salted_heavy_hitters",
-    "graph_connected_components",
-    "dedup_connected_components",
+    "graph_triangle_clustering",
+    "dedup_cluster_components",
 )
 
 
