@@ -845,3 +845,87 @@ def media_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(prev.isNull(), 48).otherwise(hamming).cast("int").alias("hamming_prev"),
         (prev.isNull() | (hamming > _KF_HAM)).alias("is_keyframe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio resampling (decimation) — the transform half of the audio path
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_SCHEMA = (
+    "asset_id long, n_in int, n_out int, out_rate int, rms_out double, "
+    "head16 string"
+)
+
+
+def _audio_resample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for asset_id, pcm in zip(pdf["asset_id"], pdf["pcm"]):
+            a = np.frombuffer(bytes(pcm), dtype=np.uint8)
+            n = a.size
+            m = n // 2
+            # box-filter + downsample: each output sample is the floor
+            # mean of its input pair (the minimal anti-aliasing filter;
+            # a trailing odd sample is dropped). uint16 sum cannot
+            # overflow (255+255), floor-div keeps everything integral.
+            o = ((a[: 2 * m : 2].astype(np.uint16) + a[1 : 2 * m : 2]) // 2).astype(
+                np.uint8
+            )
+            if m:
+                c = o.astype(np.float64) - 128.0
+                rms = round(math.sqrt(float(np.mean(c * c))), 4)
+            else:
+                rms = 0.0
+            head = ",".join(str(int(x)) for x in o[:16])
+            rows.append((asset_id, n, m, 4000, rms, head))
+        yield pd.DataFrame(
+            rows,
+            columns=["asset_id", "n_in", "n_out", "out_rate", "rms_out", "head16"],
+        )
+
+
+@register(
+    "media_audio_resample",
+    """
+    WITH s AS (SELECT doc_id,
+                      list_transform(string_split(text, ''), c -> ascii(c)) AS a
+               FROM documents),
+    r AS (SELECT doc_id, len(a) AS n_in,
+                 list_transform(generate_series(1, len(a) // 2),
+                     i -> (a[2*i-1] + a[2*i]) // 2) AS o
+          FROM s)
+    SELECT doc_id AS asset_id,
+           CAST(n_in AS INTEGER)  AS n_in,
+           CAST(len(o) AS INTEGER) AS n_out,
+           4000 AS out_rate,
+           coalesce(CASE WHEN len(o) > 0 THEN
+               round(sqrt((SELECT avg((x - 128.0) * (x - 128.0))
+                           FROM unnest(o) t(x))), 4)
+           END, 0.0) AS rms_out,
+           array_to_string(o[1:least(16, len(o))], ',') AS head16
+    FROM r
+    """,
+    doc=(
+        "Audio resampling: 8 kHz u8 PCM decimated 2× to 4 kHz with a "
+        "box anti-aliasing filter — each output sample is the floor "
+        "mean of its input pair, all in exact integer arithmetic. "
+        "Emits the output sample count, post-resample RMS, and the "
+        "first 16 OUTPUT BYTES as a verification head, so the oracle "
+        "value-checks the actual resampled byte plane, not just "
+        "metadata. Kernel is one vectorized NumPy pass per clip in "
+        "Arrow batches (mapInPandas); swapping the box filter for a "
+        "windowed-sinc polyphase changes the kernel body, not the "
+        "Spark plan. Completes the audio path next to "
+        "media_audio_features (QC) — decode → filter → resample is "
+        "the standard speech-corpus normalization step."
+    ),
+    tags=("multimodal", "pandas_udf"),
+)
+def media_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_pcm_audio(spark, sf_dir).mapInPandas(
+        _audio_resample_batch, _RESAMPLE_SCHEMA
+    )
