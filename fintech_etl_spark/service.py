@@ -66,11 +66,13 @@ class EtlHttpService:
         webhook_url: str | None = None,
         intake_token: str = "",
         port: int = 0,
+        webhook_poster=None,
     ) -> None:
         self.spark = spark
         self.landing_dir = landing_dir
         self.lake_dir = lake_dir
         self.webhook_url = webhook_url
+        self.webhook_poster = webhook_poster  # injectable for tests
         self.intake_token = intake_token
         self._requested_port = port
         self.port: int | None = None
@@ -97,11 +99,50 @@ class EtlHttpService:
         if self.lake_dir:
             write_receipts_parquet(receipts, self.lake_dir)
         if self.webhook_url:
-            WebhookSink(url=self.webhook_url).send_batch(
+            WebhookSink(url=self.webhook_url, poster=self.webhook_poster).send_batch(
                 to_webhook_payloads(receipts)
             )
         receipts.unpersist()
         return n
+
+    def _test_webhook(self, url: str | None) -> dict:
+        """POST one deterministic sample receipt through the REAL sink
+        path (advertised by the reference README:106 but never
+        implemented there — real here). Returns the sink accounting so
+        the caller learns delivered-vs-failed, not just 'accepted'."""
+        target = url or self.webhook_url
+        if not target:
+            return {"status": "error", "detail": "no webhook_url configured"}
+        sample = {
+            "receiptId": "TEST-0001",
+            "vendor": "Test Vendor",
+            "transactionDate": "2024-01-01",
+            "totalAmount": 12.34,
+            "salesTax": 0.0,
+            "subtotal": 12.34,
+            "itemCount": 1,
+            "document_id": "fnt-test-TEST-0001-0",
+            "lineItems": [
+                {
+                    "itemName": "Test Item",
+                    "quantity": 1,
+                    "extendedPrice": 12.34,
+                }
+            ],
+            "source_file": "test://sample.csv",
+        }
+        payloads = self.spark.createDataFrame(
+            [(sample["document_id"], json.dumps(sample))],
+            "document_id string, payload string",
+        )
+        acct = WebhookSink(url=target, poster=self.webhook_poster).send_batch(
+            payloads
+        )
+        return {
+            "status": "ok" if acct["failed"] == 0 else "error",
+            "url": target,
+            **acct,
+        }
 
     def _submit(self, fn, *args) -> None:
         self._pending.append(self._executor.submit(fn, *args))
@@ -220,8 +261,19 @@ class EtlHttpService:
                     self._handle_process_csv(raw)
                 elif self.path == "/process-all-pending":
                     self._handle_process_all()
+                elif self.path == "/test-webhook":
+                    self._handle_test_webhook(raw)
                 else:
                     self._json(404, {"detail": "not found"})
+
+            def _handle_test_webhook(self, raw: bytes) -> None:
+                try:
+                    body = json.loads(raw or b"{}")
+                except json.JSONDecodeError:
+                    self._json(400, {"detail": "body must be JSON"})
+                    return
+                result = service._test_webhook(body.get("webhook_url"))
+                self._json(200 if result["status"] == "ok" else 502, result)
 
             def _handle_ingest(self, raw: bytes) -> None:
                 if not self._check_token():

@@ -152,3 +152,65 @@ def test_process_csv_single(service, spark, tmp_path):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _req(base + "/process-csv", "POST", b"not json", {})
     assert exc.value.code == 400
+
+
+def test_test_webhook_endpoint(spark, tmp_path):
+    """POST /test-webhook (advertised by the reference README but never
+    implemented there): one sample receipt goes through the REAL sink
+    path and the response carries actual delivery accounting. Poster
+    state crosses the executor boundary via the filesystem."""
+    import os
+
+    from fintech_etl_spark.service import EtlHttpService
+
+    outdir = tmp_path / "hooks"
+    outdir.mkdir()
+
+    def poster(url, body, headers, _dir=str(outdir)):
+        doc = json.loads(body)
+        with open(os.path.join(_dir, doc["receiptId"] + ".json"), "w") as f:
+            f.write(json.dumps({"url": url, "doc": doc}))
+        return 200
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    svc = EtlHttpService(
+        spark,
+        landing_dir=str(landing),
+        webhook_url="http://configured.invalid/hook",
+        webhook_poster=poster,
+    )
+    port = svc.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # default target = configured url
+        status, body = _req(base + "/test-webhook", "POST", data=b"{}")
+        assert status == 200
+        assert body["status"] == "ok"
+        assert body["url"] == "http://configured.invalid/hook"
+        assert body["sent"] == 1 and body["failed"] == 0
+        posted = json.load(open(outdir / "TEST-0001.json"))
+        assert posted["url"] == "http://configured.invalid/hook"
+        assert posted["doc"]["document_id"] == "fnt-test-TEST-0001-0"
+        assert posted["doc"]["itemCount"] == 1
+
+        # per-request override, as in the reference README's curl example
+        status, body = _req(
+            base + "/test-webhook",
+            "POST",
+            data=json.dumps({"webhook_url": "http://override.invalid/x"}).encode(),
+        )
+        assert status == 200 and body["url"] == "http://override.invalid/x"
+    finally:
+        svc.shutdown()
+
+    # no configured url and no override → 502 with a clear detail
+    svc2 = EtlHttpService(spark, landing_dir=str(landing))
+    port2 = svc2.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(f"http://127.0.0.1:{port2}/test-webhook", "POST", data=b"{}")
+        assert ei.value.code == 502
+        assert "no webhook_url" in json.loads(ei.value.read())["detail"]
+    finally:
+        svc2.shutdown()
