@@ -80,6 +80,12 @@ HEADLINE = (
     # appended r5, second wave: SemDeDup (cluster-then-prune semantic
     # dedup — kmeans + per-cell GEMM; 1.96 s at sf0.1, 3.3× at 10×)
     "dedup_semantic_semdedup",
+    # appended r5, third wave: the dense-corpus MinHash tier (16×4
+    # banding, cross-engine md5 signatures) — added after the sf1→sf10
+    # run measured the 32×2 dfcap tier at 45× per decade on the
+    # vocabulary-saturated corpus (candidates ×74); this tier is 7.9×
+    # per decade with exactly-linear verified-pair output
+    "dedup_minhash_lsh_dense",
 )
 
 

@@ -17,10 +17,10 @@ def test_registry_complete_and_importable():
     # EXACT pin (not a floor): a silent drop means an operator module
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
-    assert len(specs) == 194
+    assert len(specs) == 195
     # every registered query is oracle-checkable as of round 5:
     # agg_approx_sketches projects deterministic bound verdicts
-    assert sum(1 for s in specs.values() if s.oracle is not None) == 194
+    assert sum(1 for s in specs.values() if s.oracle is not None) == 195
     # every family present
     for family in ("dedup_", "ann_", "media_", "q1_", "window_", "text_stats"):
         assert any(n.startswith(family) for n in specs), family

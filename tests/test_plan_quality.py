@@ -258,6 +258,9 @@ _SHUFFLE_BUDGET = {
     "dedup_embedding_neardup": 2,  # block assignment + cogrouped GEMM exchange
     "ann_lsh_bucketed": 2,  # bucket spread + per-query top-k window
     "media_phash_dedup_capped": 3,  # bucket-df agg + allowed-set broadcast + pair distinct
+    # md5-signature banding: band-bucket groupBy + candidate distinct +
+    # the two verify-side joins; every exchange carries ids/buckets
+    "dedup_minhash_lsh_dense": 4,
     # LM training (bigram agg + vocab distinct), per-doc NLL agg, and
     # the doc-side output join; every exchange carries (word, count) or
     # (doc_id, double) rows — token text never shuffles twice (context
