@@ -1057,3 +1057,25 @@ def test_semdedup_matches_numpy_reference(spark):
                 want[ids[j]] = (cell, True, None)
     assert got == want
     assert n_pruned > 0, "tau should have observable work at gate scale"
+
+
+def test_dense_minhash_subset_of_exact_jaccard(spark):
+    """Every pair the dense (16x4) tier verifies must be an exact-
+    Jaccard pair at >= tau with the identical score, and the dense
+    tier must find at least the verbatim-duplicate pairs (j >= 0.9 —
+    where its banding recall is ~1)."""
+    from fintech_etl_spark.operators import dedup as D
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    }
+    dense = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_minhash_lsh_dense(spark, SF_SMOKE).collect()
+    }
+    for pair, j in dense.items():
+        assert j >= 0.7
+        assert pair in exact and exact[pair] == j, pair
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high <= set(dense), high - set(dense)
