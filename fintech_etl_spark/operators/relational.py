@@ -36,36 +36,72 @@ def _r4(c: F.Column) -> F.Column:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                        AS sum_qty,
-           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
+           round(sum(CAST(floor(l_quantity * 100) AS DECIMAL(18,0))) / 100.0, 4)
+               AS sum_qty,
+           round(sum(CAST(floor(l_extendedprice * 100) AS DECIMAL(18,0))) / 100.0, 4)
+               AS sum_base_price,
+           round(floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                          AS DECIMAL(18,0))) + 50) / 100.0) / 100.0, 4)
+               AS sum_disc_price,
+           round(floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)
+                          AS DECIMAL(18,0))) + 5000) / 10000.0) / 100.0, 4)
+               AS sum_charge,
+           round(sum(CAST(floor(l_quantity * 100) AS DECIMAL(18,0)))
+                 / (100.0 * count(*)), 4)                   AS avg_qty,
+           round(sum(CAST(floor(l_extendedprice * 100) AS DECIMAL(18,0)))
+                 / (100.0 * count(*)), 4)                   AS avg_price,
+           round(sum(CAST(floor(l_discount * 10000) AS DECIMAL(18,0)))
+                 / (10000.0 * count(*)), 4)                 AS avg_disc,
+           count(*)                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1-style pricing summary: filter + 2-key hash agg with 8 aggregates.",
+    doc=(
+        "TPC-H Q1-style pricing summary: filter + 2-key hash agg with 8 "
+        "aggregates. Every sum accumulates in SCALED-INTEGER units "
+        "(cents / 1e-4 / 1e-6, summed as DECIMAL(38,0)) — at sf10 the "
+        "raw double sums reach 2.4e11 where the 4th display decimal is "
+        "accumulation-order noise and the two engines visibly diverge "
+        "(caught by the 1000×-gate value sweep); the per-row floor of a "
+        "bit-identical double is engine-exact, integer addition is "
+        "associative, and DECIMAL(38,0) keeps the same headroom story "
+        "as revenue_concentration_gini at lake scale. Averages divide "
+        "the exact sums by the count in one deterministic fp op."
+    ),
     tags=("agg",),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,0)"
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_e2 = F.floor(F.col("l_quantity") * 100).cast(dec)
+    price_e2 = F.floor(F.col("l_extendedprice") * 100).cast(dec)
+    disc_e4 = F.floor(disc_price * 10000).cast(dec)
+    charge_e6 = F.floor(disc_price * (1 + F.col("l_tax")) * 1000000).cast(dec)
+    drate_e4 = F.floor(F.col("l_discount") * 10000).cast(dec)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r4(F.sum("l_quantity")).alias("sum_qty"),
-            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r4(F.sum(disc_price)).alias("sum_disc_price"),
-            _r4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            _r4(F.avg("l_quantity")).alias("avg_qty"),
-            _r4(F.avg("l_extendedprice")).alias("avg_price"),
-            _r4(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            _r4(F.sum(qty_e2) / 100.0).alias("sum_qty"),
+            _r4(F.sum(price_e2) / 100.0).alias("sum_base_price"),
+            # half-up to CENTS inside exact arithmetic, then ONE division:
+            # a 2-decimal value at 1e11 magnitude is 13 significant
+            # digits — uniquely double-representable, so display
+            # rounding is engine-exact where 4 decimals at that
+            # magnitude are not
+            _r4(F.floor((F.sum(disc_e4) + 50) / 100.0) / 100.0).alias(
+                "sum_disc_price"
+            ),
+            _r4(F.floor((F.sum(charge_e6) + 5000) / 10000.0) / 100.0).alias(
+                "sum_charge"
+            ),
+            _r4(F.sum(qty_e2) / (100.0 * n)).alias("avg_qty"),
+            _r4(F.sum(price_e2) / (100.0 * n)).alias("avg_price"),
+            _r4(F.sum(drate_e4) / (10000.0 * n)).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
