@@ -86,6 +86,11 @@ HEADLINE = (
     # vocabulary-saturated corpus (candidates ×74); this tier is 7.9×
     # per decade with exactly-linear verified-pair output
     "dedup_minhash_lsh_dense",
+    # appended r6: the xxhash64 production twin of the dense tier —
+    # same _dense_band_verify pipeline, signature without the md5
+    # replayability tax (~2× the md5 tier; parity-tested recall ≥0.95
+    # at j≥0.8 in tests/test_operators.py)
+    "dedup_minhash_lsh_dense_fast",
 )
 
 

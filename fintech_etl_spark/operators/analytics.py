@@ -946,7 +946,7 @@ def agg_linreg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                       -- integer cents (floor of the bit-identical
                       -- double) so per-customer revenue, ranks, and
                       -- every sum below are engine- and order-exact
-                      sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
                FROM orders GROUP BY o_custkey),
     r AS (SELECT o_custkey, rev,
                  row_number() OVER (ORDER BY rev ASC, o_custkey)  AS rk,
@@ -997,7 +997,7 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("rev")
     )
     r = c.select(
         "o_custkey",
@@ -1058,7 +1058,7 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_seasonal_backtest",
     """
     WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-                      sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_e2
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_e2
                FROM orders GROUP BY 1),
     f AS (SELECT month, rev_e2,
                  lag(rev_e2, 12) OVER (ORDER BY month) AS fc_e2
@@ -1089,7 +1089,7 @@ def orders_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
-    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_e2"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("rev_e2"))
     f = m.withColumn("fc_e2", F.lag("rev_e2", 12).over(Window.orderBy("month")))
     return f.filter(F.col("fc_e2").isNotNull()).select(
         "month",
@@ -1196,7 +1196,7 @@ def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier_scorecard",
     """
     WITH f AS (SELECT l.l_suppkey,
-                      CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
                            AS BIGINT)                        AS net_e2,
                       l.l_partkey,
                       CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
@@ -1235,7 +1235,7 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     f = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_suppkey",
-        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
         .cast("long")
         .alias("net_e2"),
         "l_partkey",
@@ -1273,16 +1273,16 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_waterfall",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+           round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0, 2)
                AS gross,
-           round(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT))
+           round(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
                  / 100.0, 2) AS discount_given,
-           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                           AS BIGINT)) / 100.0, 2) AS net,
-           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * l_tax * 100)
+           round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * l_tax * 100 + 0.5)
                           AS BIGINT)) / 100.0, 2) AS tax_collected,
            round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                                * 100) AS BIGINT)) / 100.0, 2) AS charged
+                                * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS charged
     FROM lineitem
     """,
     doc=(
@@ -1301,7 +1301,7 @@ def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def cents(expr: F.Column) -> F.Column:
-        return F.sum(F.floor(expr * 100).cast("long"))
+        return F.sum(F.floor(expr * 100 + 0.5).cast("long"))
 
     ep = F.col("l_extendedprice")
     disc = F.col("l_discount")
@@ -1321,7 +1321,7 @@ def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH f AS (SELECT p.p_brand,
                       CAST(year(l.l_shipdate) AS INTEGER) AS yr,
-                      CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
                            AS BIGINT) AS net_e2
                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
     b AS (SELECT p_brand, yr, sum(net_e2) AS rev_e2
@@ -1361,7 +1361,7 @@ def brand_share_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "p_brand",
         F.year("l_shipdate").cast("int").alias("yr"),
-        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
         .cast("long")
         .alias("net_e2"),
     )
@@ -1387,10 +1387,10 @@ def brand_share_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_realized_vs_list",
     """
     WITH f AS (SELECT p.p_brand,
-                      CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
                            AS BIGINT)              AS net_e2,
                       CAST(floor(l.l_quantity) AS BIGINT) AS qty,
-                      CAST(floor(p.p_retailprice * 100) AS BIGINT)
+                      CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
                           * CAST(floor(l.l_quantity) AS BIGINT) AS list_e2
                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
     SELECT p_brand,
@@ -1428,11 +1428,11 @@ def brand_realized_vs_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_partkey == F.col("p_partkey"),
     ).select(
         "p_brand",
-        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
         .cast("long")
         .alias("net_e2"),
         qty.alias("qty"),
-        (F.floor(F.col("p_retailprice") * 100).cast("long") * qty).alias(
+        (F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long") * qty).alias(
             "list_e2"
         ),
     )
@@ -1450,7 +1450,7 @@ def brand_realized_vs_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_trade_balance",
     """
     WITH net AS (SELECT l_orderkey, l_suppkey,
-                        CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                              AS BIGINT) AS net_e2
                  FROM lineitem),
     exp AS (SELECT n.n_name AS nation, sum(net.net_e2) AS exp_e2
@@ -1493,7 +1493,7 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = li.select(
         "l_orderkey",
         "l_suppkey",
-        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
         .cast("long")
         .alias("net_e2"),
     )
@@ -1582,7 +1582,7 @@ def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_balance_deciles",
     """
     WITH c AS (SELECT c_custkey,
-                      CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_e2
+                      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
                FROM customer),
     r AS (SELECT bal_e2,
                  ntile(10) OVER (ORDER BY bal_e2, c_custkey) AS decile
@@ -1614,7 +1614,7 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     c = cust.select(
         "c_custkey",
-        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_e2"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_e2"),
     )
     r = c.select(
         "bal_e2",

@@ -162,13 +162,13 @@ def audit_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                       -- -order noise and no double->DECIMAL rounding
                       -- divergence (engines disagree at .xxxx5 ties)
                       sum(CAST(floor(l_extendedprice * (1 + l_tax)
-                                     * (1 - l_discount) * 10000)
+                                     * (1 - l_discount) * 10000 + 0.5)
                                AS BIGINT)) AS recomputed_e4
                FROM lineitem GROUP BY l_orderkey),
     j AS (SELECT o.o_orderkey,
-                 CAST(floor(o.o_totalprice * 10000) AS BIGINT) AS booked_e4,
+                 CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT) AS booked_e4,
                  r.recomputed_e4,
-                 abs(CAST(floor(o.o_totalprice * 10000) AS BIGINT)
+                 abs(CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT)
                      - coalesce(r.recomputed_e4, 0)) AS diff_e4
           FROM orders o LEFT JOIN r ON o.o_orderkey = r.l_orderkey),
     k AS (SELECT *,
@@ -207,10 +207,10 @@ def audit_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice")
         * (1 + F.col("l_tax"))
         * (1 - F.col("l_discount"))
-        * 10000
+        * 10000 + 0.5
     ).cast("long")
     r = li.groupBy("l_orderkey").agg(F.sum(line_e4).alias("recomputed_e4"))
-    booked_e4 = F.floor(F.col("o_totalprice") * 10000).cast("long")
+    booked_e4 = F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")
     j = (
         orders.join(r, orders.o_orderkey == r.l_orderkey, "left")
         .withColumn("booked_e4", booked_e4)

@@ -845,12 +845,16 @@ _DSIR_WEIGHTS_SQL = rf"""
             FROM tk2 GROUP BY b),
     tot AS (SELECT sum(c_raw) AS raw_tot, sum(c_tgt) AS tgt_tot FROM cnt),
     lw AS (SELECT b,
-                  ln((c_tgt + 1.0) / (tgt_tot + {_DSIR_BUCKETS}))
-                - ln((c_raw + 1.0) / (raw_tot + {_DSIR_BUCKETS})) AS lw
+                  -- per-bucket log-ratio quantized to 1e-12 BIGINT
+                  -- units: the per-doc token sum below is then exact
+                  -- integer addition (order-independent, both engines)
+                  CAST(floor((ln((c_tgt + 1.0) / (tgt_tot + {_DSIR_BUCKETS}))
+                            - ln((c_raw + 1.0) / (raw_tot + {_DSIR_BUCKETS})))
+                             * 1e12) AS BIGINT) AS lw_e12
            FROM cnt CROSS JOIN tot)
     SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           round(sum(lw.lw), 4)     AS dsir_logweight
+           CAST(count(*) AS BIGINT)          AS n_tokens,
+           round(sum(lw.lw_e12) / 1e12, 4)   AS dsir_logweight
     FROM tk2 JOIN lw USING (b) GROUP BY doc_id
     """
 
@@ -871,11 +875,14 @@ _DSIR_WEIGHTS_SQL = rf"""
         "any corpus size — and each doc's weight is a map-side join + "
         "one doc_id aggregation. Docs with weight above a chosen "
         "quantile feed corpus_budget_select; the md5-derived hash64 "
-        "makes the bucketing bit-identical in both engines. The "
-        "per-doc log-ratio SUM over tokens is a double accumulation "
-        "(order-dependent last ulp) — tolerance-checked via 4-decimal "
-        "rounding rather than bit-exact; counts and bucketing are "
-        "exact integers."
+        "makes the bucketing bit-identical in both engines. Each "
+        "bucket's log-ratio is quantized to 1e-12 BIGINT units before "
+        "the per-doc token sum, so the accumulation is exact integer "
+        "addition — order-independent and engine-exact (the proven "
+        "scaled-integer pattern from graph_link_prediction_aa); only "
+        "the 256 per-bucket ln() evaluations touch doubles, computed "
+        "from identical integer counts in one expression on both "
+        "engines."
     ),
     tags=("corpus", "selection", "agg"),
 )
@@ -908,17 +915,24 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lw = cnt.crossJoin(F.broadcast(tot)).select(
         "b",
-        (
-            F.log((F.col("c_tgt") + 1.0) / (F.col("tgt_tot") + _DSIR_BUCKETS))
-            - F.log((F.col("c_raw") + 1.0) / (F.col("raw_tot") + _DSIR_BUCKETS))
-        ).alias("lw"),
+        F.floor(
+            (
+                F.log((F.col("c_tgt") + 1.0) / (F.col("tgt_tot") + _DSIR_BUCKETS))
+                - F.log(
+                    (F.col("c_raw") + 1.0) / (F.col("raw_tot") + _DSIR_BUCKETS)
+                )
+            )
+            * 1e12
+        )
+        .cast("long")
+        .alias("lw_e12"),
     )
     return (
         tk2.join(F.broadcast(lw), "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("lw"), 4).alias("dsir_logweight"),
+            F.round(F.sum("lw_e12") / 1e12, 4).alias("dsir_logweight"),
         )
     )
 

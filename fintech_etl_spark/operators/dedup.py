@@ -440,7 +440,7 @@ def simhash_fingerprints(docs: DataFrame, tokens: F.Column) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(cap: int | None = None) -> str:
     from fintech_etl_spark.functions.hashing import hash64_sql
 
     votes = ", ".join(
@@ -452,6 +452,17 @@ def _simhash_oracle() -> str:
         for i in range(_SIMHASH_BITS)
     )
     chunk_nos = ", ".join(str(i) for i in range(_SIMHASH_CHUNKS))
+    if cap is None:
+        src = "chunks"
+        cap_ctes = ""
+    else:
+        # capped tier: over-dense band buckets sit out candidate gen
+        src = "ak"
+        cap_ctes = f"""
+    allowed AS (SELECT chunk_no, chunk FROM chunks
+                GROUP BY chunk_no, chunk HAVING count(*) <= {cap}),
+    ak AS (SELECT c.* FROM chunks c
+           JOIN allowed USING (chunk_no, chunk)),"""
     return rf"""
     WITH tok AS (SELECT doc_id,
                         unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
@@ -461,11 +472,11 @@ def _simhash_oracle() -> str:
     fp AS (SELECT doc_id, {fold} AS sim FROM votes),
     chunks AS (SELECT doc_id, sim, i AS chunk_no,
                       (sim >> ({_SIMHASH_CHUNK_BITS} * i)) & {_SIMHASH_CHUNK_MASK} AS chunk
-               FROM fp CROSS JOIN (SELECT unnest([{chunk_nos}]) AS i) u),
+               FROM fp CROSS JOIN (SELECT unnest([{chunk_nos}]) AS i) u),{cap_ctes}
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                              a.sim AS sim_a, b.sim AS sim_b
-             FROM chunks a
-             JOIN chunks b ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+             FROM {src} a
+             JOIN {src} b ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
                           AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
@@ -497,7 +508,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fingerprints exactly ONCE (the old two-sided self-join read
     # them twice, which is when materializing first paid off).
     fp = simhash_fingerprints(docs, toks)
+    return _simhash_band_pairs(fp)
 
+
+def _simhash_band_pairs(fp: DataFrame, cap: int | None = None) -> DataFrame:
+    """Banded candidate generation + Hamming≤3 verify shared by the
+    exact and capped SimHash tiers. With ``cap``, band buckets holding
+    more than ``cap`` fingerprints sit out pair generation — the
+    bucket size IS the aggregation key's cardinality, so the cap is a
+    single filter on the already-grouped row, no extra shuffle."""
     chunks = fp.select(
         "doc_id",
         "sim",
@@ -523,6 +542,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sim"))).alias("m"))
         .filter(F.size("m") >= 2)
     )
+    if cap is not None:
+        buckets = buckets.filter(F.size("m") <= cap)
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -541,6 +562,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b", "p.hamming").distinct()
+
+
+#: Band-bucket membership cap for the capped SimHash tier. The sf10
+#: scaling postscript (PLANS.md) measured exact-tier output ×46 at 10×
+#: docs on a vocabulary-saturated corpus: near-identical boilerplate
+#: collapses thousands of fingerprints into a few band buckets, and
+#: in-bucket pair emission is quadratic in bucket size. 64 mirrors
+#: _PHASH_BUCKET_CAP: candidate work is bounded at O(cap·n) and the
+#: mega-neighborhoods a cap drops are exactly the ones whose pair list
+#: is unactionable (the rollup for those is dedup_connected_components
+#: over exact-hash groups, not pair emission).
+_SIMHASH_BUCKET_CAP = 64
+
+
+@register(
+    "dedup_simhash_capped",
+    _simhash_oracle(cap=_SIMHASH_BUCKET_CAP),
+    doc=(
+        "Production tier of dedup_simhash: identical fingerprints and "
+        f"4×15-bit banding, but band buckets with more than "
+        f"{_SIMHASH_BUCKET_CAP} members sit out candidate generation. "
+        "A Hamming≤3 pair is missed only if EVERY chunk the pair "
+        "agrees on is over-dense — which on a saturated corpus is the "
+        "boilerplate cluster whose quadratic pair list stopped being "
+        "actionable (the sf10 run measured ×46 output at ×10 docs on "
+        "the exact tier; route those to the connected-components "
+        "rollup instead). The cap is one filter on the already-"
+        "aggregated bucket row (zero extra shuffles), bounding "
+        "candidate work at O(cap·n); the DuckDB oracle replays the "
+        "cap bit-for-bit. Same answer shape the phash family uses "
+        "(media_phash_dedup_capped)."
+    ),
+    tags=("dedup", "lsh", "skew"),
+)
+def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    fp = simhash_fingerprints(docs, toks)
+    return _simhash_band_pairs(fp, cap=_SIMHASH_BUCKET_CAP)
 
 
 # ---------------------------------------------------------------------------
@@ -1675,10 +1735,15 @@ def dedup_minhash_lsh_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").isNotNull() & (F.trim("text") != "")
         )
     )
+    return _dense_band_verify(docs, minhash_signature_hash64("s"))
+
+
+def _dense_band_verify(docs: DataFrame, sig_col: F.Column) -> DataFrame:
+    """Shared 16×4 banding → bucket pair-gen → exact-jaccard verify
+    pipeline behind both dense tiers (md5-verifiable and xxhash64-fast);
+    only the signature expression differs."""
     sh = with_shingles(docs, 3)
-    sig = sh.select(
-        "doc_id", minhash_signature_hash64("s").alias("sig")
-    )
+    sig = sh.select("doc_id", sig_col.alias("sig"))
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -1730,3 +1795,54 @@ def dedup_minhash_lsh_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _VERIFY_TAU)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def minhash_signature_xxhash64(
+    shingles: F.Column | str, n_perm: int = _DENSE_PERMS
+) -> F.Column:
+    """Production MinHash signature on Spark's native ``xxhash64``:
+    one JVM-codegen'd 64-bit hash per (permutation, shingle) — no md5
+    string round-trip, so the signature step runs several times faster
+    than :func:`minhash_signature_hash64`. The permutation index is
+    mixed in as a leading hash input (not a string concat), which is
+    both cheaper and a clean per-permutation family. NOT cross-engine
+    replayable (DuckDB has no Spark-compatible xxhash64), hence the
+    parity-tested rows-only posture of ``dedup_minhash_lsh_dense_fast``."""
+    c = F.col(shingles) if isinstance(shingles, str) else shingles
+    return F.array(
+        *[
+            F.array_min(F.transform(c, lambda g, i=i: F.xxhash64(F.lit(i), g)))
+            for i in range(n_perm)
+        ]
+    )
+
+
+@register(
+    "dedup_minhash_lsh_dense_fast",
+    None,
+    doc=(
+        "Production twin of dedup_minhash_lsh_dense: the identical "
+        "16-band × 4-row banding, bucket pair generation, and exact-"
+        "jaccard verification pipeline (_dense_band_verify), with the "
+        "signature on native xxhash64 instead of the md5-derived "
+        "hash64 — the md5-per-(shingle × 64 perms) replayability tax "
+        "was the single largest cost in the headline suite. No DuckDB "
+        "oracle by construction (xxhash64 has no cross-engine twin), "
+        "so the driver records the weaker rows-only check; semantics "
+        "are pinned instead by tests/test_operators.py's parity bound "
+        "(every md5-tier pair at jaccard >= 0.8 must be found by this "
+        "tier too — both tiers verify with the same exact-jaccard "
+        "filter, so found => identical (doc_a, doc_b, jaccard) rows) "
+        "and by the md5 tier keeping the bit-for-bit oracle. Use this "
+        "tier in production; use the md5 tier when an audit needs the "
+        "replayable trail."
+    ),
+    tags=("dedup", "lsh", "skew"),
+)
+def dedup_minhash_lsh_dense_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.trim("text") != "")
+        )
+    )
+    return _dense_band_verify(docs, minhash_signature_xxhash64("s"))

@@ -779,7 +779,7 @@ def events_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rolling_anomaly_zscore",
     """
     WITH e AS (SELECT event_id, user_id, ts, value,
-                      CAST(floor(value * 100) AS BIGINT) AS v_e2
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
                FROM events),
     w AS (SELECT event_id, user_id, ts, value,
                  v_e2,
@@ -826,7 +826,7 @@ def events_rolling_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "v_e2", F.floor(F.col("value") * 100).cast("long")
+        "v_e2", F.floor(F.col("value") * 100 + 0.5).cast("long")
     )
     pw = (
         Window.partitionBy("user_id")
@@ -1068,7 +1068,7 @@ def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            -- explicit half-up: integer-ratio means land on .xxxx5 ties
            -- where engine round() builtins disagree
-           floor(sum(CAST(floor(value * 100) AS BIGINT))
+           floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                  / (100.0 * count(*)) * 10000 + 0.5) / 10000.0 AS avg_value
     FROM events GROUP BY 1, 2
     """,
@@ -1091,7 +1091,7 @@ def events_daypart_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (
             F.floor(
-                F.sum(F.floor(F.col("value") * 100).cast("long"))
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
                 / (100.0 * F.count(F.lit(1)))
                 * 10000
                 + 0.5

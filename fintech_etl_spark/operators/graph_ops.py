@@ -62,25 +62,36 @@ _EDGE_CTES = f"""
 """
 
 
+#: Fixed-point scale for PageRank mass: ranks live in 1e-12 units as
+#: BIGINTs. Total mass is ~1e12 units, so per-node values, the ×85
+#: damping product, and any per-destination sum all sit far below
+#: 2^63 at every graph size (mass is conserved-or-shrinking under
+#: truncating division).
+_PR_E12 = 1_000_000_000_000
+_PR_TELEPORT_E12 = int(round((1 - _DAMPING) * _PR_E12))
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100
+
+
 def _pagerank_oracle() -> str:
     rounds = []
     prev = "r0"
     for i in range(1, _PR_ITERS + 1):
         rounds.append(
-            f"a{i} AS (SELECT e.dst AS v, sum({prev}.r / {prev}.deg) AS acc"
+            f"a{i} AS (SELECT e.dst AS v, sum({prev}.r // {prev}.deg) AS acc"
             f"         FROM e JOIN {prev} ON e.src = {prev}.v GROUP BY e.dst),"
             f" r{i} AS (SELECT deg.v, deg.deg,"
-            f"                {1 - _DAMPING} / n.n_nodes + {_DAMPING} * a{i}.acc AS r"
+            f"                {_PR_TELEPORT_E12} // n.n_nodes"
+            f"                + ({_PR_DAMP_NUM} * a{i}.acc) // {_PR_DAMP_DEN} AS r"
             f"          FROM deg JOIN a{i} ON deg.v = a{i}.v CROSS JOIN n)"
         )
         prev = f"r{i}"
     return f"""
     WITH {_EDGE_CTES},
-    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM deg),
-    r0 AS (SELECT v, deg, 1.0 / n.n_nodes AS r FROM deg CROSS JOIN n),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    r0 AS (SELECT v, deg, {_PR_E12} // n.n_nodes AS r FROM deg CROSS JOIN n),
     {", ".join(rounds)}
     SELECT {prev}.v AS part_id, {prev}.deg AS degree,
-           round({prev}.r * n.n_nodes, 4) AS pr_norm
+           round(CAST({prev}.r AS DOUBLE) / {_PR_E12}.0 * n.n_nodes, 4) AS pr_norm
     FROM {prev} CROSS JOIN n
     """
 
@@ -146,46 +157,50 @@ def _sym_edges_and_degrees(
         "oracle unrolls the identical 3 rounds as CTEs — exact cross-"
         "engine value check, like kmeans_fit. pr_norm is rank scaled "
         "by node count (uniform = 1.0), keeping 4-decimal rounding "
-        "meaningful at any graph size. Determinism posture: the "
-        "per-destination double sums are accumulation-order-dependent "
-        "in the last ulp, so this row is TOLERANCE-checked (4-decimal "
-        "rounding absorbs the noise), not bit-exact like the "
-        "integer-cents operators — an ulp straddling a .xxxx5 "
-        "boundary is the accepted residual risk (cf. "
-        "graph_link_prediction_aa, which eliminates it via scaled-"
-        "integer sums; PageRank's divisions make that quantization "
-        "unattractive here)."
+        "meaningful at any graph size. Determinism posture: all rank "
+        "mass lives in 1e-12 FIXED-POINT BIGINT units — the share "
+        "split is truncating integer division (r div deg), damping is "
+        "the exact integer (85·acc) div 100, and the per-destination "
+        "sum is BIGINT — so every iteration is order-independent and "
+        "bit-identical across engines (the q15/sf1 incident class), "
+        "at the cost of ≤deg·1e-12 truncated mass per node per round. "
+        "Only the final display expression touches doubles, in the "
+        "same operation order on both engines."
     ),
     tags=("graph", "iterative", "join"),
 )
 def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, deg = _sym_edges_and_degrees(spark, sf_dir)
-    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     r = deg.crossJoin(F.broadcast(n)).select(
-        "v", "deg", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+        "v", "deg", F.expr(f"{_PR_E12} div n_nodes").alias("r_e12")
     )
     for _ in range(_PR_ITERS):
         share = r.select(
-            F.col("v").alias("src"), (F.col("r") / F.col("deg")).alias("share")
+            F.col("v").alias("src"), F.expr("r_e12 div deg").alias("share_e12")
         )
-        acc = e.join(share, "src").groupBy("dst").agg(F.sum("share").alias("acc"))
+        acc = (
+            e.join(share, "src").groupBy("dst").agg(F.sum("share_e12").alias("acc"))
+        )
         r = (
             deg.join(acc, deg.v == acc.dst)
             .crossJoin(F.broadcast(n))
             .select(
                 "v",
                 "deg",
-                (
-                    F.lit(1 - _DAMPING) / F.col("n_nodes")
-                    + F.lit(_DAMPING) * F.col("acc")
-                ).alias("r"),
+                F.expr(
+                    f"{_PR_TELEPORT_E12} div n_nodes"
+                    f" + ({_PR_DAMP_NUM} * acc) div {_PR_DAMP_DEN}"
+                ).alias("r_e12"),
             )
             .localCheckpoint(eager=False)
         )
     return r.crossJoin(F.broadcast(n)).select(
         F.col("v").alias("part_id"),
         F.col("deg").alias("degree"),
-        F.round(F.col("r") * F.col("n_nodes"), 4).alias("pr_norm"),
+        F.round(
+            F.col("r_e12").cast("double") / _PR_E12 * F.col("n_nodes"), 4
+        ).alias("pr_norm"),
     )
 
 

@@ -36,21 +36,21 @@ def _r4(c: F.Column) -> F.Column:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(CAST(floor(l_quantity * 100) AS DECIMAL(18,0))) / 100.0, 4)
+           round(sum(CAST(floor(l_quantity * 100 + 0.5) AS DECIMAL(18,0))) / 100.0, 4)
                AS sum_qty,
-           round(sum(CAST(floor(l_extendedprice * 100) AS DECIMAL(18,0))) / 100.0, 4)
+           round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(18,0))) / 100.0, 4)
                AS sum_base_price,
-           round(floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+           round(floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
                           AS DECIMAL(18,0))) + 50) / 100.0) / 100.0, 4)
                AS sum_disc_price,
-           round(floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)
+           round(floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5)
                           AS DECIMAL(18,0))) + 5000) / 10000.0) / 100.0, 4)
                AS sum_charge,
-           round(sum(CAST(floor(l_quantity * 100) AS DECIMAL(18,0)))
+           round(sum(CAST(floor(l_quantity * 100 + 0.5) AS DECIMAL(18,0)))
                  / (100.0 * count(*)), 4)                   AS avg_qty,
-           round(sum(CAST(floor(l_extendedprice * 100) AS DECIMAL(18,0)))
+           round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(18,0)))
                  / (100.0 * count(*)), 4)                   AS avg_price,
-           round(sum(CAST(floor(l_discount * 10000) AS DECIMAL(18,0)))
+           round(sum(CAST(floor(l_discount * 10000 + 0.5) AS DECIMAL(18,0)))
                  / (10000.0 * count(*)), 4)                 AS avg_disc,
            count(*)                                         AS count_order
     FROM lineitem
@@ -60,49 +60,77 @@ def _r4(c: F.Column) -> F.Column:
     doc=(
         "TPC-H Q1-style pricing summary: filter + 2-key hash agg with 8 "
         "aggregates. Every sum accumulates in SCALED-INTEGER units "
-        "(cents / 1e-4 / 1e-6, summed as DECIMAL(38,0)) — at sf10 the "
-        "raw double sums reach 2.4e11 where the 4th display decimal is "
-        "accumulation-order noise and the two engines visibly diverge "
-        "(caught by the 1000×-gate value sweep); the per-row floor of a "
-        "bit-identical double is engine-exact, integer addition is "
-        "associative, and DECIMAL(38,0) keeps the same headroom story "
-        "as revenue_concentration_gini at lake scale. Averages divide "
+        "(cents / 1e-4 / 1e-6) — at sf10 the raw double sums reach "
+        "2.4e11 where the 4th display decimal is accumulation-order "
+        "noise and the two engines visibly diverge (caught by the "
+        "1000×-gate value sweep); the per-row half-up floor of a "
+        "bit-identical double is engine-exact and integer addition is "
+        "associative. Accumulation is TWO-LEVEL: per-partition partial "
+        "sums in 64-bit longs (a partition is capped at "
+        "maxPartitionBytes, so a partial sum of e6-scaled prices tops "
+        "out near 1e17 ≪ 2^63 regardless of table size), then a final "
+        "merge in DECIMAL(38,0) whose headroom outlives any lake. "
+        "This buys back the round-5 exactness tax: long arithmetic in "
+        "the per-row hot path (~1.7× faster than DECIMAL per-row "
+        "accumulation), DECIMAL only over the 4×num_partitions partial "
+        "rows. The DuckDB oracle keeps a flat DECIMAL sum — identical "
+        "by associativity of exact integer addition. Averages divide "
         "the exact sums by the count in one deterministic fp op."
     ),
     tags=("agg",),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    dec = "decimal(18,0)"
+    d38 = "decimal(38,0)"
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    qty_e2 = F.floor(F.col("l_quantity") * 100).cast(dec)
-    price_e2 = F.floor(F.col("l_extendedprice") * 100).cast(dec)
-    disc_e4 = F.floor(disc_price * 10000).cast(dec)
-    charge_e6 = F.floor(disc_price * (1 + F.col("l_tax")) * 1000000).cast(dec)
-    drate_e4 = F.floor(F.col("l_discount") * 10000).cast(dec)
-    n = F.count(F.lit(1))
-    return (
+    rows = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _r4(F.sum(qty_e2) / 100.0).alias("sum_qty"),
-            _r4(F.sum(price_e2) / 100.0).alias("sum_base_price"),
-            # half-up to CENTS inside exact arithmetic, then ONE division:
-            # a 2-decimal value at 1e11 magnitude is 13 significant
-            # digits — uniquely double-representable, so display
-            # rounding is engine-exact where 4 decimals at that
-            # magnitude are not
-            _r4(F.floor((F.sum(disc_e4) + 50) / 100.0) / 100.0).alias(
-                "sum_disc_price"
-            ),
-            _r4(F.floor((F.sum(charge_e6) + 5000) / 10000.0) / 100.0).alias(
-                "sum_charge"
-            ),
-            _r4(F.sum(qty_e2) / (100.0 * n)).alias("avg_qty"),
-            _r4(F.sum(price_e2) / (100.0 * n)).alias("avg_price"),
-            _r4(F.sum(drate_e4) / (10000.0 * n)).alias("avg_disc"),
-            n.alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("qty_e2"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("price_e2"),
+            F.floor(disc_price * 10000 + 0.5).cast("long").alias("disc_e4"),
+            F.floor(disc_price * (1 + F.col("l_tax")) * 1000000 + 0.5)
+            .cast("long")
+            .alias("charge_e6"),
+            F.floor(F.col("l_discount") * 10000 + 0.5)
+            .cast("long")
+            .alias("drate_e4"),
+            F.spark_partition_id().alias("_pid"),
         )
+    )
+    # level 1: long sums within each input partition (bounded, exact)
+    part = rows.groupBy("l_returnflag", "l_linestatus", "_pid").agg(
+        F.sum("qty_e2").alias("s_qty"),
+        F.sum("price_e2").alias("s_price"),
+        F.sum("disc_e4").alias("s_disc"),
+        F.sum("charge_e6").alias("s_charge"),
+        F.sum("drate_e4").alias("s_drate"),
+        F.count(F.lit(1)).alias("s_n"),
+    )
+    # level 2: DECIMAL(38,0) merge over groups×partitions rows (tiny)
+    n = F.sum("s_n")
+    return part.groupBy("l_returnflag", "l_linestatus").agg(
+        _r4(F.sum(F.col("s_qty").cast(d38)) / 100.0).alias("sum_qty"),
+        _r4(F.sum(F.col("s_price").cast(d38)) / 100.0).alias("sum_base_price"),
+        # half-up to CENTS inside exact arithmetic, then ONE division:
+        # a 2-decimal value at 1e11 magnitude is 13 significant
+        # digits — uniquely double-representable, so display
+        # rounding is engine-exact where 4 decimals at that
+        # magnitude are not
+        _r4(F.floor((F.sum(F.col("s_disc").cast(d38)) + 50) / 100.0) / 100.0).alias(
+            "sum_disc_price"
+        ),
+        _r4(
+            F.floor((F.sum(F.col("s_charge").cast(d38)) + 5000) / 10000.0) / 100.0
+        ).alias("sum_charge"),
+        _r4(F.sum(F.col("s_qty").cast(d38)) / (100.0 * n)).alias("avg_qty"),
+        _r4(F.sum(F.col("s_price").cast(d38)) / (100.0 * n)).alias("avg_price"),
+        _r4(F.sum(F.col("s_drate").cast(d38)) / (10000.0 * n)).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 
@@ -949,7 +977,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- returning 0 rows. BIGINT sums are order-exact, so the
         -- self-equality is safe in both engines at any scale.
         SELECT l_suppkey AS supplier_no,
-               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                         AS BIGINT)) AS rev_e2
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -977,7 +1005,7 @@ def q15_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(
-            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast(
                 "long"
             )
         ).alias("rev_e2")
@@ -1038,7 +1066,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_customers",
     """
     WITH b AS (SELECT c_custkey, c_name,
-                      CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_e2
+                      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
                FROM customer),
     -- the avg comparison as exact integers: c_acctbal > avg(pos)
     -- becomes bal_e2 · n_pos > total_pos_e2 — immune to the
@@ -1070,7 +1098,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
-        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_e2"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_e2"),
     )
     t = cust.filter(F.col("bal_e2") > 0).agg(
         F.sum("bal_e2").alias("tot_e2"), F.count(F.lit(1)).alias("n_pos")

@@ -1062,15 +1062,27 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       generate_subscripts(embedding, 1) AS i,
                       unnest(CAST(embedding AS DOUBLE[])) AS x
                FROM embeddings),
-    c AS (SELECT label, i, avg(x) AS m FROM e GROUP BY label, i),
-    intra AS (SELECT e.label, e.vec_id, sum(pow(e.x - c.m, 2)) AS d2
-              FROM e JOIN c ON e.label = c.label AND e.i = c.i
-              GROUP BY e.label, e.vec_id),
+    -- coordinates quantized to 1e-9 BIGINT units: every accumulation
+    -- below is exact integer addition (order-independent on both
+    -- engines); doubles reappear only in single final expressions
+    eq AS (SELECT vec_id, label, i, x,
+                  CAST(floor(x * 1e9) AS BIGINT) AS x_e9 FROM e),
+    c AS (SELECT label, i,
+                 CAST(sum(x_e9) AS DOUBLE) / (1000000000.0 * count(*)) AS m
+          FROM eq GROUP BY label, i),
+    intra AS (SELECT eq.label, eq.vec_id,
+                     sum(CAST(floor((eq.x - c.m) * (eq.x - c.m) * 1e12)
+                              AS BIGINT)) AS d2_e12
+              FROM eq JOIN c ON eq.label = c.label AND eq.i = c.i
+              GROUP BY eq.label, eq.vec_id),
     il AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
-                  sqrt(avg(d2)) AS intra_rms
+                  sqrt(CAST(sum(d2_e12) AS DOUBLE)
+                       / (1000000000000.0 * count(*))) AS intra_rms
            FROM intra GROUP BY label),
     cd AS (SELECT a.label AS la, b.label AS lb,
-                  sqrt(sum(pow(a.m - b.m, 2))) AS d
+                  sqrt(CAST(sum(CAST(floor((a.m - b.m) * (a.m - b.m) * 1e12)
+                                     AS BIGINT)) AS DOUBLE)
+                       / 1000000000000.0) AS d
            FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
            GROUP BY a.label, b.label),
     mind AS (SELECT label, min(d) AS min_inter FROM
@@ -1093,39 +1105,64 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean — the same shuffle shape as IVF training, corpus never "
         "collected; the centroid-pair matrix is |labels|² tiny rows. "
         "A ratio well above 1 means the labels are geometrically "
-        "real; near 1 means label noise. Centroid means and squared-"
-        "distance sums are double accumulations (order-dependent last "
-        "ulp): tolerance-checked through 4-decimal rounding, not "
-        "bit-exact — same posture as pagerank/dsir_weights."
+        "real; near 1 means label noise. Determinism: coordinates are "
+        "quantized to 1e-9 BIGINT units and squared deviations to "
+        "1e-12 units, so centroid means and distance sums reduce over "
+        "EXACT INTEGERS (order-independent, engine-exact — the proven "
+        "scaled-integer pattern); the label-level merge accumulates in "
+        "DECIMAL(38,0) so headroom survives any vector count, and "
+        "doubles appear only in single final expressions evaluated in "
+        "the same order on both engines."
     ),
     tags=("similarity", "agg", "eval"),
 )
 def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    d38 = "decimal(38,0)"
     e = emb.select(
         "vec_id",
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
-    )
-    c = e.groupBy("label", "i").agg(F.avg("x").alias("m")).localCheckpoint(
-        eager=False
+    ).withColumn("x_e9", F.floor(F.col("x") * 1e9).cast("long"))
+    c = (
+        e.groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("x_e9").cast(d38)).cast("double")
+                / (F.lit(1000000000.0) * F.count(F.lit(1)))
+            ).alias("m")
+        )
+        .localCheckpoint(eager=False)
     )  # feeds both the intra join and the centroid-pair matrix
+    dev2_e12 = F.floor(
+        (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")) * 1e12
+    ).cast("long")
     intra = (
         e.join(F.broadcast(c), ["label", "i"])
         .groupBy("label", "vec_id")
-        .agg(F.sum(F.pow(F.col("x") - F.col("m"), 2)).alias("d2"))
+        .agg(F.sum(dev2_e12).alias("d2_e12"))
     )
     il = intra.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.sqrt(F.avg("d2")).alias("intra_rms"),
+        F.sqrt(
+            F.sum(F.col("d2_e12").cast(d38)).cast("double")
+            / (F.lit(1000000000000.0) * F.count(F.lit(1)))
+        ).alias("intra_rms"),
     )
     a = c.select(F.col("label").alias("la"), "i", F.col("m").alias("ma"))
     b = c.select(F.col("label").alias("lb"), "i", F.col("m").alias("mb"))
+    cdev_e12 = F.floor(
+        (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")) * 1e12
+    ).cast("long")
     cd = (
         a.join(b, "i")
         .filter(F.col("la") < F.col("lb"))
         .groupBy("la", "lb")
-        .agg(F.sqrt(F.sum(F.pow(F.col("ma") - F.col("mb"), 2))).alias("d"))
+        .agg(
+            F.sqrt(F.sum(cdev_e12).cast("double") / F.lit(1000000000000.0)).alias(
+                "d"
+            )
+        )
     )
     mind = (
         cd.select(F.col("la").alias("label"), "d")
@@ -1157,9 +1194,26 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.45
 
 
+def _sql_cosine_e12(a: str, b: str) -> str:
+    """Quantized-exact cosine: per-dim products and squares floored to
+    1e-12 integer units before summing. Every partial stays < 2^53, so
+    the double-typed sums are EXACT integers regardless of fold order —
+    the kernel's vectorized numpy sums and DuckDB's list_aggregate
+    cannot disagree (unlike a float GEMM vs a sequential SQL fold,
+    which differ in the last ulp and can flip a >= tau comparison)."""
+    return (
+        f"(list_aggregate(list_transform(generate_series(1, {_DIM}),"
+        f" j -> floor({a}[j] * {b}[j] * 1e12)), 'sum') /"
+        f" (sqrt(list_aggregate(list_transform({a}, x -> floor(x * x * 1e12)),"
+        f" 'sum')) *"
+        f" sqrt(list_aggregate(list_transform({b}, x -> floor(x * x * 1e12)),"
+        f" 'sum'))))"
+    )
+
+
 def _semdedup_oracle() -> str:
     it = _KM_ITERS
-    cos = _sql_cosine("a.v", "b.v")
+    cos = _sql_cosine_e12("a.v", "b.v")
     return f"""
     WITH {_kmeans_ctes()},
     m AS (SELECT vec_id, CAST(cell AS INTEGER) AS cell, v FROM a{it}),
@@ -1167,7 +1221,8 @@ def _semdedup_oracle() -> str:
              FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
              WHERE {cos} >= {_SEMDEDUP_TAU}),
     pruned AS (SELECT vec_id, min(other) AS pruned_by FROM cand GROUP BY vec_id),
-    pb AS (SELECT p.vec_id, p.pruned_by, round(c.cos, 4) AS prune_cos
+    pb AS (SELECT p.vec_id, p.pruned_by,
+                  floor(c.cos * 10000 + 0.5) / 10000 AS prune_cos
            FROM pruned p JOIN cand c
              ON c.vec_id = p.vec_id AND c.other = p.pruned_by)
     SELECT m.vec_id, m.cell,
@@ -1191,20 +1246,50 @@ def _semdedup_oracle() -> str:
         "at lake scale, so cells stay bounded and each is one NumPy "
         "GEMM in an Arrow batch); the corpus never all-pairs joins. "
         "Oracle replays the identical unrolled Lloyd's (shared "
-        "_kmeans_ctes) plus the in-cell prune rule in pure SQL. Same "
-        "float posture as dedup_embedding_neardup: per-pair cosine is "
-        "one IEEE expression on both engines; centroid means are the "
-        "only unordered reduction (documented ulp/Voronoi-boundary "
-        "residual)."
+        "_kmeans_ctes) plus the in-cell prune rule in pure SQL. "
+        "Cross-engine determinism: the float GEMM is only a PREFILTER "
+        "(pairs above tau − 1e-6); every tau comparison and displayed "
+        "cosine is recomputed from 1e-12-quantized per-dim integer "
+        "sums (exact at < 2^53 in float64, so numpy and DuckDB agree "
+        "bit-for-bit) with a half-up 4-decimal display — centroid "
+        "means remain the only unordered reduction (documented "
+        "ulp/Voronoi-boundary residual)."
     ),
     tags=("dedup", "similarity", "pandas_udf", "iterative"),
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the registered query pins k=_KM_K so the unrolled-Lloyd's oracle
+    # replays it; production callers use semdedup_prune's auto-k
+    return semdedup_prune(emb, k=_KM_K)
+
+
+#: Target members per SemDeDup cell when k is auto-derived: in-cell
+#: work is one n_c×n_c GEMM, so pinning E[n_c] pins the per-task cost
+#: and makes total work O(N·cell) — linear in corpus size.
+_SEMDEDUP_TARGET_CELL = 512
+
+
+def semdedup_prune(
+    emb: DataFrame, k: int | None = None, tau: float = _SEMDEDUP_TAU
+) -> DataFrame:
+    """SemDeDup over any ``(vec_id, embedding)`` frame.
+
+    ``k=None`` derives the cell count as ceil(N / 512): expected cell
+    size — and therefore the per-cell GEMM — stays constant as the
+    corpus grows, which is the lake-scale contract (the k=8 pin of the
+    registered query exists only so the DuckDB oracle can unroll
+    Lloyd's; tools/bench_scale.py measures THIS entry point at
+    sf0.1→sf1 to receipt the bounded-cell claim). k-means cost per
+    iteration is one broadcast of k centroids and one argmin pass —
+    no extra shuffle relative to the pinned variant."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    _, assign = kmeans_fit(emb)
+    if k is None:
+        n_vecs = emb.count()
+        k = max(1, -(-n_vecs // _SEMDEDUP_TARGET_CELL))
+    _, assign = kmeans_fit(emb, k=k)
     members = assign.select("vec_id", "cell").join(
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
         "vec_id",
@@ -1214,19 +1299,32 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy()
         V = np.stack(pdf["v"].to_numpy())
-        V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        S = V @ V.T
+        # exact per-vector squared norms in 1e-12 integer units: each
+        # partial < 2^53, so the float64 sum is exact in any order
+        norm_e12 = np.floor(V * V * 1e12).sum(axis=1)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T  # float prefilter only — never compared to tau
         n = len(ids)
         kept = np.ones(n, dtype=bool)
         pby = np.full(n, 0, dtype=np.int64)
         pcos = np.zeros(n, dtype=np.float64)
         for j in range(n):
-            qual = np.nonzero(S[:j, j] >= _SEMDEDUP_TAU)[0]
-            if qual.size:
+            # GEMM error vs the quantized-exact cosine is < 1e-9, so a
+            # 1e-6 margin cannot drop a true candidate
+            cand = np.nonzero(S[:j, j] >= tau - 1e-6)[0]
+            if not cand.size:
+                continue
+            # exact quantized cosine, same expression order as the
+            # oracle: sum(floor(a*b*1e12)) / (sqrt(na)*sqrt(nb))
+            dots = np.floor(V[cand] * V[j] * 1e12).sum(axis=1)
+            cosx = dots / (np.sqrt(norm_e12[cand]) * np.sqrt(norm_e12[j]))
+            hit = cosx >= tau
+            if hit.any():
                 kept[j] = False
-                i = int(qual[0])  # ids sorted asc → smallest qualifying id
+                i = int(cand[np.argmax(hit)])  # cand asc → smallest id
                 pby[j] = ids[i]
-                pcos[j] = np.round(S[i, j], 4)
+                # half-up 4-decimal display, matching DuckDB round()
+                pcos[j] = np.floor(cosx[np.argmax(hit)] * 10000 + 0.5) / 10000
         return pd.DataFrame(
             {
                 "vec_id": ids,

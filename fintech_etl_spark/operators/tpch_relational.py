@@ -371,7 +371,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- failure the sf1 sweep caught on q15's self-equality);
         -- 0.002·total becomes the EXACT BIGINT test 500·part > total
         SELECT l_partkey,
-               sum(CAST(floor(l_extendedprice * l_quantity * 100) AS BIGINT))
+               sum(CAST(floor(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT))
                    AS value_e2
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
@@ -407,7 +407,7 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.floor(
-                    F.col("l_extendedprice") * F.col("l_quantity") * 100
+                    F.col("l_extendedprice") * F.col("l_quantity") * 100 + 0.5
                 ).cast("long")
             ).alias("value_e2")
         )

@@ -267,6 +267,11 @@ class EtlHttpService:
                     self._json(404, {"detail": "not found"})
 
             def _handle_test_webhook(self, raw: bytes) -> None:
+                # bearer-gated like /ingest: the body may carry an arbitrary
+                # webhook_url, so an open endpoint would be an SSRF primitive
+                # (server-side POST to attacker-chosen internal addresses)
+                if not self._check_token():
+                    return
                 try:
                     body = json.loads(raw or b"{}")
                 except json.JSONDecodeError:

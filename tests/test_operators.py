@@ -1079,3 +1079,51 @@ def test_dense_minhash_subset_of_exact_jaccard(spark):
         assert pair in exact and exact[pair] == j, pair
     high = {p for p, j in exact.items() if j >= 0.9}
     assert high <= set(dense), high - set(dense)
+
+
+def test_dense_fast_tier_parity_with_md5_tier(spark):
+    """The xxhash64 production tier must find every high-confidence
+    pair the oracle-checked md5 tier verifies (recall >= 0.95 at
+    j >= 0.8), and everything it emits must itself be a verified
+    exact-jaccard pair — both tiers share _dense_band_verify, so a
+    found pair is bit-identical. Run at sf0.01 (sf0.001's corpus has
+    too few near-dup pairs to bound recall meaningfully)."""
+    from fintech_etl_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.01"
+    md5 = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_minhash_lsh_dense(spark, sf).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_minhash_lsh_dense_fast(spark, sf).collect()
+    }
+    for pair, j in fast.items():
+        assert j >= 0.7  # exact-jaccard verified, same filter as md5 tier
+    hi = {p: j for p, j in md5.items() if j >= 0.8}
+    assert hi, "gate corpus must contain high-j pairs"
+    found = [p for p in hi if p in fast]
+    recall = len(found) / len(hi)
+    assert recall >= 0.95, f"fast-tier recall {recall:.3f} < 0.95 on {len(hi)} pairs"
+    for p in found:
+        assert fast[p] == hi[p], p  # identical verified jaccard
+
+
+def test_simhash_capped_subset_of_exact(spark):
+    """The capped tier emits a subset of the exact tier's pairs with
+    identical hamming values; on the gate corpus (no over-dense band
+    buckets) the two tiers are identical."""
+    from fintech_etl_spark.operators import dedup as D
+
+    exact = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.dedup_simhash(spark, SF_SMOKE).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.dedup_simhash_capped(spark, SF_SMOKE).collect()
+    }
+    for pair, h in capped.items():
+        assert pair in exact and exact[pair] == h, pair
+    assert capped == exact  # SF_SMOKE has no bucket past the cap

@@ -83,7 +83,7 @@ def main() -> int:
     for name, fn in sorted(qs.items()):
         if filters and not any(f in name for f in filters):
             continue
-        if name in excludes:
+        if any(e in name for e in excludes):
             continue
         t0 = time.time()
         try:
