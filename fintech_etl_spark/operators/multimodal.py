@@ -5,12 +5,14 @@ struct (schemas.MEDIA_SCHEMA): Catalyst prunes/partitions on metadata
 without ever touching bytes, and the bytes travel Arrow-batched into
 Pandas UDFs only in the operators that genuinely need them.
 
-Codec situation: the container has no PIL/ffmpeg, so the generic
-``decode_image`` stays gated behind ``try: import PIL`` and raises —
-but the PPM (P6) path at the bottom is a REAL decode (header + pixel
-plane parsed in a dependency-free kernel), so the byte-level plumbing
-(schema, Arrow batch shape, per-asset error isolation) is exercised
-with actual image bytes, not fakes.
+Codec situation: the container has no PIL/ffmpeg. ``decode_image``
+uses PIL when importable and otherwise falls back to the vendored
+baseline-JPEG decoder (functions/jpeg.py — real Huffman + IDCT,
+golden-tested in tests/test_jpeg.py); non-JPEG formats without PIL
+raise loudly. The PPM (P6) path at the bottom is likewise a REAL
+decode (header + pixel plane parsed in a dependency-free kernel), so
+the byte-level plumbing (schema, Arrow batch shape, per-asset error
+isolation) is exercised with actual image bytes, not fakes.
 
 The driver testdata has no media table, so assets are derived
 deterministically from ``documents`` (text bytes as payload, metadata
@@ -169,8 +171,12 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_image(content: bytes, fmt: str) -> tuple[int, int, str]:
     """Decode an image payload → (width, height, mode).
 
-    The real path needs PIL, which is not in this container; the stub
-    raises so callers fail loudly rather than silently fake pixels.
+    PIL when available (the production image), else the vendored
+    baseline-JPEG decoder (functions/jpeg.py — real Huffman + IDCT,
+    golden-tested) for JPEG payloads. Anything else without PIL raises
+    loudly rather than silently faking pixels; a baseline JPEG outside
+    the vendored subset (progressive, subsampled chroma) surfaces its
+    specific UnsupportedJpegError.
     """
     try:
         from PIL import Image  # noqa: F401  (absent in this container)
@@ -178,11 +184,17 @@ def decode_image(content: bytes, fmt: str) -> tuple[int, int, str]:
 
         with Image.open(io.BytesIO(content)) as im:
             return im.width, im.height, im.mode
-    except ImportError as exc:  # pragma: no cover - exercised in prod images
-        raise NotImplementedError(
-            "image decode requires PIL; payload plumbing is tested via "
-            "media_feature_extract instead"
-        ) from exc
+    except ImportError:
+        pass
+    if fmt.lower() in ("jpeg", "jpg") or content[:2] == b"\xff\xd8":
+        from fintech_etl_spark.functions.jpeg import decode_baseline_jpeg
+
+        w, h, ncomp, _px = decode_baseline_jpeg(content)
+        return w, h, "L" if ncomp == 1 else "RGB"
+    raise NotImplementedError(
+        f"decoding {fmt!r} requires PIL; only baseline JPEG has a "
+        "vendored fallback (functions/jpeg.py)"
+    )
 
 
 @register(

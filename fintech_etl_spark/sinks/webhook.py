@@ -38,12 +38,21 @@ class WebhookSink:
     headers: dict[str, str] | None = None
     timeout_s: int = 30
     poster: Poster | None = None
+    #: Optional parquet path for the cross-restart delivery ledger.
+    #: Without it, idempotency is receiver-side only (document_id key);
+    #: with it, successfully delivered (document_id, batch_id) rows are
+    #: appended after each attempt and future attempts for the SAME
+    #: batch_id anti-join them away — so a retry after a driver restart
+    #: (new sink instance, same ledger) re-posts only the failures.
+    ledger_path: str | None = None
 
-    def send_batch(self, payloads: DataFrame) -> dict[str, int]:
+    def send_batch(
+        self, payloads: DataFrame, batch_id: int | None = None
+    ) -> dict[str, int]:
         """payloads: (document_id, payload) — see receipts.to_webhook_payloads.
 
-        Runs on executors via foreachPartition; each partition posts its
-        documents sequentially (per-doc webhook semantics), partitions in
+        Runs on executors; each partition posts its documents
+        sequentially (per-doc webhook semantics), partitions in
         parallel. Failures are counted and logged per partition, never
         raised — delivery retry belongs to the streaming checkpoint
         layer (re-running the whole micro-batch = at-least-once), and
@@ -51,10 +60,22 @@ class WebhookSink:
         a given (receipt, run_ts), so a re-sent document carries the
         SAME idempotency key.
 
-        Returns the batch accounting ``{"sent": n, "failed": m}``,
-        aggregated across partitions via accumulators — the driver-side
-        signal a caller uses to decide whether to retry the batch.
+        With ``ledger_path`` configured and a ``batch_id`` given,
+        delivery goes through the persistent ledger: documents already
+        recorded for this batch_id are anti-joined away BEFORE any
+        post (so a retry after a driver restart — a brand-new sink
+        instance — re-sends only the failures), and this attempt's
+        successes are appended to the ledger parquet. The ledger is
+        append-only and deduped on read; task-level retries can at
+        worst re-post (at-least-once stands) but never double-record a
+        skip decision.
+
+        Returns the batch accounting ``{"sent": n, "failed": m}`` —
+        plus ``"skipped"`` on the ledger path — the driver-side signal
+        a caller uses to decide whether to retry the batch.
         """
+        if self.ledger_path is not None and batch_id is not None:
+            return self._send_with_ledger(payloads, batch_id)
         url = self.url
         headers = {"Content-Type": "application/json", **(self.headers or {})}
         poster = self.poster or _default_poster
@@ -84,3 +105,78 @@ class WebhookSink:
 
         payloads.foreachPartition(deliver)
         return {"sent": sent_acc.value, "failed": failed_acc.value}
+
+    def _send_with_ledger(
+        self, payloads: DataFrame, batch_id: int
+    ) -> dict[str, int]:
+        """Ledger-gated delivery (see :meth:`send_batch`). One Spark
+        action does the posting (``mapInPandas`` → parquet append of
+        the successes); counts come from cheap metadata reads after."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        spark = payloads.sparkSession
+        url = self.url
+        headers = {"Content-Type": "application/json", **(self.headers or {})}
+        poster = self.poster or _default_poster
+
+        already = self._read_ledger(spark, batch_id)
+        n_total = payloads.count()
+        to_send = payloads
+        if already is not None:
+            # the per-batch delivered set is bounded by the batch size —
+            # broadcast it so the skip is a map-side anti join
+            to_send = payloads.join(F.broadcast(already), "document_id", "left_anti")
+
+        def deliver(pdfs):
+            for pdf in pdfs:
+                oks = []
+                for did, payload in zip(pdf["document_id"], pdf["payload"]):
+                    try:
+                        status = poster(url, payload.encode("utf-8"), headers)
+                        oks.append(200 <= status < 300)
+                    except Exception:  # noqa: BLE001 — per-doc isolation
+                        oks.append(False)
+                yield pd.DataFrame(
+                    {"document_id": pdf["document_id"], "ok": oks}
+                )
+
+        attempted = to_send.mapInPandas(deliver, "document_id string, ok boolean")
+        # the parquet append IS the action that drives delivery: only
+        # successes are recorded, so a crash between post and append
+        # degrades to at-least-once (receiver still dedupes on
+        # document_id), never to a lost skip
+        (
+            attempted.filter(F.col("ok"))
+            .select(
+                "document_id",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.current_timestamp().alias("delivered_at"),
+            )
+            .write.mode("append")
+            .parquet(self.ledger_path)
+        )
+        done = self._read_ledger(spark, batch_id)
+        n_done = done.count() if done is not None else 0
+        n_skipped = n_total - (to_send.count() if already is not None else n_total)
+        sent = n_done - n_skipped
+        return {
+            "sent": sent,
+            "failed": n_total - n_skipped - sent,
+            "skipped": n_skipped,
+        }
+
+    def _read_ledger(self, spark, batch_id: int):
+        """Distinct document_ids recorded for ``batch_id``; None when
+        the ledger doesn't exist yet (first ever batch)."""
+        from pyspark.sql import functions as F
+
+        try:
+            ledger = spark.read.parquet(self.ledger_path)
+        except Exception:  # noqa: BLE001 — path not created yet
+            return None
+        return (
+            ledger.filter(F.col("batch_id") == batch_id)
+            .select("document_id")
+            .distinct()
+        )

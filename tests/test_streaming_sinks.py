@@ -812,3 +812,61 @@ def test_streaming_ann_matches_batch_lsh(spark, tmp_path):
     }
     assert got == want
     assert len({qid for qid, _ in got}) == _N_QUERIES
+
+
+def test_webhook_ledger_survives_driver_restart(spark, tmp_path):
+    """Cross-restart idempotency (round-5 verdict #8): the endpoint
+    dies mid-batch, the DRIVER dies too, and a brand-new sink instance
+    (fresh process state, same ledger parquet) retries the batch. The
+    ledger must anti-join away the already-delivered document before
+    any post — the wire never sees INV1 twice — and the retry delivers
+    only the failure. Receiver-side dedupe is not relied on at all."""
+    from fintech_etl_spark.operators.receipts import (
+        build_receipts,
+        to_webhook_payloads,
+    )
+    from fintech_etl_spark.sinks import WebhookSink
+    from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
+
+    fixture = tmp_path / "f.csv"
+    fixture.write_text(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    payloads = to_webhook_payloads(
+        build_receipts(read_invoice_csv(spark, str(fixture)), run_date=RUN_DATE)
+    ).coalesce(1)  # one partition → deterministic INV1-then-INV2 order
+
+    wire_log = tmp_path / "wire.log"
+    outage_marker = tmp_path / "outage_done"
+    ledger = str(tmp_path / "ledger")
+
+    def poster(url, body, headers, _log=str(wire_log), _marker=str(outage_marker)):
+        doc = json.loads(body)
+        with open(_log, "a") as f:
+            f.write(doc["document_id"] + "\n")
+        if doc["receiptId"] == "INV2" and not os.path.exists(_marker):
+            open(_marker, "w").close()
+            raise ConnectionError("endpoint down mid-batch")
+        return 200
+
+    first = WebhookSink(
+        url="http://example.invalid/hook", poster=poster, ledger_path=ledger
+    ).send_batch(payloads, batch_id=7)
+    assert first == {"sent": 1, "failed": 1, "skipped": 0}
+
+    # "driver restart": a NEW sink instance, nothing shared but the
+    # ledger path on disk
+    retry = WebhookSink(
+        url="http://example.invalid/hook", poster=poster, ledger_path=ledger
+    ).send_batch(payloads, batch_id=7)
+    assert retry == {"sent": 1, "failed": 0, "skipped": 1}
+
+    # the wire saw exactly 3 posts: INV1 once (never re-sent — the
+    # ledger, not the receiver, prevented it), INV2 twice
+    wire = wire_log.read_text().splitlines()
+    assert len(wire) == 3
+    assert len(set(wire)) == 2
+
+    # a different batch_id is NOT deduped by batch 7's ledger rows
+    third = WebhookSink(
+        url="http://example.invalid/hook", poster=poster, ledger_path=ledger
+    ).send_batch(payloads, batch_id=8)
+    assert third == {"sent": 2, "failed": 0, "skipped": 0}
