@@ -32,6 +32,55 @@ def _r4(c: F.Column) -> F.Column:
 # ---------------------------------------------------------------------------
 
 
+#: q1 as ONE SQL statement (parameterized with the lineitem frame):
+#: building this plan through ~100 Column-object Py4J round-trips cost
+#: ~0.32 s PER INVOCATION — more than the query's execution — while a
+#: single SQL parse is ~0.05 s. Semantics are identical to the DSL
+#: two-level form (bench-verified value-equal); `D` suffixes force
+#: DOUBLE literals (bare 100.0 parses as DECIMAL in Spark SQL, which
+#: would change division/rounding semantics vs the oracle).
+#: Level 1 sums longs per input partition (bounded by
+#: maxPartitionBytes → no overflow at any table size); level 2 merges
+#: groups×partitions rows in DECIMAL(38,0). Half-up cent display: see
+#: the oracle comments.
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(s_qty AS DECIMAL(38,0))) / 100.0D, 4) AS sum_qty,
+       round(sum(CAST(s_price AS DECIMAL(38,0))) / 100.0D, 4) AS sum_base_price,
+       round(floor((sum(CAST(s_disc AS DECIMAL(38,0))) + 50) / 100.0D)
+             / 100.0D, 4) AS sum_disc_price,
+       round(floor((sum(CAST(s_charge AS DECIMAL(38,0))) + 5000) / 10000.0D)
+             / 100.0D, 4) AS sum_charge,
+       round(sum(CAST(s_qty AS DECIMAL(38,0))) / (100.0D * sum(s_n)), 4)
+           AS avg_qty,
+       round(sum(CAST(s_price AS DECIMAL(38,0))) / (100.0D * sum(s_n)), 4)
+           AS avg_price,
+       round(sum(CAST(s_drate AS DECIMAL(38,0))) / (10000.0D * sum(s_n)), 4)
+           AS avg_disc,
+       sum(s_n) AS count_order
+FROM (
+  SELECT l_returnflag, l_linestatus, _pid,
+         sum(qty_e2) AS s_qty, sum(price_e2) AS s_price,
+         sum(disc_e4) AS s_disc, sum(charge_e6) AS s_charge,
+         sum(drate_e4) AS s_drate, count(1) AS s_n
+  FROM (
+    SELECT l_returnflag, l_linestatus,
+           CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_e2,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_e2,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                AS BIGINT) AS disc_e4,
+           CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 1000000 + 0.5) AS BIGINT) AS charge_e6,
+           CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS drate_e4,
+           spark_partition_id() AS _pid
+    FROM {li}
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00')
+  GROUP BY l_returnflag, l_linestatus, _pid)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+
 @register(
     "q1_pricing_summary",
     """
@@ -81,57 +130,7 @@ def _r4(c: F.Column) -> F.Column:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    d38 = "decimal(38,0)"
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    rows = (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("qty_e2"),
-            F.floor(F.col("l_extendedprice") * 100 + 0.5)
-            .cast("long")
-            .alias("price_e2"),
-            F.floor(disc_price * 10000 + 0.5).cast("long").alias("disc_e4"),
-            F.floor(disc_price * (1 + F.col("l_tax")) * 1000000 + 0.5)
-            .cast("long")
-            .alias("charge_e6"),
-            F.floor(F.col("l_discount") * 10000 + 0.5)
-            .cast("long")
-            .alias("drate_e4"),
-            F.spark_partition_id().alias("_pid"),
-        )
-    )
-    # level 1: long sums within each input partition (bounded, exact)
-    part = rows.groupBy("l_returnflag", "l_linestatus", "_pid").agg(
-        F.sum("qty_e2").alias("s_qty"),
-        F.sum("price_e2").alias("s_price"),
-        F.sum("disc_e4").alias("s_disc"),
-        F.sum("charge_e6").alias("s_charge"),
-        F.sum("drate_e4").alias("s_drate"),
-        F.count(F.lit(1)).alias("s_n"),
-    )
-    # level 2: DECIMAL(38,0) merge over groups×partitions rows (tiny)
-    n = F.sum("s_n")
-    return part.groupBy("l_returnflag", "l_linestatus").agg(
-        _r4(F.sum(F.col("s_qty").cast(d38)) / 100.0).alias("sum_qty"),
-        _r4(F.sum(F.col("s_price").cast(d38)) / 100.0).alias("sum_base_price"),
-        # half-up to CENTS inside exact arithmetic, then ONE division:
-        # a 2-decimal value at 1e11 magnitude is 13 significant
-        # digits — uniquely double-representable, so display
-        # rounding is engine-exact where 4 decimals at that
-        # magnitude are not
-        _r4(F.floor((F.sum(F.col("s_disc").cast(d38)) + 50) / 100.0) / 100.0).alias(
-            "sum_disc_price"
-        ),
-        _r4(
-            F.floor((F.sum(F.col("s_charge").cast(d38)) + 5000) / 10000.0) / 100.0
-        ).alias("sum_charge"),
-        _r4(F.sum(F.col("s_qty").cast(d38)) / (100.0 * n)).alias("avg_qty"),
-        _r4(F.sum(F.col("s_price").cast(d38)) / (100.0 * n)).alias("avg_price"),
-        _r4(F.sum(F.col("s_drate").cast(d38)) / (10000.0 * n)).alias("avg_disc"),
-        n.alias("count_order"),
-    )
+    return spark.sql(_Q1_SQL, li=li)
 
 
 @register(

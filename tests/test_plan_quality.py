@@ -265,6 +265,12 @@ _SHUFFLE_BUDGET = {
     # md5-signature banding: band-bucket groupBy + candidate distinct +
     # the two verify-side joins; every exchange carries ids/buckets
     "dedup_minhash_lsh_dense": 4,
+    # xxhash64 twin: identical _dense_band_verify pipeline → same 4
+    "dedup_minhash_lsh_dense_fast": 4,
+    # capped simhash: band-bucket groupBy + pair distinct + the cap is
+    # a filter on the aggregated bucket row (no extra exchange); 3
+    # matches the exact tier's shape
+    "dedup_simhash_capped": 3,
     # LM training (bigram agg + vocab distinct), per-doc NLL agg, and
     # the doc-side output join; every exchange carries (word, count) or
     # (doc_id, double) rows — token text never shuffles twice (context
