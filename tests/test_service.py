@@ -214,3 +214,20 @@ def test_test_webhook_endpoint(spark, tmp_path):
         assert "no webhook_url" in json.loads(ei.value.read())["detail"]
     finally:
         svc2.shutdown()
+
+
+def test_test_webhook_requires_bearer_token(service):
+    """/test-webhook is bearer-gated like /ingest: the body may carry
+    an arbitrary target URL, so an open endpoint would let any caller
+    make the SERVER post to attacker-chosen (e.g. internal-network)
+    addresses — an SSRF primitive."""
+    _, base, _ = service
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _req(base + "/test-webhook", "POST", data=b"{}")
+    assert exc.value.code == 401
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _req(
+            base + "/test-webhook", "POST", data=b"{}",
+            headers={"Authorization": "Bearer wrong"},
+        )
+    assert exc.value.code == 401

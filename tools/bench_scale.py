@@ -53,6 +53,9 @@ EXTRA = (
     "events_salted_heavy_hitters",
     "graph_triangle_clustering",
     "dedup_cluster_components",
+    # r6: the two new production tiers ride the gate from day one
+    "dedup_simhash_capped",
+    "dedup_minhash_lsh_dense_fast",
 )
 
 
