@@ -101,9 +101,13 @@ class _BitReader:
 
     def bit(self) -> int:
         if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated stream")
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated stream")
                 nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1  # stuffed byte
@@ -123,8 +127,13 @@ class _BitReader:
     def align_to_marker(self) -> int:
         """Skip to the next marker (used at restart intervals)."""
         self.nbits = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+        while (
+            self.pos + 1 < len(self.data)
+            and (self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00)
+        ):
             self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated stream")
         marker = self.data[self.pos + 1]
         self.pos += 2
         return marker
@@ -218,6 +227,13 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 if comp[0] in sel:
                     comp[2] = sel[comp[0]] >> 4
                     comp[3] = sel[comp[0]] & 0x0F
+            if any(comp[2] is None for comp in frame[2]):
+                # a scan covering fewer components than the frame is a
+                # multi-scan (non-interleaved) stream — out of scope
+                raise UnsupportedJpegError(
+                    "non-interleaved multi-scan stream "
+                    f"(SOS covers {ns} of {len(frame[2])} components)"
+                )
             pos += seglen
             return _decode_scan(
                 data, pos, frame, qtables, huff_dc, huff_ac, restart_interval

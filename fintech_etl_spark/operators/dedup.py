@@ -1830,9 +1830,12 @@ def minhash_signature_xxhash64(
         "oracle by construction (xxhash64 has no cross-engine twin), "
         "so the driver records the weaker rows-only check; semantics "
         "are pinned instead by tests/test_operators.py's parity bound "
-        "(every md5-tier pair at jaccard >= 0.8 must be found by this "
-        "tier too — both tiers verify with the same exact-jaccard "
-        "filter, so found => identical (doc_a, doc_b, jaccard) rows) "
+        "(recall >= 0.95 of md5-tier pairs at jaccard >= 0.8 — with a "
+        "different hash family, 16x4 banding can probabilistically "
+        "miss a j>=0.8 pair at ~2e-4 per pair, so the bound is "
+        "statistical, not absolute; both tiers verify with the same "
+        "exact-jaccard filter, so any found pair carries identical "
+        "(doc_a, doc_b, jaccard) values) "
         "and by the md5 tier keeping the bit-for-bit oracle. Use this "
         "tier in production; use the md5 tier when an audit needs the "
         "replayable trail."

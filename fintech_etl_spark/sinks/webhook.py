@@ -141,6 +141,12 @@ class WebhookSink:
                     {"document_id": pdf["document_id"], "ok": oks}
                 )
 
+        # pin the skipped/sent split BEFORE the ledger append: counting
+        # to_send afterwards would depend on whether Spark re-lists the
+        # ledger directory (non-contractual), undercounting sent
+        n_to_send = to_send.count() if already is not None else n_total
+        n_skipped = n_total - n_to_send
+
         attempted = to_send.mapInPandas(deliver, "document_id string, ok boolean")
         # the parquet append IS the action that drives delivery: only
         # successes are recorded, so a crash between post and append
@@ -158,11 +164,10 @@ class WebhookSink:
         )
         done = self._read_ledger(spark, batch_id)
         n_done = done.count() if done is not None else 0
-        n_skipped = n_total - (to_send.count() if already is not None else n_total)
         sent = n_done - n_skipped
         return {
             "sent": sent,
-            "failed": n_total - n_skipped - sent,
+            "failed": n_to_send - sent,
             "skipped": n_skipped,
         }
 

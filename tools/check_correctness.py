@@ -61,12 +61,20 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from fintech_etl_spark.session import build_session
 
-    # positional args: include-substrings; "-name" args: exclude-substrings
-    # (used to skip known-quadratic ORACLES — brute-force pair joins —
-    # when sweeping large generated sf_dirs; the Spark side scales, the
-    # DuckDB replay doesn't)
+    # positional args: include-substrings; "-name" args: exclude EXACT
+    # query names ("-name*" excludes by prefix).  Exact-by-default so
+    # "-q1" doesn't silently drop q10..q19; used to skip known-quadratic
+    # ORACLES — brute-force pair joins — when sweeping large generated
+    # sf_dirs (the Spark side scales, the DuckDB replay doesn't)
     filters = [a for a in sys.argv[1:] if not a.startswith("-")]
     excludes = [a[1:] for a in sys.argv[1:] if a.startswith("-")]
+
+    def _excluded(name: str) -> bool:
+        return any(
+            name.startswith(e[:-1]) if e.endswith("*") else name == e
+            for e in excludes
+        )
+
     spark = build_session("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
@@ -80,10 +88,13 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     results: dict[str, dict] = {}
     n_pass = n_fail = 0
+    if excludes:
+        skipped = sorted(n for n in qs if _excluded(n))
+        print(f"excluded {len(skipped)}: {' '.join(skipped)}")
     for name, fn in sorted(qs.items()):
         if filters and not any(f in name for f in filters):
             continue
-        if any(e in name for e in excludes):
+        if _excluded(name):
             continue
         t0 = time.time()
         try:
