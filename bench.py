@@ -91,6 +91,17 @@ HEADLINE = (
     # replayability tax (~2× the md5 tier; parity-tested recall ≥0.95
     # at j≥0.8 in tests/test_operators.py)
     "dedup_minhash_lsh_dense_fast",
+    # appended r7: the auto-k SemDeDup production twin — k = ceil(N/512)
+    # pins expected cell size (per-cell GEMM) as the corpus grows;
+    # receipt SCALE_RECEIPT_r07_semdedup.json (10× vectors: k 4→40,
+    # max cell ×1.76, wall ×3.0); parity-pinned to the k=8 oracle tier
+    "dedup_semantic_semdedup_auto",
+    # appended r7, second wave: the df-capped candidate tier of the
+    # exact n-gram Jaccard join — the sf1→sf10 receipt measured the
+    # exact tier at 10.6× per data decade (Σdf² candidate growth on
+    # the saturated corpus); this tier bounds candidates at O(cap·Σdf)
+    # while emitting bit-identical jaccard values (full-set verify)
+    "dedup_ngram_jaccard_capped",
 )
 
 

@@ -1270,6 +1270,36 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TARGET_CELL = 512
 
 
+@register(
+    "dedup_semantic_semdedup_auto",
+    None,
+    doc=(
+        "Production twin of dedup_semantic_semdedup: the identical "
+        "kmeans_fit + per-cell quantized-exact prune pipeline "
+        "(semdedup_prune), with k auto-derived as ceil(N / 512) "
+        "instead of the oracle's k=8 pin — expected cell size (and so "
+        "the per-cell GEMM) stays constant as the corpus grows, which "
+        "is the lake-scale contract the k=8 tier cannot honor. No "
+        "DuckDB oracle by construction (auto-k Lloyd's has no fixed-k "
+        "CTE unroll), so the driver records the weaker rows-only "
+        "check; semantics are pinned instead by tests/test_operators."
+        "py::test_semdedup_auto_parity_with_k8_tier — at the gate "
+        "corpus (500 vectors) auto-k is 1, a single cell that is a "
+        "strict superset of every k=8 cell, so every vector the "
+        "oracle-checked tier prunes must be pruned here too with the "
+        "identical pruned_by/prune_cos whenever the representative "
+        "matches — and by SCALE_RECEIPT_r07_semdedup.json (10x "
+        "vectors: k 4->40, max cell x1.76, wall x3.0). Use this tier "
+        "in production; use the k=8 tier when an audit needs the "
+        "replayable Lloyd's trail."
+    ),
+    tags=("dedup", "similarity", "pandas_udf", "iterative"),
+)
+def dedup_semantic_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, k=None)
+
+
 def semdedup_prune(
     emb: DataFrame, k: int | None = None, tau: float = _SEMDEDUP_TAU
 ) -> DataFrame:

@@ -17,13 +17,20 @@ def test_registry_complete_and_importable():
     # EXACT pin (not a floor): a silent drop means an operator module
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
-    assert len(specs) == 197
-    # 196 oracle-checked; the ONE deliberate rows-only row is
-    # dedup_minhash_lsh_dense_fast (xxhash64 has no cross-engine twin —
-    # its semantics are pinned by the md5-tier parity test instead)
-    assert sum(1 for s in specs.values() if s.oracle is not None) == 196
-    rows_only = [n for n, s in specs.items() if s.oracle is None]
-    assert rows_only == ["dedup_minhash_lsh_dense_fast"]
+    assert len(specs) == 199
+    # 197 oracle-checked; the TWO deliberate rows-only rows are the
+    # production twins whose mechanism has no cross-engine replay:
+    # dedup_minhash_lsh_dense_fast (xxhash64 has no DuckDB twin —
+    # pinned by the md5-tier parity test) and
+    # dedup_semantic_semdedup_auto (auto-k Lloyd's has no fixed-k CTE
+    # unroll — pinned by the k=8-tier superset parity test + the
+    # committed SCALE_RECEIPT_r07_semdedup.json)
+    assert sum(1 for s in specs.values() if s.oracle is not None) == 197
+    rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
+    assert rows_only == [
+        "dedup_minhash_lsh_dense_fast",
+        "dedup_semantic_semdedup_auto",
+    ]
     # every family present
     for family in ("dedup_", "ann_", "media_", "q1_", "window_", "text_stats"):
         assert any(n.startswith(family) for n in specs), family
@@ -1113,6 +1120,43 @@ def test_dense_fast_tier_parity_with_md5_tier(spark):
         assert fast[p] == hi[p], p  # identical verified jaccard
 
 
+def test_semdedup_auto_parity_with_k8_tier(spark):
+    """The auto-k production tier against the oracle-checked k=8 tier.
+    At the gate corpus (500 vectors) auto-k = ceil(500/512) = 1: one
+    cell, a strict SUPERSET of every k=8 cell, so (a) every vector the
+    k=8 tier prunes must be pruned by the auto tier too, (b) whenever
+    both tiers pick the same representative the quantized-exact
+    prune_cos must be bit-identical, and (c) the auto tier's verdicts
+    ARE brute-force semantic dedup — its kept set can only shrink."""
+    from fintech_etl_spark.operators.similarity import (
+        dedup_semantic_semdedup,
+        dedup_semantic_semdedup_auto,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    k8 = {
+        r.vec_id: (r.kept, r.pruned_by, r.prune_cos)
+        for r in dedup_semantic_semdedup(spark, sf).collect()
+    }
+    auto = {
+        r.vec_id: (r.kept, r.pruned_by, r.prune_cos)
+        for r in dedup_semantic_semdedup_auto(spark, sf).collect()
+    }
+    assert set(auto) == set(k8)  # one verdict row per vector, both tiers
+    pruned_k8 = {v for v, (kept, _, _) in k8.items() if not kept}
+    assert pruned_k8, "gate corpus must contain semantic near-dups"
+    for v in pruned_k8:
+        kept, pby, pcos = auto[v]
+        assert not kept, f"{v} pruned at k=8 but kept at auto-k=1"
+        # same smaller-id representative => identical quantized cosine
+        if pby == k8[v][1]:
+            assert pcos == k8[v][2], v
+    # superset-only: auto may prune more (cross-cell dupes), never less
+    kept_auto = {v for v, (kept, _, _) in auto.items() if kept}
+    kept_k8 = {v for v, (kept, _, _) in k8.items() if kept}
+    assert kept_auto <= kept_k8
+
+
 def test_simhash_capped_subset_of_exact(spark):
     """The capped tier emits a subset of the exact tier's pairs with
     identical hamming values; on the gate corpus (no over-dense band
@@ -1130,3 +1174,26 @@ def test_simhash_capped_subset_of_exact(spark):
     for pair, h in capped.items():
         assert pair in exact and exact[pair] == h, pair
     assert capped == exact  # SF_SMOKE has no bucket past the cap
+
+
+def test_ngram_capped_subset_of_exact_with_identical_values(spark):
+    """dedup_ngram_jaccard_capped verifies on FULL shingle sets, so
+    every pair it emits must carry the exact tier's bit-identical
+    jaccard; what it may drop is only pairs whose shared shingles are
+    all high-df. At sf0.01 (500 docs, cap=5) the two tiers coincide —
+    every true pair shares at least one within-cap shingle."""
+    from fintech_etl_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_ngram_jaccard(spark, sf).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_ngram_jaccard_capped(spark, sf).collect()
+    }
+    assert exact, "gate corpus must contain jaccard pairs"
+    for pair, j in capped.items():
+        assert pair in exact and exact[pair] == j, pair
+    assert capped == exact  # no boilerplate-only pair at gate scale
