@@ -128,21 +128,37 @@ def main() -> int:
     extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
     names += [n for n in extra.split(",") if n and n in qs and n not in names]
 
+    def _load() -> float | None:
+        try:
+            return round(os.getloadavg()[0] / (os.cpu_count() or 1), 3)
+        except OSError:
+            return None
+
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    query_load: dict[str, float | None] = {}
     for name in names:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        # min of two timed runs: this box has noisy neighbors (±30-50%
-        # run-to-run on identical plans), and min-of-n is the standard
-        # robust estimator for "how fast does this plan actually run"
-        best = float("inf")
-        for _ in range(2):
+        # min of three timed runs: this box has noisy neighbors
+        # (±30-50% run-to-run on identical plans; driver-vs-idle spread
+        # made r3 and r6 honest runs read as regressions), and min-of-n
+        # is the standard robust estimator for "how fast does this plan
+        # actually run". The per-query load average + the min/median
+        # spread make a contended run self-diagnosing: high load +
+        # median >> min = box contention, not the code.
+        runs = []
+        query_load[name] = _load()
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    total_median = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
@@ -150,8 +166,12 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "value_median": total_median,
                 "sf": sf,
                 "load_per_cpu_at_start": load_per_cpu,
+                "load_per_cpu_per_query": query_load,
+                "load_per_cpu_at_end": _load(),
             }
         )
     )

@@ -45,6 +45,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
 from fintech_etl_spark.operators.dedup import (
+    _SIMHASH_BUCKET_CAP,
     _SIMHASH_CHUNK_BITS,
     _SIMHASH_CHUNK_MASK,
     _SIMHASH_CHUNKS,
@@ -52,6 +53,22 @@ from fintech_etl_spark.operators.dedup import (
 )
 
 _NEAR_HAMMING = 3  # same verify threshold as the batch dedup_simhash
+
+
+def _cap_buckets(chunks: DataFrame, cap: int) -> DataFrame:
+    """Band buckets with more than ``cap`` members sit out candidate
+    generation — the same rule (and the same shared constant) as the
+    batch ``dedup_simhash_capped`` tier. On a saturated stream the
+    boilerplate cluster collapses thousands of fingerprints into a few
+    buckets and the probe join goes quadratic in bucket size; the cap
+    bounds per-batch candidate work at O(cap · batch). One window
+    count over the chunk key — no extra join."""
+    w = Window.partitionBy("chunk_no", "chunk")
+    return (
+        chunks.withColumn("_m", F.count(F.lit(1)).over(w))
+        .filter(F.col("_m") <= cap)
+        .drop("_m")
+    )
 
 
 def _fingerprint(df: DataFrame) -> DataFrame:
@@ -91,6 +108,7 @@ def start_corpus_intake(
     max_files_per_trigger: int = 32,
     redact_pii: bool = False,
     min_chars: int = 0,
+    bucket_cap: int = _SIMHASH_BUCKET_CAP,
 ) -> StreamingQuery:
     """Watch ``landing_glob`` for JSONL document files; append novel
     (no exact or near duplicate already seen) documents to
@@ -107,6 +125,13 @@ def start_corpus_intake(
     - ``min_chars`` — quality gate: drop docs whose (post-redaction)
       text is shorter; the reject never fingerprints, so a later
       longer version of the same doc is not shadowed.
+    - ``bucket_cap`` — band buckets (within the batch AND on the
+      corpus fingerprint side) with more members sit out near-dup
+      candidate generation, mirroring ``dedup_simhash_capped``: an
+      incoming doc whose only agreements with a corpus twin are in
+      over-dense boilerplate buckets passes as novel, which is the
+      same bounded-recall trade the batch tier makes. The exact tier
+      is uncapped — byte-identical re-ingest is always dropped.
     """
     from fintech_etl_spark.schemas import STAR_SCHEMAS
 
@@ -158,8 +183,10 @@ def start_corpus_intake(
             .drop("_rn")
         )
         # within-batch NEAR dedup (greedy min-id): drop any doc with a
-        # smaller-id batch doc inside the hamming radius
-        bc = _chunks(batch, ("doc_id",))
+        # smaller-id batch doc inside the hamming radius; over-dense
+        # buckets sit out pair generation (shared cap with the batch
+        # capped tier)
+        bc = _cap_buckets(_chunks(batch, ("doc_id",)), bucket_cap)
         ba = bc.select(
             F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
             "chunk_no", "chunk",
@@ -187,8 +214,17 @@ def start_corpus_intake(
                 F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
                 "chunk_no", "chunk",
             )
-            corpus_chunks = _chunks(seen, ()).select(
-                F.col("sim").alias("sim_a"), "chunk_no", "chunk"
+            # the corpus fingerprint table is the unbounded side: a
+            # boilerplate bucket grows with corpus size and would make
+            # every later batch's probe pay its full membership. Cap it
+            # with the same rule — at 100 TB the banded-index layout
+            # upgrade precomputes these counts instead of windowing
+            # per batch.
+            corpus_chunks = _cap_buckets(
+                _chunks(seen, ()).select(
+                    F.col("sim").alias("sim_a"), "chunk_no", "chunk"
+                ),
+                bucket_cap,
             )
             near_hits = (
                 corpus_chunks.join(F.broadcast(probe), ["chunk_no", "chunk"])

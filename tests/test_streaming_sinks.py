@@ -528,18 +528,28 @@ def test_streaming_near_dup_matches_batch_verdict(spark, tmp_path):
     far = "completely different words entirely unrelated content here"
 
     # precondition = the BATCH verdict: base/near are within the radius,
-    # base/far are not (same fingerprint fold dedup_simhash uses)
-    fps = {
-        r.doc_id: r.sim
-        for r in simhash_fingerprints(
-            spark.createDataFrame(
-                [(1, base), (2, near), (3, far)], "doc_id long, text string"
-            ),
-            F.split(F.lower(F.trim("text")), r"\s+"),
-        ).collect()
-    }
+    # base/far are not (same fingerprint fold dedup_simhash uses), AND
+    # the CAPPED production tier — whose banding+cap the streaming gate
+    # now shares — emits exactly the (1,2) pair
+    from fintech_etl_spark.operators.dedup import (
+        _SIMHASH_BUCKET_CAP,
+        _simhash_band_pairs,
+    )
+
+    fp_df = simhash_fingerprints(
+        spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], "doc_id long, text string"
+        ),
+        F.split(F.lower(F.trim("text")), r"\s+"),
+    )
+    fps = {r.doc_id: r.sim for r in fp_df.collect()}
     assert bin(fps[1] ^ fps[2]).count("1") <= 3
     assert bin(fps[1] ^ fps[3]).count("1") > 3
+    capped_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _simhash_band_pairs(fp_df, cap=_SIMHASH_BUCKET_CAP).collect()
+    }
+    assert capped_pairs == {(1, 2)}
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -576,6 +586,47 @@ def test_streaming_near_dup_matches_batch_verdict(spark, tmp_path):
     fprows = spark.read.parquet(fpdir)
     assert set(fprows.columns) == {"fp", "sim"}
     assert fprows.count() == 3
+
+
+def test_streaming_corpus_bucket_cap_binds(spark, tmp_path):
+    """The near-tier bucket cap actually gates pair generation: with
+    bucket_cap=0 every band bucket is over-dense, so a near-duplicate
+    (not byte-identical) of corpus content passes as novel — while the
+    uncapped EXACT tier still drops a byte-identical re-ingest. The
+    default cap (shared _SIMHASH_BUCKET_CAP=64) keeps the drop, pinned
+    by test_streaming_near_dup_matches_batch_verdict."""
+    import json as _json
+
+    from fintech_etl_spark.streaming.corpus import start_corpus_intake
+
+    base = " ".join(f"token{i}" for i in range(200))
+    near = " ".join(f"token{i}" for i in range(199)) + " zzz"
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    fpdir = str(tmp_path / "fps")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "crawl",
+             "n_chars": len(text)}
+        )
+
+    (landing / "b1.jsonl").write_text(doc(1, base) + "\n")
+    start_corpus_intake(
+        spark, str(landing), corpus, fpdir, ckpt, bucket_cap=0
+    ).awaitTermination()
+    # near-dup of corpus doc 1 + byte-identical copy of doc 1
+    (landing / "b2.jsonl").write_text(doc(10, near) + "\n" + doc(11, base) + "\n")
+    start_corpus_intake(
+        spark, str(landing), corpus, fpdir, ckpt, bucket_cap=0
+    ).awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    # cap=0 disables the near tier (10 survives); exact tier is
+    # uncapped (11 is dropped)
+    assert got == {1, 10}
 
 
 def test_streaming_intake_redaction_and_quality_gate(spark, tmp_path):
