@@ -67,3 +67,34 @@ def compact_parquet(
         staged
     )
     return staged
+
+
+def expire_ledger_batches(ledger_path: str, *, keep_last: int) -> list[int]:
+    """Retention for the webhook delivery ledger: drop all but the most
+    recent ``keep_last`` ``batch_id=`` partitions. Returns the batch
+    ids removed (sorted).
+
+    The ledger's only job is making a RETRY of a batch skip already-
+    delivered documents; once the streaming checkpoint has committed
+    past a batch it can never be retried, so its partition is dead
+    weight that every future `_read_ledger` listing must still index.
+    Deletion is scoped to ``batch_id=<n>`` directories directly under
+    ``ledger_path`` — nothing else in the lake is touchable from here.
+    Pure filesystem metadata work: no Spark job, no data read."""
+    import os
+    import re
+    import shutil
+
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    if not os.path.isdir(ledger_path):
+        return []
+    parts: dict[int, str] = {}
+    for name in os.listdir(ledger_path):
+        m = re.fullmatch(r"batch_id=(-?\d+)", name)
+        if m and os.path.isdir(os.path.join(ledger_path, name)):
+            parts[int(m.group(1))] = os.path.join(ledger_path, name)
+    doomed = sorted(parts)[: max(0, len(parts) - keep_last)]
+    for b in doomed:
+        shutil.rmtree(parts[b])
+    return doomed

@@ -159,7 +159,13 @@ class WebhookSink:
                 F.lit(batch_id).cast("long").alias("batch_id"),
                 F.current_timestamp().alias("delivered_at"),
             )
+            # partition by batch_id: the per-batch skip read prunes to
+            # ONE directory instead of scanning the whole ledger — an
+            # append-only ledger on a long-lived stream is otherwise an
+            # unbounded per-batch scan. Retention of delivered batches
+            # is sinks.maintenance.expire_ledger_batches.
             .write.mode("append")
+            .partitionBy("batch_id")
             .parquet(self.ledger_path)
         )
         done = self._read_ledger(spark, batch_id)
@@ -173,7 +179,9 @@ class WebhookSink:
 
     def _read_ledger(self, spark, batch_id: int):
         """Distinct document_ids recorded for ``batch_id``; None when
-        the ledger doesn't exist yet (first ever batch)."""
+        the ledger doesn't exist yet (first ever batch). The ledger is
+        hive-partitioned on batch_id, so this filter is a directory
+        prune (one partition read), not a full-ledger scan."""
         from pyspark.sql import functions as F
 
         try:

@@ -198,7 +198,30 @@ def test_partition_pruning_on_receipt_lake(spark, tmp_path):
     assert df.count() == 2
 
 
-# Per-query shuffle ceilings. Default budget is 2 exchanges; queries
+def test_partition_pruning_on_webhook_ledger(spark, tmp_path):
+    """The delivery ledger is batch_id-partitioned, so the per-batch
+    skip read (`_read_ledger`) is a directory prune — one partition,
+    not a scan of every batch ever delivered (unbounded on a
+    long-lived stream)."""
+    from fintech_etl_spark.sinks import WebhookSink
+
+    ledger = str(tmp_path / "ledger")
+    payloads = spark.createDataFrame(
+        [("d1", "{}"), ("d2", "{}")], "document_id string, payload string"
+    )
+    sink = WebhookSink(
+        url="http://example.invalid/hook",
+        poster=lambda u, b, h: 200,
+        ledger_path=ledger,
+    )
+    for b in (1, 2, 3):
+        sink.send_batch(payloads, batch_id=b)
+
+    pruned = sink._read_ledger(spark, 2)
+    plan = plan_of(pruned)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "batch_id" in pf
+    assert pruned.count() == 2
 # that legitimately need more are listed with the reason their shape
 # demands it. A new operator exceeding its budget fails here BEFORE it
 # ships a 100 TB shuffle regression.

@@ -921,3 +921,43 @@ def test_webhook_ledger_survives_driver_restart(spark, tmp_path):
         url="http://example.invalid/hook", poster=poster, ledger_path=ledger
     ).send_batch(payloads, batch_id=8)
     assert third == {"sent": 2, "failed": 0, "skipped": 0}
+
+
+def test_webhook_ledger_retention(spark, tmp_path):
+    """expire_ledger_batches drops all but the newest keep_last
+    batch_id partitions; the surviving partitions keep working as the
+    retry skip-set, and a retry of an EXPIRED batch degrades to
+    at-least-once (re-posts, receiver-side document_id dedupe) rather
+    than failing."""
+    import os
+
+    from fintech_etl_spark.sinks import WebhookSink
+    from fintech_etl_spark.sinks.maintenance import expire_ledger_batches
+
+    ledger = str(tmp_path / "ledger")
+    payloads = spark.createDataFrame(
+        [("d1", '{"document_id": "d1"}')], "document_id string, payload string"
+    )
+    sink = WebhookSink(
+        url="http://example.invalid/hook",
+        poster=lambda u, b, h: 200,
+        ledger_path=ledger,
+    )
+    for b in (1, 2, 3, 4):
+        assert sink.send_batch(payloads, batch_id=b)["sent"] == 1
+
+    assert expire_ledger_batches(ledger, keep_last=2) == [1, 2]
+    left = sorted(
+        n for n in os.listdir(ledger) if n.startswith("batch_id=")
+    )
+    assert left == ["batch_id=3", "batch_id=4"]
+
+    # kept batch: ledger still skips the delivered doc
+    assert sink.send_batch(payloads, batch_id=4) == {
+        "sent": 0, "failed": 0, "skipped": 1,
+    }
+    # expired batch: no skip-set left → re-posts (at-least-once)
+    assert sink.send_batch(payloads, batch_id=1)["sent"] == 1
+    # idempotent on an empty/expired-everything ledger
+    assert expire_ledger_batches(ledger, keep_last=10) == []
+    assert expire_ledger_batches(str(tmp_path / "nope"), keep_last=1) == []
