@@ -6,16 +6,21 @@ decode guard that can never run is untestable. This module implements
 the subset of ITU-T T.81 needed to REALLY decode a baseline JPEG:
 
 - baseline sequential DCT (SOF0), 8-bit precision;
-- grayscale (1 component) and YCbCr 4:4:4 (3 components, no chroma
-  subsampling — the common "quality 100 / no subsampling" encoder
-  output);
+- grayscale (1 component) and YCbCr color (3 components) at ANY
+  integer sampling-factor combination with H,V in 1..4 — which covers
+  4:4:4, 4:2:2 (2x1), 4:4:0 (1x2), and 4:2:0 (2x2, the default
+  output of libjpeg/mozjpeg/phone encoders); interleaved MCUs carry
+  Hi×Vi data units per component (T.81 A.2.3) and subsampled planes
+  are reconstructed by sample replication (nearest neighbor — the
+  standard leaves the upsampling filter to the decoder);
 - Huffman entropy decoding with byte-stuffing (FF 00) and restart
   markers (DRI/RSTn);
 - dequantization, zigzag de-ordering, float IDCT, level shift, and
   BT.601 YCbCr→RGB.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision, and
-subsampled chroma raise ``UnsupportedJpegError`` LOUDLY — the caller
+Progressive (SOF2), arithmetic coding, 12-bit precision, non-integer
+sampling ratios (e.g. 3x2 against a 2x2 luma), and non-interleaved
+multi-scan streams raise ``UnsupportedJpegError`` LOUDLY — the caller
 (``decode_image``) surfaces that as "install PIL", never a silent
 wrong answer. Pure-python bit twiddling is fine here because the
 kernel runs Arrow-batched inside mapInPandas and the fixture-scale
@@ -150,9 +155,10 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a baseline JPEG → ``(width, height, n_components, pixels)``.
 
     ``pixels`` is uint8 with shape (h, w) for grayscale or (h, w, 3)
-    RGB for YCbCr 4:4:4 color. Raises ``UnsupportedJpegError`` for
-    anything outside the vendored subset and ``ValueError`` for
-    malformed streams.
+    RGB for YCbCr color at any supported sampling (4:4:4, 4:2:2,
+    4:2:0, ...; subsampled chroma is replicated to full resolution).
+    Raises ``UnsupportedJpegError`` for anything outside the vendored
+    subset and ``ValueError`` for malformed streams.
     """
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -203,13 +209,27 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             for i in range(ncomp):
                 cid = body[6 + 3 * i]
                 hv = body[7 + 3 * i]
-                if hv != 0x11:
-                    raise UnsupportedJpegError(
-                        "chroma subsampling (sampling factors != 1x1)"
-                    )
-                comps.append([cid, body[8 + 3 * i], None, None])
+                hi, vi = hv >> 4, hv & 0x0F
+                if ncomp == 1:
+                    # a single-component scan is non-interleaved: the
+                    # MCU is one data unit and declared factors are
+                    # irrelevant (T.81 A.2.2) — normalize them away
+                    hi = vi = 1
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"sampling factors {hi}x{vi} out of range")
+                comps.append([cid, body[8 + 3 * i], None, None, hi, vi])
             if ncomp not in (1, 3):
                 raise UnsupportedJpegError(f"{ncomp}-component frame")
+            hmax = max(c[4] for c in comps)
+            vmax = max(c[5] for c in comps)
+            if any(hmax % c[4] or vmax % c[5] for c in comps):
+                # replication upsampling needs integer ratios; T.81
+                # permits e.g. 3:2 grids but no mainstream encoder
+                # emits them
+                raise UnsupportedJpegError(
+                    "non-integer sampling ratio "
+                    + "/".join(f"{c[4]}x{c[5]}" for c in comps)
+                )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -243,50 +263,81 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     raise ValueError("no SOS marker found")
 
 
+def _decode_block(reader, huff_dc, huff_ac, qtable, pred):
+    """One 8×8 data unit: Huffman DC delta + AC run/size, dequant,
+    zigzag de-order, IDCT, level shift. Returns (pixels, new_pred)."""
+    zz = np.zeros(64, dtype=np.int32)
+    size = huff_dc.decode(reader)
+    pred = pred + _extend(reader.bits(size), size)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = huff_ac.decode(reader)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    block = np.zeros(64, dtype=np.float64)
+    block[_ZIGZAG] = zz * qtable
+    return _idct2(block.reshape(8, 8)) + 128.0, pred
+
+
 def _decode_scan(data, pos, frame, qtables, huff_dc, huff_ac, restart_interval):
     h, w, comps = frame
     ncomp = len(comps)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = np.zeros((ncomp, bh * 8, bw * 8), dtype=np.float64)
+    hmax = max(c[4] for c in comps)
+    vmax = max(c[5] for c in comps)
+    # interleaved MCU grid: each MCU carries hi×vi data units per
+    # component (T.81 A.2.3); for 4:4:4 and grayscale this degenerates
+    # to the one-block-per-component case
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c[5] * 8, mcux * c[4] * 8), dtype=np.float64)
+        for c in comps
+    ]
     reader = _BitReader(data, pos)
     pred = [0] * ncomp
-    mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                m = reader.align_to_marker()
-                if not 0xD0 <= m <= 0xD7:
-                    raise ValueError("expected RSTn at restart interval")
-                pred = [0] * ncomp
-            for ci, (_cid, tq, dc_sel, ac_sel) in enumerate(comps):
-                zz = np.zeros(64, dtype=np.int32)
-                size = huff_dc[dc_sel].decode(reader)
-                pred[ci] += _extend(reader.bits(size), size)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = huff_ac[ac_sel].decode(reader)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[_ZIGZAG] = zz * qtables[tq]
-                px = _idct2(block.reshape(8, 8)) + 128.0
-                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-            mcu += 1
-    planes = planes[:, :h, :w]
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            m = reader.align_to_marker()
+            if not 0xD0 <= m <= 0xD7:
+                raise ValueError("expected RSTn at restart interval")
+            pred = [0] * ncomp
+        my, mx = divmod(mcu, mcux)
+        for ci, (_cid, tq, dc_sel, ac_sel, hi, vi) in enumerate(comps):
+            for v in range(vi):
+                for u in range(hi):
+                    px, pred[ci] = _decode_block(
+                        reader, huff_dc[dc_sel], huff_ac[ac_sel],
+                        qtables[tq], pred[ci],
+                    )
+                    by, bx = my * vi + v, mx * hi + u
+                    planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = px
     if ncomp == 1:
-        return w, h, 1, np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        gray = planes[0][:h, :w]
+        return w, h, 1, np.clip(np.round(gray), 0, 255).astype(np.uint8)
+    # upsample subsampled components to the full-resolution grid by
+    # sample replication (nearest neighbor — T.81 leaves the
+    # reconstruction filter to the decoder), then crop to (h, w)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c[5], hmax // c[4]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
     # BT.601 YCbCr -> RGB (T.871)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
         axis=-1,

@@ -173,9 +173,10 @@ def decode_image(content: bytes, fmt: str) -> tuple[int, int, str]:
 
     PIL when available (the production image), else the vendored
     baseline-JPEG decoder (functions/jpeg.py — real Huffman + IDCT,
-    golden-tested) for JPEG payloads. Anything else without PIL raises
-    loudly rather than silently faking pixels; a baseline JPEG outside
-    the vendored subset (progressive, subsampled chroma) surfaces its
+    golden-tested, incl. 4:2:0/4:2:2 subsampled chroma) for JPEG
+    payloads. Anything else without PIL raises loudly rather than
+    silently faking pixels; a baseline JPEG outside the vendored
+    subset (progressive, non-interleaved multi-scan) surfaces its
     specific UnsupportedJpegError.
     """
     try:

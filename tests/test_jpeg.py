@@ -143,14 +143,187 @@ def test_progressive_rejected_loudly():
         decode_baseline_jpeg(jpg)
 
 
-def test_subsampled_chroma_rejected_loudly():
+def bits_to_bytes(bitstring: str) -> bytes:
+    """Pack a '0'/'1' string into bytes, 1-padded (T.81 F.1.2.3)."""
+    s = bitstring.replace(" ", "")
+    s += "1" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+# Shared 4:2:0 fixture: one MCU = 4 Y blocks (2x2) + Cb + Cr, DC-only.
+# DC DHT {2:[0,4,5], 3:[6]}: '00'→cat0, '01'→cat4, '10'→cat5,
+# '110'→cat6. Y DCs 16,24,8,32 (diffs +16,+8,-16,+24 — distinct per
+# block, so the assert pins the v-then-u block ORDER inside the MCU
+# and the DC prediction chain across it); Cb diff 0; Cr diff 40.
+# EXTEND: +16→'10000', +8→'1000', -16→(-16+31)=15→'01111',
+# +24→'11000', +40→'101000'; AC '0' = EOB after every block.
+_BITS_420 = (
+    "10 10000 0"  # Y(0,0): DC cat5 +16, EOB
+    "01 1000 0"   # Y(0,1): DC cat4 +8  → 24
+    "10 01111 0"  # Y(1,0): DC cat5 -16 → 8
+    "10 11000 0"  # Y(1,1): DC cat5 +24 → 32
+    "00 0"        # Cb: cat0 (0), EOB
+    "110 101000 0"  # Cr: cat6 +40, EOB
+)
+_DC_DHT_420 = {2: [0x00, 0x04, 0x05], 3: [0x06]}
+_Y_DCS = np.array([[16, 24], [8, 32]])
+
+
+def _jpg_420(w: int, h: int) -> bytes:
+    sof = seg(
+        0xC0,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    sos = seg(0xDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + UNIT_DQT + sof
+        + dht(0, 0, _DC_DHT_420)
+        + dht(1, 0, {1: [0x00]})
+        + sos
+        + bits_to_bytes(_BITS_420)
+        + b"\xff\xd9"
+    )
+
+
+def _expected_420(w: int, h: int) -> np.ndarray:
+    """Independent reconstruction: local IDCT per block, replication
+    upsampling of the chroma planes, BT.601 — no reuse of the module
+    under test."""
+    yplane = np.zeros((16, 16))
+    for bv in range(2):
+        for bu in range(2):
+            blk = np.zeros((8, 8))
+            blk[0, 0] = _Y_DCS[bv, bu]
+            yplane[bv * 8 : bv * 8 + 8, bu * 8 : bu * 8 + 8] = (
+                local_idct(blk) + 128.0
+            )
+    cb_blk = np.zeros((8, 8))
+    cr_blk = np.zeros((8, 8))
+    cr_blk[0, 0] = 40
+    cb = np.repeat(np.repeat(local_idct(cb_blk) + 128.0, 2, 0), 2, 1)
+    cr = np.repeat(np.repeat(local_idct(cr_blk) + 128.0, 2, 0), 2, 1)
+    y, cbm, crm = yplane[:h, :w], cb[:h, :w] - 128.0, cr[:h, :w] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * crm, y - 0.344136 * cbm - 0.714136 * crm, y + 1.772 * cbm],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def test_color_420_golden():
+    """16x16 4:2:0: one interleaved MCU carrying 4 Y data units (2x2)
+    then Cb then Cr; four distinct Y DC values pin the in-MCU block
+    order and the cross-block DC prediction; chroma replicates 2x2."""
+    w, h, ncomp, px = decode_baseline_jpeg(_jpg_420(16, 16))
+    assert (w, h, ncomp) == (16, 16, 3)
+    assert px.shape == (16, 16, 3)
+    assert (px == _expected_420(16, 16)).all()
+    # spot-check the quadrant structure really came through: Y DC/8
+    # offsets 2,3,1,4 over 128 survive the color transform ordering
+    g = px[:, :, 1].astype(int)
+    assert g[0, 0] < g[0, 15] and g[15, 0] < g[0, 0] and g[15, 15] > g[0, 15]
+
+
+def test_color_420_odd_dims_cropped():
+    """11x13 with the same single-MCU stream: the padded 16x16 decode
+    grid is cropped to the declared frame size, byte-exact."""
+    w, h, ncomp, px = decode_baseline_jpeg(_jpg_420(11, 13))
+    assert (w, h, ncomp) == (11, 13, 3)
+    assert px.shape == (13, 11, 3)
+    assert (px == _expected_420(11, 13)).all()
+
+
+def test_color_422_golden():
+    """16x8 4:2:2 (2x1 luma): MCU = Y,Y,Cb,Cr; chroma replicates
+    horizontally only."""
+    sof = seg(
+        0xC0,
+        b"\x08" + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + b"\x03" + b"\x01\x21\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    sos = seg(0xDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00")
+    bits = (
+        "10 10000 0"  # Y left: +16
+        "01 1000 0"   # Y right: +8 → 24
+        "00 0"        # Cb 0
+        "110 101000 0"  # Cr +40
+    )
+    jpg = (
+        b"\xff\xd8" + UNIT_DQT + sof
+        + dht(0, 0, _DC_DHT_420)
+        + dht(1, 0, {1: [0x00]})
+        + sos
+        + bits_to_bytes(bits)
+        + b"\xff\xd9"
+    )
+    w, h, ncomp, px = decode_baseline_jpeg(jpg)
+    assert (w, h, ncomp) == (16, 8, 3)
+    yplane = np.zeros((8, 16))
+    for bu, dc in enumerate((16, 24)):
+        blk = np.zeros((8, 8))
+        blk[0, 0] = dc
+        yplane[:, bu * 8 : bu * 8 + 8] = local_idct(blk) + 128.0
+    crb = np.zeros((8, 8))
+    crb[0, 0] = 40
+    cr = np.repeat(local_idct(crb) + 128.0, 2, axis=1) - 128.0
+    cbm = np.repeat(local_idct(np.zeros((8, 8))) + 128.0, 2, axis=1) - 128.0
+    want = np.clip(
+        np.round(
+            np.stack(
+                [
+                    yplane + 1.402 * cr,
+                    yplane - 0.344136 * cbm - 0.714136 * cr,
+                    yplane + 1.772 * cbm,
+                ],
+                axis=-1,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert (px == want).all()
+
+
+def test_nonintegral_sampling_ratio_rejected():
+    """3x3 luma over 2x2 chroma: T.81-legal but needs a fractional
+    upsample — out of the vendored subset, rejected loudly."""
     sof = seg(
         0xC0,
         b"\x08" + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
-        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+        + b"\x03" + b"\x01\x33\x00" + b"\x02\x22\x00" + b"\x03\x11\x00",
     )
-    with pytest.raises(UnsupportedJpegError, match="subsampling"):
+    with pytest.raises(UnsupportedJpegError, match="non-integer sampling"):
         decode_baseline_jpeg(b"\xff\xd8" + UNIT_DQT + sof + b"\xff\xd9")
+
+
+def test_noninterleaved_multiscan_rejected():
+    """An SOS covering only 1 of 3 frame components (non-interleaved
+    multi-scan stream) raises UnsupportedJpegError, not a KeyError."""
+    sof = seg(
+        0xC0,
+        b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + b"\x03" + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    sos1 = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    jpg = (
+        b"\xff\xd8" + UNIT_DQT + sof
+        + dht(0, 0, {1: [0x00]})
+        + dht(1, 0, {1: [0x00]})
+        + sos1
+        + b"\xff"  # never reached
+    )
+    with pytest.raises(UnsupportedJpegError, match="non-interleaved"):
+        decode_baseline_jpeg(jpg)
+
+
+def test_truncated_entropy_stream_raises_valueerror():
+    """A stream cut mid-entropy surfaces ValueError('truncated
+    stream'), not IndexError."""
+    full = _jpg_420(16, 16)
+    cut = full[: full.index(bits_to_bytes(_BITS_420)) + 1]  # 1 entropy byte
+    with pytest.raises(ValueError, match="truncated stream"):
+        decode_baseline_jpeg(cut)
 
 
 def test_decode_image_falls_back_to_vendored_jpeg():
