@@ -1115,20 +1115,30 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard with df-capped candidate generation
 # ---------------------------------------------------------------------------
 
+#: Absolute document-frequency cap for the capped exact-Jaccard tier.
+#: Same family constant class as _SIMHASH_BUCKET_CAP/_PHASH_BUCKET_CAP:
+#: a shingle present in more than this many docs sits out candidate
+#: generation, bounding per-shingle pair work at cap² and TOTAL
+#: candidate volume at O(cap · Σdf) = O(cap · corpus_tokens) — linear
+#: in corpus size, unlike the dfcap LSH tier's RELATIVE 1% cap, which
+#: still lets constant-fraction-df shingles contribute Θ(n²) pairs.
+_NGRAM_DF_CAP = 64
+
+
 # The cap is replayed bit-for-bit: candidates come only from shingles
 # with df <= cap, but the Jaccard that gates and labels each pair is
 # computed on the FULL shingle sets — so every emitted value is
 # identical to the exact tier's, and the only divergence is pairs
 # whose shared shingles are ALL high-df boilerplate.
 _NGRAM_CAPPED_ORACLE = f"""
-    WITH n AS (SELECT count(*) AS n_docs FROM documents),
-    w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-          FROM documents),
+    WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+               FROM documents),
     sh AS (SELECT doc_id, {_shingle_sql(3)} AS s FROM w),
     e AS (SELECT doc_id, unnest(s) AS g FROM sh),
-    banned AS (SELECT g FROM e GROUP BY g
-               HAVING count(*) > (SELECT greatest(2, CAST(floor(n_docs * {_DF_CAP_FRACTION}) AS INTEGER)) FROM n)),
-    kept AS (SELECT doc_id, g FROM e ANTI JOIN banned USING (g)),
+    kept AS (SELECT doc_id, g
+             FROM (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df
+                   FROM e)
+             WHERE df <= {_NGRAM_DF_CAP}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
     sizes AS (SELECT doc_id, len(s) AS n FROM sh),
@@ -1151,48 +1161,44 @@ _NGRAM_CAPPED_ORACLE = f"""
     _NGRAM_CAPPED_ORACLE,
     doc=(
         "Production twin of dedup_ngram_jaccard: candidate pairs are "
-        "generated only from shingles whose document frequency is "
-        "within the 1%-of-corpus cap (max(2, 1%)), then each candidate "
+        f"generated only from shingles whose document frequency is at "
+        f"most {_NGRAM_DF_CAP} (absolute cap, same family constant "
+        "class as the SimHash/phash bucket caps), then each candidate "
         "is verified with EXACT Jaccard over the FULL shingle sets — "
         "every emitted (doc_a, doc_b, jaccard) row is value-identical "
         "to the exact tier's, and the only divergence is pairs whose "
         "overlap is exclusively high-df boilerplate. The exact tier's "
         "candidate volume is sum(df(g)^2) over shingles, which the "
         "sf1->sf10 receipt measured at 10.6x per data decade on the "
-        "vocabulary-saturated corpus; the cap bounds it at "
-        "O(cap * sum(df)) = O(cap * corpus_tokens), restoring ~linear "
-        "growth. The cap is replayed bit-for-bit in the oracle. Use "
-        "this tier in production; use the exact tier when recall on "
+        "vocabulary-saturated corpus; the absolute cap bounds it at "
+        "O(cap * sum(df)) = O(cap * corpus_tokens), restoring linear "
+        "growth (a RELATIVE 1%-of-docs cap would not: shingles whose "
+        "df is a constant corpus fraction stay under it and still "
+        "contribute Theta(n^2) pairs — measured 19x vs the exact "
+        "tier's 10x before the switch). The df gate is ONE window "
+        "count over the same g-partitioning the candidate self-join "
+        "needs anyway, so the cap adds no extra shuffle of shingle "
+        "strings. Cap replayed bit-for-bit in the oracle. Use this "
+        "tier in production; use the exact tier when recall on "
         "boilerplate-only overlap matters more than the quadratic tail."
     ),
     tags=("dedup", "join", "skew"),
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = with_shingles(docs, 3)
     e = sh.select("doc_id", F.explode_outer("s").alias("g")).filter(
         F.col("g").isNotNull()
     )
-    # banned = shingles with df > max(2, 1% of docs): bounded by
-    # construction (at most avg_shingles / 0.01 entries at any corpus
-    # size), collapsed to ONE broadcast array — same shape as the
-    # dfcap LSH tier, so no shingle string ever shuffles twice
-    cap = F.greatest(
-        F.lit(2).cast("long"),
-        F.floor(F.col("n_docs") * F.lit(_DF_CAP_FRACTION)).cast("long"),
-    )
-    banned_arr = (
-        e.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs"))))
-        .filter(F.col("df") > cap)
-        .agg(F.collect_list("g").alias("banned"))
-        .localCheckpoint(eager=False)
-    )
+    # df gate as a window count: rides the hash-partitioning by g that
+    # the candidate self-join needs anyway — shingle strings shuffle
+    # ONCE, and both join sides reuse the partitioned output
     kept = (
-        sh.crossJoin(F.broadcast(banned_arr))
-        .select("doc_id", F.explode_outer(F.array_except("s", "banned")).alias("g"))
-        .filter(F.col("g").isNotNull())
+        e.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("df") <= _NGRAM_DF_CAP)
+        .drop("df")
     )
     ka = kept.select(F.col("doc_id").alias("doc_a"), "g")
     kb = kept.select(F.col("doc_id").alias("doc_b"), "g")

@@ -1312,7 +1312,17 @@ def semdedup_prune(
     Lloyd's; tools/bench_scale.py measures THIS entry point at
     sf0.1→sf1 to receipt the bounded-cell claim). k-means cost per
     iteration is one broadcast of k centroids and one argmin pass —
-    no extra shuffle relative to the pinned variant."""
+    no extra shuffle relative to the pinned variant.
+
+    Known asymptote, stated rather than hidden: with k ∝ N the
+    assignment step is N·k·d = N²·d/512 work per Lloyd's iteration
+    (the SemDeDup paper pays the same), bounded here by the fixed
+    3-iteration budget. The measured decade ratios (×3.0 wall in
+    SCALE_RECEIPT_r07_semdedup.json) reflect cores absorbing that
+    growth; past ~10M vectors the next tier is hierarchical
+    assignment (cluster the centroids, assign via the 2-level tree —
+    √k distance evaluations per vector) feeding this same per-cell
+    prune."""
     import numpy as np
     import pandas as pd
 

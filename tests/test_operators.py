@@ -1180,8 +1180,8 @@ def test_ngram_capped_subset_of_exact_with_identical_values(spark):
     """dedup_ngram_jaccard_capped verifies on FULL shingle sets, so
     every pair it emits must carry the exact tier's bit-identical
     jaccard; what it may drop is only pairs whose shared shingles are
-    all high-df. At sf0.01 (500 docs, cap=5) the two tiers coincide —
-    every true pair shares at least one within-cap shingle."""
+    all high-df. At sf0.01 (500 docs, df cap 64) the two tiers
+    coincide — every true pair shares a within-cap shingle."""
     from fintech_etl_spark.operators import dedup as D
 
     sf = "/root/testdata/sf0.01"

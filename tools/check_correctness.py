@@ -77,6 +77,14 @@ def main() -> int:
 
     spark = build_session("check_correctness")
     con = duckdb.connect()
+    # Large generated sf_dirs can push iterative-unroll oracles
+    # (pagerank) into spill; a bigger in-memory budget keeps the spill
+    # off the (shared) disk. Default 64GiB fits this 128GiB box.
+    con.execute(
+        "SET memory_limit = '"
+        + os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "64GB")
+        + "'"
+    )
     for t in TABLES:
         path = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(path):
