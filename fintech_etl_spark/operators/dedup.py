@@ -1125,11 +1125,12 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_DF_CAP = 64
 
 
-# The cap is replayed bit-for-bit: candidates come only from shingles
-# with df <= cap, but the Jaccard that gates and labels each pair is
-# computed on the FULL shingle sets — so every emitted value is
-# identical to the exact tier's, and the only divergence is pairs
-# whose shared shingles are ALL high-df boilerplate.
+# The cap is replayed bit-for-bit: shingles with df > cap sit out the
+# inverted index entirely, and the Jaccard is computed over the
+# remaining (<= cap-df) shingle subspace — the same trade the dfcap
+# LSH tier makes. Wherever no over-cap shingle is involved (the whole
+# gate corpus: max df 25 < 64) the output is bit-identical to the
+# exact tier's.
 _NGRAM_CAPPED_ORACLE = f"""
     WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
                FROM documents),
@@ -1139,13 +1140,9 @@ _NGRAM_CAPPED_ORACLE = f"""
              FROM (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df
                    FROM e)
              WHERE df <= {_NGRAM_DF_CAP}),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-    common AS (SELECT cd.doc_a, cd.doc_b, count(*) AS c
-               FROM cand cd
-               JOIN e ea ON ea.doc_id = cd.doc_a
-               JOIN e eb ON eb.doc_id = cd.doc_b AND eb.g = ea.g
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+               FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
@@ -1160,73 +1157,77 @@ _NGRAM_CAPPED_ORACLE = f"""
     "dedup_ngram_jaccard_capped",
     _NGRAM_CAPPED_ORACLE,
     doc=(
-        "Production twin of dedup_ngram_jaccard: candidate pairs are "
-        f"generated only from shingles whose document frequency is at "
-        f"most {_NGRAM_DF_CAP} (absolute cap, same family constant "
-        "class as the SimHash/phash bucket caps), then each candidate "
-        "is verified with EXACT Jaccard over the FULL shingle sets — "
-        "every emitted (doc_a, doc_b, jaccard) row is value-identical "
-        "to the exact tier's, and the only divergence is pairs whose "
-        "overlap is exclusively high-df boilerplate. The exact tier's "
-        "candidate volume is sum(df(g)^2) over shingles, which the "
-        "sf1->sf10 receipt measured at 10.6x per data decade on the "
-        "vocabulary-saturated corpus; the absolute cap bounds it at "
-        "O(cap * sum(df)) = O(cap * corpus_tokens), restoring linear "
-        "growth (a RELATIVE 1%-of-docs cap would not: shingles whose "
-        "df is a constant corpus fraction stay under it and still "
-        "contribute Theta(n^2) pairs — measured 19x vs the exact "
-        "tier's 10x before the switch). The df gate is ONE window "
-        "count over the same g-partitioning the candidate self-join "
-        "needs anyway, so the cap adds no extra shuffle of shingle "
-        "strings. Cap replayed bit-for-bit in the oracle. Use this "
-        "tier in production; use the exact tier when recall on "
-        "boilerplate-only overlap matters more than the quadratic tail."
+        "Production twin of dedup_ngram_jaccard: shingles whose "
+        f"document frequency exceeds {_NGRAM_DF_CAP} (absolute cap, "
+        "same family constant class as the SimHash/phash bucket caps) "
+        "sit out the inverted index entirely, and Jaccard is computed "
+        "over the remaining <=cap-df shingle subspace — the identical "
+        "trade dedup_minhash_lsh_dfcap makes. Wherever a pair "
+        "involves no over-cap shingle the output row is bit-identical "
+        "to the exact tier's (true for the WHOLE gate corpus: max df "
+        "25 < 64, so the tiers coincide there, pinned by test). The "
+        "exact tier's pair volume is sum(df(g)^2), measured 10.6x per "
+        "data decade at sf1->sf10 on the vocabulary-saturating "
+        "corpus; the absolute cap bounds it at cap * sum(df) = "
+        "O(cap * corpus_tokens), i.e. linear (a RELATIVE 1%-of-docs "
+        "cap would not: constant-fraction-df shingles stay under it "
+        "and still contribute Theta(n^2) pairs — measured 19x per "
+        "decade before the switch; and verifying candidates on FULL "
+        "shingle ARRAYS shuffled ~2 GB of strings where this shape "
+        "shuffles only (id, id, int) rows). Plan shape: ONE groupBy "
+        "on the shingle (hash aggregation, no sort, no self-join "
+        "exchange) -> in-bucket pair emission -> pair-count agg -> "
+        "two integer size joins. Cap replayed bit-for-bit in the "
+        "oracle. Use this tier in production; use the exact tier "
+        "when recall on boilerplate-only overlap matters more than "
+        "the quadratic tail."
     ),
     tags=("dedup", "join", "skew"),
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = with_shingles(docs, 3)
     e = sh.select("doc_id", F.explode_outer("s").alias("g")).filter(
         F.col("g").isNotNull()
     )
-    # df gate as a window count: rides the hash-partitioning by g that
-    # the candidate self-join needs anyway — shingle strings shuffle
-    # ONCE, and both join sides reuse the partitioned output
-    kept = (
-        e.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter(F.col("df") <= _NGRAM_DF_CAP)
-        .drop("df")
-    )
-    ka = kept.select(F.col("doc_id").alias("doc_a"), "g")
-    kb = kept.select(F.col("doc_id").alias("doc_b"), "g")
-    cand = (
-        ka.join(kb, ["g"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        # tiny (pairs only); lets both verify sides reuse it instead of
-        # replanning the capped inverted-index subtree
+    # ONE groupBy shuffle on the shingle; over-cap buckets sit out on
+    # the aggregated row (same emission as the SimHash/phash capped
+    # tiers). Checkpointed: sizes and pairs both consume it, and the
+    # bucket table is small (one row per distinct shingle).
+    buckets = (
+        e.groupBy("g")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("m"))
+        .filter(F.size("m") <= _NGRAM_DF_CAP)
         .localCheckpoint(eager=False)
     )
-    # Verify on FULL shingle sets, but only for candidate docs: semi-
-    # filter the raw docs (ids broadcastable by construction) and
-    # re-shingle just those, exactly like the LSH verify path.
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # per-doc kept-shingle counts (the capped |A| and |B|)
+    sizes = (
+        buckets.select(F.explode("m").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    needed = with_shingles(docs.join(F.broadcast(cand_ids), "doc_id", "semi"), 3)
-    sa = needed.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = needed.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
-    jac = inter / union
+    # shared kept-shingle counts per pair: in-bucket pair emission,
+    # then ONE count agg — only (id, id) rows shuffle, never shingle
+    # strings or arrays
+    common = (
+        buckets.filter(F.size("m") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (x, i) -> "
+                    "transform(slice(m, i + 2, size(m) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        cand.join(sa, "doc_a")
+        common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= _JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

@@ -277,6 +277,45 @@ def test_kmeans_matches_numpy_lloyd(spark):
     assert abs(total_got - want_total) / want_total < 1e-6
 
 
+def test_kmeans_large_k_numpy_scorer_matches_literal(spark):
+    """Past _KM_LITERAL_MAX cells, _assign_step switches from the
+    literal-expression scorer to the Arrow-batched BLAS scorer; the
+    two must agree on every (vec_id, cell) assignment, and the numpy
+    path's exact winner-distance must match a direct NumPy
+    recomputation. k=70 vs 60 straddles the switch on the same data
+    (identical first-70-vs-60 seeds would differ, so both ks run
+    through BOTH paths via monkeypatching the threshold)."""
+    import numpy as np
+
+    import fintech_etl_spark.operators.similarity as S
+    from fintech_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    k = 70  # > _KM_LITERAL_MAX=64 -> numpy path in production
+
+    def run(threshold):
+        old = S._KM_LITERAL_MAX
+        S._KM_LITERAL_MAX = threshold
+        try:
+            _, assign = S.kmeans_fit(emb, k=k)
+            return {
+                r.vec_id: (r.cell, r.dist) for r in assign.collect()
+            }
+        finally:
+            S._KM_LITERAL_MAX = old
+
+    via_numpy = run(0)      # force BLAS scorer
+    via_literal = run(999)  # force literal-expression scorer
+    assert set(via_numpy) == set(via_literal)
+    for vid, (cell, dist) in via_literal.items():
+        ncell, ndist = via_numpy[vid]
+        assert ncell == cell, vid
+        # literal path folds sequentially, numpy path recomputes the
+        # winner exactly — same quantity, different association order
+        assert abs(ndist - dist) <= 1e-9 * max(1.0, abs(dist)), vid
+
+
 def test_pack_sequences_invariants(spark):
     """Every doc packed exactly once; no sequence exceeds the budget
     unless it holds a single oversize doc; token accounting adds up."""

@@ -236,11 +236,11 @@ _SHUFFLE_BUDGET = {
     "dedup_minhash_lsh": 5,  # spread + band join + candidate dedup + verify
     "dedup_minhash_lsh_dfcap": 5,  # same shape; banned-set agg hides behind its checkpoint
     "dedup_ngram_jaccard": 5,  # spread + inverted-index join + 2 size joins
-    # capped twin: spread + df-window over g (feeds both self-join
-    # sides) + candidate distinct + candidate-id union/distinct + the
-    # two broadcast-semi verify joins — every exchange past the index
-    # join carries 8-byte ids or (id,id) pairs
-    "dedup_ngram_jaccard_capped": 9,
+    # capped twin: spread + ONE shingle groupBy (pre-checkpoint
+    # lineage feeds sizes and pairs) + per-doc size agg + pair-count
+    # agg + size joins — everything past the bucket agg carries
+    # (id, id, int) rows only
+    "dedup_ngram_jaccard_capped": 6,
     "dedup_simhash": 4,  # spread + band join + verify
     # the simhash plan (4) + involved-id distinct + source join + two
     # per-source rollups — everything past the banded join is id-sized
