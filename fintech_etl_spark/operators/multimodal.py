@@ -172,12 +172,12 @@ def decode_image(content: bytes, fmt: str) -> tuple[int, int, str]:
     """Decode an image payload → (width, height, mode).
 
     PIL when available (the production image), else the vendored
-    baseline-JPEG decoder (functions/jpeg.py — real Huffman + IDCT,
-    golden-tested, incl. 4:2:0/4:2:2 subsampled chroma) for JPEG
-    payloads. Anything else without PIL raises loudly rather than
-    silently faking pixels; a baseline JPEG outside the vendored
-    subset (progressive, non-interleaved multi-scan) surfaces its
-    specific UnsupportedJpegError.
+    JPEG decoder (functions/jpeg.py — real Huffman + IDCT,
+    golden-tested; baseline AND progressive, single- or multi-scan,
+    incl. 4:2:0/4:2:2 subsampled chroma) for JPEG payloads. Anything
+    else without PIL raises loudly rather than silently faking
+    pixels; a JPEG outside the vendored subset (arithmetic coding,
+    12-bit, hierarchical) surfaces its specific UnsupportedJpegError.
     """
     try:
         from PIL import Image  # noqa: F401  (absent in this container)
@@ -193,8 +193,8 @@ def decode_image(content: bytes, fmt: str) -> tuple[int, int, str]:
         w, h, ncomp, _px = decode_baseline_jpeg(content)
         return w, h, "L" if ncomp == 1 else "RGB"
     raise NotImplementedError(
-        f"decoding {fmt!r} requires PIL; only baseline JPEG has a "
-        "vendored fallback (functions/jpeg.py)"
+        f"decoding {fmt!r} requires PIL; only JPEG has a vendored "
+        "fallback (functions/jpeg.py)"
     )
 
 

@@ -1,12 +1,14 @@
-"""Goldens for the vendored baseline-JPEG decoder (functions/jpeg.py).
+"""Goldens for the vendored JPEG decoder (functions/jpeg.py).
 
 The fixtures are hand-assembled byte-exact JPEG streams (segment
 builder below) whose entropy bits were derived on paper from the T.81
-Huffman/EXTEND procedure, so the test pins the REAL decode path —
-marker parsing, canonical Huffman, dequant, zigzag, IDCT, level shift,
-YCbCr→RGB — against independently computed pixel expectations (the
-expected IDCT is re-implemented locally, not imported from the module
-under test)."""
+Huffman/EXTEND procedure — baseline AND progressive (G.1.2: DC
+first/refinement, AC spectral selection with EOB runs, AC successive-
+approximation refinement) — so the tests pin the REAL decode path
+against independently computed pixel expectations (the expected IDCT
+is re-implemented locally, not imported from the module under test).
+The progressive 4:2:0 fixture must reproduce the baseline 4:2:0
+golden byte-for-byte: same image, different scan script."""
 
 from __future__ import annotations
 
@@ -16,6 +18,7 @@ import pytest
 from fintech_etl_spark.functions.jpeg import (
     UnsupportedJpegError,
     decode_baseline_jpeg,
+    decode_jpeg,
 )
 
 
@@ -135,12 +138,13 @@ def test_color_444_constant_golden():
     assert (px == want.reshape(1, 1, 3)).all()
 
 
-def test_progressive_rejected_loudly():
-    sof2 = seg(0xC2, b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
-               + b"\x01\x01\x11\x00")
-    jpg = b"\xff\xd8" + UNIT_DQT + sof2 + b"\xff\xd9"
-    with pytest.raises(UnsupportedJpegError, match="non-baseline"):
-        decode_baseline_jpeg(jpg)
+def test_arithmetic_and_lossless_rejected_loudly():
+    for marker in (0xC9, 0xC3):  # arithmetic progressive / lossless
+        sof = seg(marker, b"\x08" + (8).to_bytes(2, "big")
+                  + (8).to_bytes(2, "big") + b"\x01\x01\x11\x00")
+        jpg = b"\xff\xd8" + UNIT_DQT + sof + b"\xff\xd9"
+        with pytest.raises(UnsupportedJpegError, match="unsupported frame"):
+            decode_jpeg(jpg)
 
 
 def bits_to_bytes(bitstring: str) -> bytes:
@@ -297,24 +301,82 @@ def test_nonintegral_sampling_ratio_rejected():
         decode_baseline_jpeg(b"\xff\xd8" + UNIT_DQT + sof + b"\xff\xd9")
 
 
-def test_noninterleaved_multiscan_rejected():
-    """An SOS covering only 1 of 3 frame components (non-interleaved
-    multi-scan stream) raises UnsupportedJpegError, not a KeyError."""
+def sos_scan(comps: list[tuple[int, int, int]], ss: int, se: int,
+             ah: int, al: int) -> bytes:
+    """SOS header: [(comp_id, dc_table, ac_table)], band, approx bits."""
+    body = bytes([len(comps)])
+    for cid, dc, ac in comps:
+        body += bytes([cid, (dc << 4) | ac])
+    return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def test_baseline_noninterleaved_multiscan_444():
+    """Baseline with one full-band scan PER component (non-interleaved
+    multi-scan): must decode to the same flat color as the single-scan
+    4:4:4 golden. Y DC 16 → '10 10000 0', Cb 0 → '0 0', Cr 40 →
+    '110 101000 0'."""
     sof = seg(
         0xC0,
         b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
         + b"\x03" + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
     )
-    sos1 = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
     jpg = (
         b"\xff\xd8" + UNIT_DQT + sof
-        + dht(0, 0, {1: [0x00]})
+        + dht(0, 0, {1: [0x00], 2: [0x05], 3: [0x06]})
         + dht(1, 0, {1: [0x00]})
-        + sos1
-        + b"\xff"  # never reached
+        + sos_scan([(1, 0, 0)], 0, 63, 0, 0)
+        + bits_to_bytes("10 10000 0")
+        + sos_scan([(2, 0, 0)], 0, 63, 0, 0)
+        + bits_to_bytes("0 0")
+        + sos_scan([(3, 0, 0)], 0, 63, 0, 0)
+        + bits_to_bytes("110 101000 0")
+        + b"\xff\xd9"
     )
-    with pytest.raises(UnsupportedJpegError, match="non-interleaved"):
-        decode_baseline_jpeg(jpg)
+    w, h, ncomp, px = decode_jpeg(jpg)
+    assert (w, h, ncomp) == (8, 8, 3)
+    y, cb, cr = 16 / 8 + 128, 128.0, 40 / 8 + 128
+    want = np.clip(
+        np.round(
+            np.array(
+                [
+                    y + 1.402 * (cr - 128),
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    y + 1.772 * (cb - 128),
+                ]
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert (px == want.reshape(1, 1, 3)).all()
+
+
+def test_baseline_noninterleaved_multiscan_420():
+    """Baseline 4:2:0 as three scans: the Y scan rasters its own 2x2
+    block grid (non-interleaved — no MCU padding), chroma scans are one
+    block each; result must equal the interleaved 4:2:0 golden
+    byte-for-byte. DC prediction restarts per scan, so Cr's diff is
+    the absolute 40 again."""
+    sof = seg(
+        0xC0,
+        b"\x08" + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    jpg = (
+        b"\xff\xd8" + UNIT_DQT + sof
+        + dht(0, 0, _DC_DHT_420)
+        + dht(1, 0, {1: [0x00]})
+        + sos_scan([(1, 0, 0)], 0, 63, 0, 0)
+        + bits_to_bytes("10 10000 0 01 1000 0 10 01111 0 10 11000 0")
+        + sos_scan([(2, 0, 0)], 0, 63, 0, 0)
+        + bits_to_bytes("00 0")
+        + sos_scan([(3, 0, 0)], 0, 63, 0, 0)
+        + bits_to_bytes("110 101000 0")
+        + b"\xff\xd9"
+    )
+    w, h, ncomp, px = decode_jpeg(jpg)
+    assert (w, h, ncomp) == (16, 16, 3)
+    assert (px == _expected_420(16, 16)).all()
 
 
 def test_truncated_entropy_stream_raises_valueerror():
@@ -342,6 +404,187 @@ def test_decode_image_falls_back_to_vendored_jpeg():
     assert decode_image(jpg, "jpeg") == (8, 8, "L")
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "png")
+
+
+def ecs(bitstring: str) -> bytes:
+    """Entropy-coded segment: pack bits (1-padded) AND byte-stuff any
+    0xFF the packing produced (T.81 F.1.2.3 — encoders must emit
+    FF 00 so the decoder never mistakes data for a marker)."""
+    return bits_to_bytes(bitstring).replace(b"\xff", b"\xff\x00")
+
+
+def gray_prog_header(w: int = 8, h: int = 8) -> bytes:
+    sof = seg(
+        0xC2,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00",
+    )
+    return b"\xff\xd8" + UNIT_DQT + sof
+
+
+def test_progressive_dc_first_refine_and_ac_scan():
+    """Grayscale SOF2, three scans: DC first at Al=1 (5>>1 = 2: cat2
+    '10', raw '10'), DC refinement at Al=0 (bit0 of 5 = '1'), then the
+    AC band 1..63 at Al=0 (zigzag[1]=2: rs 0x02 '10', raw '10', EOB0
+    '0'). Final coefficients DC=5, zz1=2 — checked against the local
+    IDCT."""
+    jpg = (
+        gray_prog_header()
+        + dht(0, 0, {1: [0x00], 2: [0x02]})
+        + dht(1, 0, {1: [0x00], 2: [0x02]})
+        + sos_scan([(1, 0, 0)], 0, 0, 0, 1)
+        + ecs("10 10")
+        + sos_scan([(1, 0, 0)], 0, 0, 1, 0)
+        + ecs("1")
+        + sos_scan([(1, 0, 0)], 1, 63, 0, 0)
+        + ecs("10 10 0")
+        + b"\xff\xd9"
+    )
+    w, h, ncomp, px = decode_jpeg(jpg)
+    assert (w, h, ncomp) == (8, 8, 1)
+    block = np.zeros((8, 8))
+    block[0, 0] = 5
+    block[0, 1] = 2
+    want = np.clip(np.round(local_idct(block) + 128.0), 0, 255).astype(np.uint8)
+    assert (px == want).all()
+
+
+def test_progressive_ac_eobrun_spans_blocks():
+    """16x8 grayscale, AC scan: block 1 carries zz1=+1 (rs 0x01 '0',
+    raw '1') then EOB1 with appended bit 0 ('10 0') — an EOB run of 2
+    that finishes block 1 AND silences block 2 entirely. DC scan first
+    sets both DCs to 0."""
+    jpg = (
+        gray_prog_header(w=16, h=8)
+        + dht(0, 0, {1: [0x00]})
+        + dht(1, 0, {1: [0x01], 2: [0x10]})
+        + sos_scan([(1, 0, 0)], 0, 0, 0, 0)
+        + ecs("0 0")
+        + sos_scan([(1, 0, 0)], 1, 63, 0, 0)
+        + ecs("0 1 10 0")
+        + b"\xff\xd9"
+    )
+    w, h, ncomp, px = decode_jpeg(jpg)
+    assert (w, h, ncomp) == (16, 8, 1)
+    b1 = np.zeros((8, 8))
+    b1[0, 1] = 1
+    want = np.clip(
+        np.round(
+            np.hstack([local_idct(b1), local_idct(np.zeros((8, 8)))]) + 128.0
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert (px == want).all()
+
+
+def test_progressive_ac_successive_approximation_refinement():
+    """The G.1.2.3 correction-bit path. True coefficients zz1=3,
+    zz4=-1. AC first at Al=1 deposits zz1 → 1<<1 = 2 (zz4 truncates
+    to 0). The refinement scan at Al=0 reads: rs 0x21 ('0': run 2,
+    size 1), sign bit '0' → new value -1; walking the run it passes
+    the nonzero-history zz1 and its correction bit '1' lifts 2 → 3;
+    two zero-history slots consume the run; -1 lands at zz4; EOB0
+    ('10') covers the rest of the band (no further bits — no other
+    nonzero history). zigzag[4] = block (1,1)."""
+    jpg = (
+        gray_prog_header()
+        + dht(0, 0, {1: [0x00]})
+        + dht(1, 0, {1: [0x01], 2: [0x00]})   # AC table 0: first scan
+        + dht(1, 1, {1: [0x21], 2: [0x00]})   # AC table 1: refinement
+        + sos_scan([(1, 0, 0)], 0, 0, 0, 0)
+        + ecs("0")
+        + sos_scan([(1, 0, 0)], 1, 63, 0, 1)
+        + ecs("0 1 10")
+        + sos_scan([(1, 0, 1)], 1, 63, 1, 0)
+        + ecs("0 0 1 10")
+        + b"\xff\xd9"
+    )
+    w, h, ncomp, px = decode_jpeg(jpg)
+    assert (w, h, ncomp) == (8, 8, 1)
+    block = np.zeros((8, 8))
+    block[0, 1] = 3
+    block[1, 1] = -1
+    want = np.clip(np.round(local_idct(block) + 128.0), 0, 255).astype(np.uint8)
+    assert (px == want).all()
+
+
+def _jpg_420_progressive(w: int, h: int) -> bytes:
+    """The SAME 4:2:0 image as _jpg_420, as a five-scan progressive
+    stream: interleaved DC first at Al=1 (Y diffs of v>>1: +8,+4,-8,
+    +12; Cb 0; Cr +20), interleaved DC refinement (all six LSBs are 0),
+    then one AC scan per component. The Y AC scan addresses Y's OWN
+    2x2 block grid (non-interleaved) and is all-zero: EOB2 + appended
+    '00' = an EOB run of exactly 4. DC DHT: '00'→cat0, '01'→cat3,
+    '10'→cat4, '110'→cat5."""
+    sof = seg(
+        0xC2,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    return (
+        b"\xff\xd8" + UNIT_DQT + sof
+        + dht(0, 0, {2: [0x00, 0x03, 0x04], 3: [0x05]})
+        + dht(1, 0, {1: [0x00], 2: [0x20]})  # '0'→EOB0, '10'→EOB2
+        + sos_scan([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 1)
+        + ecs("10 1000 01 100 10 0111 10 1100 00 110 10100")
+        + sos_scan([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0)
+        + ecs("000000")
+        + sos_scan([(1, 0, 0)], 1, 63, 0, 0)
+        + ecs("10 00")
+        + sos_scan([(2, 0, 0)], 1, 63, 0, 0)
+        + ecs("0")
+        + sos_scan([(3, 0, 0)], 1, 63, 0, 0)
+        + ecs("0")
+        + b"\xff\xd9"
+    )
+
+
+def test_progressive_420_matches_baseline_golden():
+    """The five-scan progressive 4:2:0 stream decodes byte-identically
+    to the single-scan baseline golden of the same image — scan script
+    must not change pixels. Also pins interleaved DC scans over a 2x2
+    luma grid and a non-interleaved AC scan over a subsampled frame."""
+    w, h, ncomp, px = decode_jpeg(_jpg_420_progressive(16, 16))
+    assert (w, h, ncomp) == (16, 16, 3)
+    assert (px == _expected_420(16, 16)).all()
+    base = decode_jpeg(_jpg_420(16, 16))[3]
+    assert (px == base).all()
+
+
+def test_progressive_420_odd_dims_cropped():
+    """11x13 progressive: identical scans (block grids are unchanged
+    at these sizes), padded decode grid cropped to the declared frame
+    size."""
+    w, h, ncomp, px = decode_jpeg(_jpg_420_progressive(11, 13))
+    assert (w, h, ncomp) == (11, 13, 3)
+    assert (px == _expected_420(11, 13)).all()
+
+
+def test_progressive_interleaved_ac_scan_rejected():
+    """T.81 G.1: progressive AC scans must be non-interleaved; an SOS
+    naming 3 components with Ss>0 is malformed."""
+    sof = seg(
+        0xC2,
+        b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + b"\x03" + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    jpg = (
+        b"\xff\xd8" + UNIT_DQT + sof
+        + dht(1, 0, {1: [0x00]})
+        + sos_scan([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 1, 63, 0, 0)
+        + b"\x00\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(jpg)
+
+
+def test_progressive_truncated_stream():
+    """Progressive stream cut inside the third scan's entropy data →
+    ValueError('truncated stream'), not IndexError."""
+    full = _jpg_420_progressive(16, 16)
+    cut = full[: full.rindex(b"\xff\xd9") - 1]
+    with pytest.raises(ValueError, match="truncated stream"):
+        decode_jpeg(cut)
 
 
 def test_dc_prediction_across_blocks():
