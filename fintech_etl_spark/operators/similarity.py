@@ -479,10 +479,67 @@ def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
 
 #: Past this many cells the per-iteration assignment switches from the
 #: literal-expression scorer (bit-exact vs the SQL-fold oracles, but
-#: plan size O(k·d)) to the numpy batch scorer (O(1) plan, BLAS). All
+#: plan size O(k·d) — measured 20 s of pure Catalyst plan-build at
+#: k=40·d=64 over 3 iterations, SLOWER than scoring 10× the vectors
+#: through Arrow) to the numpy batch scorer (O(1) plan, BLAS). All
 #: oracle-checked queries pin k=_KM_K=8 ≪ this, so the cross-engine
-#: replay path never changes; only the rows-only auto-k tier crosses.
-_KM_LITERAL_MAX = 64
+#: replay path never changes; only the rows-only auto-k tier crosses
+#: (the two scorers agree on assignments and to 1e-9 on distances —
+#: pinned by test_kmeans_large_k_numpy_scorer_matches_literal).
+_KM_LITERAL_MAX = 16
+
+#: Past this many cells the BLAS scorer itself goes TWO-LEVEL: the k
+#: centroids are clustered (driver-side NumPy Lloyd's, deterministic
+#: first-√k init) into ~√k coarse groups and each vector scores only
+#: the coarse centers plus the fine members of its top-2 groups —
+#: ~3·√k distance evaluations instead of k. That bounds the auto-k
+#: SemDeDup assignment (k = N/512, so flat scoring is N²·d/512 per
+#: iteration) to N·√k·d. Exact below the threshold; the winner's
+#: distance is recomputed exactly in both regimes. Assignment becomes
+#: approximate (top-2 probe can miss the global argmin for a vector
+#: near a coarse boundary) — acceptable for cell-blocking consumers
+#: (SemDeDup, IVF) and pinned by an agreement test vs the flat path.
+_KM_HIER_MIN = 256
+
+#: Coarse groups probed per vector in the two-level scorer. 2 is the
+#: standard IVF nprobe-style recall/cost point: the nearest fine
+#: centroid is almost always in the nearest-or-second coarse cell.
+_KM_HIER_PROBES = 2
+
+
+def _coarse_partition(C: "np.ndarray"):  # noqa: F821 (numpy imported by caller)
+    """Driver-side NumPy Lloyd's over the k fine centroids: returns
+    ``(G, members)`` — coarse centers (g×d, g ≈ √k, empty groups
+    dropped) and, per group, the ascending array of fine-centroid
+    indices it owns. Deterministic: init = first g fine centroids (cell
+    order), 5 iterations, first-minimum tie-break."""
+    import numpy as np
+
+    k = C.shape[0]
+    g = int(np.ceil(np.sqrt(k)))
+    G = C[:g].copy()
+    lab = None
+    for _ in range(5):
+        d2 = (
+            (C * C).sum(axis=1)[:, None]
+            - 2.0 * (C @ G.T)
+            + (G * G).sum(axis=1)[None, :]
+        )
+        lab = np.argmin(d2, axis=1)
+        for j in range(g):
+            m = lab == j
+            if m.any():
+                G[j] = C[m].mean(axis=0)
+    # final labels against the final centers, then drop empty groups
+    d2 = (
+        (C * C).sum(axis=1)[:, None]
+        - 2.0 * (C @ G.T)
+        + (G * G).sum(axis=1)[None, :]
+    )
+    lab = np.argmin(d2, axis=1)
+    keep = [j for j in range(g) if (lab == j).any()]
+    members = [np.nonzero(lab == j)[0] for j in keep]
+    return G[keep], members
 
 
 def _assign_step(vecs: DataFrame, cent: DataFrame, k: int) -> DataFrame:
@@ -523,25 +580,65 @@ def _assign_step(vecs: DataFrame, cent: DataFrame, k: int) -> DataFrame:
     # partition against the closure'd centroid matrix. Candidate
     # argmin via |v|²−2v·C+|C|² (BLAS), winner's distance recomputed
     # exactly per row; ties break to the smallest cell (C sorted by
-    # cell, np.argmin returns the first minimum).
+    # cell, np.argmin returns the first minimum). Past _KM_HIER_MIN
+    # the scorer is two-level (coarse groups + top-2 probe) so the
+    # per-vector cost is O(√k), not O(k).
     import numpy as np
     import pandas as pd
 
     C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in rows])
     cells = np.array([int(r.cell) for r in rows], dtype=np.int64)
     cnorm = (C * C).sum(axis=1)
+    hier = k > _KM_HIER_MIN
+    if hier:
+        G, members = _coarse_partition(C)
+        gnorm = (G * G).sum(axis=1)
+        nprobe = min(_KM_HIER_PROBES, len(members))
+
+    def _winner_rows(V, cand):
+        """argmin over the fine candidates ``cand`` (ascending, so the
+        first minimum is the smallest cell) + exact recompute."""
+        d2 = (
+            (V * V).sum(axis=1)[:, None]
+            - 2.0 * (V @ C[cand].T)
+            + cnorm[cand][None, :]
+        )
+        idx = cand[np.argmin(d2, axis=1)]
+        exact = ((V - C[idx]) ** 2).sum(axis=1)
+        return cells[idx], exact
 
     def score(pdfs):
         for pdf in pdfs:
             V = np.stack(pdf["v"].to_numpy())
-            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cnorm[None, :]
-            idx = np.argmin(d2, axis=1)
-            exact = ((V - C[idx]) ** 2).sum(axis=1)
+            n = V.shape[0]
+            cell_out = np.empty(n, dtype=np.int64)
+            dist_out = np.empty(n, dtype=np.float64)
+            if not hier:
+                cell_out, dist_out = _winner_rows(V, np.arange(len(cells)))
+            else:
+                d2g = (
+                    (V * V).sum(axis=1)[:, None]
+                    - 2.0 * (V @ G.T)
+                    + gnorm[None, :]
+                )
+                # stable sort: equal coarse distances break to the
+                # smaller group index, deterministically
+                top = np.argsort(d2g, axis=1, kind="stable")[:, :nprobe]
+                # batch rows by their probed-group tuple: one fine GEMM
+                # per distinct tuple, not per row
+                key = top[:, 0]
+                for j in range(1, nprobe):
+                    key = key * len(members) + top[:, j]
+                for tup in np.unique(key):
+                    sel = np.nonzero(key == tup)[0]
+                    probes = top[sel[0]]
+                    cand = np.unique(np.concatenate([members[g_] for g_ in probes]))
+                    cell_out[sel], dist_out[sel] = _winner_rows(V[sel], cand)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "cell": cells[idx],
-                    "dist": exact,
+                    "cell": cell_out,
+                    "dist": dist_out,
                     "v": pdf["v"],
                 }
             )
@@ -566,12 +663,15 @@ def kmeans_fit(
     argmin with a deterministic smallest-cell tie-break → recompute
     centroids with a posexplode + (cell, dim) mean (one shuffle keyed
     on at most k×dim rows out). The corpus never shuffles. For
-    k ≤ 64 (every oracle-checked query: k=8) scoring is the literal
+    k ≤ 16 (every oracle-checked query: k=8) scoring is the literal
     zip_with/aggregate fold — bit-identical to the unrolled SQL
     oracles; past that (the rows-only auto-k tier) it is an
     Arrow-batched BLAS scorer with the exact winner distance
-    recomputed per row. ``localCheckpoint`` cuts the plan between
-    iterations.
+    recomputed per row — flat (all k candidates, exact argmin) up to
+    ``_KM_HIER_MIN`` cells, two-level beyond it (coarse √k groups +
+    top-2 probe: O(√k) per vector, assignment approximate only for
+    vectors whose true cell hides outside both probed groups).
+    ``localCheckpoint`` cuts the plan between iterations.
     """
     from pyspark.sql import Window as W
 
@@ -1353,9 +1453,13 @@ _SEMDEDUP_TARGET_CELL = 512
         "oracle-checked tier prunes must be pruned here too with the "
         "identical pruned_by/prune_cos whenever the representative "
         "matches — and by SCALE_RECEIPT_r07_semdedup.json (10x "
-        "vectors: k 4->40, max cell x1.76, wall x3.0). Use this tier "
-        "in production; use the k=8 tier when an audit needs the "
-        "replayable Lloyd's trail."
+        "vectors: k 4->40, max cell x1.76, wall x3.0). Past "
+        "_KM_HIER_MIN=256 cells the assignment goes two-level "
+        "(coarse sqrt(k) groups + top-2 probe, O(sqrt(k))/vector — "
+        "SCALE_RECEIPT_r07_hier.json: 200k vectors, k=391, 0.948 "
+        "agreement with flat, zero sub-exact distances, cells "
+        "bounded). Use this tier in production; use the k=8 tier "
+        "when an audit needs the replayable Lloyd's trail."
     ),
     tags=("dedup", "similarity", "pandas_udf", "iterative"),
 )
@@ -1378,15 +1482,18 @@ def semdedup_prune(
     iteration is one broadcast of k centroids and one argmin pass —
     no extra shuffle relative to the pinned variant.
 
-    Known asymptote, stated rather than hidden: with k ∝ N the
-    assignment step is N·k·d = N²·d/512 work per Lloyd's iteration
-    (the SemDeDup paper pays the same), bounded here by the fixed
-    3-iteration budget. The measured decade ratios (×3.0 wall in
-    SCALE_RECEIPT_r07_semdedup.json) reflect cores absorbing that
-    growth; past ~10M vectors the next tier is hierarchical
-    assignment (cluster the centroids, assign via the 2-level tree —
-    √k distance evaluations per vector) feeding this same per-cell
-    prune."""
+    Scale posture: with k ∝ N a FLAT assignment step would be
+    N·k·d = N²·d/512 work per Lloyd's iteration (the SemDeDup paper
+    pays the same). Past ``_KM_HIER_MIN`` cells (k > 256, i.e.
+    N ≳ 131k vectors) ``kmeans_fit`` therefore switches to two-level
+    assignment — the k centroids are themselves clustered into √k
+    coarse groups and each vector scores coarse centers + the fine
+    members of its top-2 groups, O(√k) evaluations — making the
+    iteration N·√k·d. Assignment becomes approximate at the margin
+    (a vector whose true cell is outside both probed coarse groups
+    lands in a neighboring cell; SemDeDup's blocking tolerates that —
+    the cell is only a candidate-confinement structure), pinned by an
+    agreement test and the committed hier scale receipt."""
     import numpy as np
     import pandas as pd
 

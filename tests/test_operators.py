@@ -316,6 +316,76 @@ def test_kmeans_large_k_numpy_scorer_matches_literal(spark):
         assert abs(ndist - dist) <= 1e-9 * max(1.0, abs(dist)), vid
 
 
+def test_coarse_partition_is_deterministic_total_partition():
+    """_coarse_partition (the two-level scorer's driver-side grouping)
+    must emit a PARTITION of the fine-centroid indices — every index in
+    exactly one group, ascending within each group — and be
+    deterministic across calls."""
+    import numpy as np
+
+    from fintech_etl_spark.operators.similarity import _coarse_partition
+
+    rng = np.random.default_rng(11)
+    C = rng.normal(size=(300, 16)) * 5
+    G1, m1 = _coarse_partition(C)
+    G2, m2 = _coarse_partition(C)
+    assert len(m1) == len(m2) and all((a == b).all() for a, b in zip(m1, m2))
+    assert (G1 == G2).all()
+    allidx = np.concatenate(m1)
+    assert len(allidx) == 300 and len(np.unique(allidx)) == 300
+    assert all((np.diff(m) > 0).all() for m in m1 if len(m) > 1)
+    assert 2 <= len(m1) <= int(np.ceil(np.sqrt(300)))
+
+
+def test_kmeans_hier_assignment_agrees_with_flat(spark):
+    """Past _KM_HIER_MIN cells the BLAS scorer goes two-level (coarse
+    √k groups, top-2 probe). On clustered data — the regime the
+    SemDeDup/IVF consumers live in — one assignment pass must (a) be
+    deterministic, (b) never report a SMALLER distance than the flat
+    exact scorer against the same centroids (it recomputes the winner
+    exactly, so beating exact would mean a broken argmin), and (c)
+    agree with flat on ≥ 99% of vectors."""
+    import numpy as np
+
+    import fintech_etl_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    k = 280  # > _KM_HIER_MIN = 256: the REAL production threshold engages
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(k, 16)) * 10.0
+    V = np.vstack([centers + rng.normal(size=(k, 16)) * 0.5 for _ in range(8)])
+    emb = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+    cent = spark.createDataFrame(
+        [(int(i + 1), c.tolist()) for i, c in enumerate(centers)],
+        "cell int, centroid array<double>",
+    )
+
+    def assign(hier_min):
+        old = S._KM_HIER_MIN
+        S._KM_HIER_MIN = hier_min
+        try:
+            return {
+                r.vec_id: (r.cell, r.dist)
+                for r in S._assign_step(vecs, cent, k).collect()
+            }
+        finally:
+            S._KM_HIER_MIN = old
+
+    flat = assign(10**9)
+    hier = assign(S._KM_HIER_MIN)  # no-op patch: production threshold
+    hier2 = assign(S._KM_HIER_MIN)
+    assert hier == hier2, "two-level assignment is not deterministic"
+    assert set(hier) == set(flat)
+    violations = [i for i in flat if hier[i][1] < flat[i][1] - 1e-9]
+    assert not violations, f"hier beat the exact argmin: {violations[:5]}"
+    agree = sum(1 for i in flat if flat[i][0] == hier[i][0]) / len(flat)
+    assert agree >= 0.99, f"agreement {agree:.4f} < 0.99 on clustered data"
+
+
 def test_pack_sequences_invariants(spark):
     """Every doc packed exactly once; no sequence exceeds the budget
     unless it holds a single oversize doc; token accounting adds up."""
