@@ -151,10 +151,11 @@ def build_receipts(
     ).orderBy("receipt_id")
 
 
-def to_webhook_payloads(receipts: DataFrame) -> DataFrame:
-    """Webhook wire projection (/root/reference/stream/util.py:64-94):
-    rename/reshape + date→ISO string, one JSON document per receipt."""
-    doc = F.struct(
+def _wire_document() -> F.Column:
+    """The receipt wire document (/root/reference/stream/util.py:64-94):
+    rename/reshape + date→ISO string — shared by the webhook payload
+    and the Pub/Sub event projections."""
+    return F.struct(
         F.col("receipt_id").alias("receiptId"),
         F.col("vendor"),
         F.date_format("transaction_date", "yyyy-MM-dd").alias("transactionDate"),
@@ -166,7 +167,32 @@ def to_webhook_payloads(receipts: DataFrame) -> DataFrame:
         F.col("line_items").alias("lineItems"),
         F.col("source_file"),
     )
+
+
+def to_webhook_payloads(receipts: DataFrame) -> DataFrame:
+    """Webhook wire projection (/root/reference/stream/util.py:64-94):
+    one JSON document per receipt."""
     return receipts.select(
         F.col("document_id"),
-        F.to_json(doc).alias("payload"),
+        F.to_json(_wire_document()).alias("payload"),
+    )
+
+
+def to_pubsub_events(receipts: DataFrame) -> DataFrame:
+    """Pub/Sub event projection for the reference's advertised
+    "Processing → Pub/Sub" stage (/root/reference/README.md:66,192 —
+    topic ``receipt-processing``; the reference ships NO implementing
+    code, so the event reuses the webhook wire document). The ordering
+    key is ``source_file`` so a downstream consumer sees each source
+    file's receipts in receipt order (``receipt_id`` is the within-key
+    sort the sink applies); attributes carry the ``document_id``
+    idempotency key for receiver-side dedupe under at-least-once."""
+    return receipts.select(
+        F.col("source_file").alias("ordering_key"),
+        F.col("receipt_id"),
+        F.to_json(_wire_document()).alias("data"),
+        F.create_map(
+            F.lit("document_id"), F.col("document_id"),
+            F.lit("source_file"), F.col("source_file"),
+        ).alias("attributes"),
     )

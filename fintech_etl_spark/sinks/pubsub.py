@@ -1,0 +1,215 @@
+"""Pub/Sub sink: executor-side batched publishes with ordering keys.
+
+The reference advertises Pub/Sub publishing — README:66 ("Publishes
+events to Pub/Sub"), README:85-87 (topic ``receipt-processing``),
+README:192 ("Processing → Pub/Sub: publishes events for downstream
+systems") — but ships NO implementing code (zero Pub/Sub references
+anywhere in its source). This module provides the real surface,
+Spark-first:
+
+- ``foreachPartition`` delivery: executors publish in parallel, each
+  partition sequentially — the same fan-out/isolation shape as the
+  webhook sink;
+- request batching under BOTH Pub/Sub publish-request caps (1000
+  messages / 10 MB per request), flushed on either limit;
+- ordering keys: callers name an ordering column and a within-key sort;
+  the frame is repartitioned BY KEY and sorted within partitions, so
+  every key's messages flow through one partition in order — exactly
+  the contract Cloud Pub/Sub ordering keys need from a publisher;
+- at-least-once: publish failures are counted per batch and never
+  raised mid-stream; retry belongs to the caller/checkpoint layer, and
+  the ``document_id`` attribute is the receiver-side idempotency key
+  (same design as the webhook sink's ledger-less mode).
+
+Transport is injectable, mirroring the webhook sink's ``poster``: the
+default resolves the real ``google-cloud-pubsub`` client and raises a
+LOUD ``NotImplementedError`` when it isn't installed (this container);
+``FilePubSubEmulator`` is a spool-directory transport that works
+across executor processes for tests and local development.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+#: (topic, messages) -> message ids; each message is a JSON-safe dict
+#: {"data": str, "attributes": {str: str}, "ordering_key": str|None}.
+#: Raise to fail the whole request (the batch is the retry unit).
+Transport = Callable[[str, list[dict]], list[str]]
+
+#: Cloud Pub/Sub publish-request hard caps (public service limits).
+_MAX_BATCH_MESSAGES = 1000
+_MAX_BATCH_BYTES = 10_000_000
+
+
+def _default_transport(topic: str, messages: list[dict]) -> list[str]:
+    try:
+        from google.cloud import pubsub_v1  # noqa: F401 — absent here
+    except ImportError as ex:
+        raise NotImplementedError(
+            "publishing requires google-cloud-pubsub (not installed); "
+            "inject a Transport — e.g. sinks.pubsub.FilePubSubEmulator "
+            "for local spool-directory delivery"
+        ) from ex
+    publisher = pubsub_v1.PublisherClient(
+        publisher_options=pubsub_v1.types.PublisherOptions(
+            enable_message_ordering=any(m.get("ordering_key") for m in messages)
+        )
+    )
+    futures = [
+        publisher.publish(
+            topic,
+            m["data"].encode("utf-8"),
+            ordering_key=m.get("ordering_key") or "",
+            **(m.get("attributes") or {}),
+        )
+        for m in messages
+    ]
+    return [f.result(timeout=60) for f in futures]
+
+
+class FilePubSubEmulator:
+    """Spool-directory transport: each publish request becomes one
+    atomically-renamed JSON-lines file under ``<root>/<topic>/``.
+
+    Works across executor processes (unlike an in-memory broker — the
+    Python workers running ``foreachPartition`` are separate
+    processes). File names lead with a monotonic nanosecond stamp, so
+    one process's sequential requests sort in publish order — which is
+    all per-ordering-key order needs, since the sink routes a key to a
+    single partition. Only a test/dev double; the picklable state is
+    one path string.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def __call__(self, topic: str, messages: list[dict]) -> list[str]:
+        import os
+        import time
+        import uuid
+
+        d = os.path.join(self.root, topic)
+        os.makedirs(d, exist_ok=True)
+        name = f"{time.monotonic_ns():020d}-{uuid.uuid4().hex}"
+        tmp = os.path.join(d, "." + name)
+        with open(tmp, "w", encoding="utf-8") as f:
+            for m in messages:
+                f.write(json.dumps(m) + "\n")
+        os.rename(tmp, os.path.join(d, name + ".jsonl"))
+        return [f"{name}:{i}" for i in range(len(messages))]
+
+    def read_requests(self, topic: str) -> list[list[dict]]:
+        """All publish requests for ``topic`` in file-name (≈ publish)
+        order, each as its message list — drivers/tests read the spool
+        back with this."""
+        import glob
+        import os
+
+        out = []
+        for path in sorted(glob.glob(os.path.join(self.root, topic, "*.jsonl"))):
+            with open(path, encoding="utf-8") as f:
+                out.append([json.loads(line) for line in f if line.strip()])
+        return out
+
+
+@dataclass
+class PubSubSink:
+    """Publish a DataFrame of events to a Pub/Sub topic.
+
+    ``events`` frames carry ``data`` (string) and optional
+    ``attributes`` (map<string,string>); see :meth:`publish`.
+    """
+
+    topic: str
+    transport: Transport | None = None
+    max_batch_messages: int = _MAX_BATCH_MESSAGES
+    max_batch_bytes: int = _MAX_BATCH_BYTES
+
+    def publish(
+        self,
+        events: DataFrame,
+        ordering_col: str | None = None,
+        order_by: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Publish ``events`` — columns ``data`` (string), optional
+        ``attributes`` (map<string,string>), plus ``ordering_col`` /
+        ``order_by`` columns when ordering is requested.
+
+        With ``ordering_col``, the frame is hash-repartitioned on that
+        column and sorted within partitions by (key, *order_by*): every
+        ordering key's messages pass through exactly one partition in
+        the requested order, and the partition publishes its batches
+        sequentially — the publisher-side contract Pub/Sub ordering
+        keys require. Without it, the existing partitioning is kept.
+
+        Batches flush at ``max_batch_messages`` or ``max_batch_bytes``
+        (the public per-request service caps). A failed request marks
+        its whole batch failed and delivery continues — at-least-once
+        with caller-level retry, receivers deduping on the
+        ``document_id`` attribute. Returns ``{"published": n,
+        "failed": m, "requests": r}``.
+        """
+        from pyspark.sql import functions as F
+
+        topic = self.topic
+        transport = self.transport or _default_transport
+        max_msgs = self.max_batch_messages
+        max_bytes = self.max_batch_bytes
+        if ordering_col is not None:
+            events = (
+                events.repartition(F.col(ordering_col))
+                .sortWithinPartitions(ordering_col, *(order_by or []))
+            )
+        has_attrs = "attributes" in events.columns
+        sc = events.sparkSession.sparkContext
+        published_acc = sc.accumulator(0)
+        failed_acc = sc.accumulator(0)
+        requests_acc = sc.accumulator(0)
+
+        def deliver(rows) -> None:
+            batch: list[dict] = []
+            nbytes = 0
+            published = failed = requests = 0
+
+            def flush() -> None:
+                nonlocal published, failed, requests, nbytes
+                if not batch:
+                    return
+                requests += 1
+                try:
+                    transport(topic, list(batch))
+                    published += len(batch)
+                except Exception:  # noqa: BLE001 — batch is the retry unit
+                    failed += len(batch)
+                batch.clear()
+                nbytes = 0
+
+            for row in rows:
+                msg = {"data": row["data"]}
+                if has_attrs and row["attributes"] is not None:
+                    msg["attributes"] = dict(row["attributes"])
+                if ordering_col is not None:
+                    msg["ordering_key"] = row[ordering_col]
+                sz = len(json.dumps(msg))
+                if batch and (
+                    len(batch) >= max_msgs or nbytes + sz > max_bytes
+                ):
+                    flush()
+                batch.append(msg)
+                nbytes += sz
+            flush()
+            published_acc.add(published)
+            failed_acc.add(failed)
+            requests_acc.add(requests)
+
+        events.foreachPartition(deliver)
+        return {
+            "published": published_acc.value,
+            "failed": failed_acc.value,
+            "requests": requests_acc.value,
+        }
