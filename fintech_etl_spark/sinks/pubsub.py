@@ -213,3 +213,177 @@ class PubSubSink:
             "failed": failed_acc.value,
             "requests": requests_acc.value,
         }
+
+    def publish_with_ledger(
+        self,
+        events: DataFrame,
+        batch_id: int,
+        ledger_path: str,
+        ordering_col: str | None = "ordering_key",
+        order_by: list[str] | None = None,
+        id_attr: str = "document_id",
+    ) -> dict[str, int]:
+        """Ledger-gated publish for streaming micro-batches: the
+        cross-restart idempotency layer the webhook sink has
+        (``WebhookSink._send_with_ledger``), for Pub/Sub.
+
+        A parquet ledger at ``ledger_path`` (hive-partitioned by
+        ``batch_id``, same layout/retention as the webhook ledger —
+        ``sinks.maintenance.expire_ledger_batches`` applies) records
+        each successfully published message's ``attributes[id_attr]``.
+        A RETRY of the same ``batch_id`` (foreachBatch redelivery after
+        a driver crash, or a caller-level retry of a failed batch)
+        anti-joins the already-published set away before any request —
+        the topic never sees a ledgered message twice.
+
+        Ordering under retry: delivery is FAIL-STOP PER ORDERING KEY —
+        a failed request halts every key it carried, and the rest of
+        those keys' messages are marked failed instead of published
+        past the gap (the contract the Cloud Pub/Sub client enforces:
+        a failure halts its ordering key until resume; other keys keep
+        flowing). The published prefix of every key is therefore
+        gap-free, so ledger-skip + retry replays each key from its
+        first unpublished message onward — per-key order survives
+        end-to-end, and an outage on one key never blocks the others.
+        Without ``ordering_col`` there is no order to protect and
+        batch-failure isolation applies, as in :meth:`publish`.
+
+        Counts: ``published`` (this call), ``failed`` (this call),
+        ``skipped`` (ledgered by a previous attempt). At-least-once
+        stands: a crash between a publish request and the ledger
+        append re-publishes that request's messages on retry —
+        receivers still dedupe on the ``id_attr`` attribute.
+        """
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        spark = events.sparkSession
+        topic = self.topic
+        transport = self.transport or _default_transport
+        max_msgs = self.max_batch_messages
+        max_bytes = self.max_batch_bytes
+        has_ordering = ordering_col is not None
+
+        ev = events.withColumn(
+            "_msg_id", F.col("attributes").getItem(id_attr)
+        )
+        already = self._read_ledger(spark, batch_id, ledger_path)
+        n_total = ev.count()
+        to_send = ev
+        if already is not None:
+            # per-batch ledgered set is bounded by the batch size →
+            # broadcast, the skip is a map-side anti join
+            to_send = ev.join(F.broadcast(already), "_msg_id", "left_anti")
+        n_to_send = to_send.count() if already is not None else n_total
+        n_skipped = n_total - n_to_send
+
+        if has_ordering:
+            to_send = to_send.repartition(F.col(ordering_col)).sortWithinPartitions(
+                ordering_col, *(order_by or [])
+            )
+        # map<string,string> crosses into pandas as engine-version-
+        # dependent shapes; a JSON rendering is stable either way.
+        # Leading underscores would be renamed away by itertuples —
+        # plain names for the kernel columns.
+        cols = [
+            F.col("_msg_id").alias("msg_id"),
+            "data",
+            F.to_json("attributes").alias("attrs_json"),
+        ]
+        if has_ordering:
+            cols.append(F.col(ordering_col).alias("okey"))
+        to_send_rows = to_send.select(*cols)
+
+        def deliver(pdfs):
+            batch: list[dict] = []
+            ids: list[str] = []
+            nbytes = 0
+            halted_keys: set = set()  # ordering keys past their first failure
+            oks: list[bool] = []
+            out_ids: list[str] = []
+
+            def flush() -> None:
+                nonlocal nbytes
+                if not batch:
+                    return
+                try:
+                    transport(topic, list(batch))
+                    ok = True
+                except Exception:  # noqa: BLE001 — halt the request's keys
+                    ok = False
+                    halted_keys.update(m.get("ordering_key") for m in batch)
+                out_ids.extend(ids)
+                oks.extend([ok] * len(batch))
+                batch.clear()
+                ids.clear()
+                nbytes = 0
+
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    msg = {"data": row.data}
+                    attrs = json.loads(row.attrs_json) if row.attrs_json else None
+                    if attrs:
+                        msg["attributes"] = attrs
+                    if has_ordering:
+                        msg["ordering_key"] = row.okey
+                    sz = len(json.dumps(msg))
+                    if batch and (
+                        len(batch) >= max_msgs or nbytes + sz > max_bytes
+                    ):
+                        flush()
+                    # halted check strictly AFTER any flush of earlier
+                    # messages: a failure is only discovered at flush
+                    # time, and publishing past a key's fresh gap is
+                    # exactly the ordering bug this prevents (the
+                    # Pub/Sub client contract: a failure halts ITS
+                    # ordering key until resume)
+                    if has_ordering and row.okey in halted_keys:
+                        out_ids.append(row.msg_id)
+                        oks.append(False)
+                        continue
+                    batch.append(msg)
+                    ids.append(row.msg_id)
+                    nbytes += sz
+            flush()
+            yield pd.DataFrame({"msg_id": out_ids, "ok": oks})
+
+        attempted = to_send_rows.mapInPandas(deliver, "msg_id string, ok boolean")
+        # the ledger append IS the action that drives delivery; only
+        # successes are recorded (crash between publish and append ⇒
+        # at-least-once, never a lost skip)
+        (
+            attempted.filter(F.col("ok"))
+            .select(
+                F.col("msg_id").alias("message_id"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.current_timestamp().alias("published_at"),
+            )
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(ledger_path)
+        )
+        done = self._read_ledger(spark, batch_id, ledger_path)
+        n_done = done.count() if done is not None else 0
+        published = n_done - n_skipped
+        return {
+            "published": published,
+            "failed": n_to_send - published,
+            "skipped": n_skipped,
+        }
+
+    @staticmethod
+    def _read_ledger(spark, batch_id: int, ledger_path: str):
+        """Distinct ledgered message ids for ``batch_id``; None when the
+        ledger doesn't exist yet. batch_id partitioning makes the
+        filter a directory prune, not a full-ledger scan."""
+        from pyspark.sql import functions as F
+
+        try:
+            ledger = spark.read.parquet(ledger_path)
+        except Exception:  # noqa: BLE001 — path not created yet
+            return None
+        return (
+            ledger.filter(F.col("batch_id") == batch_id)
+            .select(F.col("message_id").alias("_msg_id"))
+            .distinct()
+        )

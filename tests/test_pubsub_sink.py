@@ -168,3 +168,98 @@ def test_receipts_to_pubsub_events_shape(spark, tmp_path):
     assert acct["published"] == 1
     [req] = broker.read_requests("receipt-processing")
     assert req[0]["ordering_key"] == "gs://b/inbox/a.csv"
+
+
+def test_publish_with_ledger_failstop_and_restart(spark, tmp_path):
+    """The ledger-gated publish (streaming path): a mid-partition
+    request failure (1) FAIL-STOPS the partition — no later request is
+    attempted past the gap, keeping the key's published prefix
+    gap-free — and (2) a RETRY by a brand-new sink instance (driver
+    restart: nothing shared but the ledger parquet) skips the ledgered
+    prefix and resumes the key in order. The topic sees every message
+    exactly once, in order."""
+    import os
+
+    spool = str(tmp_path / "spool")
+    marker = str(tmp_path / "outage_done")
+    ledger = str(tmp_path / "ledger")
+
+    def flaky(topic, messages, _spool=spool, _marker=marker):
+        if any(
+            m["attributes"]["document_id"] == "d3" for m in messages
+        ) and not os.path.exists(_marker):
+            open(_marker, "w").close()
+            raise ConnectionError("broker down")
+        return FilePubSubEmulator(_spool)(topic, messages)
+
+    df = _events(
+        spark,
+        [("k", f"r{i}", f'{{"n":{i}}}', {"document_id": f"d{i}"})
+         for i in range(1, 7)],
+    )
+    first = PubSubSink("t", transport=flaky, max_batch_messages=2).publish_with_ledger(
+        df, batch_id=3, ledger_path=ledger, order_by=["receipt_id"]
+    )
+    # requests of 2: [d1,d2] ok, [d3,d4] fails → fail-stop: [d5,d6]
+    # never attempted (failed, not published past the gap)
+    assert first == {"published": 2, "failed": 4, "skipped": 0}
+    reqs = FilePubSubEmulator(spool).read_requests("t")
+    assert [[m["attributes"]["document_id"] for m in r] for r in reqs] == [
+        ["d1", "d2"]
+    ]
+
+    retry = PubSubSink("t", transport=flaky, max_batch_messages=2).publish_with_ledger(
+        df, batch_id=3, ledger_path=ledger, order_by=["receipt_id"]
+    )
+    assert retry == {"published": 4, "failed": 0, "skipped": 2}
+    reqs = FilePubSubEmulator(spool).read_requests("t")
+    seen = [m["attributes"]["document_id"] for r in reqs for m in r]
+    # exactly once each, and key "k"'s stream is in order end-to-end
+    assert seen == ["d1", "d2", "d3", "d4", "d5", "d6"]
+    assert all(m["ordering_key"] == "k" for r in reqs for m in r)
+
+    # a different batch_id is not deduped by batch 3's ledger rows
+    third = PubSubSink("t", transport=flaky, max_batch_messages=2).publish_with_ledger(
+        df, batch_id=4, ledger_path=ledger, order_by=["receipt_id"]
+    )
+    assert third == {"published": 6, "failed": 0, "skipped": 0}
+
+
+def test_publish_with_ledger_multikey_partition_isolation(spark, tmp_path):
+    """Ordering keys hash to their own partitions: a fail-stop in one
+    key's partition does not halt other keys (delivery isolation), and
+    each key's own order still holds."""
+    import os
+
+    spool = str(tmp_path / "spool")
+    marker = str(tmp_path / "outage_done")
+    ledger = str(tmp_path / "ledger")
+
+    def flaky(topic, messages, _spool=spool, _marker=marker):
+        if any(
+            m["attributes"]["document_id"] == "a2" for m in messages
+        ) and not os.path.exists(_marker):
+            open(_marker, "w").close()
+            raise ConnectionError("broker down")
+        return FilePubSubEmulator(_spool)(topic, messages)
+
+    rows = [("ka", f"r{i}", "{}", {"document_id": f"a{i}"}) for i in range(1, 4)]
+    rows += [("kb", f"r{i}", "{}", {"document_id": f"b{i}"}) for i in range(1, 4)]
+    df = _events(spark, rows).repartition(4)  # scrambled input layout
+    sink = PubSubSink("t", transport=flaky, max_batch_messages=1)
+    first = sink.publish_with_ledger(
+        df, batch_id=1, ledger_path=ledger, order_by=["receipt_id"]
+    )
+    # ka: a1 ok, a2 fails, a3 fail-stopped; kb unaffected (3 published)
+    assert first == {"published": 4, "failed": 2, "skipped": 0}
+
+    retry = PubSubSink("t", transport=flaky, max_batch_messages=1).publish_with_ledger(
+        df, batch_id=1, ledger_path=ledger, order_by=["receipt_id"]
+    )
+    assert retry == {"published": 2, "failed": 0, "skipped": 4}
+    reqs = FilePubSubEmulator(spool).read_requests("t")
+    seen = [m["attributes"]["document_id"] for r in reqs for m in r]
+    assert sorted(seen) == ["a1", "a2", "a3", "b1", "b2", "b3"]
+    # per-key subsequences are in order even with interleaving
+    assert [d for d in seen if d.startswith("a")] == ["a1", "a2", "a3"]
+    assert [d for d in seen if d.startswith("b")] == ["b1", "b2", "b3"]

@@ -961,3 +961,53 @@ def test_webhook_ledger_retention(spark, tmp_path):
     # idempotent on an empty/expired-everything ledger
     assert expire_ledger_batches(ledger, keep_last=10) == []
     assert expire_ledger_batches(str(tmp_path / "nope"), keep_last=1) == []
+
+
+def test_streaming_pubsub_end_to_end(spark, tmp_path):
+    """streaming.pubsub.start_receipt_event_stream: the reference's
+    advertised "Processing → Pub/Sub" stage live — checkpointed file
+    intake feeds ledger-gated publishes. A restart consumes only the
+    new file (source exactly-once) AND republishes nothing (ledger),
+    so the topic sees every receipt exactly once, keyed and ordered by
+    source file."""
+    from fintech_etl_spark.sinks.pubsub import FilePubSubEmulator, PubSubSink
+    from fintech_etl_spark.streaming import start_receipt_event_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    spool = str(tmp_path / "spool")
+    ledger = str(tmp_path / "ledger")
+    (landing / "a.csv").write_text(HEADER + "\n" + "\n".join(ROWS[:3]) + "\n")
+
+    def mk_sink():
+        return PubSubSink(
+            "receipt-processing", transport=FilePubSubEmulator(spool)
+        )
+
+    q = start_receipt_event_stream(
+        spark, str(landing), ckpt, mk_sink(), ledger,
+        run_date=RUN_DATE, run_ts=1,
+    )
+    _wait(q)
+    reqs = FilePubSubEmulator(spool).read_requests("receipt-processing")
+    first = [json.loads(m["data"])["receiptId"] for r in reqs for m in r]
+    assert first == ["INV2"]
+
+    # second file arrives; a restarted stream (same checkpoint, fresh
+    # sink instance) publishes ONLY the new file's receipts
+    (landing / "b.csv").write_text(HEADER + "\n" + "\n".join(ROWS[3:]) + "\n")
+    q2 = start_receipt_event_stream(
+        spark, str(landing), ckpt, mk_sink(), ledger,
+        run_date=RUN_DATE, run_ts=1,
+    )
+    _wait(q2)
+    reqs = FilePubSubEmulator(spool).read_requests("receipt-processing")
+    msgs = [json.loads(m["data"])["receiptId"] for r in reqs for m in r]
+    assert sorted(msgs) == ["INV1", "INV2"]  # each exactly once
+    keys = {m["ordering_key"] for r in reqs for m in r}
+    assert len(keys) == 2 and all(k.endswith(".csv") for k in keys)
+    # the idempotency attribute rides every message
+    assert all(
+        m["attributes"]["document_id"] for r in reqs for m in r
+    )
