@@ -102,6 +102,12 @@ HEADLINE = (
     # the saturated corpus); this tier bounds candidates at O(cap·Σdf)
     # while emitting bit-identical jaccard values (full-set verify)
     "dedup_ngram_jaccard_capped",
+    # appended r7, third wave: IVF-PQ — the composed lake-scale ANN
+    # index shape (probe n_probe cells, ADC-score only their members,
+    # exact-refine). Headline because it is the production search
+    # plan at 10^9 vectors; oracle-checked end to end (both trainings
+    # replayed in DuckDB)
+    "ann_ivf_pq",
 )
 
 

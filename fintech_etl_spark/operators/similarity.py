@@ -937,16 +937,24 @@ _PQ_ITER_SQL = """
               FROM pe{i} GROUP BY sub, cell)"""
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(include_v: bool = True) -> str:
     """v → per-(vec, subspace) slices → deterministic per-sub init →
     unrolled grouped Lloyd rounds. ALL {subs} codebooks train in the
-    same relational rounds — subspace is just another grouping key."""
+    same relational rounds — subspace is just another grouping key.
+    ``include_v=False`` omits the ``v`` CTE for composition with
+    another CTE family that already defines it (the IVF k-means CTEs
+    in ann_ivf_pq — both spell ``v`` identically)."""
     rounds = ",".join(
         _PQ_ITER_SQL.format(i=i, prev=i - 1, sd=_PQ_SUBDIM)
         for i in range(1, _PQ_ITERS + 1)
     )
+    v_cte = (
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        if include_v
+        else ""
+    )
     return f"""
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {v_cte}
     subs AS (SELECT vec_id, sub,
                     list_slice(v, sub * {_PQ_SUBDIM} + 1,
                                sub * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sv
@@ -1132,6 +1140,176 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w.orderBy(F.col("approx_dist").asc(), "neighbor_id")),
     ).filter(F.col("crank") <= _PQ_CAND)
     # exact refine: only the shortlist's raw vectors come back
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    exact = (
+        shortlist.join(F.broadcast(qv.filter(F.col("query_id") < _N_QUERIES)), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_dist",
+            F.round(_sq_dist(F.col("qv"), F.col("nv")), 4).alias("dist"),
+        )
+    )
+    return (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(w.orderBy(F.col("dist").asc(), "neighbor_id")),
+        )
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "approx_dist", "dist", "rank")
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    """IVF coarse quantizer + PQ fine quantizer, composed from the two
+    oracle-proven CTE families (both trained on the full corpus, both
+    replayed identically here): probe the top n_probe IVF cells per
+    query, ADC-score ONLY those cells' members from the PQ code table,
+    exact-refine the shortlist."""
+    kit = _KM_ITERS
+    pit = _PQ_ITERS
+    return f"""
+    WITH {_kmeans_ctes()},
+    {_pq_ctes(include_v=False)},
+    qc AS (SELECT q.vec_id AS query_id, c.cell,
+                  {_sql_cosine("q.v", "c.centroid")} AS ccos
+           FROM v q CROSS JOIN c{kit} c WHERE q.vec_id < {_N_QUERIES}),
+    pr AS (SELECT query_id, cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY ccos DESC, cell) AS prank
+              FROM qc) t WHERE prank <= {_N_PROBE}),
+    qt AS (SELECT q.vec_id AS query_id, c.sub, c.cell,
+                  list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+                      j -> (q.sv[j] - c.centroid[j]) * (q.sv[j] - c.centroid[j])),
+                      'sum') AS tdist
+           FROM subs q JOIN pc{pit} c ON c.sub = q.sub
+           WHERE q.vec_id < {_N_QUERIES}),
+    cand AS (SELECT pr.query_id, n.vec_id
+             FROM pr JOIN a{kit} n ON n.cell = pr.cell
+             WHERE n.vec_id <> pr.query_id),
+    sc AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+                  round(sum(qt.tdist), 4) AS approx_dist
+           FROM cand cd
+           JOIN pa{pit} p ON p.vec_id = cd.vec_id
+           JOIN qt ON qt.query_id = cd.query_id
+                  AND qt.sub = p.sub AND qt.cell = p.cell
+           GROUP BY cd.query_id, cd.vec_id),
+    shortlist AS (SELECT query_id, neighbor_id, approx_dist FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY approx_dist, neighbor_id) AS crank
+                    FROM sc) t WHERE crank <= {_PQ_CAND}),
+    ex AS (SELECT s.query_id, s.neighbor_id, s.approx_dist,
+                  round(list_aggregate(list_transform(generate_series(1, {_DIM}),
+                      j -> (vq.v[j] - vn.v[j]) * (vq.v[j] - vn.v[j])),
+                      'sum'), 4) AS dist
+           FROM shortlist s
+           JOIN v vq ON vq.vec_id = s.query_id
+           JOIN v vn ON vn.vec_id = s.neighbor_id),
+    r AS (SELECT query_id, neighbor_id, approx_dist, dist,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY dist, neighbor_id) AS INTEGER) AS rank
+          FROM ex)
+    SELECT query_id, neighbor_id, approx_dist, dist, rank
+    FROM r WHERE rank <= {_TOP_K}
+    """
+
+
+@register(
+    "ann_ivf_pq",
+    _ivf_pq_oracle(),
+    doc=(
+        "IVF-PQ, the lake-scale ANN index shape (FAISS IVFPQ with "
+        "by_residual=False): an IVF coarse quantizer (trained k-means, "
+        "see kmeans_fit) routes each query to its n_probe nearest "
+        "cells, and ONLY those cells' members are ADC-scored from the "
+        "PQ code table (8 four-bit codes per vector, see pq_fit) "
+        "before the exact top-k refine on raw vectors. Versus "
+        "ann_pq_adc — which ADC-scores the whole corpus per query — "
+        "the scored set shrinks to n_probe/k of the corpus, which is "
+        "the difference that matters at 10^9 vectors: scoring cost "
+        "follows the probe list, not the corpus. Both quantizers "
+        "train in the same grouped Lloyd rounds as their standalone "
+        "operators, and the full pipeline (both trainings, probe, "
+        "ADC over probed cells, refine) is value-checked against a "
+        "DuckDB replay composed from the same two oracle-proven CTE "
+        "families."
+    ),
+    tags=("similarity", "topk", "iterative", "quantization"),
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse_cent, coarse_assign = kmeans_fit(emb)
+    pq_cent, codes = pq_fit(emb)
+
+    # --- probe: top n_probe IVF cells per query (identical to
+    # ann_ivf_probe's oracle-proven shape; centroids broadcast) ---
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qc = q.join(F.broadcast(coarse_cent)).select(
+        "query_id",
+        "cell",
+        cosine(F.col("qe"), F.col("centroid")).alias("ccos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= _N_PROBE)
+        .select("query_id", "cell")
+    )
+
+    # --- candidates: members of probed cells only — the IVF cut.
+    # probes is ≤ queries × n_probe rows → broadcast; the corpus-sized
+    # assignment frame never shuffles for this join ---
+    cand = (
+        F.broadcast(probes)
+        .join(coarse_assign.select("vec_id", "cell"), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+    # --- ADC table: queries × subs × pq-cells, ≤ 10·8·16 rows ---
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qsubs = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("qsv"),
+                    )
+                    for s in range(_PQ_SUBS)
+                ]
+            )
+        ).alias("x"),
+    ).select("query_id", "x.sub", "x.qsv")
+    qtab = qsubs.join(F.broadcast(pq_cent), "sub").select(
+        "query_id",
+        "sub",
+        "cell",
+        _sq_dist(F.col("qsv"), F.col("centroid")).alias("tdist"),
+    )
+
+    # --- ADC over candidates only: per-neighbor cost is 8 lookups +
+    # a sum, and the scored set is the probed cells, not the corpus ---
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qtab), ["query_id", "sub", "cell"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("tdist"), 4).alias("approx_dist"))
+    )
+    w = W.partitionBy("query_id")
+    shortlist = scored.withColumn(
+        "crank",
+        F.row_number().over(w.orderBy(F.col("approx_dist").asc(), "neighbor_id")),
+    ).filter(F.col("crank") <= _PQ_CAND)
+
+    # --- exact refine: only the shortlist's raw vectors come back ---
     qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     exact = (

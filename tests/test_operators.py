@@ -17,7 +17,7 @@ def test_registry_complete_and_importable():
     # EXACT pin (not a floor): a silent drop means an operator module
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
-    assert len(specs) == 199
+    assert len(specs) == 200
     # 197 oracle-checked; the TWO deliberate rows-only rows are the
     # production twins whose mechanism has no cross-engine replay:
     # dedup_minhash_lsh_dense_fast (xxhash64 has no DuckDB twin —
@@ -25,7 +25,7 @@ def test_registry_complete_and_importable():
     # dedup_semantic_semdedup_auto (auto-k Lloyd's has no fixed-k CTE
     # unroll — pinned by the k=8-tier superset parity test + the
     # committed SCALE_RECEIPT_r07_semdedup.json)
-    assert sum(1 for s in specs.values() if s.oracle is not None) == 197
+    assert sum(1 for s in specs.values() if s.oracle is not None) == 198
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
     assert rows_only == [
         "dedup_minhash_lsh_dense_fast",

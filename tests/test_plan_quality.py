@@ -252,6 +252,11 @@ _SHUFFLE_BUDGET = {
     "q20_dominant_suppliers": 4,  # 2-level grouped agg + distinct
     "quality_repetition_signals": 4,  # word + bigram explode-agg passes
     "ann_ivf_probe": 4,  # trained-cell assign join + probe rank + in-cell rerank
+    # the composed IVF+PQ plan: probe rank window + candidate×code join
+    # (keyed on vec_id — ids only, the embeddings stay behind their
+    # training checkpoints) + ADC sum agg + refine join; matches the
+    # ivf_probe budget, with the PQ side's broadcasts adding none
+    "ann_ivf_pq": 4,
     "tfidf_top_terms": 4,  # tf agg + df window(term) + N agg + shared doc_id window
     "doc_unigram_lm_score": 3,  # vocab agg + total agg + per-doc agg (scoring join broadcast)
     "dq_expectations_report": 6,  # five independent scalar constraint aggregates + ref join
