@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import datetime as dt
+import json
 import os
 import time
 
@@ -91,6 +92,20 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--landing", required=True)
     st.add_argument("--lake", required=True)
     st.add_argument("--checkpoint", required=True)
+    st.add_argument(
+        "--pubsub-topic",
+        help="also publish receipt events to this Pub/Sub topic "
+        "(ledger-gated; the reference README's receipt-processing stage)",
+    )
+    st.add_argument(
+        "--pubsub-spool",
+        help="spool-directory emulator transport instead of the real "
+        "client (local/dev; the real client needs google-cloud-pubsub)",
+    )
+    st.add_argument(
+        "--pubsub-ledger",
+        help="publish-ledger parquet path (default: <checkpoint>_pubsub_ledger)",
+    )
 
     q = sub.add_parser("query", help="run a registered analytics query")
     q.add_argument("name", nargs="?", help="query name (omit to list all)")
@@ -141,8 +156,32 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "stream":
         from fintech_etl_spark.streaming import start_invoice_stream
 
+        sink = None
+        ledger = None
+        if args.pubsub_topic:
+            from fintech_etl_spark.sinks.pubsub import (
+                FilePubSubEmulator,
+                PubSubSink,
+            )
+
+            transport = (
+                FilePubSubEmulator(args.pubsub_spool)
+                if args.pubsub_spool
+                else None  # None → real client, loud if not installed
+            )
+            sink = PubSubSink(args.pubsub_topic, transport=transport)
+            ledger = args.pubsub_ledger or args.checkpoint + "_pubsub_ledger"
+
         def on_receipts(receipts, batch_id):
             write_receipts_parquet(receipts, args.lake)
+            if sink is not None:
+                from fintech_etl_spark.operators.receipts import to_pubsub_events
+
+                stats = sink.publish_with_ledger(
+                    to_pubsub_events(receipts), batch_id, ledger,
+                    order_by=["receipt_id"],
+                )
+                print(json.dumps({"pubsub": {"batch_id": batch_id, **stats}}))
 
         q = start_invoice_stream(
             spark, args.landing, args.checkpoint, on_receipts,

@@ -926,6 +926,37 @@ def test_pq_adc_refine_recall(spark):
         assert hits / 50 >= floor, (sf, hits / 50)
 
 
+def test_ivf_pq_refine_recall(spark):
+    """The IVF cut must not eat the PQ tier's recall: probing 3 of 8
+    trained cells keeps refined recall@5 at the full-corpus ADC tier's
+    level (measured 0.82 smoke / 0.64 sweep vs ann_pq_adc's 0.88 /
+    0.64 — at sweep scale the probe loses nothing). Same floors as
+    test_pq_adc_refine_recall so a probe-routing regression (wrong
+    cell ranking, broken assignment join) fails loudly."""
+    import duckdb
+    import numpy as np
+
+    from fintech_etl_spark.operators.similarity import ann_ivf_pq
+
+    for sf, floor in ((SF_SMOKE, 0.7), ("/root/testdata/sf0.1", 0.5)):
+        rows = duckdb.sql(
+            f"select vec_id, embedding from read_parquet('{sf}/embeddings.parquet')"
+        ).fetchall()
+        ids = np.array([r[0] for r in rows])
+        V = np.array([r[1] for r in rows], dtype=np.float64)
+        exact = {}
+        for q in range(10):
+            qi = np.where(ids == q)[0][0]
+            d = ((V - V[qi]) ** 2).sum(axis=1)
+            order = sorted((dd, int(i)) for dd, i in zip(d, ids) if i != q)
+            exact[q] = {i for _, i in order[:5]}
+        got: dict[int, set] = {}
+        for r in ann_ivf_pq(spark, sf).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact[q] & got.get(q, set())) for q in range(10))
+        assert hits / 50 >= floor, (sf, hits / 50)
+
+
 def test_pagerank_mass_conservation_and_hub_ordering(spark):
     """Invariants the CTE oracle can't express as a value check: total
     rank mass equals 1 (pr_norm averages to 1.0 over nodes), every

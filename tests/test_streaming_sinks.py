@@ -1011,3 +1011,36 @@ def test_streaming_pubsub_end_to_end(spark, tmp_path):
     assert all(
         m["attributes"]["document_id"] for r in reqs for m in r
     )
+
+
+def test_cli_stream_with_pubsub(spark, tmp_path, capsys, monkeypatch):
+    """CLI `stream --pubsub-topic --pubsub-spool`: one command runs the
+    full advertised pipeline — landing CSVs → receipt lake AND
+    ledger-gated Pub/Sub events — without cloud dependencies."""
+    from fintech_etl_spark import cli
+    from fintech_etl_spark.sinks.pubsub import FilePubSubEmulator
+
+    landing = tmp_path / "raw"
+    landing.mkdir()
+    (landing / "a.csv").write_text(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    lake = str(tmp_path / "lake")
+    spool = str(tmp_path / "spool")
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    rc = cli.main([
+        "stream", "--landing", str(landing), "--lake", lake,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--pubsub-topic", "receipt-processing", "--pubsub-spool", spool,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stream drained" in out
+    assert '"published": 2' in out
+    reqs = FilePubSubEmulator(spool).read_requests("receipt-processing")
+    msgs = sorted(
+        json.loads(m["data"])["receiptId"] for r in reqs for m in r
+    )
+    assert msgs == ["INV1", "INV2"]
+    assert sorted(
+        r.receipt_id for r in spark.read.parquet(lake).collect()
+    ) == ["INV1", "INV2"]
