@@ -551,24 +551,33 @@ def _assign_step(vecs: DataFrame, cent: DataFrame, k: int) -> DataFrame:
     iteration — ~0.5 GB/iteration at just 20k vectors × k=40."""
     rows = sorted(cent.collect(), key=lambda r: r.cell)
     if k <= _KM_LITERAL_MAX:
-        # literal array per centroid: _sq_dist evaluates the IDENTICAL
-        # zip_with/aggregate fold as before (and as the unrolled SQL
-        # oracles), so scores are bit-identical; array_min on
-        # struct(dist, cell) keeps the deterministic tie-break
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_dist(
-                            F.col("v"),
-                            F.array(*[F.lit(float(x)) for x in r.centroid]),
-                        ).alias("dist"),
-                        F.lit(int(r.cell)).alias("cell"),
-                    )
-                    for r in rows
-                ]
+        # literal array per centroid, spelled as ONE parsed SQL string:
+        # the Column-API form of this scorer costs ~0.8 s of pure
+        # plan-build PER ITERATION (each zip_with/aggregate lambda is a
+        # Py4J round-trip; 8 centroids × 3 lambdas × 3 iterations made
+        # kmeans_fit 2.4 s of driver time at sf0.1 — measured, and it
+        # was the whole dedup_semantic_semdedup regression in r7's
+        # de-shuffle rewrite), while F.expr parses in ~3 ms. The SQL
+        # text builds the IDENTICAL zip_with/transform/aggregate fold
+        # as _sq_dist and the unrolled SQL oracles (same ops, same
+        # doubles via repr-roundtrip CASTs), so scores are
+        # bit-identical — pinned by test_kmeans_matches_numpy et al.
+        # array_min on named_struct(dist, cell) keeps the
+        # deterministic smallest-cell tie-break.
+        def _arr(c) -> str:
+            return (
+                "array("
+                + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+                + ")"
             )
+
+        parts = ",".join(
+            "named_struct('dist', aggregate(transform(zip_with(v, "
+            f"{_arr(r.centroid)}, (x, y) -> x - y), x -> x * x), 0.0D, "
+            f"(s, x) -> s + x), 'cell', {int(r.cell)})"
+            for r in rows
         )
+        best = F.expr(f"array_min(array({parts}))")
         return vecs.select(
             "vec_id",
             best["cell"].alias("cell"),
