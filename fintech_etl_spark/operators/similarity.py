@@ -1054,26 +1054,46 @@ def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("sub", "cell", F.col("sv").alias("centroid"))
         .localCheckpoint(eager=False)
     )
+
+    def _arr(c) -> str:
+        return (
+            "array("
+            + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+            + ")"
+        )
+
     assign = None
     for _ in range(_PQ_ITERS):
-        scored = subs.join(F.broadcast(cent), "sub").select(
-            "vec_id",
-            "sub",
-            "sv",
-            "cell",
-            _sq_dist(F.col("sv"), F.col("centroid")).alias("dist"),
-        )
-        assign = (
-            scored.groupBy("vec_id", "sub")
-            .agg(F.min(F.struct("dist", "cell", "sv")).alias("best"))
-            .select(
-                "vec_id",
-                "sub",
-                F.col("best.cell").alias("cell"),
-                F.col("best.sv").alias("sv"),
+        # collect the subs·k tiny centroids and score each slice with a
+        # per-sub argmin spelled as ONE parsed SQL expression: the
+        # previous shape (broadcast join → groupBy(vec_id, sub)
+        # min-struct) shuffled subs·N rows carrying the slices every
+        # iteration; this is a pure projection — the corpus truly never
+        # shuffles for assignment. Fold text and smallest-cell
+        # tie-break are identical to the _PQ_ITER_SQL oracle rounds
+        # (aggregate of squared diffs ascending j; min struct(dist,
+        # cell) ≡ row_number ORDER BY dist, cell), so codes are
+        # bit-identical — ann_pq_adc/ann_ivf_pq stay oracle-green.
+        rows = sorted(cent.collect(), key=lambda r: (int(r.sub), int(r.cell)))
+        by_sub: dict[int, list] = {}
+        for r in rows:
+            by_sub.setdefault(int(r.sub), []).append(r)
+        branches = " ".join(
+            "WHEN sub = {s} THEN array_min(array({parts}))".format(
+                s=s,
+                parts=",".join(
+                    "named_struct('dist', aggregate(transform(zip_with(sv, "
+                    f"{_arr(r.centroid)}, (x, y) -> x - y), x -> x * x), "
+                    f"0.0D, (p, x) -> p + x), 'cell', {int(r.cell)})"
+                    for r in cells
+                ),
             )
-            .localCheckpoint(eager=False)
+            for s, cells in sorted(by_sub.items())
         )
+        best = F.expr(f"CASE {branches} END")
+        assign = subs.select(
+            "vec_id", "sub", best["cell"].alias("cell"), "sv"
+        ).localCheckpoint(eager=False)
         cent = (
             assign.select("sub", "cell", F.posexplode("sv").alias("i", "x"))
             .groupBy("sub", "cell", "i")
