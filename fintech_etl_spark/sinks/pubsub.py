@@ -264,6 +264,12 @@ class PubSubSink:
         max_bytes = self.max_batch_bytes
         has_ordering = ordering_col is not None
 
+        if "attributes" not in events.columns:
+            raise ValueError(
+                "publish_with_ledger needs an 'attributes' map column "
+                f"carrying the '{id_attr}' idempotency key (the ledger "
+                "records it); use publish() for ledgerless delivery"
+            )
         ev = events.withColumn(
             "_msg_id", F.col("attributes").getItem(id_attr)
         )

@@ -263,3 +263,14 @@ def test_publish_with_ledger_multikey_partition_isolation(spark, tmp_path):
     # per-key subsequences are in order even with interleaving
     assert [d for d in seen if d.startswith("a")] == ["a1", "a2", "a3"]
     assert [d for d in seen if d.startswith("b")] == ["b1", "b2", "b3"]
+
+
+def test_publish_with_ledger_requires_attributes(spark, tmp_path):
+    """A frame without the attributes map (no idempotency key to
+    ledger) is rejected loudly, pointing at publish()."""
+    df = spark.createDataFrame([("k", "r1", "{}")],
+                               "ordering_key string, receipt_id string, data string")
+    with pytest.raises(ValueError, match="attributes"):
+        PubSubSink("t", transport=lambda t, m: []).publish_with_ledger(
+            df, batch_id=1, ledger_path=str(tmp_path / "led")
+        )
