@@ -108,6 +108,11 @@ HEADLINE = (
     # plan at 10^9 vectors; oracle-checked end to end (both trainings
     # replayed in DuckDB)
     "ann_ivf_pq",
+    # appended r7, fourth wave: the auto-k production twin — cells
+    # sized ceil(N/512) so probe cost stays constant as the corpus
+    # grows (the pinned k=8 tier's cells grow with N); bit-equal to
+    # ann_pq_adc at smoke scale, recall-floored at sweep scale
+    "ann_ivf_pq_auto",
 )
 
 

@@ -1268,10 +1268,59 @@ def _ivf_pq_oracle() -> str:
     tags=("similarity", "topk", "iterative", "quantization"),
 )
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_search(emb, k=_KM_K)
+
+
+@register(
+    "ann_ivf_pq_auto",
+    None,
+    doc=(
+        "Production twin of ann_ivf_pq: the identical "
+        "kmeans_fit + pq_fit + probe + probed-cell-ADC + exact-refine "
+        "pipeline (ivf_pq_search), with the IVF cell count "
+        "auto-derived as ceil(N / 512) instead of the oracle's k=8 "
+        "pin — expected cell size (and so the per-probe scan) stays "
+        "constant as the corpus grows, which is the lake-scale "
+        "contract the pinned tier cannot honor (its second-decade "
+        "receipt shows cells growing 10× per decade). No DuckDB "
+        "oracle by construction (auto-k Lloyd's has no fixed-k CTE "
+        "unroll — same declared exception as "
+        "dedup_semantic_semdedup_auto), so the driver records the "
+        "weaker rows-only check; semantics are pinned instead by "
+        "tests/test_operators.py::test_ivf_pq_auto_parity: at the "
+        "smoke corpus auto-k is 1, a single cell whose probe covers "
+        "the whole corpus, so the result must equal ann_pq_adc "
+        "BIT-FOR-BIT (same PQ training, same shortlist, same refine), "
+        "and at sweep scale its refined recall@5 must hold the same "
+        "floor as the pinned tier. Past _KM_HIER_MIN=256 cells the "
+        "assignment goes two-level exactly as the SemDeDup auto tier "
+        "does. Use this tier in production; use the k=8 tier when an "
+        "audit needs the replayable Lloyd's trail."
+    ),
+    tags=("similarity", "topk", "iterative", "quantization"),
+)
+def ann_ivf_pq_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_search(emb, k=None)
+
+
+def ivf_pq_search(emb: DataFrame, k: int | None = None) -> DataFrame:
+    """IVF-PQ search over any ``(vec_id, embedding)`` frame.
+
+    ``k=None`` derives the IVF cell count as ceil(N / 512) (min 1) —
+    the same bounded-cell contract as :func:`semdedup_prune` — and
+    probes ``min(_N_PROBE, k)`` cells per query. The PQ codebook shape
+    (8 subspaces × 16 centroids) is corpus-size-independent, so only
+    the coarse quantizer scales with N.
+    """
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    coarse_cent, coarse_assign = kmeans_fit(emb)
+    if k is None:
+        n_vecs = emb.count()
+        k = max(1, -(-n_vecs // 512))
+    n_probe = min(_N_PROBE, k)
+    coarse_cent, coarse_assign = kmeans_fit(emb, k=k)
     pq_cent, codes = pq_fit(emb)
 
     # --- probe: top n_probe IVF cells per query (identical to
@@ -1287,7 +1336,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
     probes = (
         qc.withColumn("prank", F.row_number().over(wq))
-        .filter(F.col("prank") <= _N_PROBE)
+        .filter(F.col("prank") <= n_probe)
         .select("query_id", "cell")
     )
 

@@ -17,17 +17,22 @@ def test_registry_complete_and_importable():
     # EXACT pin (not a floor): a silent drop means an operator module
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
-    assert len(specs) == 200
-    # 197 oracle-checked; the TWO deliberate rows-only rows are the
+    assert len(specs) == 201
+    # 198 oracle-checked; the THREE deliberate rows-only rows are the
     # production twins whose mechanism has no cross-engine replay:
     # dedup_minhash_lsh_dense_fast (xxhash64 has no DuckDB twin —
-    # pinned by the md5-tier parity test) and
+    # pinned by the md5-tier parity test),
     # dedup_semantic_semdedup_auto (auto-k Lloyd's has no fixed-k CTE
     # unroll — pinned by the k=8-tier superset parity test + the
-    # committed SCALE_RECEIPT_r07_semdedup.json)
+    # committed SCALE_RECEIPT_r07_semdedup.json), and
+    # ann_ivf_pq_auto (same auto-k exception — pinned by
+    # test_ivf_pq_auto_parity: bit-equal to oracle-checked ann_pq_adc
+    # at smoke scale where auto-k=1 covers the corpus, recall-floored
+    # at sweep scale)
     assert sum(1 for s in specs.values() if s.oracle is not None) == 198
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
     assert rows_only == [
+        "ann_ivf_pq_auto",
         "dedup_minhash_lsh_dense_fast",
         "dedup_semantic_semdedup_auto",
     ]
@@ -955,6 +960,56 @@ def test_ivf_pq_refine_recall(spark):
             got.setdefault(r.query_id, set()).add(r.neighbor_id)
         hits = sum(len(exact[q] & got.get(q, set())) for q in range(10))
         assert hits / 50 >= floor, (sf, hits / 50)
+
+
+def test_ivf_pq_auto_parity(spark):
+    """The rows-only auto-k IVF-PQ tier, pinned two ways:
+
+    1. BIT-EQUALITY at smoke scale: auto-k = ceil(200/512) = 1 — one
+       cell, whose probe covers the whole corpus, so the pipeline
+       degenerates to exactly ann_pq_adc (same PQ training, same ADC
+       shortlist, same refine). Every row must match the
+       oracle-checked query exactly.
+    2. Recall floor at sweep scale (auto-k = 40, probe 3): refined
+       recall@5 vs exact L2 holds the same floor as the pinned k=8
+       tier (measured 0.62 — the tighter cells trade a little recall
+       for a 13x smaller scanned set).
+    """
+    import duckdb
+    import numpy as np
+
+    from fintech_etl_spark.operators.similarity import (
+        ann_ivf_pq_auto,
+        ann_pq_adc,
+    )
+
+    auto = {
+        (r.query_id, r.neighbor_id): (r.approx_dist, r.dist, r.rank)
+        for r in ann_ivf_pq_auto(spark, SF_SMOKE).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id): (r.approx_dist, r.dist, r.rank)
+        for r in ann_pq_adc(spark, SF_SMOKE).collect()
+    }
+    assert auto == pq
+
+    sf = "/root/testdata/sf0.1"
+    rows = duckdb.sql(
+        f"select vec_id, embedding from read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    exact = {}
+    for q in range(10):
+        qi = np.where(ids == q)[0][0]
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        order = sorted((dd, int(i)) for dd, i in zip(d, ids) if i != q)
+        exact[q] = {i for _, i in order[:5]}
+    got: dict[int, set] = {}
+    for r in ann_ivf_pq_auto(spark, sf).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in range(10))
+    assert hits / 50 >= 0.5, hits / 50
 
 
 def test_pagerank_mass_conservation_and_hub_ordering(spark):

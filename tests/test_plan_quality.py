@@ -257,6 +257,7 @@ _SHUFFLE_BUDGET = {
     # training checkpoints) + ADC sum agg + refine join; matches the
     # ivf_probe budget, with the PQ side's broadcasts adding none
     "ann_ivf_pq": 4,
+    "ann_ivf_pq_auto": 4,  # identical ivf_pq_search plan, auto-k cells
     "tfidf_top_terms": 4,  # tf agg + df window(term) + N agg + shared doc_id window
     "doc_unigram_lm_score": 3,  # vocab agg + total agg + per-doc agg (scoring join broadcast)
     "dq_expectations_report": 6,  # five independent scalar constraint aggregates + ref join
