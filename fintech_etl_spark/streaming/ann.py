@@ -151,3 +151,213 @@ def start_ann_queries(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ index + serving (the quantized tier of the online ANN stack)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_pq_index(spark: SparkSession, sf_dir: str, index_path: str) -> dict:
+    """Materialize the IVF-PQ index the batch ``ann_ivf_pq`` trains per
+    invocation, as a SERVABLE on-disk layout (train once, probe many —
+    the deployment shape the per-query training cost amortizes into):
+
+    - ``codes/``    (vec_id, sub, pq_cell) parquet **partitioned by the
+      IVF cell** — a probe of n_probe cells is a pruned directory read,
+      never a corpus scan;
+    - ``vectors/``  (vec_id, v) partitioned the same way — the exact
+      refine reads raw vectors only from probed cells;
+    - ``coarse/``   the k IVF centroids (tiny);
+    - ``codebooks/`` the subs×k_pq PQ codebooks (tiny).
+
+    Training is the IDENTICAL deterministic kmeans_fit + pq_fit the
+    batch tier runs, so a served query must reproduce the batch tier's
+    rows bit-for-bit — pinned by the streaming parity test. Returns
+    layout counts for assertions.
+    """
+    from fintech_etl_spark.operators.similarity import kmeans_fit, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse_cent, coarse_assign = kmeans_fit(emb)
+    pq_cent, codes = pq_fit(emb)
+
+    ivf = coarse_assign.select("vec_id", F.col("cell").alias("ivf_cell"))
+    (
+        codes.withColumnRenamed("cell", "pq_cell")
+        .join(ivf, "vec_id")
+        .withColumnRenamed("ivf_cell", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_path + "/codes")
+    )
+    (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(ivf, "vec_id")
+        .withColumnRenamed("ivf_cell", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_path + "/vectors")
+    )
+    coarse_cent.write.mode("overwrite").parquet(index_path + "/coarse")
+    pq_cent.write.mode("overwrite").parquet(index_path + "/codebooks")
+    return {
+        "codes": spark.read.parquet(index_path + "/codes").count(),
+        "vectors": spark.read.parquet(index_path + "/vectors").count(),
+        "coarse_cells": spark.read.parquet(index_path + "/coarse").count(),
+        "codebook_rows": spark.read.parquet(index_path + "/codebooks").count(),
+    }
+
+
+def start_ivf_pq_queries(
+    spark: SparkSession,
+    queries_glob: str,
+    checkpoint_dir: str,
+    index_path: str,
+    on_results: ResultHandler,
+    *,
+    top_k: int = _TOP_K,
+    max_files_per_trigger: int = 32,
+) -> StreamingQuery:
+    """Serve JSONL query vectors against a :func:`build_ivf_pq_index`
+    layout; per micro-batch emit (query_id, neighbor_id, approx_dist,
+    dist, rank) — the batch ``ann_ivf_pq`` row shape, bit-for-bit.
+
+    Per batch: probe the n_probe nearest IVF cells per query (the
+    coarse table is k tiny rows, broadcast), COLLECT the probed cell
+    ids (bounded by queries × n_probe — this is the one driver-side
+    step, and it exists precisely so the cell set becomes a literal
+    `IN` filter Spark can push to directory-level partition pruning),
+    ADC-score only the pruned codes, refine only the pruned vectors.
+    At 10^9 indexed vectors a batch of queries reads n_probe cells'
+    files and nothing else.
+    """
+    from pyspark.sql.window import Window as W
+
+    from fintech_etl_spark.operators.similarity import (
+        _N_PROBE,
+        _PQ_CAND,
+        _PQ_SUBDIM,
+        _PQ_SUBS,
+        _sq_dist,
+        cosine,
+    )
+
+    coarse = spark.read.parquet(index_path + "/coarse")
+    codebooks = spark.read.parquet(index_path + "/codebooks")
+    codes = spark.read.parquet(index_path + "/codes")
+    vectors = spark.read.parquet(index_path + "/vectors")
+
+    incoming = (
+        spark.readStream.schema(_QUERY_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(queries_glob)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        q = batch_df.filter(F.col("embedding").isNotNull()).select(
+            "query_id", F.col("embedding").cast("array<double>").alias("qv")
+        )
+        # --- probe: identical expression shape to the batch tier ---
+        qc = q.join(F.broadcast(coarse)).select(
+            "query_id",
+            "qv",
+            "cell",
+            cosine(F.col("qv"), F.col("centroid")).alias("ccos"),
+        )
+        wq = W.partitionBy("query_id").orderBy(
+            F.col("ccos").desc(), F.col("cell")
+        )
+        probes = (
+            qc.withColumn("prank", F.row_number().over(wq))
+            .filter(F.col("prank") <= _N_PROBE)
+            .select("query_id", "cell")
+        )
+        probe_rows = probes.collect()  # ≤ batch queries × n_probe
+        probed_cells = sorted({int(r.cell) for r in probe_rows})
+        if not probed_cells:
+            on_results(
+                spark.createDataFrame(
+                    [],
+                    "query_id long, neighbor_id long, approx_dist double,"
+                    " dist double, rank int",
+                ),
+                batch_id,
+            )
+            return
+
+        # --- ADC table: batch queries × subs × pq cells (tiny) ---
+        qsubs = q.select(
+            "query_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            F.slice(
+                                "qv", s * _PQ_SUBDIM + 1, _PQ_SUBDIM
+                            ).alias("qsv"),
+                        )
+                        for s in range(_PQ_SUBS)
+                    ]
+                )
+            ).alias("x"),
+        ).select("query_id", "x.sub", "x.qsv")
+        qtab = qsubs.join(F.broadcast(codebooks), "sub").select(
+            "query_id",
+            "sub",
+            F.col("cell").alias("pq_cell"),
+            _sq_dist(F.col("qsv"), F.col("centroid")).alias("tdist"),
+        )
+
+        # --- probed cells only: literal IN filter → directory prune ---
+        cand = (
+            F.broadcast(probes)
+            .join(codes.filter(F.col("cell").isin(probed_cells)), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        scored = (
+            cand.join(F.broadcast(qtab), ["query_id", "sub", "pq_cell"])
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.round(F.sum("tdist"), 4).alias("approx_dist"))
+        )
+        w = W.partitionBy("query_id")
+        shortlist = scored.withColumn(
+            "crank",
+            F.row_number().over(
+                w.orderBy(F.col("approx_dist").asc(), "neighbor_id")
+            ),
+        ).filter(F.col("crank") <= _PQ_CAND)
+
+        nv = vectors.filter(F.col("cell").isin(probed_cells)).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+        )
+        exact = (
+            shortlist.join(F.broadcast(q), "query_id")
+            .join(nv, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                "approx_dist",
+                F.round(_sq_dist(F.col("qv"), F.col("nv")), 4).alias("dist"),
+            )
+        )
+        on_results(
+            exact.withColumn(
+                "rank",
+                F.row_number().over(
+                    w.orderBy(F.col("dist").asc(), "neighbor_id")
+                ),
+            )
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "neighbor_id", "approx_dist", "dist", "rank"),
+            batch_id,
+        )
+
+    return (
+        incoming.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

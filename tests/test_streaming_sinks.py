@@ -1044,3 +1044,74 @@ def test_cli_stream_with_pubsub(spark, tmp_path, capsys, monkeypatch):
     assert sorted(
         r.receipt_id for r in spark.read.parquet(lake).collect()
     ) == ["INV1", "INV2"]
+
+
+def test_streaming_ivf_pq_matches_batch(spark, tmp_path):
+    """IVF-PQ serving parity: the persisted index (train once) served
+    against the batch tier's probe set, split across two JSONL
+    micro-batches, must reproduce ann_ivf_pq's rows BIT-FOR-BIT —
+    same probes, same ADC sums, same refine, same ranks. Also pins the
+    layout contract: codes and vectors reads are partition-PRUNED to
+    the probed cells (asserted on the physical plan)."""
+    from fintech_etl_spark.operators.similarity import _N_QUERIES, ann_ivf_pq
+    from fintech_etl_spark.sources.tables import load_table
+    from fintech_etl_spark.streaming.ann import (
+        build_ivf_pq_index,
+        start_ivf_pq_queries,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    index = str(tmp_path / "index")
+    counts = build_ivf_pq_index(spark, sf, index)
+    n_corpus = load_table(spark, sf, "embeddings").count()
+    assert counts["vectors"] == n_corpus
+    assert counts["codes"] == n_corpus * 8  # one row per (vector, sub)
+    assert counts["codebook_rows"] == 8 * 16
+
+    # partition pruning: a probed-cells IN filter reads only those dirs
+    pruned = spark.read.parquet(index + "/codes").filter(
+        F.col("cell").isin([1, 2])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in line
+
+    qrows = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .collect()
+    )
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    for fno, chunk in enumerate((qrows[:5], qrows[5:])):
+        with open(qdir / f"batch{fno}.jsonl", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {"query_id": r.query_id, "embedding": list(r.embedding)}
+                    )
+                    + "\n"
+                )
+
+    got = {}
+
+    def collect_results(df, batch_id):
+        for r in df.collect():
+            got[(r.query_id, r.rank)] = (r.neighbor_id, r.approx_dist, r.dist)
+
+    q = start_ivf_pq_queries(
+        spark,
+        str(qdir / "*.jsonl"),
+        str(tmp_path / "ckpt"),
+        index,
+        collect_results,
+    )
+    _wait(q)
+
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.approx_dist, r.dist)
+        for r in ann_ivf_pq(spark, sf).collect()
+    }
+    assert got == want
