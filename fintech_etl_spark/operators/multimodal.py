@@ -192,9 +192,14 @@ def decode_image(content: bytes, fmt: str) -> tuple[int, int, str]:
 
         w, h, ncomp, _px = decode_baseline_jpeg(content)
         return w, h, "L" if ncomp == 1 else "RGB"
+    if fmt.lower() == "png" or content[:8] == b"\x89PNG\r\n\x1a\n":
+        from fintech_etl_spark.functions.png import decode_png
+
+        w, h, ch, _px = decode_png(content)
+        return w, h, {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[ch]
     raise NotImplementedError(
-        f"decoding {fmt!r} requires PIL; only JPEG has a vendored "
-        "fallback (functions/jpeg.py)"
+        f"decoding {fmt!r} requires PIL; JPEG and PNG have vendored "
+        "fallbacks (functions/jpeg.py, functions/png.py)"
     )
 
 
