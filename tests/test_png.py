@@ -232,3 +232,24 @@ def test_adam7_grid_is_exact_partition():
         for xo, yo, xs, ys in _ADAM7:
             seen[yo::ys, xo::xs] += 1
         assert (seen == 1).all(), (w, h)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ctype=st.sampled_from([0, 2, 4, 6]),
+    ft=st.integers(0, 4),
+    seed=st.integers(0, 2**16),
+)
+def test_png_roundtrip_property(w, h, ctype, ft, seed):
+    """Any dims × any non-palette color type × any single filter:
+    forward-filter + deflate + decode must reproduce the pixels."""
+    c = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, c), np.uint8)
+    got_w, got_h, got_c, px = decode_png(make_png(img, ctype, ftypes=(ft,)))
+    assert (got_w, got_h, got_c) == (w, h, c)
+    assert np.array_equal(px, img)
