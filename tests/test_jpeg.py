@@ -402,8 +402,14 @@ def test_decode_image_falls_back_to_vendored_jpeg():
         + b"\xff\xd9"
     )
     assert decode_image(jpg, "jpeg") == (8, 8, "L")
-    with pytest.raises(NotImplementedError, match="PIL"):
+    # PNG now has its own vendored fallback (functions/png.py): a
+    # PNG-signed but garbage body is a framing error from that
+    # decoder, not a missing-PIL error
+    with pytest.raises(ValueError, match="chunk"):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "png")
+    # formats with no vendored path stay loud about PIL
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"GIF89a" + b"\x00" * 16, "gif")
 
 
 def ecs(bitstring: str) -> bytes:
