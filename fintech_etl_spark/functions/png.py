@@ -197,3 +197,76 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             return w, h, 4, np.dstack([rgb, alpha[idx]])
         return w, h, 3, rgb
     return w, h, bpp, img
+
+
+# ---------------------------------------------------------------------------
+# Encoder (synthesis side)
+# ---------------------------------------------------------------------------
+
+
+def _filter_scanlines(img: np.ndarray, start: int) -> bytes:
+    """Forward-apply the spec filters, scanline y using filter
+    ``(start + y) % 5`` — every payload exercises all five types."""
+    h, w, c = img.shape
+    flat = img.reshape(h, w * c).astype(np.int32)
+    out = bytearray()
+    for y in range(h):
+        ft = (start + y) % 5
+        out.append(ft)
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * c, np.int32)
+        for x in range(w * c):
+            left = int(cur[x - c]) if x >= c else 0
+            upleft = int(prev[x - c]) if x >= c else 0
+            if ft == 0:
+                v = cur[x]
+            elif ft == 1:
+                v = cur[x] - left
+            elif ft == 2:
+                v = cur[x] - prev[x]
+            elif ft == 3:
+                v = cur[x] - ((left + int(prev[x])) >> 1)
+            else:
+                v = cur[x] - _paeth(left, int(prev[x]), upleft)
+            out.append(v & 0xFF)
+    return bytes(out)
+
+
+def encode_png(
+    img: np.ndarray, *, filter_start: int = 0, interlace: int = 0
+) -> bytes:
+    """Encode an (h, w, c) uint8 array as a valid PNG (c ∈ {1, 2, 3, 4}
+    → color types 0/4/2/6), cycling through all five scanline filters,
+    optionally Adam7-interlaced. Synthesis side of the media fixtures;
+    spec compliance of the filter/interlace math is pinned by the
+    DECODER's independent goldens in tests/test_png.py (the tests
+    implement their own forward pass), so encode→decode drift cannot
+    hide a shared convention bug from the gate alone."""
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if interlace == 0:
+        raw = _filter_scanlines(img, filter_start)
+    else:
+        parts = bytearray()
+        for xo, yo, xs, ys in _ADAM7:
+            sub = img[yo::ys, xo::xs]
+            if sub.size == 0:
+                continue
+            parts.extend(_filter_scanlines(np.ascontiguousarray(sub), filter_start))
+        raw = bytes(parts)
+
+    def _chunk(ct: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ct
+            + body
+            + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )

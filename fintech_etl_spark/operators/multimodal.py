@@ -308,6 +308,101 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def synth_png_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL PNG per document, pixels a closed form of doc_id only:
+    dims (4 + id%5) × (3 + id%4), channels cycling 1/3/4 (gray, RGB,
+    RGBA), pixel[i] = (id·7 + i) % 256 in row-major (y, x, c) order,
+    scanline filters cycling through all five types from id%5, and
+    every id%3==0 payload Adam7-INTERLACED — so the corpus exercises
+    the decoder's whole matrix. Encoded with functions/png.encode_png;
+    spec compliance of the shared filter math is pinned by the
+    decoder-independent goldens in tests/test_png.py (the gate alone
+    could not catch an encode/decode convention bug that cancels)."""
+    import numpy as np
+
+    from fintech_etl_spark.functions.png import encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                c = (1, 3, 4)[d % 3]
+                img = (
+                    ((d * 7 + np.arange(w * h * c)) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w, c)
+                )
+                payloads.append(
+                    encode_png(
+                        img,
+                        filter_start=d % 5,
+                        interlace=1 if d % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return docs.mapInPandas(kernel, "asset_id long, content binary")
+
+
+@register(
+    "media_png_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS INTEGER) AS width,
+               CAST(3 + doc_id % 4 AS INTEGER) AS height,
+               CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INTEGER)
+                   AS channels
+        FROM documents),
+    s AS (SELECT unnest(generate_series(0, 191)) AS i)
+    SELECT d.doc_id AS asset_id, d.width, d.height, d.channels,
+           CAST(sum((d.doc_id * 7 + s.i) % 256) AS BIGINT) AS px_sum
+    FROM dims d JOIN s ON s.i < d.width * d.height * d.channels
+    GROUP BY d.doc_id, d.width, d.height, d.channels
+    """,
+    doc=(
+        "REAL PNG decode in the driver gate: per-document payloads "
+        "(synth_png_images — gray/RGB/RGBA, all five scanline filters, "
+        "a third Adam7-interlaced) go through the vendored zlib+"
+        "unfilter decoder (functions/png.py) in one Arrow-batched "
+        "mapInPandas pass, emitting dims/channels/pixel-sum. The "
+        "DuckDB oracle never touches bytes: pixels are a closed form "
+        "of doc_id, so width/height/channels/px_sum replay as pure "
+        "arithmetic — any drift in chunk framing, inflate, "
+        "un-filtering, or Adam7 merge breaks the value hash. The "
+        "companion PPM path (media_image_decode) pins the same "
+        "contract for the uncompressed format."
+    ),
+    tags=("multimodal", "pandas_udf"),
+)
+def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fintech_etl_spark.functions.png import decode_png
+
+    assets = synth_png_images(spark, sf_dir)
+
+    def dec(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                w, h, c, px = decode_png(bytes(content))
+                rows.append((asset_id, w, h, c, int(px.sum(dtype="int64"))))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "channels", "px_sum"],
+            )
+
+    return assets.mapInPandas(
+        dec, "asset_id long, width int, height int, channels int, px_sum bigint"
+    )
+
+
 # The synthesized payload is a pure function of the document text, so
 # the decode's output is closed-form SQL: pixel plane = first 144 chars
 # of the repeated text, mean = avg ascii. (Driver text is ASCII, so
