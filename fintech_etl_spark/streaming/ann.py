@@ -34,6 +34,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from fintech_etl_spark.operators.similarity import (
     _DIM,
+    _KM_K,
     _N_BANDS,
     _N_PLANES,
     _TOP_K,
@@ -158,7 +159,12 @@ def start_ann_queries(
 # ---------------------------------------------------------------------------
 
 
-def build_ivf_pq_index(spark: SparkSession, sf_dir: str, index_path: str) -> dict:
+def build_ivf_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    k: int | None = _KM_K,
+) -> dict:
     """Materialize the IVF-PQ index the batch ``ann_ivf_pq`` trains per
     invocation, as a SERVABLE on-disk layout (train once, probe many —
     the deployment shape the per-query training cost amortizes into):
@@ -179,7 +185,9 @@ def build_ivf_pq_index(spark: SparkSession, sf_dir: str, index_path: str) -> dic
     from fintech_etl_spark.operators.similarity import kmeans_fit, pq_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    coarse_cent, coarse_assign = kmeans_fit(emb)
+    if k is None:  # the auto-k lake contract, as in ivf_pq_search
+        k = max(1, -(-emb.count() // 512))
+    coarse_cent, coarse_assign = kmeans_fit(emb, k=k)
     pq_cent, codes = pq_fit(emb)
 
     ivf = coarse_assign.select("vec_id", F.col("cell").alias("ivf_cell"))
