@@ -80,15 +80,20 @@ def _bucketed_units(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def build_lsh_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
     """Materialize the corpus LSH index: (band, bucket, neighbor_id, u)
-    parquet partitioned by band. Returns the number of index rows
-    (= corpus size × bands). Linear single pass; idempotent overwrite."""
+    parquet partitioned by (band, bucket) — with 4 sign bits per band
+    the bucket space is 12 × 16 = 192 directories, so a probe of a
+    query batch's (band, bucket) pairs is a DIRECTORY-level prune
+    (the serving path pushes the collected pairs as literal filters;
+    at a wider bucket space the second key becomes a bucket PREFIX,
+    same mechanics). Returns the number of index rows (= corpus size ×
+    bands). Linear single pass; idempotent overwrite."""
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _bucketed_units(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         "u",
         F.posexplode("bks").alias("band", "bucket"),
     )
-    idx.write.mode("overwrite").partitionBy("band").parquet(index_path)
+    idx.write.mode("overwrite").partitionBy("band", "bucket").parquet(index_path)
     return spark.read.parquet(index_path).count()
 
 
@@ -125,8 +130,31 @@ def start_ann_queries(
             F.col("u").alias("q_u"),
             F.posexplode("bks").alias("band", "bucket"),
         )
+        # collect the batch's probed (band, bucket) pairs (≤ 12 per
+        # query — tiny) so they become LITERAL filters on the index's
+        # partition columns: the probe is a directory prune, reading
+        # only the probed buckets' files instead of every band. The
+        # join below would drop the other rows anyway; the filter
+        # moves that drop from post-scan to the directory listing.
+        pairs = {
+            (int(r.band), int(r.bucket))
+            for r in qx.select("band", "bucket").distinct().collect()
+        }
+        if not pairs:
+            on_results(
+                spark.createDataFrame(
+                    [], "query_id long, neighbor_id long, cos double, rank int"
+                ),
+                batch_id,
+            )
+            return
+        bands = sorted({b for b, _ in pairs})
+        buckets = sorted({k for _, k in pairs})
+        pruned = index.filter(
+            F.col("band").isin(bands) & F.col("bucket").isin(buckets)
+        )
         scored = (
-            index.join(F.broadcast(qx), ["band", "bucket"])
+            pruned.join(F.broadcast(qx), ["band", "bucket"])
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select(
                 "query_id",

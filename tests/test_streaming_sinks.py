@@ -1115,3 +1115,21 @@ def test_streaming_ivf_pq_matches_batch(spark, tmp_path):
         for r in ann_ivf_pq(spark, sf).collect()
     }
     assert got == want
+
+
+def test_lsh_index_probe_is_partition_pruned(spark, tmp_path):
+    """The (band, bucket)-partitioned LSH index turns a probe's
+    literal filters into a directory-level prune — PartitionFilters on
+    both columns in the physical plan."""
+    from fintech_etl_spark.streaming.ann import build_lsh_index
+
+    index = str(tmp_path / "index")
+    build_lsh_index(spark, "/root/testdata/sf0.001", index)
+    pruned = spark.read.parquet(index).filter(
+        F.col("band").isin([0, 3]) & F.col("bucket").isin([1, 7])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "band" in line and "bucket" in line
+    got = pruned.select("band", "bucket").distinct().collect()
+    assert {(r.band, r.bucket) for r in got} <= {(b, k) for b in (0, 3) for k in (1, 7)}
