@@ -115,6 +115,12 @@ HEADLINE = (
     "ann_ivf_pq_auto",
 )
 
+# headline entries whose warm cost is dominated by per-invocation index
+# TRAINING (k-means + PQ codebooks) rather than query execution — summed
+# separately as headline_index_build_sec so the core suite stays
+# round-over-round comparable
+_INDEX_BUILD = frozenset({"ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_auto"})
+
 
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -170,22 +176,47 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     total_median = round(sum(medians.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_warm_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "value_median": total_median,
-                "sf": sf,
-                "load_per_cpu_at_start": load_per_cpu,
-                "load_per_cpu_per_query": query_load,
-                "load_per_cpu_at_end": _load(),
-            }
-        )
+    # r8 split (round-7 verdict #8): the ANN index-build entries train
+    # both quantizers per invocation BY DESIGN (that is the production
+    # build shape) — ~10 s of the suite that is training tax, not query
+    # regression. Separate sums let round-over-round comparison track
+    # the query core without eating the training cost.
+    build_sum = round(
+        sum(timings[n] for n in _INDEX_BUILD if n in timings), 3
     )
+    core_sum = round(total - build_sum, 3)
+    detail = {
+        "metric": "headline_suite_detail",
+        "queries_median": medians,
+        "load_per_cpu_per_query": query_load,
+    }
+    summary = {
+        "metric": "headline_suite_warm_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_median": total_median,
+        "headline_core_sec": core_sum,
+        "headline_index_build_sec": build_sum,
+        "n_queries": len(names),
+        "sf": sf,
+        "load_per_cpu_at_start": load_per_cpu,
+        "load_per_cpu_at_end": _load(),
+    }
+    # Medians + per-query load go to a sidecar AND an early stdout line:
+    # round 7's driver bench came back parsed:null because everything
+    # shared ONE final JSON line that outgrew the driver's tail buffer.
+    # The driver parses the LAST JSON line — keep it compact.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump({**detail, **summary}, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    print(json.dumps(summary))
     return 0
 
 

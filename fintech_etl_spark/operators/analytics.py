@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from fintech_etl_spark.operators.ranking import global_ntile, global_row_number
 from fintech_etl_spark.registry import register
 from fintech_etl_spark.sources.tables import load_table
 
@@ -993,21 +994,20 @@ def agg_linreg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "window", "audit"),
 )
 def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("rev")
     )
-    r = c.select(
-        "o_custkey",
-        "rev",
-        F.row_number()
-        .over(Window.orderBy(F.col("rev").asc(), "o_custkey"))
-        .alias("rk"),
-        F.row_number()
-        .over(Window.orderBy(F.col("rev").desc(), "o_custkey"))
-        .alias("drk"),
+    # both exact global ranks via distributed ranking (range exchange +
+    # per-partition offsets, operators/ranking.py) — no single-task
+    # WindowExec over the customer dimension. drk is NOT n+1−rk: both
+    # ranks tie-break custkey ASCENDING, so tied revenues need their
+    # own range sort (two slim (key, rev, rank) exchanges total).
+    r = global_row_number(
+        c, [F.col("rev").asc(), F.col("o_custkey").asc()], out="rk"
+    )
+    r = global_row_number(
+        r, [F.col("rev").desc(), F.col("o_custkey").asc()], out="drk"
     ).localCheckpoint(eager=False)
     # wsum = Σ rank·rev grows as n²·avg_rev: as BIGINT it would wrap
     # silently in Spark but raise in DuckDB once n reaches tens of
@@ -1609,19 +1609,18 @@ def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "window", "stats"),
 )
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     cust = load_table(spark, sf_dir, "customer")
     c = cust.select(
         "c_custkey",
         F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_e2"),
     )
-    r = c.select(
-        "bal_e2",
-        F.ntile(10)
-        .over(Window.orderBy("bal_e2", "c_custkey"))
-        .alias("decile"),
-    )
+    # exact global decile via distributed ranking (operators/
+    # ranking.py) — value-identical to ntile(10) OVER (ORDER BY …) but
+    # parallel: the only full-data movement is one range exchange of
+    # the slim (balance, key) frame
+    r = global_ntile(
+        c, [F.col("bal_e2").asc(), F.col("c_custkey").asc()], 10, "decile"
+    ).select("bal_e2", "decile")
     return r.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.min("bal_e2") / 100.0, 2).alias("min_balance"),

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fintech_etl_spark.operators.ranking import global_ntile
 from fintech_etl_spark.registry import register
 from fintech_etl_spark.sources.tables import load_table
 
@@ -275,10 +276,21 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = c.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
     )
-    r = c.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "user_id")),
-    ).filter(F.col("rk") <= _SKEW_TOP)
+    # top-N via orderBy().limit() — compiles to TakeOrderedAndProject
+    # (per-partition heaps + driver merge of N rows), NOT a global
+    # row_number through one task; the rank window then runs over the
+    # already-bounded ≤N-row frame (GlobalLimit below it), which is
+    # the allowed shape in the plan tripwire
+    r = (
+        c.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(_SKEW_TOP)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), "user_id")
+            ),
+        )
+    )
     avg = F.col("total") * 1.0 / F.col("n_keys")
     return r.crossJoin(F.broadcast(t)).select(
         "user_id",
@@ -550,8 +562,6 @@ def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window", "agg"),
 )
 def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events")
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -573,13 +583,23 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), "user_id")
-    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
-    m_w = Window.orderBy(F.col("monetary").desc(), "user_id")
+    # three exact global quartiles via distributed ranking (range
+    # exchange + per-partition offsets — fintech_etl_spark/operators/
+    # ranking.py) instead of three single-partition ntile windows;
+    # values are bit-identical, the plan stays parallel at 10⁸ users
+    sc = global_ntile(
+        b, [F.col("recency_days").asc(), "user_id"], 4, "_r_t"
+    )
+    sc = global_ntile(
+        sc, [F.col("frequency").desc(), "user_id"], 4, "_f_t"
+    )
+    sc = global_ntile(
+        sc, [F.col("monetary").desc(), "user_id"], 4, "_m_t"
+    )
     sc = (
-        b.withColumn("r_score", (5 - F.ntile(4).over(r_w)).cast("int"))
-        .withColumn("f_score", (5 - F.ntile(4).over(f_w)).cast("int"))
-        .withColumn("m_score", (5 - F.ntile(4).over(m_w)).cast("int"))
+        sc.withColumn("r_score", (5 - F.col("_r_t")).cast("int"))
+        .withColumn("f_score", (5 - F.col("_f_t")).cast("int"))
+        .withColumn("m_score", (5 - F.col("_m_t")).cast("int"))
     )
     return sc.select(
         "user_id",

@@ -273,8 +273,34 @@ class PubSubSink:
         ev = events.withColumn(
             "_msg_id", F.col("attributes").getItem(id_attr)
         )
+        # The ledger contract hangs entirely off _msg_id: a NULL id
+        # never matches the left_anti join (SQL null semantics) and
+        # would republish forever, and a duplicated id would make one
+        # pre-failure publish anti-join BOTH copies away on retry —
+        # silent message loss. Fail loudly before any publish instead.
+        chk = ev.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_msg_id").alias("n_nonnull"),
+            F.countDistinct("_msg_id").alias("n_distinct"),
+        ).first()
+        n_total = chk["n"]
+        if chk["n_nonnull"] != n_total:
+            raise ValueError(
+                f"publish_with_ledger: {n_total - chk['n_nonnull']} row(s) "
+                f"have a NULL attributes['{id_attr}'] — the idempotency "
+                "ledger cannot dedup them (NULL never equi-joins); fix the "
+                "id derivation or use publish() for ledgerless delivery"
+            )
+        if chk["n_distinct"] != n_total:
+            raise ValueError(
+                f"publish_with_ledger: attributes['{id_attr}'] is not "
+                f"unique within batch {batch_id} "
+                f"({n_total - chk['n_distinct']} duplicate(s)) — a retry "
+                "after partial publish would skip every copy of a "
+                "duplicated id (silent loss); make the id unique per "
+                "message"
+            )
         already = self._read_ledger(spark, batch_id, ledger_path)
-        n_total = ev.count()
         to_send = ev
         if already is not None:
             # per-batch ledgered set is bounded by the batch size →
@@ -382,12 +408,23 @@ class PubSubSink:
         """Distinct ledgered message ids for ``batch_id``; None when the
         ledger doesn't exist yet. batch_id partitioning makes the
         filter a directory prune, not a full-ledger scan."""
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
         try:
             ledger = spark.read.parquet(ledger_path)
-        except Exception:  # noqa: BLE001 — path not created yet
-            return None
+        except AnalysisException as exc:
+            # ONLY "ledger not created yet" means no dedup set. Any
+            # other read failure (permissions, corrupt footer, transient
+            # FS error) must propagate — swallowing it would silently
+            # disable dedup and republish the whole batch.
+            cond = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", None
+            )
+            cls = cond() if cond is not None else None
+            if cls == "PATH_NOT_FOUND" or "Path does not exist" in str(exc):
+                return None
+            raise
         return (
             ledger.filter(F.col("batch_id") == batch_id)
             .select(F.col("message_id").alias("_msg_id"))

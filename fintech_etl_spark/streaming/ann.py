@@ -148,10 +148,17 @@ def start_ann_queries(
                 batch_id,
             )
             return
-        bands = sorted({b for b, _ in pairs})
-        buckets = sorted({k for _, k in pairs})
+        # EXACT pair-set prune on an encoded band·NBUCKETS+bucket key
+        # (both operands are partition columns, so the expression still
+        # folds to a partition filter). The earlier band.isin × bucket.
+        # isin Cartesian relaxation saturated once a modest batch
+        # touched most buckets — 12 bands × 16 buckets meant "prune"
+        # read nearly all 192 directories; the exact set reads only
+        # the probed ones.
+        n_buckets = 1 << _N_PLANES
+        pair_keys = sorted(b * n_buckets + k for b, k in pairs)
         pruned = index.filter(
-            F.col("band").isin(bands) & F.col("bucket").isin(buckets)
+            (F.col("band") * n_buckets + F.col("bucket")).isin(pair_keys)
         )
         scored = (
             pruned.join(F.broadcast(qx), ["band", "bucket"])

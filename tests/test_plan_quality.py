@@ -264,7 +264,15 @@ _SHUFFLE_BUDGET = {
     "corpus_build_manifest": 4,  # md5-dedup agg+join, eval-gram agg, dirty-doc agg, budget window
     "corpus_temperature_weights": 3,  # per-source agg + broadcast normalizer agg (+its exchange)
     "corpus_epoch_plan": 3,  # same shape: per-source agg + broadcast normalizer agg
-    "events_key_skew_report": 3,  # per-key agg + totals agg + tiny global rank
+    # per-key agg + totals agg + TakeOrdered feeding the bounded rank
+    # window (r8: global row_number → orderBy().limit(), so the only
+    # unpartitioned Window runs over a GlobalLimit-bounded ≤N frame)
+    "events_key_skew_report": 3,
+    # r8 distributed decile (operators/ranking.py): visible exchanges
+    # are the side-table agg, the offset agg, and the decile rollup —
+    # the one full-data range exchange sits behind the helper's
+    # lineage-cutting localCheckpoint
+    "customer_balance_deciles": 3,
     "corpus_dedup_survivors": 3,  # md5 agg + survivor join + component join
     "events_weekly_retention": 3,  # cohort + activity + join
     "events_ltv_cohort_triangle": 3,  # cohort agg + purchase join + triangle rollup
@@ -278,7 +286,10 @@ _SHUFFLE_BUDGET = {
     # carries (id, id)-sized rows — count is high, bytes are tiny
     "graph_triangle_clustering": 8,
     "corpus_dsir_select": 3,  # bucket count agg + per-doc weight agg + source rank window
-    "events_rfm_scores": 3,  # purchase agg + three one-row-per-user ntile windows
+    # purchase agg + ref-ts agg; the three exact quartiles are r8
+    # distributed global_ntile calls whose range exchanges sit behind
+    # the ranking helper's localCheckpoint barriers
+    "events_rfm_scores": 3,
     "events_linear_attribution": 4,  # segment window + touch agg + credit join + channel rollup
     "entity_canonicalize_catalog": 3,  # vocab agg + canonical rank window + rewrite-map join
     "audit_benford_screen": 3,  # digit count agg + broadcast total agg (+its exchange)
@@ -459,3 +470,69 @@ def test_aqe_skew_join_splits_hot_key(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r8: registry-wide single-partition-window tripwire (round-7 verdict #4).
+# An unpartitioned WindowExec funnels its whole input through ONE task —
+# the four entity-grain offenders were rewritten onto the distributed
+# ranking recipe (operators/ranking.py); this walks EVERY registry query's
+# physical plan so the shape can never silently come back.
+
+# Unpartitioned windows whose input is provably bounded are fine: a
+# GlobalLimit / TakeOrderedAndProject below the window caps the rows
+# entering the single task (skew-report top-N rank, k-means seed pick).
+_BOUNDED_NODES = ("GlobalLimit", "TakeOrderedAndProject", "CollectLimit")
+
+# Queries allowed an unpartitioned window over an input that is bounded
+# by DATA GRAIN rather than by a limit operator — each entry must say why.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    # running sum over one row per DAY (interval boundaries): bounded by
+    # the calendar, ~36.5k rows per century
+    "concurrent_open_orders",
+    # month-grain backtest spine: 12 rows per year of history
+    "orders_seasonal_backtest",
+    # share-of-total over one row per order SIZE (≤ a few hundred
+    # distinct line counts)
+    "order_size_distribution",
+}
+
+
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
+def _subtree_has_bound(node) -> bool:
+    return any(n.nodeName() in _BOUNDED_NODES for n in _walk(node))
+
+
+def test_no_unbounded_single_partition_window_anywhere(spark, specs):
+    """Every WindowExec in every registry query either partitions, sits
+    above a limit-bounded subtree, or is on the justified data-grain
+    allowlist (which must stay the complete inventory)."""
+    offenders = {}
+    used_allowlist = set()
+    for name, spec in sorted(specs.items()):
+        plan = spec.fn(spark, SF_SMOKE)._jdf.queryExecution().sparkPlan()
+        for node in _walk(plan):
+            if node.nodeName() != "Window":
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            if _subtree_has_bound(node):
+                continue
+            if name in _GLOBAL_WINDOW_ALLOWLIST:
+                used_allowlist.add(name)
+                continue
+            offenders.setdefault(name, 0)
+            offenders[name] += 1
+    assert not offenders, (
+        f"unbounded single-partition WindowExec in: {offenders} — "
+        "use operators/ranking.py (global_row_number / global_ntile) "
+        "or orderBy().limit() instead"
+    )
+    stale = _GLOBAL_WINDOW_ALLOWLIST - used_allowlist
+    assert not stale, f"allowlist entries no longer needed: {stale}"

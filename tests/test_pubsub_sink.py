@@ -274,3 +274,63 @@ def test_publish_with_ledger_requires_attributes(spark, tmp_path):
         PubSubSink("t", transport=lambda t, m: []).publish_with_ledger(
             df, batch_id=1, ledger_path=str(tmp_path / "led")
         )
+
+
+def test_publish_with_ledger_rejects_null_msg_id(spark, tmp_path):
+    """A NULL idempotency id never equi-joins against the ledger (SQL
+    null semantics) → would republish forever. Fail loudly BEFORE any
+    publish (r8 advice fix)."""
+    broker = FilePubSubEmulator(str(tmp_path / "spool"))
+    sink = PubSubSink("t", transport=broker)
+    df = _events(
+        spark,
+        [
+            ("k", "r1", "{}", {"document_id": "d1"}),
+            ("k", "r2", "{}", {"other": "x"}),  # no document_id → NULL
+        ],
+    )
+    with pytest.raises(ValueError, match="NULL attributes"):
+        sink.publish_with_ledger(
+            df, batch_id=1, ledger_path=str(tmp_path / "ledger")
+        )
+    assert broker.read_requests("t") == []  # nothing went out
+
+
+def test_publish_with_ledger_rejects_duplicate_msg_id(spark, tmp_path):
+    """Two messages sharing a document_id: after a partial publish the
+    retry's anti-join would skip BOTH copies — silent loss. Reject the
+    batch up front (r8 advice fix)."""
+    broker = FilePubSubEmulator(str(tmp_path / "spool"))
+    sink = PubSubSink("t", transport=broker)
+    df = _events(
+        spark,
+        [
+            ("k", "r1", "{}", {"document_id": "dup"}),
+            ("k", "r2", "{}", {"document_id": "dup"}),
+        ],
+    )
+    with pytest.raises(ValueError, match="not\\s+unique"):
+        sink.publish_with_ledger(
+            df, batch_id=1, ledger_path=str(tmp_path / "ledger")
+        )
+    assert broker.read_requests("t") == []
+
+
+def test_read_ledger_propagates_non_missing_errors(spark, tmp_path):
+    """Only path-not-found means 'no ledger yet'. A corrupt parquet on
+    an EXISTING ledger path must raise, not silently disable dedup and
+    republish the whole batch (r8 advice fix)."""
+    ledger = tmp_path / "ledger"
+    ledger.mkdir()
+    (ledger / "part-0.parquet").write_bytes(b"this is not parquet")
+    broker = FilePubSubEmulator(str(tmp_path / "spool"))
+    sink = PubSubSink("t", transport=broker)
+    df = _events(spark, [("k", "r1", "{}", {"document_id": "d1"})])
+    with pytest.raises(Exception) as err:
+        sink.publish_with_ledger(df, batch_id=1, ledger_path=str(ledger))
+    assert "Path does not exist" not in str(err.value)
+    # missing path still means "fresh ledger", not an error
+    out = sink.publish_with_ledger(
+        df, batch_id=1, ledger_path=str(tmp_path / "fresh")
+    )
+    assert out == {"published": 1, "failed": 0, "skipped": 0}

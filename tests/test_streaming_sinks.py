@@ -1119,17 +1119,28 @@ def test_streaming_ivf_pq_matches_batch(spark, tmp_path):
 
 def test_lsh_index_probe_is_partition_pruned(spark, tmp_path):
     """The (band, bucket)-partitioned LSH index turns a probe's
-    literal filters into a directory-level prune — PartitionFilters on
-    both columns in the physical plan."""
-    from fintech_etl_spark.streaming.ann import build_lsh_index
+    literal filters into a directory-level prune — and the serving
+    path's EXACT encoded pair-set filter (band·NBUCKETS + bucket,
+    r8 advice fix: the earlier band.isin × bucket.isin Cartesian
+    relaxation read nearly every directory once a batch touched most
+    buckets) still lands in PartitionFilters, reading ONLY the probed
+    pairs."""
+    from fintech_etl_spark.streaming.ann import build_lsh_index, _N_PLANES
 
     index = str(tmp_path / "index")
     build_lsh_index(spark, "/root/testdata/sf0.001", index)
+    n_buckets = 1 << _N_PLANES
+    pairs = [(0, 1), (3, 7)]
+    keys = sorted(b * n_buckets + k for b, k in pairs)
     pruned = spark.read.parquet(index).filter(
-        F.col("band").isin([0, 3]) & F.col("bucket").isin([1, 7])
+        (F.col("band") * n_buckets + F.col("bucket")).isin(keys)
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "band" in line and "bucket" in line
-    got = pruned.select("band", "bucket").distinct().collect()
-    assert {(r.band, r.bucket) for r in got} <= {(b, k) for b in (0, 3) for k in (1, 7)}
+    got = {
+        (r.band, r.bucket)
+        for r in pruned.select("band", "bucket").distinct().collect()
+    }
+    # exact: the Cartesian relaxation would also admit (0,7) and (3,1)
+    assert got == set(pairs)

@@ -31,8 +31,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LO = sys.argv[1] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
-HI = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf10"
+# exactly 0 or 2 positional args — a lone directory used to be
+# silently ignored (defaults ran instead), which is worse than an error
+if len(sys.argv) not in (1, 3):
+    sys.exit(f"usage: {sys.argv[0]} [lo_dir hi_dir]")
+LO = sys.argv[1] if len(sys.argv) == 3 else "/root/repo/.scale/sf1"
+HI = sys.argv[2] if len(sys.argv) == 3 else "/root/repo/.scale/sf10"
 DATA_RATIO = 10.0
 SLACK = 2.0
 
