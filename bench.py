@@ -113,6 +113,10 @@ HEADLINE = (
     # grows (the pinned k=8 tier's cells grow with N); bit-equal to
     # ann_pq_adc at smoke scale, recall-floored at sweep scale
     "ann_ivf_pq_auto",
+    # appended r8: the vendored-GIF driver gate — LZW + palette +
+    # 4-pass de-interlace through the same Arrow mapInPandas byte path
+    # as the PNG/JPEG gates, closed-form oracle
+    "media_gif_decode",
 )
 
 # headline entries whose warm cost is dominated by per-invocation index

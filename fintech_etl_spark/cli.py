@@ -107,6 +107,40 @@ def main(argv: list[str] | None = None) -> int:
         help="publish-ledger parquet path (default: <checkpoint>_pubsub_ledger)",
     )
 
+    ib = sub.add_parser(
+        "index-build",
+        help="train + materialize a servable ANN index (train once, "
+        "probe many — the amortized production shape)",
+    )
+    ib.add_argument("kind", choices=("ivf-pq", "lsh"))
+    ib.add_argument("--sf-dir", required=True, help="corpus tables dir")
+    ib.add_argument("--index", required=True, help="output index path")
+    ib.add_argument(
+        "--k-cells",
+        type=int,
+        help="IVF coarse cells (default: auto ⌈N/512⌉ so probe cost "
+        "stays flat as the corpus grows)",
+    )
+
+    sa = sub.add_parser(
+        "serve-ann",
+        help="drain JSONL query files ({query_id, embedding}) against a "
+        "prebuilt index; availableNow trigger (cron-style serving)",
+    )
+    sa.add_argument("kind", choices=("ivf-pq", "lsh"))
+    sa.add_argument("--queries", required=True, help="query-file glob")
+    sa.add_argument("--index", required=True)
+    sa.add_argument("--checkpoint", required=True)
+    sa.add_argument(
+        "--top-k",
+        type=int,
+        help="results per query (default: the library serving default, "
+        "which matches the batch ANN tiers)",
+    )
+    sa.add_argument(
+        "--out", help="append results as parquet here instead of JSONL stdout"
+    )
+
     q = sub.add_parser("query", help="run a registered analytics query")
     q.add_argument("name", nargs="?", help="query name (omit to list all)")
     q.add_argument(
@@ -189,6 +223,51 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         print("stream drained")
+    elif args.cmd == "index-build":
+        if args.kind == "ivf-pq":
+            from fintech_etl_spark.streaming.ann import build_ivf_pq_index
+
+            counts = build_ivf_pq_index(
+                spark, args.sf_dir, args.index, k=args.k_cells
+            )
+            print(json.dumps({"index": args.index, **counts}))
+        else:
+            from fintech_etl_spark.streaming.ann import build_lsh_index
+
+            n = build_lsh_index(spark, args.sf_dir, args.index)
+            print(json.dumps({"index": args.index, "index_rows": n}))
+    elif args.cmd == "serve-ann":
+        from fintech_etl_spark.streaming.ann import (
+            start_ann_queries,
+            start_ivf_pq_queries,
+        )
+
+        def on_ann_results(df, batch_id):
+            if args.out:
+                df.write.mode("append").parquet(args.out)
+                print(
+                    json.dumps(
+                        {"batch_id": batch_id, "rows": df.count(), "out": args.out}
+                    )
+                )
+            else:
+                for line in df.toJSON().collect():
+                    print(line)
+
+        starter = (
+            start_ivf_pq_queries if args.kind == "ivf-pq" else start_ann_queries
+        )
+        kw = {} if args.top_k is None else {"top_k": args.top_k}
+        stream = starter(
+            spark,
+            args.queries,
+            args.checkpoint,
+            args.index,
+            on_ann_results,
+            **kw,
+        )
+        stream.awaitTermination()
+        print("queries drained")
     elif args.cmd == "query":
         from fintech_etl_spark.registry import all_specs
 

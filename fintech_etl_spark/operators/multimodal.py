@@ -197,9 +197,14 @@ def decode_image(content: bytes, fmt: str) -> tuple[int, int, str]:
 
         w, h, ch, _px = decode_png(content)
         return w, h, {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[ch]
+    if fmt.lower() == "gif" or content[:6] in (b"GIF87a", b"GIF89a"):
+        from fintech_etl_spark.functions.gif import decode_gif
+
+        w, h, ch, _px = decode_gif(content)
+        return w, h, {3: "RGB", 4: "RGBA"}[ch]
     raise NotImplementedError(
-        f"decoding {fmt!r} requires PIL; JPEG and PNG have vendored "
-        "fallbacks (functions/jpeg.py, functions/png.py)"
+        f"decoding {fmt!r} requires PIL; JPEG, PNG, and GIF have "
+        "vendored fallbacks (functions/jpeg.py, png.py, gif.py)"
     )
 
 
@@ -392,6 +397,93 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 w, h, c, px = decode_png(bytes(content))
+                rows.append((asset_id, w, h, c, int(px.sum(dtype="int64"))))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "channels", "px_sum"],
+            )
+
+    return assets.mapInPandas(
+        dec, "asset_id long, width int, height int, channels int, px_sum bigint"
+    )
+
+
+def synth_gif_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL GIF per document, pixels a closed form of doc_id only:
+    dims (3 + id%6) × (2 + id%5), a 256-entry identity-grayscale
+    palette (palette[i] = (i,i,i)), index[i] = (id·11 + i) % 256 in
+    row-major order, and every id%4==0 payload row-INTERLACED — so the
+    corpus exercises the LZW decoder, palette mapping, and the 4-pass
+    de-interlace. Encoded with functions/gif.encode_gif; spec
+    compliance of the shared LZW/framing math is pinned by the
+    decoder-independent goldens in tests/test_gif.py."""
+    import numpy as np
+
+    from fintech_etl_spark.functions.gif import encode_gif
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    palette = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+
+    def kernel(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 3 + d % 6, 2 + d % 5
+                idx = (
+                    ((d * 11 + np.arange(w * h)) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w)
+                )
+                payloads.append(
+                    encode_gif(idx, palette, interlace=(d % 4 == 0))
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return docs.mapInPandas(kernel, "asset_id long, content binary")
+
+
+@register(
+    "media_gif_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(3 + doc_id % 6 AS INTEGER) AS width,
+               CAST(2 + doc_id % 5 AS INTEGER) AS height
+        FROM documents),
+    s AS (SELECT unnest(generate_series(0, 47)) AS i)
+    SELECT d.doc_id AS asset_id, d.width, d.height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(3 * sum((d.doc_id * 11 + s.i) % 256) AS BIGINT) AS px_sum
+    FROM dims d JOIN s ON s.i < d.width * d.height
+    GROUP BY d.doc_id, d.width, d.height
+    """,
+    doc=(
+        "REAL GIF decode in the driver gate: per-document payloads "
+        "(synth_gif_images — identity-grayscale palette, a quarter "
+        "row-interlaced) go through the vendored LZW decoder "
+        "(functions/gif.py) in one Arrow-batched mapInPandas pass, "
+        "emitting dims/channels/pixel-sum. The DuckDB oracle never "
+        "touches bytes: pixels are a closed form of doc_id (identity "
+        "palette ⇒ px_sum = 3·Σ index), so any drift in sub-block "
+        "framing, LZW code widths, palette mapping, or the 4-pass "
+        "de-interlace breaks the value hash. Companion to "
+        "media_png_decode / media_image_decode."
+    ),
+    tags=("multimodal", "pandas_udf"),
+)
+def media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fintech_etl_spark.functions.gif import decode_gif
+
+    assets = synth_gif_images(spark, sf_dir)
+
+    def dec(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                w, h, c, px = decode_gif(bytes(content))
                 rows.append((asset_id, w, h, c, int(px.sum(dtype="int64"))))
             yield pd.DataFrame(
                 rows,

@@ -45,6 +45,14 @@ class WebhookSink:
     #: batch_id anti-join them away — so a retry after a driver restart
     #: (new sink instance, same ledger) re-posts only the failures.
     ledger_path: str | None = None
+    #: r8: in-stream ledger retention. When set, every
+    #: ``maintenance_every``-th batch drops all but the most recent
+    #: ``ledger_keep_batches`` ``batch_id=`` partitions after its own
+    #: append — foreachBatch can only retry the CURRENT batch, so older
+    #: partitions are pure listing weight. ``None`` keeps retention a
+    #: manual ``sinks.maintenance.expire_ledger_batches`` schedule.
+    ledger_keep_batches: int | None = None
+    maintenance_every: int = 8
 
     def send_batch(
         self, payloads: DataFrame, batch_id: int | None = None
@@ -171,6 +179,15 @@ class WebhookSink:
         done = self._read_ledger(spark, batch_id)
         n_done = done.count() if done is not None else 0
         sent = n_done - n_skipped
+        if (
+            self.ledger_keep_batches is not None
+            and batch_id % self.maintenance_every == 0
+        ):
+            from fintech_etl_spark.sinks.maintenance import expire_ledger_batches
+
+            expire_ledger_batches(
+                self.ledger_path, keep_last=self.ledger_keep_batches
+            )
         return {
             "sent": sent,
             "failed": n_to_send - sent,

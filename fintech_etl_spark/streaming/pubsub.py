@@ -49,6 +49,8 @@ def start_receipt_event_stream(
     run_ts: int = 0,
     gcs_bucket: str = "",
     max_files_per_trigger: int = 32,
+    ledger_keep_batches: int | None = 64,
+    maintenance_every: int = 8,
 ) -> StreamingQuery:
     """Watch ``landing_dir`` for invoice CSVs; publish each micro-batch's
     receipt events to ``sink`` with cross-restart idempotency recorded
@@ -56,10 +58,21 @@ def start_receipt_event_stream(
 
     Events keep per-source-file ordering (``ordering_key =
     source_file``, receipts sorted by ``receipt_id`` within the key —
-    the projection ``to_pubsub_events`` defines). Ledger retention is
-    the caller's schedule: ``sinks.maintenance.expire_ledger_batches``
-    on the same path once the checkpoint can no longer retry a batch.
+    the projection ``to_pubsub_events`` defines).
+
+    Ledger retention runs INSIDE the stream (r8: it used to be an
+    operator's manual step): every ``maintenance_every`` batches the
+    ledger keeps only its most recent ``ledger_keep_batches``
+    partitions. Safe by construction — foreachBatch can only ever
+    retry the CURRENT batch; once later batches committed, an old
+    partition exists purely as listing weight. ``ledger_keep_batches=
+    None`` disables the hook (back to a manual
+    ``sinks.maintenance.expire_ledger_batches`` schedule).
     """
+    if ledger_keep_batches is not None and ledger_keep_batches < 1:
+        raise ValueError("ledger_keep_batches must be >= 1 (or None)")
+    if maintenance_every < 1:
+        raise ValueError("maintenance_every must be >= 1")
 
     def on_receipts(receipts, batch_id: int) -> None:
         events = to_pubsub_events(receipts)
@@ -71,6 +84,23 @@ def start_receipt_event_stream(
             order_by=["receipt_id"],
         )
         print(json.dumps({"pubsub_stream": {"batch_id": batch_id, **stats}}))
+        if ledger_keep_batches is not None and batch_id % maintenance_every == 0:
+            from fintech_etl_spark.sinks.maintenance import expire_ledger_batches
+
+            removed = expire_ledger_batches(
+                ledger_path, keep_last=ledger_keep_batches
+            )
+            if removed:
+                print(
+                    json.dumps(
+                        {
+                            "ledger_vacuum": {
+                                "batch_id": batch_id,
+                                "removed_batches": removed,
+                            }
+                        }
+                    )
+                )
 
     return start_invoice_stream(
         spark,

@@ -407,9 +407,21 @@ def test_decode_image_falls_back_to_vendored_jpeg():
     # decoder, not a missing-PIL error
     with pytest.raises(ValueError, match="chunk"):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "png")
+    # GIF now has its own vendored fallback (functions/gif.py): a
+    # GIF-signed but garbage body is a framing error from that
+    # decoder, not a missing-PIL error; a real payload decodes
+    with pytest.raises(ValueError, match="GIF"):
+        decode_image(b"GIF89a" + b"\x00" * 16, "gif")
+    import numpy as np
+
+    from fintech_etl_spark.functions.gif import encode_gif
+
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    gif = encode_gif(np.zeros((3, 2), dtype=np.uint8), pal)
+    assert decode_image(gif, "gif") == (2, 3, "RGB")
     # formats with no vendored path stay loud about PIL
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"GIF89a" + b"\x00" * 16, "gif")
+        decode_image(b"RIFF....WEBP" + b"\x00" * 16, "webp")
 
 
 def ecs(bitstring: str) -> bytes:

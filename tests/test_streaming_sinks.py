@@ -1144,3 +1144,181 @@ def test_lsh_index_probe_is_partition_pruned(spark, tmp_path):
     }
     # exact: the Cartesian relaxation would also admit (0,7) and (3,1)
     assert got == set(pairs)
+
+
+def test_cli_index_build_and_serve_ann(spark, tmp_path, capsys, monkeypatch):
+    """CLI `index-build ivf-pq` + `serve-ann ivf-pq`: the train-once /
+    probe-many serving shape is drivable end-to-end without Python —
+    results written as parquet match the batch ann_ivf_pq tier
+    bit-for-bit (r8 verdict #5)."""
+    from fintech_etl_spark import cli
+    from fintech_etl_spark.operators.similarity import (
+        _KM_K,
+        _N_QUERIES,
+        ann_ivf_pq,
+    )
+    from fintech_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    index = str(tmp_path / "index")
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+
+    # pin k to the batch tier's (the CLI default is auto ⌈N/512⌉)
+    rc = cli.main([
+        "index-build", "ivf-pq", "--sf-dir", sf, "--index", index,
+        "--k-cells", str(_KM_K),
+    ])
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["vectors"] > 0 and built["index"] == index
+
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    qrows = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .collect()
+    )
+    with open(qdir / "q.jsonl", "w") as f:
+        for r in qrows:
+            f.write(
+                json.dumps({"query_id": r.query_id, "embedding": list(r.embedding)})
+                + "\n"
+            )
+
+    out = str(tmp_path / "results")
+    rc = cli.main([
+        "serve-ann", "ivf-pq", "--queries", str(qdir / "*.jsonl"),
+        "--index", index, "--checkpoint", str(tmp_path / "ckpt"),
+        "--out", out,
+    ])
+    assert rc == 0
+    assert "queries drained" in capsys.readouterr().out
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.approx_dist, r.dist)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.approx_dist, r.dist)
+        for r in ann_ivf_pq(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_cli_index_build_and_serve_lsh(spark, tmp_path, capsys, monkeypatch):
+    """CLI `index-build lsh` + `serve-ann lsh` smoke: builds the
+    (band,bucket)-partitioned index and drains a query file to JSONL
+    stdout with ranked rows."""
+    from fintech_etl_spark import cli
+    from fintech_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    index = str(tmp_path / "index")
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+
+    rc = cli.main(["index-build", "lsh", "--sf-dir", sf, "--index", index])
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["index_rows"] > 0
+
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    r = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    with open(qdir / "q.jsonl", "w") as f:
+        f.write(json.dumps({"query_id": 0, "embedding": list(r.embedding)}) + "\n")
+
+    rc = cli.main([
+        "serve-ann", "lsh", "--queries", str(qdir / "*.jsonl"),
+        "--index", index, "--checkpoint", str(tmp_path / "ckpt"),
+        "--top-k", "5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rows = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert rows and all(r2["query_id"] == 0 for r2 in rows)
+    assert [r2["rank"] for r2 in rows] == list(range(1, len(rows) + 1))
+
+
+def test_streaming_ledger_vacuum_expires_old_batches(spark, tmp_path):
+    """r8 verdict #7: ledger retention runs INSIDE the long-lived
+    stream. Five single-file micro-batches with keep_last=2 and
+    maintenance after every batch → only the two newest batch_id=
+    partitions survive the drain, while every batch's events still
+    published (vacuum never touches the current batch's dedup set)."""
+    import os
+    import re
+
+    from fintech_etl_spark.sinks.pubsub import FilePubSubEmulator, PubSubSink
+    from fintech_etl_spark.streaming import start_receipt_event_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(5):
+        (landing / f"f{i}.csv").write_text(
+            HEADER + "\n" + "\n".join(ROWS) + "\n"
+        )
+    spool = str(tmp_path / "spool")
+    ledger = str(tmp_path / "ledger")
+
+    q = start_receipt_event_stream(
+        spark,
+        str(landing),
+        str(tmp_path / "ckpt"),
+        PubSubSink("receipt-processing", transport=FilePubSubEmulator(spool)),
+        ledger,
+        run_date=RUN_DATE,
+        run_ts=1,
+        max_files_per_trigger=1,  # one file per micro-batch → 5 batches
+        ledger_keep_batches=2,
+        maintenance_every=1,
+    )
+    _wait(q)
+    reqs = FilePubSubEmulator(spool).read_requests("receipt-processing")
+    msgs = [json.loads(m["data"])["receiptId"] for r in reqs for m in r]
+    assert sorted(msgs) == sorted(["INV1", "INV2"] * 5)  # nothing lost
+    parts = sorted(
+        int(m.group(1))
+        for m in (
+            re.fullmatch(r"batch_id=(\d+)", d) for d in os.listdir(ledger)
+        )
+        if m
+    )
+    assert parts == [3, 4]  # batches 0-2 vacuumed in-stream
+
+
+def test_webhook_sink_self_vacuums_ledger(spark, tmp_path):
+    """The webhook sink's opt-in in-stream retention: with
+    ledger_keep_batches set, old batch partitions disappear as later
+    batches deliver."""
+    import os
+
+    from fintech_etl_spark.operators.receipts import (
+        build_receipts,
+        to_webhook_payloads,
+    )
+    from fintech_etl_spark.sinks import WebhookSink
+    from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
+
+    fixture = tmp_path / "f.csv"
+    fixture.write_text(HEADER + "\n" + "\n".join(ROWS) + "\n")
+    payloads = to_webhook_payloads(
+        build_receipts(read_invoice_csv(spark, str(fixture)), run_date=RUN_DATE)
+    )
+    ledger = str(tmp_path / "ledger")
+    sink = WebhookSink(
+        url="http://example.invalid/hook",
+        poster=lambda u, b, h: 200,
+        ledger_path=ledger,
+        ledger_keep_batches=1,
+        maintenance_every=1,
+    )
+    for b in range(3):
+        assert sink.send_batch(payloads, batch_id=b)["sent"] == 2
+    parts = [d for d in os.listdir(ledger) if d.startswith("batch_id=")]
+    assert parts == ["batch_id=2"]
