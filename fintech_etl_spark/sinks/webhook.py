@@ -199,12 +199,23 @@ class WebhookSink:
         the ledger doesn't exist yet (first ever batch). The ledger is
         hive-partitioned on batch_id, so this filter is a directory
         prune (one partition read), not a full-ledger scan."""
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
         try:
             ledger = spark.read.parquet(self.ledger_path)
-        except Exception:  # noqa: BLE001 — path not created yet
-            return None
+        except AnalysisException as exc:
+            # same contract as the Pub/Sub ledger (r8 advice fix there):
+            # only path-not-found means "fresh ledger"; a transient FS
+            # error or corrupt footer must propagate, not silently
+            # disable dedup and re-post the whole batch
+            cond = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", None
+            )
+            cls = cond() if cond is not None else None
+            if cls == "PATH_NOT_FOUND" or "Path does not exist" in str(exc):
+                return None
+            raise
         return (
             ledger.filter(F.col("batch_id") == batch_id)
             .select("document_id")
