@@ -8,14 +8,16 @@ of stubbing. Implements the PNG specification (RFC 2083 / ISO 15948):
 - chunk framing with CRC-32 verification (corrupt streams fail loudly,
   never decode garbage);
 - IHDR color types 0 (grayscale), 2 (RGB), 3 (palette + optional tRNS
-  alpha), 4 (gray+alpha), 6 (RGBA) at bit depth 8;
+  alpha), 4 (gray+alpha), 6 (RGBA) at bit depth 8, plus bit depth 16
+  for the non-palette types (r8 — big-endian samples; filters run on
+  the byte plane with bpp = channels × 2 per spec 9.2);
 - all five scanline filters (None/Sub/Up/Average/Paeth) with the
   spec's exact unsigned-byte arithmetic;
 - Adam7 interlacing (7 sub-image passes, each filtered independently,
   merged on the spec's offset/stride grid);
-- loud ``UnsupportedPngError`` for bit depths other than 8 and unknown
-  filter/interlace/color values; ``ValueError`` for framing damage
-  (bad signature, CRC mismatch, truncated or oversized IDAT).
+- loud ``UnsupportedPngError`` for sub-byte bit depths (1/2/4) and
+  unknown filter/interlace/color values; ``ValueError`` for framing
+  damage (bad signature, CRC mismatch, truncated or oversized IDAT).
 
 The reference has no image path at all (its pipeline is CSV-only), so
 this is north-star surface for the multimodal corpus operators, not
@@ -33,7 +35,7 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-#: channels per color type (bit depth 8 only)
+#: channels per color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 #: Adam7 pass grid: (x offset, y offset, x stride, y stride)
@@ -49,9 +51,9 @@ _ADAM7 = (
 
 
 class UnsupportedPngError(ValueError):
-    """Valid PNG, but outside the vendored subset (16-bit, sub-byte
-    depths, private interlace methods). Distinct from ValueError so
-    callers can separate 'extend the decoder' from 'corrupt file'."""
+    """Valid PNG, but outside the vendored subset (sub-byte depths,
+    private interlace methods). Distinct from ValueError so callers
+    can separate 'extend the decoder' from 'corrupt file'."""
 
 
 def _chunks(data: bytes):
@@ -128,8 +130,9 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
 
 def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a PNG → ``(width, height, channels, pixels)`` with
-    ``pixels`` an (h, w, channels) uint8 array. Palette images expand
-    to RGB (RGBA when a tRNS chunk supplies alpha)."""
+    ``pixels`` an (h, w, channels) uint8 array — uint16 for 16-bit
+    images. Palette images expand to RGB (RGBA when a tRNS chunk
+    supplies alpha)."""
     ihdr = None
     plte = None
     trns = None
@@ -150,17 +153,24 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     )
     if w == 0 or h == 0:
         raise ValueError("zero-dimension image")
-    if depth != 8:
-        raise UnsupportedPngError(f"bit depth {depth} (only 8 vendored)")
+    if depth not in (8, 16):
+        raise UnsupportedPngError(
+            f"bit depth {depth} (8 and 16 vendored; sub-byte depths not)"
+        )
     if ctype_v not in _CHANNELS:
         raise UnsupportedPngError(f"color type {ctype_v}")
+    if depth == 16 and ctype_v == 3:
+        raise ValueError("palette images cannot be 16-bit (spec 11.2.2)")
     if comp != 0 or filt != 0:
         raise UnsupportedPngError(
             f"compression/filter method {comp}/{filt}"
         )
     if interlace not in (0, 1):
         raise UnsupportedPngError(f"interlace method {interlace}")
-    bpp = _CHANNELS[ctype_v]
+    # filters operate on BYTES: bpp is channels × bytes-per-sample
+    # (spec 9.2 — for 16-bit, `left` is the byte two samples back)
+    nch = _CHANNELS[ctype_v]
+    bpp = nch * (depth // 8)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as ex:
@@ -182,6 +192,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             img[yo::ys, xo::xs] = sub.reshape(ph, pw, bpp)
         if pos != len(raw):
             raise ValueError("trailing bytes after final Adam7 pass")
+    if depth == 16:
+        # network byte order per spec: the unfiltered byte plane views
+        # directly as big-endian uint16 samples
+        img = (
+            np.ascontiguousarray(img)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(h, w, nch)
+        )
+        return w, h, nch, img
 
     if ctype_v == 3:  # palette → RGB(A)
         if plte is None or len(plte) % 3:
@@ -235,15 +255,26 @@ def _filter_scanlines(img: np.ndarray, start: int) -> bytes:
 def encode_png(
     img: np.ndarray, *, filter_start: int = 0, interlace: int = 0
 ) -> bytes:
-    """Encode an (h, w, c) uint8 array as a valid PNG (c ∈ {1, 2, 3, 4}
-    → color types 0/4/2/6), cycling through all five scanline filters,
-    optionally Adam7-interlaced. Synthesis side of the media fixtures;
-    spec compliance of the filter/interlace math is pinned by the
-    DECODER's independent goldens in tests/test_png.py (the tests
-    implement their own forward pass), so encode→decode drift cannot
-    hide a shared convention bug from the gate alone."""
+    """Encode an (h, w, c) uint8 — or uint16 for a 16-bit PNG — array
+    as a valid PNG (c ∈ {1, 2, 3, 4} → color types 0/4/2/6), cycling
+    through all five scanline filters, optionally Adam7-interlaced.
+    Synthesis side of the media fixtures; spec compliance of the
+    filter/interlace math is pinned by the DECODER's independent
+    goldens in tests/test_png.py (the tests implement their own
+    forward pass), so encode→decode drift cannot hide a shared
+    convention bug from the gate alone."""
     h, w, c = img.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    depth = 16 if img.dtype == np.uint16 else 8
+    if depth == 16:
+        # filters run on the byte plane: expand each big-endian sample
+        # to two "channels" so the left-neighbor offset is bpp = 2c
+        img = (
+            np.ascontiguousarray(img)
+            .astype(">u2")
+            .view(np.uint8)
+            .reshape(h, w, 2 * c)
+        )
     if interlace == 0:
         raw = _filter_scanlines(img, filter_start)
     else:
@@ -263,7 +294,7 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)

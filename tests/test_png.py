@@ -186,12 +186,21 @@ def test_loud_rejections():
     corrupt[idat_at + 6] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(corrupt))
-    # 16-bit depth: valid PNG, outside the vendored subset
-    png16 = SIG + ihdr(3, 3, depth=16, ctype=2) + chunk(
-        b"IDAT", zlib.compress(b"\x00" * (3 * (3 * 6 + 1)))
+    # sub-byte depth: valid PNG, outside the vendored subset (16-bit
+    # joined the supported set in r8 — tested below)
+    png1 = SIG + ihdr(3, 3, depth=1, ctype=0) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x00" * 3)
     ) + chunk(b"IEND", b"")
-    with pytest.raises(UnsupportedPngError, match="bit depth 16"):
-        decode_png(png16)
+    with pytest.raises(UnsupportedPngError, match="bit depth 1"):
+        decode_png(png1)
+    # 16-bit PALETTE is spec-invalid, not merely unsupported
+    png16p = SIG + ihdr(3, 3, depth=16, ctype=3) + chunk(
+        b"PLTE", b"\x00" * 6
+    ) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * (3 * (3 * 2 + 1)))
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_png(png16p)
     # unknown filter type inside the stream
     bad = SIG + ihdr(3, 3, ctype=2) + chunk(
         b"IDAT", zlib.compress(b"\x07" + b"\x00" * 9 + b"\x00" * 20)
@@ -253,3 +262,38 @@ def test_png_roundtrip_property(w, h, ctype, ft, seed):
     got_w, got_h, got_c, px = decode_png(make_png(img, ctype, ftypes=(ft,)))
     assert (got_w, got_h, got_c) == (w, h, c)
     assert np.array_equal(px, img)
+
+
+def test_16bit_grayscale_hand_golden():
+    """Decoder-independent 16-bit golden: a 2×2 gray-16 image with
+    known big-endian sample bytes, filter None on row 0 and Up on
+    row 1 (byte-wise per spec 9.2). Values >255 prove byte order."""
+    # pixels: [[256, 1], [511, 258]]
+    row0 = b"\x00" + bytes([0x01, 0x00, 0x00, 0x01])  # 0x0100, 0x0001
+    # row1 raw bytes are 0x01FF, 0x0102; Up filter stores cur−prev
+    row1 = b"\x02" + bytes(
+        [(0x01 - 0x01) & 0xFF, (0xFF - 0x00) & 0xFF,
+         (0x01 - 0x00) & 0xFF, (0x02 - 0x01) & 0xFF]
+    )
+    png = SIG + ihdr(2, 2, depth=16, ctype=0) + chunk(
+        b"IDAT", zlib.compress(row0 + row1)
+    ) + chunk(b"IEND", b"")
+    w, h, c, px = decode_png(png)
+    assert (w, h, c) == (2, 2, 1)
+    assert px.dtype == np.uint16
+    assert px[:, :, 0].tolist() == [[256, 1], [511, 258]]
+
+
+def test_16bit_roundtrip_all_color_types_and_interlace():
+    from fintech_etl_spark.functions.png import encode_png
+
+    rng = np.random.RandomState(77)
+    for c in (1, 2, 3, 4):
+        for interlace in (0, 1):
+            img = rng.randint(0, 65536, (9, 5, c)).astype(np.uint16)
+            w, h, ch, px = decode_png(
+                encode_png(img, filter_start=3, interlace=interlace)
+            )
+            assert (w, h, ch) == (5, 9, c)
+            assert px.dtype == np.uint16
+            assert np.array_equal(px, img)
