@@ -117,6 +117,10 @@ HEADLINE = (
     # 4-pass de-interlace through the same Arrow mapInPandas byte path
     # as the PNG/JPEG gates, closed-form oracle
     "media_gif_decode",
+    # appended r8, second wave: exact ungrouped quantiles via the
+    # distributed-ranking recipe — the lake-scale exact path whose
+    # naive form (ungrouped percentile()) is a one-buffer aggregation
+    "agg_quantiles_distributed_exact",
 )
 
 # headline entries whose warm cost is dominated by per-invocation index

@@ -81,6 +81,67 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTS = (0.25, 0.5, 0.75, 0.95)
+
+
+@register(
+    "agg_quantiles_distributed_exact",
+    """
+    SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           CAST(count(*) AS BIGINT)                    AS n
+    FROM orders
+    """,
+    doc=(
+        "EXACT ungrouped quantile_cont over the whole order book via "
+        "distributed ranking (operators/ranking.py) — the lake-scale "
+        "exact path. Spark's percentile() on an ungrouped frame is a "
+        "single aggregation buffer holding EVERY value (the same "
+        "one-task failure mode as an unpartitioned window, just hidden "
+        "inside an agg); here the values are globally ranked by one "
+        "range exchange, only the ≤8 boundary ranks are kept, and the "
+        "interpolation lower + (upper−lower)·frac with h = (n−1)·q "
+        "replays the exact quantile_cont/percentile formula both "
+        "engines share. The approx_percentile sketch stays the "
+        "mergeable-state twin for when one pass must serve many "
+        "quantiles per group."
+    ),
+    tags=("agg", "stats", "window"),
+)
+def agg_quantiles_distributed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(F.col("o_totalprice").alias("v"), "o_orderkey")
+    ranked = global_row_number(
+        vals, [F.col("v").asc(), F.col("o_orderkey").asc()], out="rk", total="n"
+    )
+    # h = (n−1)·q; keep only rows whose 0-based rank is floor(h) or
+    # ceil(h) for SOME q — ≤ 2·|Q| rows survive into the final agg
+    idx = F.col("rk") - 1
+    n1 = (F.col("n") - 1).cast("double")
+    keep = None
+    for q in _QUANTS:
+        hit = (idx == F.floor(n1 * q)) | (idx == F.ceil(n1 * q))
+        keep = hit if keep is None else (keep | hit)
+    b = ranked.filter(keep)
+
+    def interp(q: float):
+        h = n1 * q
+        lo = F.max(F.when(idx == F.floor(h), F.col("v")))
+        hi = F.max(F.when(idx == F.ceil(h), F.col("v")))
+        frac = F.max(h - F.floor(h))
+        return F.round(lo + (hi - lo) * frac, 4)
+
+    return b.agg(
+        interp(0.25).alias("p25"),
+        interp(0.5).alias("p50"),
+        interp(0.75).alias("p75"),
+        interp(0.95).alias("p95"),
+        F.max("n").alias("n"),
+    )
+
+
 def approx_sketches_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates + exact ground truth + rank counts, per
     l_returnflag. HLL++ distinct counts and the KLL-style approximate

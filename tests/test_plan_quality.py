@@ -273,6 +273,9 @@ _SHUFFLE_BUDGET = {
     # the one full-data range exchange sits behind the helper's
     # lineage-cutting localCheckpoint
     "customer_balance_deciles": 3,
+    # same recipe, ungrouped exact quantiles: side-table agg + offset
+    # agg + the final ≤8-row scalar agg (range exchange checkpointed)
+    "agg_quantiles_distributed_exact": 3,
     "corpus_dedup_survivors": 3,  # md5 agg + survivor join + component join
     "events_weekly_retention": 3,  # cohort + activity + join
     "events_ltv_cohort_triangle": 3,  # cohort agg + purchase join + triangle rollup
