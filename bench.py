@@ -121,6 +121,9 @@ HEADLINE = (
     # distributed-ranking recipe — the lake-scale exact path whose
     # naive form (ungrouped percentile()) is a one-buffer aggregation
     "agg_quantiles_distributed_exact",
+    # appended r8, third wave: the animated-GIF gate — multi-image
+    # framing + compositing through the same byte path
+    "media_gif_frames",
 )
 
 # headline entries whose warm cost is dominated by per-invocation index

@@ -219,6 +219,98 @@ def decode_gif(data: bytes):
     raise ValueError("truncated GIF: no trailer, no image")
 
 
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """Decode EVERY frame, composited per the GIF89a animation model,
+    → list of (h, w, 3) uint8 RGB arrays on the logical screen.
+
+    Compositing: transparent pixels of a frame leave the underlying
+    content visible (they do NOT overwrite); after a frame renders,
+    disposal 0/1 leaves the canvas, disposal 2 restores its region to
+    the background color. Disposal 3 (restore-previous) is rare and
+    loudly unsupported rather than silently wrong."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    if len(data) < 13:
+        raise ValueError("truncated GIF: short logical screen descriptor")
+    sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct, pos = _color_table(data, pos, 2 << (packed & 0x07))
+
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg_rgb
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            if not frames:
+                raise ValueError("GIF contains no image data")
+            return frames
+        if block == 0x21:
+            if pos >= len(data):
+                raise ValueError("truncated GIF: bare extension introducer")
+            label = data[pos]
+            pos += 1
+            body, pos = _sub_blocks(data, pos)
+            if label == 0xF9 and len(body) >= 4:
+                flags, _delay, tidx = struct.unpack("<BHB", body[:4])
+                transparent = tidx if flags & 0x01 else None
+                disposal = (flags >> 2) & 0x07
+                if disposal == 3:
+                    raise ValueError(
+                        "GIF disposal method 3 (restore previous) not supported"
+                    )
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF: short image descriptor")
+        left, top, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            table, pos = _color_table(data, pos, 2 << (ipacked & 0x07))
+        if table is None:
+            raise ValueError("GIF image has neither local nor global color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF: missing LZW code size")
+        mcs = data[pos]
+        pos += 1
+        lzw, pos = _sub_blocks(data, pos)
+        idx = _lzw_decode(mcs, lzw, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError(
+                f"LZW stream ended early: {len(idx)} of {iw * ih} pixels"
+            )
+        frame = np.array(idx[: iw * ih], dtype=np.uint8).reshape(ih, iw)
+        if ipacked & 0x40:
+            frame = _deinterlace(frame)
+        if np.any(frame >= len(table)):
+            raise ValueError("pixel index outside the color table")
+        if left + iw > sw or top + ih > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
+        region = canvas[top : top + ih, left : left + iw]
+        rgb = table[frame]
+        if transparent is not None:
+            opaque = frame != transparent
+            region[opaque] = rgb[opaque]
+        else:
+            region[:, :] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + ih, left : left + iw] = bg_rgb
+        transparent = None
+        disposal = 0
+    raise ValueError("truncated GIF: missing trailer")
+
+
 def gif_frame_count(data: bytes) -> int:
     """Number of image blocks, by framing walk only (no LZW inflate)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -302,6 +394,42 @@ def _lzw_encode(min_code_size: int, indices) -> bytes:
     return bytes(out)
 
 
+def _image_block(
+    indices: np.ndarray,
+    n_colors: int,
+    *,
+    left: int = 0,
+    top: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    h, w = indices.shape
+    out = bytearray(
+        b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0x40 if interlace else 0)
+    )
+    rows = indices
+    if interlace:
+        order = [y for first, step in _INTERLACE for y in range(first, h, step)]
+        rows = indices[order]
+    mcs = max(2, n_colors.bit_length() - 1)
+    out.append(mcs)
+    lzw = _lzw_encode(mcs, rows.reshape(-1))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def _gce(transparent: int | None, disposal: int = 0) -> bytes:
+    flags = (disposal & 0x07) << 2 | (0x01 if transparent is not None else 0)
+    return (
+        b"\x21\xf9\x04"
+        + struct.pack("<BHB", flags, 0, transparent or 0)
+        + b"\x00"
+    )
+
+
 def encode_gif(
     indices: np.ndarray,
     palette: np.ndarray,
@@ -312,32 +440,54 @@ def encode_gif(
     """Encode one frame of palette indices (h, w) with an (n, 3) uint8
     palette → GIF89a bytes. n must be a power of two ≥ 2."""
     indices = np.asarray(indices, dtype=np.uint8)
-    palette = np.asarray(palette, dtype=np.uint8)
     h, w = indices.shape
+    return encode_gif_frames(
+        [indices],
+        palette,
+        screen=(w, h),
+        interlace=interlace,
+        transparents=[transparent],
+    )
+
+
+def encode_gif_frames(
+    frames,
+    palette: np.ndarray,
+    *,
+    screen: tuple[int, int] | None = None,
+    offsets=None,
+    disposals=None,
+    transparents=None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an animation: each frame is an (h, w) index array placed
+    at its (left, top) offset on the logical screen, with optional
+    per-frame disposal (0/1 leave, 2 restore-bg) and transparent
+    index. One shared global palette (power of two ≥ 2)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    palette = np.asarray(palette, dtype=np.uint8)
     n = len(palette)
     if n & (n - 1) or n < 2:
         raise ValueError("palette size must be a power of two ≥ 2")
+    offsets = offsets or [(0, 0)] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    transparents = transparents or [None] * len(frames)
+    if screen is None:
+        sw = max(o[0] + f.shape[1] for f, o in zip(frames, offsets))
+        sh = max(o[1] + f.shape[0] for f, o in zip(frames, offsets))
+    else:
+        sw, sh = screen
     size_field = n.bit_length() - 2  # 2 << size_field == n
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | size_field, 0, 0)
     out += palette.tobytes()
-    if transparent is not None:
-        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x01, 0, transparent) + b"\x00"
-    out += b"\x2c" + struct.pack(
-        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
-    )
-    rows = indices
-    if interlace:
-        order = [
-            y for first, step in _INTERLACE for y in range(first, h, step)
-        ]
-        rows = indices[order]
-    mcs = max(2, n.bit_length() - 1)
-    out.append(mcs)
-    lzw = _lzw_encode(mcs, rows.reshape(-1))
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"
+    for f, (left, top), disp, trans in zip(
+        frames, offsets, disposals, transparents
+    ):
+        if trans is not None or disp:
+            out += _gce(trans, disp)
+        out += _image_block(f, n, left=left, top=top, interlace=interlace)
+    out += b"\x3b"
     return bytes(out)

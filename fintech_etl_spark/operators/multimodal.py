@@ -495,6 +495,88 @@ def media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_gif_frames",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(3 + doc_id % 6 AS INTEGER) AS width,
+               CAST(2 + doc_id % 5 AS INTEGER) AS height,
+               CAST(1 + doc_id % 3 AS INTEGER) AS n_frames
+        FROM documents),
+    s AS (SELECT unnest(generate_series(0, 47)) AS i)
+    SELECT d.doc_id AS asset_id, d.n_frames, d.width, d.height,
+           CAST(3 * sum((d.doc_id * 11 + 7 * (d.n_frames - 1) + s.i) % 256)
+                AS BIGINT) AS last_frame_px_sum
+    FROM dims d JOIN s ON s.i < d.width * d.height
+    GROUP BY d.doc_id, d.n_frames, d.width, d.height
+    """,
+    doc=(
+        "ANIMATED GIF decode in the driver gate: per-document payloads "
+        "carry 1-3 full-frame images (frame f's indices are "
+        "(id·11 + 7f + i) % 256 on the identity-grayscale palette); "
+        "decode_gif_frames composites every frame per the GIF89a "
+        "animation model and the query emits the frame COUNT plus the "
+        "LAST composited frame's pixel sum — both closed forms of "
+        "doc_id the DuckDB oracle replays as arithmetic, so drift in "
+        "multi-image framing, per-frame LZW streams, or compositing "
+        "order breaks the value hash. Partial-frame offsets, "
+        "transparency holes, and disposal-2 restores are pinned by the "
+        "hand-built goldens in tests/test_gif.py (their px_sums have "
+        "no tidy closed form)."
+    ),
+    tags=("multimodal", "pandas_udf"),
+)
+def media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from fintech_etl_spark.functions.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    palette = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+
+    def kernel(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, nf = 3 + d % 6, 2 + d % 5, 1 + d % 3
+                frames = [
+                    ((d * 11 + 7 * f + np.arange(w * h)) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w)
+                    for f in range(nf)
+                ]
+                decoded = decode_gif_frames(
+                    encode_gif_frames(frames, palette)
+                )
+                rows.append(
+                    (
+                        d,
+                        len(decoded),
+                        w,
+                        h,
+                        int(decoded[-1].sum(dtype="int64")),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_frames", "width", "height",
+                    "last_frame_px_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "asset_id long, n_frames int, width int, height int, "
+        "last_frame_px_sum bigint",
+    )
+
+
 # The synthesized payload is a pure function of the document text, so
 # the decode's output is closed-form SQL: pixel plane = first 144 chars
 # of the repeated text, mean = avg ascii. (Driver text is ASCII, so

@@ -126,3 +126,83 @@ def test_roundtrip_property(h, w, nbits, interlace, seed):
     gw, gh, c, px = decode_gif(encode_gif(idx, pal, interlace=interlace))
     assert (gw, gh, c) == (w, h, 3)
     assert np.array_equal(px, pal[idx])
+
+
+def test_animation_composites_transparent_over_previous():
+    """Frame 2's transparent pixels must leave frame 1 visible (the
+    GIF89a animation model) — not paint the transparent index."""
+    from fintech_etl_spark.functions.gif import decode_gif_frames, encode_gif_frames
+
+    pal = np.array(
+        [[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], dtype=np.uint8
+    )
+    f1 = np.array([[1, 1], [1, 1]], dtype=np.uint8)
+    f2 = np.array([[0, 2], [2, 0]], dtype=np.uint8)  # 0 = transparent here
+    data = encode_gif_frames([f1, f2], pal, transparents=[None, 0])
+    frames = decode_gif_frames(data)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], pal[f1])
+    want2 = pal[np.array([[1, 2], [2, 1]])]  # red shows through holes
+    assert np.array_equal(frames[1], want2)
+
+
+def test_animation_offsets_and_disposal_restore_bg():
+    """A sub-rectangle frame renders at its offset; disposal 2 clears
+    ONLY that region back to the background color before frame 3."""
+    from fintech_etl_spark.functions.gif import decode_gif_frames, encode_gif_frames
+
+    pal = np.array(
+        [[9, 9, 9], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    base = np.full((3, 3), 1, dtype=np.uint8)
+    patch = np.full((1, 1), 2, dtype=np.uint8)
+    tail = np.full((1, 1), 3, dtype=np.uint8)
+    data = encode_gif_frames(
+        [base, patch, tail],
+        pal,
+        screen=(3, 3),
+        offsets=[(0, 0), (1, 1), (2, 2)],
+        disposals=[0, 2, 0],
+    )
+    f = decode_gif_frames(data)
+    assert len(f) == 3
+    assert np.array_equal(f[0], pal[base])
+    # frame 2: green patch at (1,1) over red base
+    want1 = pal[base].copy()
+    want1[1, 1] = pal[2]
+    assert np.array_equal(f[1], want1)
+    # frame 3: the patch region restored to BACKGROUND (index 0 color),
+    # not to the red underneath — that is what disposal 2 means
+    want2 = pal[base].copy()
+    want2[1, 1] = pal[0]
+    want2[2, 2] = pal[3]
+    assert np.array_equal(f[2], want2)
+
+
+def test_animation_frame_count_and_disposal3_loud():
+    from fintech_etl_spark.functions.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+        gif_frame_count,
+    )
+
+    pal = _BW
+    frames = [np.zeros((2, 2), np.uint8) for _ in range(4)]
+    data = encode_gif_frames(frames, pal)
+    assert gif_frame_count(data) == 4
+    assert len(decode_gif_frames(data)) == 4
+    # disposal 3 = restore-previous: loud, not silently wrong
+    d3 = encode_gif_frames(frames[:2], pal, disposals=[3, 0])
+    with pytest.raises(ValueError, match="disposal method 3"):
+        decode_gif_frames(d3)
+
+
+def test_first_frame_matches_single_frame_decoder():
+    from fintech_etl_spark.functions.gif import decode_gif_frames
+
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 256, (6, 4)).astype(np.uint8)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    data = encode_gif(idx, pal)
+    _, _, _, px = decode_gif(data)
+    assert np.array_equal(decode_gif_frames(data)[0], px)
