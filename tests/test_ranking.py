@@ -73,9 +73,18 @@ def test_global_row_number_empty_frame(spark):
     assert global_row_number(df, ["v", "k"]).count() == 0
 
 
-def test_global_rank_plan_has_no_window(spark):
+def test_global_rank_plan_has_no_window(spark, monkeypatch):
     """The whole point: the recipe's physical plan contains no
-    WindowExec at all (not merely a partitioned one)."""
+    WindowExec at all (not merely a partitioned one). The helper's
+    localCheckpoint would hide its upstream lineage from a plan walk,
+    so neutralize it here and walk the TRUE full plan."""
+    # patch the CONCRETE class — pyspark 4's classic DataFrame shadows
+    # the abstract pyspark.sql.DataFrame's methods
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
     df = _frame(spark, n=2000)
     ranked = global_ntile(df, ["v", "k"], 10, "t")
     plan = ranked._jdf.queryExecution().sparkPlan()
@@ -86,4 +95,7 @@ def test_global_rank_plan_has_no_window(spark):
         for i in range(ch.size()):
             yield from walk(ch.apply(i))
 
-    assert all(n.nodeName() != "Window" for n in walk(plan))
+    names = [n.nodeName() for n in walk(plan)]
+    assert all(n != "Window" for n in names)
+    # and the one full-data movement really is a RANGE exchange
+    assert any("Sort" in n or "Exchange" in n for n in names)
