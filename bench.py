@@ -124,6 +124,10 @@ HEADLINE = (
     # appended r8, third wave: the animated-GIF gate — multi-image
     # framing + compositing through the same byte path
     "media_gif_frames",
+    # appended r8, fourth wave: grouped exact percentiles via grouped
+    # distributed ranking (partition_by) — the skewed-few-groups case
+    # where both percentile() buffers and Window.partitionBy serialize
+    "agg_percentiles_distributed_exact",
 )
 
 # headline entries whose warm cost is dominated by per-invocation index

@@ -85,6 +85,72 @@ _QUANTS = (0.25, 0.5, 0.75, 0.95)
 
 
 @register(
+    "agg_percentiles_distributed_exact",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           CAST(count(*) AS BIGINT)                    AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Exact per-group quantile_cont for the SKEWED-FEW-GROUPS case "
+        "via grouped distributed ranking (operators/ranking.py "
+        "partition_by): orders has 5 priorities, so at 100 TB both the "
+        "built-in percentile() aggregate (one buffer holding a fifth "
+        "of the lake per group) and a Window.partitionBy (one TASK per "
+        "group) funnel ~10⁹ rows through five reducers. Here rows "
+        "range-partition on (priority, price) — every group spreads "
+        "over many partitions — per-(partition, group) offsets rebuild "
+        "exact in-group ranks, only the ≤8 boundary ranks per group "
+        "survive, and lower + (upper−lower)·frac replays "
+        "quantile_cont. agg_percentiles keeps the built-in-aggregate "
+        "form as the oracle-parity twin; approx_percentile remains the "
+        "many-groups sketch tier."
+    ),
+    tags=("agg", "stats", "window"),
+)
+def agg_percentiles_distributed_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        "o_orderpriority", F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    ranked = global_row_number(
+        vals,
+        [F.col("v").asc(), F.col("o_orderkey").asc()],
+        out="rk",
+        total="n",
+        partition_by=["o_orderpriority"],
+    )
+    idx = F.col("rk") - 1
+    n1 = (F.col("n") - 1).cast("double")
+    keep = None
+    for q in _QUANTS:
+        hit = (idx == F.floor(n1 * q)) | (idx == F.ceil(n1 * q))
+        keep = hit if keep is None else (keep | hit)
+    b = ranked.filter(keep)
+
+    def interp(q: float):
+        h = n1 * q
+        lo = F.max(F.when(idx == F.floor(h), F.col("v")))
+        hi = F.max(F.when(idx == F.ceil(h), F.col("v")))
+        frac = F.max(h - F.floor(h))
+        return F.round(lo + (hi - lo) * frac, 4)
+
+    return b.groupBy("o_orderpriority").agg(
+        interp(0.25).alias("p25"),
+        interp(0.5).alias("p50"),
+        interp(0.75).alias("p75"),
+        interp(0.95).alias("p95"),
+        F.max("n").alias("n"),
+    )
+
+
+@register(
     "agg_quantiles_distributed_exact",
     """
     SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

@@ -50,22 +50,35 @@ def global_row_number(
     out: str = "rk",
     total: str | None = None,
     num_parts: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
-    """Exact global ``row_number() OVER (ORDER BY order_by)`` as a
-    parallel plan (one range exchange; no unpartitioned WindowExec).
+    """Exact global ``row_number() OVER ([PARTITION BY partition_by]
+    ORDER BY order_by)`` as a parallel plan (one range exchange; no
+    WindowExec at all).
 
-    ``order_by`` must be a total order (include a unique tie-break
-    column) — otherwise range-partition boundaries could split a tie
-    group and the recomposed rank would disagree with a single-sort
-    rank. ``total`` optionally adds a column carrying COUNT(*) over
-    the whole frame (broadcast, no extra pass over the data).
+    ``order_by`` must be a total order within a partition group
+    (include a unique tie-break column) — otherwise range-partition
+    boundaries could split a tie group and the recomposed rank would
+    disagree with a single-sort rank. ``total`` optionally adds a
+    column carrying COUNT(*) over the frame (per group when
+    ``partition_by`` is set) — broadcast, no extra pass.
+
+    ``partition_by`` is for the SKEWED-FEW-GROUPS case (an ordinary
+    ``Window.partitionBy`` puts each group through one task — fine for
+    millions of small groups, fatal when one group is 10⁹ rows): rows
+    range-partition on (groups, order keys) so every group's rows
+    spread over many partitions, and the offset side table is
+    per-(partition, group) — bounded by partitions × |groups|, so keep
+    |groups| small enough to broadcast (≤ ~10⁵). For high-cardinality
+    grouping use a plain partitioned window instead.
     """
     spark = df.sparkSession
     n = int(
         num_parts
         or spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    cols = _order_cols(order_by)
+    groups = list(partition_by or [])
+    cols = _order_cols(list(groups) + list(order_by))
     # lazy localCheckpoint: the ranked frame is consumed THREE times
     # (main branch + both sides of the offset self-join) — without the
     # barrier each consumer duplicates the entire upstream lineage
@@ -80,17 +93,25 @@ def global_row_number(
         .withColumn("_mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=False)
     )
-    side = d.groupBy("_pid").agg(
+    side = d.groupBy("_pid", *groups).agg(
         F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_min")
     )
-    # Exclusive prefix sum over ≤ num_parts rows: a broadcast
-    # triangular self-join instead of an ORDER BY window, so the
-    # whole plan is WindowExec-free. The cross side is the same tiny
-    # frame, so this is O(P²) on P = shuffle partitions.
+    # Exclusive prefix sum over ≤ num_parts × |groups| rows: a
+    # broadcast triangular self-join (per group when partitioned)
+    # instead of an ORDER BY window, so the whole plan is
+    # WindowExec-free. The cross side is the same tiny frame.
     a, b = side.alias("a"), F.broadcast(side.alias("b"))
+    same_group = [F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}")) for g in groups]
+    cond = same_group[0] if same_group else F.lit(True)
+    for c in same_group[1:]:
+        cond = cond & c
     offs = (
-        a.join(b, how="cross")
-        .groupBy(F.col("a._pid").alias("_pid"), F.col("a._min").alias("_min"))
+        a.join(b, cond, how="inner")
+        .groupBy(
+            F.col("a._pid").alias("_pid"),
+            F.col("a._min").alias("_min"),
+            *[F.col(f"a.{g}").alias(g) for g in groups],
+        )
         .agg(
             F.sum(
                 F.when(F.col("b._pid") < F.col("a._pid"), F.col("b._cnt")).otherwise(
@@ -100,12 +121,21 @@ def global_row_number(
             F.sum("b._cnt").alias("_tot"),
         )
     )
-    ranked = d.join(F.broadcast(offs), "_pid").withColumn(
-        out, (F.col("_off") + (F.col("_mid") - F.col("_min")) + F.lit(1)).cast("long")
+    # null-safe on the group columns: groupBy kept NULL groups as real
+    # groups, and a plain equi-join here would silently drop their rows
+    left, right = d.alias("l"), F.broadcast(offs.alias("r"))
+    jc = F.col("l._pid") == F.col("r._pid")
+    for g in groups:
+        jc = jc & F.col(f"l.{g}").eqNullSafe(F.col(f"r.{g}"))
+    sel = [F.col(f"l.{c}") for c in df.columns]
+    sel.append(
+        (F.col("r._off") + (F.col("l._mid") - F.col("r._min")) + F.lit(1))
+        .cast("long")
+        .alias(out)
     )
     if total is not None:
-        ranked = ranked.withColumn(total, F.col("_tot"))
-    return ranked.drop("_pid", "_mid", "_min", "_off", "_tot")
+        sel.append(F.col("r._tot").alias(total))
+    return left.join(right, jc).select(*sel)
 
 
 def ntile_from_rank(rk: Column, n: Column, k: int) -> Column:
@@ -131,12 +161,18 @@ def global_ntile(
     k: int,
     out: str,
     num_parts: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
-    """Exact global ``ntile(k) OVER (ORDER BY order_by)`` via
-    :func:`global_row_number` — same values as the single-partition
+    """Exact global ``ntile(k) OVER ([PARTITION BY …] ORDER BY
+    order_by)`` via :func:`global_row_number` — same values as the
     window, fully parallel plan."""
     ranked = global_row_number(
-        df, order_by, out="_gnt_rk", total="_gnt_n", num_parts=num_parts
+        df,
+        order_by,
+        out="_gnt_rk",
+        total="_gnt_n",
+        num_parts=num_parts,
+        partition_by=partition_by,
     )
     return ranked.withColumn(
         out, ntile_from_rank(F.col("_gnt_rk"), F.col("_gnt_n"), k)

@@ -276,6 +276,9 @@ _SHUFFLE_BUDGET = {
     # same recipe, ungrouped exact quantiles: side-table agg + offset
     # agg + the final ≤8-row scalar agg (range exchange checkpointed)
     "agg_quantiles_distributed_exact": 3,
+    # grouped twin: per-(pid, group) side agg + offset agg + per-group
+    # final agg (range exchange checkpointed)
+    "agg_percentiles_distributed_exact": 3,
     "corpus_dedup_survivors": 3,  # md5 agg + survivor join + component join
     "events_weekly_retention": 3,  # cohort + activity + join
     "events_ltv_cohort_triangle": 3,  # cohort agg + purchase join + triangle rollup

@@ -99,3 +99,55 @@ def test_global_rank_plan_has_no_window(spark, monkeypatch):
     assert all(n != "Window" for n in names)
     # and the one full-data movement really is a RANGE exchange
     assert any("Sort" in n or "Exchange" in n for n in names)
+
+
+def test_grouped_row_number_matches_partitioned_window(spark):
+    """partition_by (the skewed-few-groups path): bit-parity with
+    Window.partitionBy(g).orderBy(...), including a NULL group."""
+    df = _frame(spark, n=4000).withColumn(
+        "g",
+        F.when(F.col("k") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("g"), (F.col("k") % 3).cast("string"))
+        ),
+    )
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = global_row_number(df, order, out="rk", partition_by=["g"])
+    want = df.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy(*order))
+        .cast("long"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_grouped_total_is_per_group(spark):
+    df = _frame(spark, n=1000).withColumn("g", (F.col("k") % 4).cast("int"))
+    got = global_row_number(
+        df, ["v", "k"], out="rk", total="n", partition_by=["g"]
+    )
+    per_group = {
+        r.g: (r.mx, r.n_distinct, r.tot)
+        for r in got.groupBy("g")
+        .agg(
+            F.max("rk").alias("mx"),
+            F.count_distinct("rk").alias("n_distinct"),
+            F.max("n").alias("tot"),
+        )
+        .collect()
+    }
+    want = {r.g: r.c for r in df.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    for g, (mx, nd, tot) in per_group.items():
+        assert mx == nd == tot == want[g]
+
+
+def test_grouped_ntile_matches_partitioned_window(spark):
+    df = _frame(spark, n=1003).withColumn("g", (F.col("k") % 5).cast("int"))
+    order = [F.col("v").desc(), F.col("k").asc()]
+    got = global_ntile(df, order, 4, "t", partition_by=["g"])
+    want = df.withColumn(
+        "t", F.ntile(4).over(Window.partitionBy("g").orderBy(*order))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
