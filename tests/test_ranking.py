@@ -151,3 +151,18 @@ def test_grouped_ntile_matches_partitioned_window(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("parts", [1, 7, 500])
+def test_degenerate_partition_counts(spark, parts):
+    """num_parts=1 (everything in one range partition), a prime count,
+    and far more partitions than rows (most empty) all recompose the
+    same exact ranks."""
+    df = _frame(spark, n=97)
+    got = global_row_number(df, ["v", "k"], out="rk", num_parts=parts)
+    want = df.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy("v", "k")).cast("long"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
