@@ -227,7 +227,15 @@ def main() -> int:
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
             "w",
         ) as fh:
-            json.dump({**detail, **summary}, fh, indent=1)
+            json.dump(
+                {
+                    "metric": "headline_suite_full",
+                    "detail": detail,
+                    "summary": summary,
+                },
+                fh,
+                indent=1,
+            )
     except OSError:
         pass
     print(json.dumps(detail))

@@ -25,7 +25,7 @@ decoder-independent goldens in tests/test_gif.py, not by round-trip
 alone.
 
 The reference has no image path at all (its pipeline is CSV-only —
-/root/reference/app/pipeline.py); this is north-star multimodal
+/root/reference/stream/processor.py); this is north-star multimodal
 surface, not reference parity.
 """
 
@@ -315,6 +315,8 @@ def gif_frame_count(data: bytes) -> int:
     """Number of image blocks, by framing walk only (no LZW inflate)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF: bad signature")
+    if len(data) < 13:
+        raise ValueError("truncated GIF: header shorter than 13 bytes")
     packed = data[10]
     pos = 13
     if packed & 0x80:
@@ -331,6 +333,8 @@ def gif_frame_count(data: bytes) -> int:
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF: short image descriptor")
         ipacked = data[pos + 8]
         pos += 9
         if ipacked & 0x80:

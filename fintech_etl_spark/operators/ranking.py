@@ -30,8 +30,8 @@ fill (first ``n mod k`` tiles get ``⌈n/k⌉`` rows) so Spark and DuckDB
 tile identically.
 
 Reference parity note: the reference engine has no analytics surface
-at all (it is a 1.4k-line pandas microservice — see
-/root/reference/app/pipeline.py); this module exists for the
+at all (it is a 1.1k-line pandas microservice — see
+/root/reference/stream/processor.py); this module exists for the
 lake-scale gap-fill registry, not for reference parity.
 """
 

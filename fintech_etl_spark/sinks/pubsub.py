@@ -270,9 +270,16 @@ class PubSubSink:
                 f"carrying the '{id_attr}' idempotency key (the ledger "
                 "records it); use publish() for ledgerless delivery"
             )
+        from pyspark import StorageLevel
+
         ev = events.withColumn(
             "_msg_id", F.col("attributes").getItem(id_attr)
         )
+        # The batch lineage is consumed by THREE actions (the id
+        # validation below, the ledger anti-join count, and delivery
+        # itself) — cache it so the upstream micro-batch plan runs
+        # once, not once per action, on the hot streaming path.
+        ev = ev.persist(StorageLevel.MEMORY_AND_DISK)
         # The ledger contract hangs entirely off _msg_id: a NULL id
         # never matches the left_anti join (SQL null semantics) and
         # would republish forever, and a duplicated id would make one
@@ -285,6 +292,7 @@ class PubSubSink:
         ).first()
         n_total = chk["n"]
         if chk["n_nonnull"] != n_total:
+            ev.unpersist()
             raise ValueError(
                 f"publish_with_ledger: {n_total - chk['n_nonnull']} row(s) "
                 f"have a NULL attributes['{id_attr}'] — the idempotency "
@@ -292,6 +300,7 @@ class PubSubSink:
                 "id derivation or use publish() for ledgerless delivery"
             )
         if chk["n_distinct"] != n_total:
+            ev.unpersist()
             raise ValueError(
                 f"publish_with_ledger: attributes['{id_attr}'] is not "
                 f"unique within batch {batch_id} "
@@ -394,6 +403,7 @@ class PubSubSink:
             .partitionBy("batch_id")
             .parquet(ledger_path)
         )
+        ev.unpersist()  # delivery action done — drop the batch cache
         done = self._read_ledger(spark, batch_id, ledger_path)
         n_done = done.count() if done is not None else 0
         published = n_done - n_skipped

@@ -110,6 +110,23 @@ def test_error_paths_fail_loudly():
         decode_gif(data)
 
 
+def test_frame_count_truncation_is_valueerror_not_indexerror():
+    good = encode_gif(np.zeros((2, 2), np.uint8), _BW)
+    # valid 6-byte signature but shorter than the 13-byte header
+    with pytest.raises(ValueError, match="truncated"):
+        gif_frame_count(good[:10])
+    # framing walk reaches an image descriptor cut short of 9 bytes
+    img_at = good.index(b"\x2c", 13)
+    with pytest.raises(ValueError, match="truncated"):
+        gif_frame_count(good[: img_at + 4])
+    # every prefix of a valid GIF must raise ValueError, never IndexError
+    for cut in range(6, len(good)):
+        try:
+            gif_frame_count(good[:cut])
+        except ValueError:
+            pass
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     h=st.integers(1, 12),
