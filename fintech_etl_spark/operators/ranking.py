@@ -25,6 +25,11 @@ distributed recipe:
 bit-identical to the single-partition window, and every stage is
 parallel: the only full-data movement is the one range exchange.
 
+The sorted frame is consumed three times, so it sits behind an
+injectable materialization barrier (``barrier=`` — reliable
+``checkpoint`` when a checkpoint dir is set, executor-local otherwise;
+see :func:`_barrier` for the executor-loss semantics of each option).
+
 ntile derives from exact rank + total count with the SQL-standard
 fill (first ``n mod k`` tiles get ``⌈n/k⌉`` rows) so Spark and DuckDB
 tile identically.
@@ -44,6 +49,55 @@ def _order_cols(order_by) -> list:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
+def _barrier(d: DataFrame, strategy: str) -> DataFrame:
+    """Materialization barrier for the ranked frame (consumed three
+    times: main branch + both sides of the offset self-join). Without
+    one, every consumer duplicates the entire upstream lineage — nested
+    calls grow the plan 3^depth (the un-checkpointed RFM plan was 658
+    nodes) — and re-runs the range exchange.
+
+    Strategies (``barrier=`` on the public helpers):
+
+    - ``"reliable"`` — ``checkpoint(eager=False)`` against the
+      session's checkpoint dir: plan truncation AND fault tolerance
+      (the materialized partitions live on the reliable store, so an
+      executor loss replays from there). The cluster posture.
+    - ``"local"`` — ``localCheckpoint(eager=False)``: plan truncation,
+      but partitions live on EXECUTOR-LOCAL storage with no lineage to
+      replay — a single executor loss fails the job. Only safe where
+      executors don't die (local mode / non-preemptible dev).
+    - ``"persist"`` — ``StorageLevel.MEMORY_AND_DISK`` cache: keeps
+      lineage (recompute on loss is safe — the range sort is
+      deterministic on a total order, so ``monotonically_increasing_id``
+      recomputes identically), but does NOT truncate the logical plan,
+      so deeply nested calls pay the 3^depth analysis cost.
+    - ``"none"`` — no barrier (plan-inspection tests only).
+    - ``"auto"`` (default) — ``"reliable"`` when the SparkContext has a
+      checkpoint dir configured, else ``"local"``. Set
+      ``spark.sparkContext.setCheckpointDir(...)`` on any real cluster
+      — especially preemptible/spot fleets, where executor loss is the
+      dominant failure mode — and the ranking family becomes
+      fault-tolerant with no call-site change.
+    """
+    if strategy == "none":
+        return d
+    if strategy == "persist":
+        from pyspark import StorageLevel
+
+        return d.persist(StorageLevel.MEMORY_AND_DISK)
+    if strategy == "auto":
+        has_dir = d.sparkSession.sparkContext.getCheckpointDir() is not None
+        strategy = "reliable" if has_dir else "local"
+    if strategy == "reliable":
+        return d.checkpoint(eager=False)
+    if strategy == "local":
+        return d.localCheckpoint(eager=False)
+    raise ValueError(
+        f"unknown barrier strategy {strategy!r} "
+        "(expected auto|reliable|local|persist|none)"
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_by,
@@ -51,10 +105,14 @@ def global_row_number(
     total: str | None = None,
     num_parts: int | None = None,
     partition_by: list[str] | None = None,
+    barrier: str = "auto",
+    max_side_rows: int = 4_000_000,
 ) -> DataFrame:
     """Exact global ``row_number() OVER ([PARTITION BY partition_by]
     ORDER BY order_by)`` as a parallel plan (one range exchange; no
-    WindowExec at all).
+    WindowExec at all). ``barrier`` picks the materialization strategy
+    for the thrice-consumed ranked frame — see :func:`_barrier` for the
+    fault-tolerance semantics of each option.
 
     ``order_by`` must be a total order within a partition group
     (include a unique tie-break column) — otherwise range-partition
@@ -69,8 +127,10 @@ def global_row_number(
     range-partition on (groups, order keys) so every group's rows
     spread over many partitions, and the offset side table is
     per-(partition, group) — bounded by partitions × |groups|, so keep
-    |groups| small enough to broadcast (≤ ~10⁵). For high-cardinality
-    grouping use a plain partitioned window instead.
+    |groups| small enough to broadcast (≤ ~10⁵). The bound is ENFORCED:
+    if the side table exceeds ``max_side_rows`` the call raises loudly
+    instead of silently broadcasting an exploding offset table. For
+    high-cardinality grouping use a plain partitioned window instead.
     """
     spark = df.sparkSession
     n = int(
@@ -79,23 +139,36 @@ def global_row_number(
     )
     groups = list(partition_by or [])
     cols = _order_cols(list(groups) + list(order_by))
-    # lazy localCheckpoint: the ranked frame is consumed THREE times
-    # (main branch + both sides of the offset self-join) — without the
-    # barrier each consumer duplicates the entire upstream lineage
-    # (nested calls grow the plan 3^depth; the un-checkpointed RFM
-    # plan was 658 nodes) and re-runs the range exchange. The
-    # checkpoint materializes the slim sorted frame once and also
-    # pins monotonically_increasing_id against any recompute drift.
-    d = (
+    d = _barrier(
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=False)
+        .withColumn("_mid", F.monotonically_increasing_id()),
+        barrier,
     )
     side = d.groupBy("_pid", *groups).agg(
         F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_min")
     )
+    if groups:
+        # Loud guard on the broadcast bound: the grouped offset table is
+        # partitions × |groups| rows and rides a broadcast self-join; a
+        # caller with 10⁷ groups would otherwise silently build an
+        # exploding side table. The count() also materializes the lazy
+        # barrier, so the two side consumers below read the checkpoint
+        # instead of re-running the range exchange. (Deliberately NOT a
+        # persist: caching `side` would re-print its agg subtree under
+        # both self-join references and obscure the real plan.)
+        n_side = side.count()
+        if n_side > max_side_rows:
+            raise ValueError(
+                f"global_row_number(partition_by={groups}): offset side "
+                f"table has {n_side} rows, over max_side_rows="
+                f"{max_side_rows}. The grouped recipe broadcasts "
+                "partitions × |groups| offset rows and is built for "
+                "SKEWED-FEW-GROUPS; with this many groups every group is "
+                "small enough for a plain Window.partitionBy window — "
+                "use that instead (see agg_percentiles_grouped_window)."
+            )
     # Exclusive prefix sum over ≤ num_parts × |groups| rows: a
     # broadcast triangular self-join (per group when partitioned)
     # instead of an ORDER BY window, so the whole plan is
@@ -162,6 +235,8 @@ def global_ntile(
     out: str,
     num_parts: int | None = None,
     partition_by: list[str] | None = None,
+    barrier: str = "auto",
+    max_side_rows: int = 4_000_000,
 ) -> DataFrame:
     """Exact global ``ntile(k) OVER ([PARTITION BY …] ORDER BY
     order_by)`` via :func:`global_row_number` — same values as the
@@ -173,6 +248,8 @@ def global_ntile(
         total="_gnt_n",
         num_parts=num_parts,
         partition_by=partition_by,
+        barrier=barrier,
+        max_side_rows=max_side_rows,
     )
     return ranked.withColumn(
         out, ntile_from_rank(F.col("_gnt_rk"), F.col("_gnt_n"), k)

@@ -73,20 +73,13 @@ def test_global_row_number_empty_frame(spark):
     assert global_row_number(df, ["v", "k"]).count() == 0
 
 
-def test_global_rank_plan_has_no_window(spark, monkeypatch):
+def test_global_rank_plan_has_no_window(spark):
     """The whole point: the recipe's physical plan contains no
     WindowExec at all (not merely a partitioned one). The helper's
-    localCheckpoint would hide its upstream lineage from a plan walk,
-    so neutralize it here and walk the TRUE full plan."""
-    # patch the CONCRETE class — pyspark 4's classic DataFrame shadows
-    # the abstract pyspark.sql.DataFrame's methods
-    from pyspark.sql.classic.dataframe import DataFrame
-
-    monkeypatch.setattr(
-        DataFrame, "localCheckpoint", lambda self, eager=True: self
-    )
+    barrier would hide its upstream lineage from a plan walk, so run
+    with barrier='none' and walk the TRUE full plan."""
     df = _frame(spark, n=2000)
-    ranked = global_ntile(df, ["v", "k"], 10, "t")
+    ranked = global_ntile(df, ["v", "k"], 10, "t", barrier="none")
     plan = ranked._jdf.queryExecution().sparkPlan()
 
     def walk(node):
@@ -151,6 +144,50 @@ def test_grouped_ntile_matches_partitioned_window(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_grouped_guard_fires_on_exploding_side_table(spark):
+    """max_side_rows enforcement: a high-cardinality partition_by must
+    raise loudly instead of silently broadcasting partitions × |groups|
+    offset rows."""
+    df = _frame(spark, n=300).withColumn("g", F.col("k"))  # every row its own group
+    with pytest.raises(ValueError, match="max_side_rows"):
+        global_row_number(
+            df, ["v", "k"], out="rk", partition_by=["g"], max_side_rows=50
+        )
+    # the same frame under the default bound still ranks correctly
+    got = global_row_number(df, ["v", "k"], out="rk", partition_by=["g"])
+    assert got.filter(F.col("rk") != 1).count() == 0
+
+
+@pytest.mark.parametrize("strategy", ["reliable", "persist", "local"])
+def test_barrier_strategies_bit_parity(spark, strategy, tmp_path):
+    """Every barrier strategy recomposes the identical exact ranks —
+    'reliable' exercised against a real checkpoint dir (the cluster
+    posture 'auto' selects when one is configured)."""
+    sc = spark.sparkContext
+    had = sc.getCheckpointDir()
+    if strategy == "reliable" and had is None:
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        df = _frame(spark, n=1500)
+        order = [F.col("v").asc(), F.col("k").asc()]
+        got = global_row_number(df, order, out="rk", barrier=strategy)
+        want = df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        if strategy == "reliable" and had is None:
+            # un-set so the session-scoped fixture's other tests keep
+            # the local-mode 'auto' posture (Scala Option(null) → None)
+            sc._jsc.sc().setCheckpointDir(None)
+
+
+def test_barrier_unknown_strategy_is_loud(spark):
+    with pytest.raises(ValueError, match="barrier strategy"):
+        global_row_number(_frame(spark, n=10), ["v", "k"], barrier="bogus")
 
 
 @pytest.mark.parametrize("parts", [1, 7, 500])
