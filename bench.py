@@ -128,6 +128,10 @@ HEADLINE = (
     # distributed ranking (partition_by) — the skewed-few-groups case
     # where both percentile() buffers and Window.partitionBy serialize
     "agg_percentiles_distributed_exact",
+    # appended r9: the many-small-groups exact tier completing the
+    # quantile decision table — per-customer exact quartiles where the
+    # aggregation buffer is bounded by the largest group
+    "agg_percentiles_grouped_window",
 )
 
 # headline entries whose warm cost is dominated by per-invocation index

@@ -85,6 +85,51 @@ _QUANTS = (0.25, 0.5, 0.75, 0.95)
 
 
 @register(
+    "agg_percentiles_grouped_window",
+    """
+    SELECT o_custkey,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           CAST(count(*) AS BIGINT)                    AS n
+    FROM orders GROUP BY o_custkey
+    """,
+    doc=(
+        "Exact per-group quantiles for the MANY-SMALL-GROUPS case — "
+        "the third leg of the exact-quantile decision table. Grouping "
+        "by customer means millions of groups, each holding a handful "
+        "of orders, so the per-group aggregation buffer (Spark's exact "
+        "percentile() holds one group's values) is bounded by the "
+        "largest GROUP, not the lake, and the single hash exchange "
+        "spreads groups across every reducer — the plain partitioned "
+        "form a Window.partitionBy percentile would compute, minus the "
+        "window's per-row emission and extra distinct. Decision table: "
+        "FEW-HUGE groups → agg_percentiles_distributed_exact (grouped "
+        "distributed ranking; a group outgrows any one buffer); "
+        "MANY-SMALL groups → this (buffer ≤ max group size); unknown "
+        "mix or one-pass-many-quantiles → approx_percentile sketch "
+        "(agg_approx_sketches). Picking a tier is a data-shape "
+        "question, not a semantics question — all three agree exactly "
+        "or within sketch bounds."
+    ),
+    tags=("agg", "stats", "window"),
+)
+def agg_percentiles_grouped_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile(
+        "o_totalprice", F.array(*[F.lit(x) for x in _QUANTS])
+    )
+    return orders.groupBy("o_custkey").agg(
+        _r4(F.element_at(pct, 1)).alias("p25"),
+        _r4(F.element_at(pct, 2)).alias("p50"),
+        _r4(F.element_at(pct, 3)).alias("p75"),
+        _r4(F.element_at(pct, 4)).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "agg_percentiles_distributed_exact",
     """
     SELECT o_orderpriority,
