@@ -122,6 +122,21 @@ def main(argv: list[str] | None = None) -> int:
         "stays flat as the corpus grows)",
     )
 
+    ia = sub.add_parser(
+        "index-append",
+        help="assign a new vector batch into an existing ANN index "
+        "(frozen quantizers — the append-not-rebuild production "
+        "cadence; cost scales with the batch, not the corpus)",
+    )
+    ia.add_argument("kind", choices=("ivf-pq", "lsh"))
+    ia.add_argument("--index", required=True, help="existing index path")
+    ia.add_argument(
+        "--vectors",
+        required=True,
+        help="parquet of the NEW batch (vec_id, embedding) — ids must "
+        "not already be indexed",
+    )
+
     sa = sub.add_parser(
         "serve-ann",
         help="drain JSONL query files ({query_id, embedding}) against a "
@@ -236,6 +251,18 @@ def main(argv: list[str] | None = None) -> int:
 
             n = build_lsh_index(spark, args.sf_dir, args.index)
             print(json.dumps({"index": args.index, "index_rows": n}))
+    elif args.cmd == "index-append":
+        new_vecs = spark.read.parquet(args.vectors)
+        if args.kind == "ivf-pq":
+            from fintech_etl_spark.streaming.ann import append_ivf_pq_index
+
+            counts = append_ivf_pq_index(spark, new_vecs, args.index)
+            print(json.dumps({"index": args.index, **counts}))
+        else:
+            from fintech_etl_spark.streaming.ann import append_lsh_index
+
+            n = append_lsh_index(new_vecs, args.index)
+            print(json.dumps({"index": args.index, "appended_rows": n}))
     elif args.cmd == "serve-ann":
         from fintech_etl_spark.streaming.ann import (
             start_ann_queries,

@@ -1017,19 +1017,11 @@ def _pq_adc_oracle() -> str:
     """
 
 
-def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Train all {_PQ_SUBS} product-quantization codebooks in one set of
-    distributed Lloyd rounds (subspace is a grouping key, NOT a Python
-    loop): returns ``(codebooks(sub, cell, centroid), codes(vec_id,
-    sub, cell))``. Deterministic init (each subspace seeds from the
-    {_PQ_K} lowest vec_ids' slices) mirrors :func:`kmeans_fit`. Per
-    iteration: one broadcast of ≤ subs·k tiny centroids, one corpus
-    pass for argmin, one (sub, cell, dim)-keyed mean — the corpus
-    itself never shuffles."""
-    from pyspark.sql import Window as W
-
-    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    subs = vecs.select(
+def _pq_subslices(vecs: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv): each vector split into the _PQ_SUBS
+    subspace slices — the shared input shape of PQ training and the
+    frozen-codebook assignment used by incremental index append."""
+    return vecs.select(
         "vec_id",
         F.explode(
             F.array(
@@ -1044,6 +1036,62 @@ def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         ).alias("x"),
     ).select("vec_id", "x.sub", "x.sv")
 
+
+def _pq_assign_step(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """One PQ assignment pass (vec_id, sub, cell, sv) against a given
+    ``(sub, cell, centroid)`` codebook frame — collect the subs·k tiny
+    centroids and score each slice with a per-sub argmin spelled as ONE
+    parsed SQL expression: the previous shape (broadcast join →
+    groupBy(vec_id, sub) min-struct) shuffled subs·N rows carrying the
+    slices every iteration; this is a pure projection — the corpus
+    truly never shuffles for assignment. Fold text and smallest-cell
+    tie-break are identical to the _PQ_ITER_SQL oracle rounds
+    (aggregate of squared diffs ascending j; min struct(dist, cell) ≡
+    row_number ORDER BY dist, cell), so codes are bit-identical —
+    ann_pq_adc/ann_ivf_pq stay oracle-green. Shared by pq_fit's Lloyd
+    rounds and by frozen-codebook encoding on the index append path."""
+
+    def _arr(c) -> str:
+        return (
+            "array("
+            + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+            + ")"
+        )
+
+    rows = sorted(cent.collect(), key=lambda r: (int(r.sub), int(r.cell)))
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(int(r.sub), []).append(r)
+    branches = " ".join(
+        "WHEN sub = {s} THEN array_min(array({parts}))".format(
+            s=s,
+            parts=",".join(
+                "named_struct('dist', aggregate(transform(zip_with(sv, "
+                f"{_arr(r.centroid)}, (x, y) -> x - y), x -> x * x), "
+                f"0.0D, (p, x) -> p + x), 'cell', {int(r.cell)})"
+                for r in cells
+            ),
+        )
+        for s, cells in sorted(by_sub.items())
+    )
+    best = F.expr(f"CASE {branches} END")
+    return subs.select("vec_id", "sub", best["cell"].alias("cell"), "sv")
+
+
+def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train all {_PQ_SUBS} product-quantization codebooks in one set of
+    distributed Lloyd rounds (subspace is a grouping key, NOT a Python
+    loop): returns ``(codebooks(sub, cell, centroid), codes(vec_id,
+    sub, cell))``. Deterministic init (each subspace seeds from the
+    {_PQ_K} lowest vec_ids' slices) mirrors :func:`kmeans_fit`. Per
+    iteration: one broadcast of ≤ subs·k tiny centroids, one corpus
+    pass for argmin, one (sub, cell, dim)-keyed mean — the corpus
+    itself never shuffles."""
+    from pyspark.sql import Window as W
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    subs = _pq_subslices(vecs)
+
     seed_ids = vecs.orderBy("vec_id").limit(_PQ_K).select("vec_id")
     cent = (
         subs.join(F.broadcast(seed_ids), "vec_id", "semi")
@@ -1055,45 +1103,9 @@ def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         .localCheckpoint(eager=False)
     )
 
-    def _arr(c) -> str:
-        return (
-            "array("
-            + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
-            + ")"
-        )
-
     assign = None
     for _ in range(_PQ_ITERS):
-        # collect the subs·k tiny centroids and score each slice with a
-        # per-sub argmin spelled as ONE parsed SQL expression: the
-        # previous shape (broadcast join → groupBy(vec_id, sub)
-        # min-struct) shuffled subs·N rows carrying the slices every
-        # iteration; this is a pure projection — the corpus truly never
-        # shuffles for assignment. Fold text and smallest-cell
-        # tie-break are identical to the _PQ_ITER_SQL oracle rounds
-        # (aggregate of squared diffs ascending j; min struct(dist,
-        # cell) ≡ row_number ORDER BY dist, cell), so codes are
-        # bit-identical — ann_pq_adc/ann_ivf_pq stay oracle-green.
-        rows = sorted(cent.collect(), key=lambda r: (int(r.sub), int(r.cell)))
-        by_sub: dict[int, list] = {}
-        for r in rows:
-            by_sub.setdefault(int(r.sub), []).append(r)
-        branches = " ".join(
-            "WHEN sub = {s} THEN array_min(array({parts}))".format(
-                s=s,
-                parts=",".join(
-                    "named_struct('dist', aggregate(transform(zip_with(sv, "
-                    f"{_arr(r.centroid)}, (x, y) -> x - y), x -> x * x), "
-                    f"0.0D, (p, x) -> p + x), 'cell', {int(r.cell)})"
-                    for r in cells
-                ),
-            )
-            for s, cells in sorted(by_sub.items())
-        )
-        best = F.expr(f"CASE {branches} END")
-        assign = subs.select(
-            "vec_id", "sub", best["cell"].alias("cell"), "sv"
-        ).localCheckpoint(eager=False)
+        assign = _pq_assign_step(subs, cent).localCheckpoint(eager=False)
         cent = (
             assign.select("sub", "cell", F.posexplode("sv").alias("i", "x"))
             .groupBy("sub", "cell", "i")

@@ -97,6 +97,39 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
     return spark.read.parquet(index_path).count()
 
 
+def append_lsh_index(new_vectors: DataFrame, index_path: str) -> int:
+    """Incremental LSH index maintenance — the lake-scale shape where
+    an index is APPENDED, never rebuilt. The hyperplanes are
+    deterministic and data-independent, so hashing a new batch needs
+    nothing from the existing index: bucket the batch with the same
+    Arrow matmul, explode to (band, bucket, neighbor_id, u), and
+    append-write into the existing (band, bucket) partition layout.
+    Cost is linear in the BATCH (one narrow pass + a partitioned
+    append); the corpus-side index is never read or rewritten, and
+    serving probes see the new rows on their next directory listing.
+
+    Bit-equality contract (pinned by tests/test_index_append.py):
+    ``build(A ∪ B) == append(B) ∘ build(A)`` — exactly, because every
+    index row is a pure per-vector function of deterministic planes.
+
+    Caller contract: ``new_vectors`` (vec_id, embedding) must carry ids
+    not already indexed — LSH rows are per-(vector, band), so a re-sent
+    id would duplicate its 12 rows (the serving dedup collapses them,
+    but the index grows). Route re-sends through the Pub/Sub-style
+    idempotency ledger upstream. Returns appended index rows
+    (batch × bands)."""
+    new_rows = (
+        _bucketed_units(new_vectors)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "u",
+            F.posexplode("bks").alias("band", "bucket"),
+        )
+    )
+    new_rows.write.mode("append").partitionBy("band", "bucket").parquet(index_path)
+    return new_vectors.count() * _N_BANDS
+
+
 def start_ann_queries(
     spark: SparkSession,
     queries_glob: str,
@@ -250,6 +283,80 @@ def build_ivf_pq_index(
         "coarse_cells": spark.read.parquet(index_path + "/coarse").count(),
         "codebook_rows": spark.read.parquet(index_path + "/codebooks").count(),
     }
+
+
+def append_ivf_pq_index(
+    spark: SparkSession, new_vectors: DataFrame, index_path: str
+) -> dict:
+    """Incremental IVF-PQ index maintenance: assign a NEW vector batch
+    against the index's FROZEN coarse centroids and PQ codebooks —
+    quantizers are never retrained on append — and append-write the
+    codes and raw vectors into the existing per-cell partition layout.
+
+    This is the production cadence at lake scale: train once (or
+    re-train on a slow schedule), then every arriving batch pays one
+    assignment pass over the BATCH — k·d + subs·k_pq doubles of frozen
+    parameters are the only thing read from the index side; the
+    existing codes/vectors partitions are untouched. Serving probes
+    see appended vectors on their next directory listing with no index
+    restart (``start_ivf_pq_queries`` reads coarse/codebooks at start;
+    those are exactly the files append never modifies).
+
+    Assignment math is the SAME code the trainer runs (the
+    ``_assign_step`` / ``_pq_assign_step`` expressions from
+    operators/similarity.py, here fed the FROZEN parameter frames), so
+    an appended vector lands in precisely the cell a served query's
+    probe ranks against. Parity pinned by tests/test_index_append.py:
+    appended assignments equal an independent NumPy replay of
+    argmin-squared-distance with the smallest-cell tie-break, append
+    is batch-decomposable (``append(B1 ∪ B2) == append(B2) ∘
+    append(B1)``), and existing index rows are bit-unchanged.
+
+    Note the deliberate asymmetry with LSH: a full rebuild RETRAINS
+    quantizers on the union, so ``build(A ∪ B)`` is a different (also
+    valid) index than ``append(B) ∘ build(A)`` — frozen-parameter
+    assignment is the append contract, exactly as in FAISS's
+    ``IVF.add()`` after ``train()``.
+
+    Caller contract: ids must be fresh (an appended duplicate would
+    serve twice). Returns per-batch counts."""
+    from fintech_etl_spark.operators.similarity import (
+        _assign_step,
+        _pq_assign_step,
+        _pq_subslices,
+    )
+
+    coarse = spark.read.parquet(index_path + "/coarse")
+    codebooks = spark.read.parquet(index_path + "/codebooks")
+    k = coarse.count()  # tiny parameter frame
+
+    vecs = new_vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ivf = _assign_step(vecs, coarse, k).select(
+        "vec_id", F.col("cell").alias("ivf_cell")
+    )
+    codes = _pq_assign_step(_pq_subslices(vecs), codebooks).select(
+        "vec_id", "sub", F.col("cell").alias("pq_cell")
+    )
+    (
+        codes.join(ivf, "vec_id")
+        .withColumnRenamed("ivf_cell", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(index_path + "/codes")
+    )
+    (
+        vecs.join(ivf, "vec_id")
+        .withColumnRenamed("ivf_cell", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(index_path + "/vectors")
+    )
+    n = new_vectors.count()
+    from fintech_etl_spark.operators.similarity import _PQ_SUBS
+
+    return {"appended_vectors": n, "appended_code_rows": n * _PQ_SUBS}
 
 
 def start_ivf_pq_queries(

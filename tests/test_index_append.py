@@ -1,0 +1,260 @@
+"""Incremental ANN index append (streaming/ann.py append_lsh_index /
+append_ivf_pq_index): the lake-scale maintenance path where indexes
+are appended against frozen parameters, never rebuilt.
+
+Parity contracts pinned here:
+- LSH: ``build(A ∪ B) == append(B) ∘ build(A)`` BIT-FOR-BIT (the
+  hyperplanes are deterministic and data-independent).
+- IVF-PQ: appended assignments equal an independent NumPy replay of
+  frozen-parameter argmin (squared distance, smallest-cell tie-break);
+  the pre-existing index rows are bit-unchanged; append is
+  batch-decomposable (``append(B1 ∪ B2) == append(B2) ∘ append(B1)``);
+  and the SERVING path finds appended vectors with dist 0 at rank 1.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.sources.tables import load_table
+from fintech_etl_spark.streaming.ann import (
+    append_ivf_pq_index,
+    append_lsh_index,
+    build_ivf_pq_index,
+    build_lsh_index,
+)
+from tests.conftest import SF_SMOKE
+
+_CUT = 400  # A = vec_id < 400 (train/build side), B = the 100 appended
+
+
+def _split(spark, tmp_path):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = emb.filter(F.col("vec_id") < _CUT)
+    b = emb.filter(F.col("vec_id") >= _CUT)
+    a_dir = tmp_path / "sfA"
+    a_dir.mkdir()
+    a.write.parquet(str(a_dir / "embeddings.parquet"))
+    return str(a_dir), a, b
+
+
+def _lsh_rows(spark, path):
+    return {
+        (r.neighbor_id, r.band, r.bucket, tuple(r.u))
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_lsh_append_bit_equals_full_rebuild(spark, tmp_path):
+    a_dir, a, b = _split(spark, tmp_path)
+    inc = str(tmp_path / "idx_incremental")
+    full = str(tmp_path / "idx_full_rebuild")
+
+    n_a = build_lsh_index(spark, a_dir, inc)
+    n_b = append_lsh_index(b, inc)
+    assert n_a == a.count() * 12 and n_b == b.count() * 12
+
+    build_lsh_index(spark, SF_SMOKE, full)
+    assert _lsh_rows(spark, inc) == _lsh_rows(spark, full)
+
+
+def _codes_rows(spark, path):
+    return {
+        (r.vec_id, r.sub, r.pq_cell, r.cell)
+        for r in spark.read.parquet(path + "/codes").collect()
+    }
+
+
+def _vector_rows(spark, path):
+    return {
+        (r.vec_id, tuple(r.v), r.cell)
+        for r in spark.read.parquet(path + "/vectors").collect()
+    }
+
+
+def _frozen_numpy_assign(spark, index_path, b_rows):
+    """Independent oracle: frozen-parameter assignment replayed with
+    plain Python left-fold arithmetic (same accumulation order as the
+    SQL ``aggregate`` fold, so distances are bit-identical) and
+    first-minimum tie-break."""
+    coarse = {
+        int(r.cell): list(r.centroid)
+        for r in spark.read.parquet(index_path + "/coarse").collect()
+    }
+    books: dict[int, dict[int, list]] = {}
+    for r in spark.read.parquet(index_path + "/codebooks").collect():
+        books.setdefault(int(r.sub), {})[int(r.cell)] = list(r.centroid)
+
+    def sqd(u, c):
+        d = 0.0
+        for x, y in zip(u, c):
+            d += (x - y) * (x - y)
+        return d
+
+    want_cell, want_codes = {}, {}
+    for row in b_rows:
+        v = list(row.embedding)
+        best = min(sorted(coarse), key=lambda cell: (sqd(v, coarse[cell]), cell))
+        want_cell[row.vec_id] = best
+        for sub in sorted(books):
+            sd = len(books[sub][min(books[sub])])
+            sv = v[sub * sd : (sub + 1) * sd]
+            code = min(
+                sorted(books[sub]),
+                key=lambda cell: (sqd(sv, books[sub][cell]), cell),
+            )
+            want_codes[(row.vec_id, sub)] = code
+    return want_cell, want_codes
+
+
+def test_ivfpq_append_frozen_assignment_matches_numpy(spark, tmp_path):
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(spark, a_dir, idx)
+
+    before_codes = _codes_rows(spark, idx)
+    before_vecs = _vector_rows(spark, idx)
+    b_rows = b.collect()
+
+    counts = append_ivf_pq_index(spark, b, idx)
+    assert counts == {
+        "appended_vectors": len(b_rows),
+        "appended_code_rows": len(b_rows) * 8,
+    }
+
+    after_codes = _codes_rows(spark, idx)
+    after_vecs = _vector_rows(spark, idx)
+    # pre-existing rows bit-unchanged — append never rewrites the base
+    assert before_codes <= after_codes and before_vecs <= after_vecs
+
+    want_cell, want_codes = _frozen_numpy_assign(spark, idx, b_rows)
+    new_codes = after_codes - before_codes
+    assert {(v, s) for v, s, _, _ in new_codes} == set(want_codes)
+    for vec_id, sub, pq_cell, cell in new_codes:
+        assert cell == want_cell[vec_id], (vec_id, "ivf cell")
+        assert pq_cell == want_codes[(vec_id, sub)], (vec_id, sub, "pq code")
+    new_vecs = after_vecs - before_vecs
+    assert {v for v, _, _ in new_vecs} == set(want_cell)
+    for vec_id, v, cell in new_vecs:
+        assert cell == want_cell[vec_id]
+
+
+def test_ivfpq_append_is_batch_decomposable(spark, tmp_path):
+    a_dir, a, b = _split(spark, tmp_path)
+    one = str(tmp_path / "idx_one_batch")
+    two = str(tmp_path / "idx_two_batches")
+    build_ivf_pq_index(spark, a_dir, one)
+    shutil.copytree(one, two)
+
+    append_ivf_pq_index(spark, b, one)
+    mid = _CUT + 50
+    append_ivf_pq_index(spark, b.filter(F.col("vec_id") < mid), two)
+    append_ivf_pq_index(spark, b.filter(F.col("vec_id") >= mid), two)
+
+    assert _codes_rows(spark, one) == _codes_rows(spark, two)
+    assert _vector_rows(spark, one) == _vector_rows(spark, two)
+
+
+def test_ivfpq_serving_finds_appended_vectors(spark, tmp_path):
+    """End-to-end: a query equal to an appended vector must come back
+    as its own rank-1 neighbor with exact dist 0 — provided the cosine
+    probe reaches the vector's squared-distance-assigned cell, which
+    the test verifies from the frozen parameters first (the same
+    recall contract as the batch tier)."""
+    from fintech_etl_spark.operators.similarity import _N_PROBE
+    from fintech_etl_spark.streaming.ann import start_ivf_pq_queries
+
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(spark, a_dir, idx)
+    b_rows = b.limit(20).collect()
+    append_ivf_pq_index(
+        spark, b.filter(F.col("vec_id") < _CUT + 20), idx
+    )
+
+    coarse = sorted(
+        spark.read.parquet(idx + "/coarse").collect(), key=lambda r: r.cell
+    )
+    C = np.array([r.centroid for r in coarse], dtype=np.float64)
+    cells = np.array([r.cell for r in coarse])
+
+    want_cell, _ = _frozen_numpy_assign(spark, idx, b_rows)
+    probeable = []
+    for r in b_rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        cos = (C @ v) / (np.linalg.norm(C, axis=1) * np.linalg.norm(v))
+        probed = cells[np.argsort(-cos, kind="stable")[:_N_PROBE]]
+        if want_cell[r.vec_id] in probed:
+            probeable.append(r)
+    assert probeable, "no appended vector is probe-reachable (degenerate split)"
+
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    with open(qdir / "q.jsonl", "w") as f:
+        for r in probeable:
+            f.write(
+                json.dumps(
+                    {
+                        # distinct id space: serving drops neighbor == query id
+                        "query_id": r.vec_id + 10_000_000,
+                        "embedding": list(r.embedding),
+                    }
+                )
+                + "\n"
+            )
+
+    got = {}
+
+    def on_results(df, batch_id):
+        for row in df.collect():
+            got.setdefault(row.query_id, []).append(
+                (row.rank, row.neighbor_id, row.dist)
+            )
+
+    q = start_ivf_pq_queries(
+        spark,
+        str(qdir / "*.jsonl"),
+        str(tmp_path / "ckpt"),
+        idx,
+        on_results,
+    )
+    q.awaitTermination()
+
+    for r in probeable:
+        rows = sorted(got[r.vec_id + 10_000_000])
+        assert rows[0][0] == 1
+        assert rows[0][1] == r.vec_id, "appended vector not served back"
+        assert rows[0][2] == 0.0
+
+
+def test_cli_index_append(spark, tmp_path, capsys, monkeypatch):
+    """CLI `index-append` drives both families against an existing
+    index: new-batch parquet in, per-batch counts out."""
+    from fintech_etl_spark import cli
+
+    a_dir, a, b = _split(spark, tmp_path)
+    batch = str(tmp_path / "batch.parquet")
+    b.write.parquet(batch)
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(spark, a_dir, lsh)
+    rc = cli.main(["index-append", "lsh", "--index", lsh, "--vectors", batch])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"index": lsh, "appended_rows": b.count() * 12}
+
+    ivf = str(tmp_path / "ivf")
+    build_ivf_pq_index(spark, a_dir, ivf)
+    rc = cli.main(["index-append", "ivf-pq", "--index", ivf, "--vectors", batch])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["appended_vectors"] == b.count()
+    n = spark.read.parquet(ivf + "/vectors").count()
+    assert n == load_table(spark, SF_SMOKE, "embeddings").count()
