@@ -204,7 +204,10 @@ def decode_image(content: bytes, fmt: str) -> tuple[int, int, str]:
         return w, h, {3: "RGB", 4: "RGBA"}[ch]
     raise NotImplementedError(
         f"decoding {fmt!r} requires PIL; JPEG, PNG, and GIF have "
-        "vendored fallbacks (functions/jpeg.py, png.py, gif.py)"
+        "vendored fallbacks (functions/jpeg.py, png.py, gif.py). "
+        "WebP is a documented won't-do (COVERAGE.md §Round-9: VP8L/"
+        "VP8 vendoring outweighs a format this pipeline never emits "
+        "— install PIL instead)"
     )
 
 
