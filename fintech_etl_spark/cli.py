@@ -137,6 +137,21 @@ def main(argv: list[str] | None = None) -> int:
         "not already be indexed",
     )
 
+    ic = sub.add_parser(
+        "index-compact",
+        help="compact an index's partition dirs after appends (row "
+        "multiset preserved; serving picks the layout up next batch)",
+    )
+    ic.add_argument("kind", choices=("ivf-pq", "lsh"))
+    ic.add_argument("--index", required=True)
+    ic.add_argument(
+        "--files-per-partition",
+        type=int,
+        default=1,
+        help="target files per partition dir (default 1; raise for "
+        "partitions too large for a single file)",
+    )
+
     sa = sub.add_parser(
         "serve-ann",
         help="drain JSONL query files ({query_id, embedding}) against a "
@@ -263,6 +278,17 @@ def main(argv: list[str] | None = None) -> int:
 
             n = append_lsh_index(new_vecs, args.index)
             print(json.dumps({"index": args.index, "appended_rows": n}))
+    elif args.cmd == "index-compact":
+        from fintech_etl_spark.maintenance import (
+            compact_ivf_pq_index,
+            compact_lsh_index,
+        )
+
+        fn = compact_ivf_pq_index if args.kind == "ivf-pq" else compact_lsh_index
+        stats = fn(
+            spark, args.index, files_per_partition=args.files_per_partition
+        )
+        print(json.dumps({"index": args.index, **stats}))
     elif args.cmd == "serve-ann":
         from fintech_etl_spark.streaming.ann import (
             start_ann_queries,

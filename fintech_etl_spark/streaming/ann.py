@@ -144,10 +144,12 @@ def start_ann_queries(
     embedding}); per micro-batch emit (query_id, neighbor_id, cos,
     rank) top-k rows to ``on_results``. availableNow trigger — drains
     pending files then stops (cron-style serving; swap the trigger for
-    continuous)."""
+    continuous). The index is re-listed per micro-batch (the read sits
+    inside the handler), so rows landed by ``append_lsh_index`` — or a
+    compacted layout from ``maintenance.compact_partitioned`` —
+    between batches are served WITHOUT a stream restart; the listing
+    cost is bounded by the bucket directory count, not the corpus."""
     from pyspark.sql.window import Window as W
-
-    index = spark.read.parquet(index_path)
 
     incoming = (
         spark.readStream.schema(_QUERY_SCHEMA)
@@ -157,6 +159,7 @@ def start_ann_queries(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        index = spark.read.parquet(index_path)  # fresh listing per batch
         q = _bucketed_units(batch_df.filter(F.col("embedding").isNotNull()))
         qx = q.select(
             "query_id",
@@ -380,7 +383,9 @@ def start_ivf_pq_queries(
     `IN` filter Spark can push to directory-level partition pruning),
     ADC-score only the pruned codes, refine only the pruned vectors.
     At 10^9 indexed vectors a batch of queries reads n_probe cells'
-    files and nothing else.
+    files and nothing else. codes/vectors are re-listed per
+    micro-batch, so appended or compacted cells are served without a
+    stream restart (quantizers are frozen and load once).
     """
     from pyspark.sql.window import Window as W
 
@@ -393,10 +398,12 @@ def start_ivf_pq_queries(
         cosine,
     )
 
+    # quantizer parameters are FROZEN by the append contract (append
+    # never touches coarse/codebooks), so they load once; codes and
+    # vectors are re-listed per micro-batch inside the handler so
+    # append_ivf_pq_index / compaction land without a stream restart
     coarse = spark.read.parquet(index_path + "/coarse")
     codebooks = spark.read.parquet(index_path + "/codebooks")
-    codes = spark.read.parquet(index_path + "/codes")
-    vectors = spark.read.parquet(index_path + "/vectors")
 
     incoming = (
         spark.readStream.schema(_QUERY_SCHEMA)
@@ -406,6 +413,8 @@ def start_ivf_pq_queries(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        codes = spark.read.parquet(index_path + "/codes")
+        vectors = spark.read.parquet(index_path + "/vectors")
         q = batch_df.filter(F.col("embedding").isNotNull()).select(
             "query_id", F.col("embedding").cast("array<double>").alias("qv")
         )
