@@ -132,6 +132,10 @@ HEADLINE = (
     # quantile decision table — per-customer exact quartiles where the
     # aggregation buffer is bounded by the largest group
     "agg_percentiles_grouped_window",
+    # appended r9, second wave: Morton-curve clustering profile — the
+    # file-skipping layout math (min-max scale + bit interleave) as
+    # exact shared BIGINT arithmetic
+    "layout_zorder_buckets",
 )
 
 # headline entries whose warm cost is dominated by per-invocation index

@@ -279,7 +279,7 @@ def main(argv: list[str] | None = None) -> int:
             n = append_lsh_index(new_vecs, args.index)
             print(json.dumps({"index": args.index, "appended_rows": n}))
     elif args.cmd == "index-compact":
-        from fintech_etl_spark.maintenance import (
+        from fintech_etl_spark.sinks.maintenance import (
             compact_ivf_pq_index,
             compact_lsh_index,
         )

@@ -1,0 +1,166 @@
+"""Physical-layout operators: Z-order (Morton-curve) clustering.
+
+The lake-scale problem: parquet scans skip files/row-groups via
+column min/max statistics, but data sorted by ONE key gives tight
+stats only for that key — a predicate on a second column prunes
+nothing. Interleaving the bits of k columns into one Morton z-value
+and range-partitioning + sorting on it gives every file a compact
+HYPER-RECTANGLE of the key space, so a box predicate on ANY of the
+interleaved columns skips most files (the technique behind Delta/
+Iceberg `OPTIMIZE ZORDER BY`; Morton 1966 — public literature).
+
+Everything is exact BIGINT arithmetic shared verbatim between Spark
+and the DuckDB oracle: each key is min-max scaled to ``bits`` with
+integer math — ``(k − min) · (2^bits − 1) div (max − min)`` — then the
+scaled keys' bits interleave with shifts/masks. No UDFs, no doubles,
+no engine-specific rounding.
+
+The reference engine has no layout surface at all (CSV-in, JSON-out —
+/root/reference/stream/processor.py); this is lake-scale gap-fill,
+same as the rest of the analytics registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fintech_etl_spark.registry import register
+from fintech_etl_spark.sources.tables import load_table
+
+#: curve resolution: 12 bits/key → a 4096×4096 grid, 24-bit z-values.
+_Z_BITS = 12
+
+
+def scaled_expr(
+    col: str, lo: str, hi: str, bits: int = _Z_BITS, idiv: str = "div"
+) -> str:
+    """SQL text mapping ``col`` from [lo, hi] onto [0, 2^bits) with
+    exact integer math. The ONLY engine-divergent token is the integer
+    division spelling (Spark ``div``, DuckDB ``//``) — passed in as
+    ``idiv`` so the arithmetic itself is shared verbatim; the
+    ``greatest`` guards the degenerate single-value column."""
+    return (
+        f"(cast({col} as bigint) - cast({lo} as bigint)) * {(1 << bits) - 1} "
+        f"{idiv} greatest(cast({hi} as bigint) - cast({lo} as bigint), 1)"
+    )
+
+
+def interleave_expr(xs: list[str], bits: int = _Z_BITS) -> str:
+    """SQL text interleaving the low ``bits`` of each expression in
+    ``xs`` into one Morton z-value: bit i of column c lands at
+    position ``i·len(xs) + c`` (column 0 owns the least-significant
+    lane). Pure shifts/masks/ors — identical semantics both engines."""
+    n = len(xs)
+    # every term FULLY parenthesized: shift/and/or precedence differs
+    # between engines (DuckDB binds | tighter than <<)
+    terms = [
+        f"(((({x}) >> {i}) & 1) << {i * n + c})"
+        for i in range(bits)
+        for c, x in enumerate(xs)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def with_zvalue(
+    df: DataFrame, cols: list[str], out: str = "z", bits: int = _Z_BITS
+) -> DataFrame:
+    """Add the Morton z-value of ``cols`` (min-max scaled per column —
+    one tiny agg pass collects the bounds, then the curve is a pure
+    projection)."""
+    bounds = df.agg(
+        *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
+    ).first()
+    # scale into named intermediates FIRST so the interleave's 2·bits
+    # terms reference a plain column, not 2·bits copies of the division
+    d = df
+    names = []
+    for c in cols:
+        names.append(f"_zs_{c}")
+        d = d.withColumn(
+            names[-1],
+            F.expr(
+                scaled_expr(c, str(bounds[f"lo_{c}"]), str(bounds[f"hi_{c}"]), bits)
+            ),
+        )
+    return d.withColumn(out, F.expr(interleave_expr(names, bits))).drop(*names)
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = _Z_BITS,
+    num_files: int = 32,
+) -> int:
+    """Write ``df`` as ``num_files`` parquet files clustered along the
+    Morton curve of ``cols``: range-partition + sort on the z-value,
+    drop it, write. Each output file then covers a compact box of the
+    key space, so min/max stats prune it for predicates on ANY of the
+    interleaved columns — pinned by the footer-stats pruning test in
+    tests/test_layout.py and receipted at sf0.1
+    (SCALE_RECEIPT_r09_zorder.json). Returns the row count."""
+    z = with_zvalue(df, cols, out="_z", bits=bits)
+    (
+        z.repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return df.sparkSession.read.parquet(path).count()
+
+
+_Z_ORACLE = f"""
+    WITH b AS (SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+                      min(l_suppkey) AS slo, max(l_suppkey) AS shi
+               FROM lineitem),
+    sc AS (SELECT {scaled_expr('l_partkey', 'plo', 'phi', idiv='//')} AS sp,
+                  {scaled_expr('l_suppkey', 'slo', 'shi', idiv='//')} AS ss,
+                  l_partkey, l_suppkey
+           FROM lineitem CROSS JOIN b),
+    zv AS (SELECT {interleave_expr(['sp', 'ss'])} AS z, l_partkey, l_suppkey
+           FROM sc)
+    SELECT CAST(z >> {2 * _Z_BITS - 8} AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT)   AS n,
+           CAST(min(l_partkey) AS BIGINT) AS part_lo,
+           CAST(max(l_partkey) AS BIGINT) AS part_hi,
+           CAST(min(l_suppkey) AS BIGINT) AS supp_lo,
+           CAST(max(l_suppkey) AS BIGINT) AS supp_hi
+    FROM zv GROUP BY z_bucket
+"""
+
+
+@register(
+    "layout_zorder_buckets",
+    _Z_ORACLE,
+    doc=(
+        "Morton (Z-order) clustering profile of lineitem on "
+        "(l_partkey, l_suppkey): min-max scale each key to 12 bits "
+        "with exact integer division, interleave into a 24-bit "
+        "z-value, and report per-top-8-bit-bucket row counts and the "
+        "min/max box of BOTH keys — the statistics a z-clustered "
+        "writer's file footers would carry, demonstrating that every "
+        "curve bucket is a compact hyper-rectangle (tight stats on "
+        "ALL interleaved columns at once, which is exactly why a box "
+        "predicate on either key prunes most files at 100 TB; "
+        "single-key sorting gives this for one column only). The "
+        "interleave/scale SQL text is generated once and shared "
+        "verbatim with the DuckDB oracle — no UDF, no doubles. "
+        "zorder_write materializes the layout itself; footer-stats "
+        "pruning pinned in tests/test_layout.py."
+    ),
+    tags=("layout", "scale"),
+)
+def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = with_zvalue(li, ["l_partkey", "l_suppkey"])
+    return z.groupBy(
+        F.shiftright(F.col("z"), 2 * _Z_BITS - 8).cast("long").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_partkey").cast("long").alias("part_lo"),
+        F.max("l_partkey").cast("long").alias("part_hi"),
+        F.min("l_suppkey").cast("long").alias("supp_lo"),
+        F.max("l_suppkey").cast("long").alias("supp_hi"),
+    )

@@ -58,6 +58,7 @@ _OPERATOR_MODULES = (
     "dedup",
     "events_analytics",
     "graph_ops",
+    "layout",
     "multimodal",
     "receipts_demo",
     "relational",

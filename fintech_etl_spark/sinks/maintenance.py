@@ -9,6 +9,10 @@ at 100 TB both quietly dominate read cost.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -53,8 +57,6 @@ def compact_parquet(
     from the actual byte size, not row count, so compaction behaves the
     same whether rows are wide documents or narrow facts.
     """
-    import os
-
     total_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -98,3 +100,84 @@ def expire_ledger_batches(ledger_path: str, *, keep_last: int) -> list[int]:
     for b in doomed:
         shutil.rmtree(parts[b])
     return doomed
+
+# ---------------------------------------------------------------------------
+# Partition-layout-preserving compaction (the ANN-index append lifecycle)
+# ---------------------------------------------------------------------------
+# compact_parquet above rewrites an UNPARTITIONED directory to target-
+# sized files and leaves the swap to the caller. The functions below are
+# the partitionBy-layout twin used by the ANN index maintenance loop
+# (append_lsh_index / append_ivf_pq_index write batch-sized files into
+# partition dirs): hash-repartition on the partition keys -> exactly
+# files_per_partition files per dir, row multiset preserved, in-place
+# directory swap (two renames -- POSIX/HDFS atomicity; an object store
+# or concurrent readers want a table-format transaction instead, same
+# Spark plan, different commit protocol). Serving streams re-list the
+# index per micro-batch, so they pick the compacted layout up at the
+# next batch.
+
+def _parquet_file_count(root: str) -> int:
+    n = 0
+    for _dirpath, _dirs, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+) -> dict:
+    """Compact a ``partitionBy(partition_cols)`` parquet dataset in
+    place to ``files_per_partition`` files per partition dir. Returns
+    {files_before, files_after, rows}. Row multiset is preserved
+    bit-for-bit (pinned by tests/test_index_maintenance.py)."""
+    files_before = _parquet_file_count(path)
+    df = spark.read.parquet(path)
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        # deterministic salt from the non-partition payload so large
+        # partitions split reproducibly across the target file count
+        payload = [c for c in df.columns if c not in partition_cols]
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in payload]),
+            F.lit(files_per_partition),
+        )
+        out = df.withColumn("_salt", salt).repartition(*keys, F.col("_salt")).drop(
+            "_salt"
+        )
+    else:
+        out = df.repartition(*keys)
+
+    tmp = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+
+    old = f"{path.rstrip('/')}.old-{uuid.uuid4().hex[:8]}"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": files_before,
+        "files_after": _parquet_file_count(path),
+        "rows": rows,
+    }
+
+
+def compact_lsh_index(spark: SparkSession, index_path: str, **kw) -> dict:
+    """Compact an LSH index's (band, bucket) partition layout."""
+    return compact_partitioned(spark, index_path, ["band", "bucket"], **kw)
+
+
+def compact_ivf_pq_index(spark: SparkSession, index_path: str, **kw) -> dict:
+    """Compact an IVF-PQ index's per-cell codes and vectors datasets
+    (coarse/codebooks are single tiny files — never compacted)."""
+    return {
+        "codes": compact_partitioned(
+            spark, index_path + "/codes", ["cell"], **kw
+        ),
+        "vectors": compact_partitioned(
+            spark, index_path + "/vectors", ["cell"], **kw
+        ),
+    }

@@ -146,7 +146,7 @@ def start_ann_queries(
     pending files then stops (cron-style serving; swap the trigger for
     continuous). The index is re-listed per micro-batch (the read sits
     inside the handler), so rows landed by ``append_lsh_index`` — or a
-    compacted layout from ``maintenance.compact_partitioned`` —
+    compacted layout from ``sinks.maintenance.compact_partitioned`` —
     between batches are served WITHOUT a stream restart; the listing
     cost is bounded by the bucket directory count, not the corpus."""
     from pyspark.sql.window import Window as W

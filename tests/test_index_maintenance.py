@@ -1,5 +1,5 @@
 """Index maintenance: append visibility inside a running serve stream,
-and small-file compaction (fintech_etl_spark/maintenance.py).
+and small-file compaction (fintech_etl_spark/sinks/maintenance.py).
 
 Appends write small files into the per-(band,bucket) / per-cell
 partition dirs; at lake scale the maintenance loop is append →
@@ -25,7 +25,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from fintech_etl_spark.maintenance import compact_partitioned
+from fintech_etl_spark.sinks.maintenance import compact_partitioned
 from fintech_etl_spark.sources.tables import load_table
 from fintech_etl_spark.streaming.ann import (
     append_lsh_index,

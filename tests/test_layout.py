@@ -1,0 +1,133 @@
+"""Z-order layout (operators/layout.py): curve math unit-pinned, and
+the claim that matters — a z-clustered write gives parquet footer
+min/max stats that prune files for box predicates on EITHER
+interleaved column, where a single-key sort prunes only its own key.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.operators.layout import (
+    interleave_expr,
+    with_zvalue,
+    zorder_write,
+)
+from fintech_etl_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_interleave_bit_positions(spark):
+    """Hand-computed Morton values: x=0b101, y=0b011 → bits of x at
+    even positions (x_i → 2i), y at odd (y_i → 2i+1):
+    y2 x2 y1 x1 y0 x0 = 0 1 1 0 1 1 → 0b011011 = 27; plus the axis
+    unit vectors land at positions 0 and 1."""
+    rows = spark.sql(
+        f"""SELECT {interleave_expr(['x', 'y'], bits=3)} AS z
+            FROM VALUES (5, 3), (1, 0), (0, 1), (7, 7) AS t(x, y)"""
+    ).collect()
+    assert [r.z for r in rows] == [0b011011, 1, 2, 0b111111]
+
+
+def test_with_zvalue_scales_before_interleaving(spark):
+    """Min-max scaling: the extreme corners of the key space map to
+    the extreme z-values regardless of the raw ranges."""
+    df = spark.createDataFrame(
+        [(100, 7), (100, 9), (300, 7), (300, 9)], "a long, b long"
+    )
+    z = {(r.a, r.b): r.z for r in with_zvalue(df, ["a", "b"], bits=4).collect()}
+    assert z[(100, 7)] == 0
+    assert z[(300, 9)] == (1 << 8) - 1  # both lanes saturated
+    assert z[(300, 7)] == 0b01010101  # only the a-lane (even bits)
+    assert z[(100, 9)] == 0b10101010  # only the b-lane (odd bits)
+
+
+def _files_overlapping_box(path, plo, phi, slo, shi):
+    """Count parquet files whose footer min/max stats admit rows in
+    the box — exactly the pruning decision a stats-aware scan makes."""
+    hit, total = 0, 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        stats = {}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                s = col.statistics
+                if s is None or not s.has_min_max:
+                    continue
+                lo, hi = stats.get(name, (s.min, s.max))
+                stats[name] = (min(lo, s.min), max(hi, s.max))
+        total += 1
+        if (
+            stats["l_partkey"][0] <= phi
+            and stats["l_partkey"][1] >= plo
+            and stats["l_suppkey"][0] <= shi
+            and stats["l_suppkey"][1] >= slo
+        ):
+            hit += 1
+    return hit, total
+
+
+def test_zorder_write_prunes_box_predicates_on_both_keys(spark, tmp_path):
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n = li.count()
+    # the box: middle ~15% of each key's range
+    b = li.agg(
+        F.min("l_partkey").alias("plo"),
+        F.max("l_partkey").alias("phi"),
+        F.min("l_suppkey").alias("slo"),
+        F.max("l_suppkey").alias("shi"),
+    ).first()
+    pspan, sspan = b.phi - b.plo, b.shi - b.slo
+    box = (
+        b.plo + int(0.42 * pspan),
+        b.plo + int(0.58 * pspan),
+        b.slo + int(0.42 * sspan),
+        b.slo + int(0.58 * sspan),
+    )
+
+    natural = str(tmp_path / "natural")
+    li.repartitionByRange(16, "l_orderkey").write.parquet(natural)
+    zpath = str(tmp_path / "zorder")
+    assert zorder_write(li, ["l_partkey", "l_suppkey"], zpath, num_files=16) == n
+
+    nat_hit, nat_total = _files_overlapping_box(natural, *box)
+    z_hit, z_total = _files_overlapping_box(zpath, *box)
+    assert nat_total >= 8 and z_total >= 8
+    # orderkey-sorted files carry the full (partkey, suppkey) spread —
+    # the box predicate prunes (almost) nothing
+    assert nat_hit >= nat_total - 1
+    # z-clustered files are compact boxes — most files prune away
+    assert z_hit <= z_total // 2, (z_hit, z_total)
+
+    # and the layouts hold identical data
+    got = spark.read.parquet(zpath)
+    assert got.count() == n
+    assert got.exceptAll(li).count() == 0 and li.exceptAll(got).count() == 0
+
+
+def test_zorder_box_query_results_unchanged(spark, tmp_path):
+    """Pruning is a physical detail: the box query returns identical
+    rows from either layout."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    zpath = str(tmp_path / "z")
+    zorder_write(li, ["l_partkey", "l_suppkey"], zpath, num_files=8)
+    pred = (
+        (F.col("l_partkey").between(50, 90))
+        & (F.col("l_suppkey").between(3, 7))
+    )
+    want = sorted(map(tuple, li.filter(pred).collect()))
+    got = sorted(map(tuple, spark.read.parquet(zpath).filter(pred).collect()))
+    assert got == want and want, "box must be non-empty"
