@@ -137,6 +137,17 @@ def main(argv: list[str] | None = None) -> int:
         "not already be indexed",
     )
 
+    iv = sub.add_parser(
+        "ingest-vectors",
+        help="checkpointed streaming ingest: watch a JSONL glob of new "
+        "vectors and append each micro-batch into an existing index "
+        "(exactly-once per file across restarts)",
+    )
+    iv.add_argument("kind", choices=("ivf-pq", "lsh"))
+    iv.add_argument("--vectors-glob", required=True)
+    iv.add_argument("--index", required=True)
+    iv.add_argument("--checkpoint", required=True)
+
     ic = sub.add_parser(
         "index-compact",
         help="compact an index's partition dirs after appends (row "
@@ -278,6 +289,22 @@ def main(argv: list[str] | None = None) -> int:
 
             n = append_lsh_index(new_vecs, args.index)
             print(json.dumps({"index": args.index, "appended_rows": n}))
+    elif args.cmd == "ingest-vectors":
+        from fintech_etl_spark.streaming.ann import start_vector_ingest
+
+        def on_batch(batch_id: int, n: int) -> None:
+            print(json.dumps({"batch_id": batch_id, "appended": n}))
+
+        q = start_vector_ingest(
+            spark,
+            args.vectors_glob,
+            args.checkpoint,
+            args.index,
+            family=args.kind,
+            on_batch=on_batch,
+        )
+        q.awaitTermination()
+        print("ingest drained")
     elif args.cmd == "index-compact":
         from fintech_etl_spark.sinks.maintenance import (
             compact_ivf_pq_index,

@@ -130,6 +130,78 @@ def append_lsh_index(new_vectors: DataFrame, index_path: str) -> int:
     return new_vectors.count() * _N_BANDS
 
 
+def start_vector_ingest(
+    spark: SparkSession,
+    vectors_glob: str,
+    checkpoint_dir: str,
+    index_path: str,
+    *,
+    family: str = "lsh",
+    max_files_per_trigger: int = 32,
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """The online half of index maintenance: watch ``vectors_glob``
+    for JSONL files of new vectors ({vec_id, embedding}) and append
+    each micro-batch into the index at ``index_path`` via
+    :func:`append_lsh_index` / :func:`append_ivf_pq_index`. The
+    streaming checkpoint makes file processing exactly-once across
+    restarts — a crashed ingest never re-appends a processed file —
+    and the serve streams re-list per batch, so vectors flow
+    file → index → query results with no rebuild and no restart
+    anywhere. availableNow trigger (cron-style ingest).
+
+    Within-batch duplicate or NULL vec_ids fail the stream loudly
+    BEFORE any append (the same fail-stop posture as the Pub/Sub
+    ledger): an appended duplicate would serve twice forever, which is
+    strictly worse than a halted ingest."""
+    incoming = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("mode", "PERMISSIVE")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(vectors_glob)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        b = batch_df.filter(
+            F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            chk = b.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("vec_id").alias("d"),
+            ).first()
+            if chk["d"] != chk["n"]:
+                raise ValueError(
+                    f"vector ingest batch {batch_id}: "
+                    f"{chk['n'] - chk['d']} duplicate vec_id(s) — an "
+                    "appended duplicate would serve twice forever; "
+                    "dedup upstream (ids must be unique per corpus)"
+                )
+            if chk["n"] == 0:
+                return
+            if family == "lsh":
+                n = append_lsh_index(b, index_path)
+            elif family == "ivf-pq":
+                n = append_ivf_pq_index(spark, b, index_path)[
+                    "appended_vectors"
+                ]
+            else:
+                raise ValueError(f"unknown index family {family!r}")
+            if on_batch is not None:
+                on_batch(batch_id, n)
+        finally:
+            b.unpersist()
+
+    return (
+        incoming.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_ann_queries(
     spark: SparkSession,
     queries_glob: str,

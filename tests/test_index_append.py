@@ -233,6 +233,79 @@ def test_ivfpq_serving_finds_appended_vectors(spark, tmp_path):
         assert rows[0][2] == 0.0
 
 
+def _write_jsonl(rows, path):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps({"vec_id": r.vec_id, "embedding": list(r.embedding)})
+                + "\n"
+            )
+
+
+def test_streaming_vector_ingest_reaches_build_parity(spark, tmp_path):
+    """File → ingest stream → index: after draining two JSONL files of
+    new vectors, the LSH index is bit-equal to a full rebuild on the
+    union; a restart against the same checkpoint re-appends nothing."""
+    from fintech_etl_spark.streaming.ann import start_vector_ingest
+
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, a_dir, idx)
+
+    vdir = tmp_path / "vectors"
+    vdir.mkdir()
+    b_rows = b.collect()
+    _write_jsonl(b_rows[:50], vdir / "f0.jsonl")
+    _write_jsonl(b_rows[50:], vdir / "f1.jsonl")
+
+    batches = []
+    q = start_vector_ingest(
+        spark,
+        str(vdir / "*.jsonl"),
+        str(tmp_path / "ckpt"),
+        idx,
+        max_files_per_trigger=1,
+        on_batch=lambda bid, n: batches.append((bid, n)),
+    )
+    q.awaitTermination()
+    assert sorted(n for _, n in batches) == [50 * 12, 50 * 12]
+
+    full = str(tmp_path / "idx_full")
+    build_lsh_index(spark, SF_SMOKE, full)
+    assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
+
+    # restart: checkpoint says both files are done — nothing re-appends
+    q = start_vector_ingest(
+        spark, str(vdir / "*.jsonl"), str(tmp_path / "ckpt"), idx
+    )
+    q.awaitTermination()
+    assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
+
+
+def test_streaming_vector_ingest_rejects_duplicate_ids(spark, tmp_path):
+    from pyspark.errors import StreamingQueryException
+
+    from fintech_etl_spark.streaming.ann import start_vector_ingest
+
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, a_dir, idx)
+    rows_before = _lsh_rows(spark, idx)
+
+    vdir = tmp_path / "vectors"
+    vdir.mkdir()
+    dup = b.limit(1).collect() * 2
+    _write_jsonl(dup, vdir / "dup.jsonl")
+
+    q = start_vector_ingest(
+        spark, str(vdir / "*.jsonl"), str(tmp_path / "ckpt"), idx
+    )
+    with pytest.raises(StreamingQueryException, match="duplicate vec_id"):
+        q.awaitTermination()
+    # fail-stop: nothing was appended
+    assert _lsh_rows(spark, idx) == rows_before
+
+
 def test_cli_index_append(spark, tmp_path, capsys, monkeypatch):
     """CLI `index-append` drives both families against an existing
     index: new-batch parquet in, per-batch counts out."""
