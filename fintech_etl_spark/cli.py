@@ -141,7 +141,8 @@ def main(argv: list[str] | None = None) -> int:
         "ingest-vectors",
         help="checkpointed streaming ingest: watch a JSONL glob of new "
         "vectors and append each micro-batch into an existing index "
-        "(exactly-once per file across restarts)",
+        "(checkpoint + _ingest_ledger markers dedup crash retries; "
+        "at-least-once across the append-to-marker window)",
     )
     iv.add_argument("kind", choices=("ivf-pq", "lsh"))
     iv.add_argument("--vectors-glob", required=True)
@@ -151,7 +152,10 @@ def main(argv: list[str] | None = None) -> int:
     ic = sub.add_parser(
         "index-compact",
         help="compact an index's partition dirs after appends (row "
-        "multiset preserved; serving picks the layout up next batch)",
+        "multiset preserved). Run between serving drains: the "
+        "directory swap is not transactional, so a query racing it "
+        "can fail — cron-style availableNow serving makes the gap "
+        "natural",
     )
     ic.add_argument("kind", choices=("ivf-pq", "lsh"))
     ic.add_argument("--index", required=True)

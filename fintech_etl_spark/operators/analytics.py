@@ -72,7 +72,7 @@ def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in _QUANTS]))
     return orders.groupBy("o_orderpriority").agg(
         _r4(F.element_at(pct, 1)).alias("p25"),
         _r4(F.element_at(pct, 2)).alias("p50"),

@@ -132,7 +132,19 @@ def compact_partitioned(
     """Compact a ``partitionBy(partition_cols)`` parquet dataset in
     place to ``files_per_partition`` files per partition dir. Returns
     {files_before, files_after, rows}. Row multiset is preserved
-    bit-for-bit (pinned by tests/test_index_maintenance.py)."""
+    bit-for-bit (pinned by tests/test_index_maintenance.py).
+
+    Concurrency caveat — the swap is two renames, NOT a transaction:
+    a reader that lists ``path`` in the instant between them sees no
+    dataset, and a reader that listed the old files can lose them to
+    the cleanup mid-scan. Run compaction when no query is in flight
+    (the serve streams' per-batch re-listing means the next batch
+    picks the new layout up; a batch racing the swap can fail and the
+    stream must be restarted) — or, on a real lake, wrap the rewrite
+    in a table-format transaction (Delta/Iceberg rewrite: identical
+    Spark plan, transactional commit). A crash between the renames
+    leaves the data in the ``.old-*`` dir — recovery is renaming it
+    back."""
     files_before = _parquet_file_count(path)
     df = spark.read.parquet(path)
     keys = [F.col(c) for c in partition_cols]

@@ -280,138 +280,142 @@ class PubSubSink:
         # itself) — cache it so the upstream micro-batch plan runs
         # once, not once per action, on the hot streaming path.
         ev = ev.persist(StorageLevel.MEMORY_AND_DISK)
-        # The ledger contract hangs entirely off _msg_id: a NULL id
-        # never matches the left_anti join (SQL null semantics) and
-        # would republish forever, and a duplicated id would make one
-        # pre-failure publish anti-join BOTH copies away on retry —
-        # silent message loss. Fail loudly before any publish instead.
-        chk = ev.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count("_msg_id").alias("n_nonnull"),
-            F.countDistinct("_msg_id").alias("n_distinct"),
-        ).first()
-        n_total = chk["n"]
-        if chk["n_nonnull"] != n_total:
-            ev.unpersist()
-            raise ValueError(
-                f"publish_with_ledger: {n_total - chk['n_nonnull']} row(s) "
-                f"have a NULL attributes['{id_attr}'] — the idempotency "
-                "ledger cannot dedup them (NULL never equi-joins); fix the "
-                "id derivation or use publish() for ledgerless delivery"
-            )
-        if chk["n_distinct"] != n_total:
-            ev.unpersist()
-            raise ValueError(
-                f"publish_with_ledger: attributes['{id_attr}'] is not "
-                f"unique within batch {batch_id} "
-                f"({n_total - chk['n_distinct']} duplicate(s)) — a retry "
-                "after partial publish would skip every copy of a "
-                "duplicated id (silent loss); make the id unique per "
-                "message"
-            )
-        already = self._read_ledger(spark, batch_id, ledger_path)
-        to_send = ev
-        if already is not None:
-            # per-batch ledgered set is bounded by the batch size →
-            # broadcast, the skip is a map-side anti join
-            to_send = ev.join(F.broadcast(already), "_msg_id", "left_anti")
-        n_to_send = to_send.count() if already is not None else n_total
-        n_skipped = n_total - n_to_send
+        try:
+            # The ledger contract hangs entirely off _msg_id: a NULL id
+            # never matches the left_anti join (SQL null semantics) and
+            # would republish forever, and a duplicated id would make one
+            # pre-failure publish anti-join BOTH copies away on retry —
+            # silent message loss. Fail loudly before any publish instead.
+            chk = ev.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("_msg_id").alias("n_nonnull"),
+                F.countDistinct("_msg_id").alias("n_distinct"),
+            ).first()
+            n_total = chk["n"]
+            if chk["n_nonnull"] != n_total:
+                raise ValueError(
+                    f"publish_with_ledger: {n_total - chk['n_nonnull']} row(s) "
+                    f"have a NULL attributes['{id_attr}'] — the idempotency "
+                    "ledger cannot dedup them (NULL never equi-joins); fix the "
+                    "id derivation or use publish() for ledgerless delivery"
+                )
+            if chk["n_distinct"] != n_total:
+                raise ValueError(
+                    f"publish_with_ledger: attributes['{id_attr}'] is not "
+                    f"unique within batch {batch_id} "
+                    f"({n_total - chk['n_distinct']} duplicate(s)) — a retry "
+                    "after partial publish would skip every copy of a "
+                    "duplicated id (silent loss); make the id unique per "
+                    "message"
+                )
+            already = self._read_ledger(spark, batch_id, ledger_path)
+            to_send = ev
+            if already is not None:
+                # per-batch ledgered set is bounded by the batch size →
+                # broadcast, the skip is a map-side anti join
+                to_send = ev.join(F.broadcast(already), "_msg_id", "left_anti")
+            n_to_send = to_send.count() if already is not None else n_total
+            n_skipped = n_total - n_to_send
 
-        if has_ordering:
-            to_send = to_send.repartition(F.col(ordering_col)).sortWithinPartitions(
-                ordering_col, *(order_by or [])
-            )
-        # map<string,string> crosses into pandas as engine-version-
-        # dependent shapes; a JSON rendering is stable either way.
-        # Leading underscores would be renamed away by itertuples —
-        # plain names for the kernel columns.
-        cols = [
-            F.col("_msg_id").alias("msg_id"),
-            "data",
-            F.to_json("attributes").alias("attrs_json"),
-        ]
-        if has_ordering:
-            cols.append(F.col(ordering_col).alias("okey"))
-        to_send_rows = to_send.select(*cols)
+            if has_ordering:
+                to_send = to_send.repartition(F.col(ordering_col)).sortWithinPartitions(
+                    ordering_col, *(order_by or [])
+                )
+            # map<string,string> crosses into pandas as engine-version-
+            # dependent shapes; a JSON rendering is stable either way.
+            # Leading underscores would be renamed away by itertuples —
+            # plain names for the kernel columns.
+            cols = [
+                F.col("_msg_id").alias("msg_id"),
+                "data",
+                F.to_json("attributes").alias("attrs_json"),
+            ]
+            if has_ordering:
+                cols.append(F.col(ordering_col).alias("okey"))
+            to_send_rows = to_send.select(*cols)
 
-        def deliver(pdfs):
-            batch: list[dict] = []
-            ids: list[str] = []
-            nbytes = 0
-            halted_keys: set = set()  # ordering keys past their first failure
-            oks: list[bool] = []
-            out_ids: list[str] = []
-
-            def flush() -> None:
-                nonlocal nbytes
-                if not batch:
-                    return
-                try:
-                    transport(topic, list(batch))
-                    ok = True
-                except Exception:  # noqa: BLE001 — halt the request's keys
-                    ok = False
-                    halted_keys.update(m.get("ordering_key") for m in batch)
-                out_ids.extend(ids)
-                oks.extend([ok] * len(batch))
-                batch.clear()
-                ids.clear()
+            def deliver(pdfs):
+                batch: list[dict] = []
+                ids: list[str] = []
                 nbytes = 0
+                halted_keys: set = set()  # ordering keys past their first failure
+                oks: list[bool] = []
+                out_ids: list[str] = []
 
-            for pdf in pdfs:
-                for row in pdf.itertuples(index=False):
-                    msg = {"data": row.data}
-                    attrs = json.loads(row.attrs_json) if row.attrs_json else None
-                    if attrs:
-                        msg["attributes"] = attrs
-                    if has_ordering:
-                        msg["ordering_key"] = row.okey
-                    sz = len(json.dumps(msg))
-                    if batch and (
-                        len(batch) >= max_msgs or nbytes + sz > max_bytes
-                    ):
-                        flush()
-                    # halted check strictly AFTER any flush of earlier
-                    # messages: a failure is only discovered at flush
-                    # time, and publishing past a key's fresh gap is
-                    # exactly the ordering bug this prevents (the
-                    # Pub/Sub client contract: a failure halts ITS
-                    # ordering key until resume)
-                    if has_ordering and row.okey in halted_keys:
-                        out_ids.append(row.msg_id)
-                        oks.append(False)
-                        continue
-                    batch.append(msg)
-                    ids.append(row.msg_id)
-                    nbytes += sz
-            flush()
-            yield pd.DataFrame({"msg_id": out_ids, "ok": oks})
+                def flush() -> None:
+                    nonlocal nbytes
+                    if not batch:
+                        return
+                    try:
+                        transport(topic, list(batch))
+                        ok = True
+                    except Exception:  # noqa: BLE001 — halt the request's keys
+                        ok = False
+                        halted_keys.update(m.get("ordering_key") for m in batch)
+                    out_ids.extend(ids)
+                    oks.extend([ok] * len(batch))
+                    batch.clear()
+                    ids.clear()
+                    nbytes = 0
 
-        attempted = to_send_rows.mapInPandas(deliver, "msg_id string, ok boolean")
-        # the ledger append IS the action that drives delivery; only
-        # successes are recorded (crash between publish and append ⇒
-        # at-least-once, never a lost skip)
-        (
-            attempted.filter(F.col("ok"))
-            .select(
-                F.col("msg_id").alias("message_id"),
-                F.lit(batch_id).cast("long").alias("batch_id"),
-                F.current_timestamp().alias("published_at"),
+                for pdf in pdfs:
+                    for row in pdf.itertuples(index=False):
+                        msg = {"data": row.data}
+                        attrs = json.loads(row.attrs_json) if row.attrs_json else None
+                        if attrs:
+                            msg["attributes"] = attrs
+                        if has_ordering:
+                            msg["ordering_key"] = row.okey
+                        sz = len(json.dumps(msg))
+                        if batch and (
+                            len(batch) >= max_msgs or nbytes + sz > max_bytes
+                        ):
+                            flush()
+                        # halted check strictly AFTER any flush of earlier
+                        # messages: a failure is only discovered at flush
+                        # time, and publishing past a key's fresh gap is
+                        # exactly the ordering bug this prevents (the
+                        # Pub/Sub client contract: a failure halts ITS
+                        # ordering key until resume)
+                        if has_ordering and row.okey in halted_keys:
+                            out_ids.append(row.msg_id)
+                            oks.append(False)
+                            continue
+                        batch.append(msg)
+                        ids.append(row.msg_id)
+                        nbytes += sz
+                flush()
+                yield pd.DataFrame({"msg_id": out_ids, "ok": oks})
+
+            attempted = to_send_rows.mapInPandas(deliver, "msg_id string, ok boolean")
+            # the ledger append IS the action that drives delivery; only
+            # successes are recorded (crash between publish and append ⇒
+            # at-least-once, never a lost skip)
+            (
+                attempted.filter(F.col("ok"))
+                .select(
+                    F.col("msg_id").alias("message_id"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.current_timestamp().alias("published_at"),
+                )
+                .write.mode("append")
+                .partitionBy("batch_id")
+                .parquet(ledger_path)
             )
-            .write.mode("append")
-            .partitionBy("batch_id")
-            .parquet(ledger_path)
-        )
-        ev.unpersist()  # delivery action done — drop the batch cache
-        done = self._read_ledger(spark, batch_id, ledger_path)
-        n_done = done.count() if done is not None else 0
-        published = n_done - n_skipped
-        return {
-            "published": published,
-            "failed": n_to_send - published,
-            "skipped": n_skipped,
-        }
+            done = self._read_ledger(spark, batch_id, ledger_path)
+            n_done = done.count() if done is not None else 0
+            published = n_done - n_skipped
+            return {
+                "published": published,
+                "failed": n_to_send - published,
+                "skipped": n_skipped,
+            }
+        finally:
+            # every exit path — loud validation raise, delivery or
+            # ledger-write failure, or clean return — drops the batch
+            # cache; a leak here strands one cached micro-batch per
+            # failed retry attempt in executor storage
+            ev.unpersist()
 
     @staticmethod
     def _read_ledger(spark, batch_id: int, ledger_path: str):

@@ -144,16 +144,28 @@ def start_vector_ingest(
     for JSONL files of new vectors ({vec_id, embedding}) and append
     each micro-batch into the index at ``index_path`` via
     :func:`append_lsh_index` / :func:`append_ivf_pq_index`. The
-    streaming checkpoint makes file processing exactly-once across
-    restarts — a crashed ingest never re-appends a processed file —
-    and the serve streams re-list per batch, so vectors flow
-    file → index → query results with no rebuild and no restart
-    anywhere. availableNow trigger (cron-style ingest).
+    streaming checkpoint makes file processing exactly-once in normal
+    operation, and a ``_ingest_ledger`` marker inside the index dir
+    (underscore-prefixed → invisible to every index read) makes a
+    batch re-delivered after a crash SKIP re-appending when its append
+    had committed. The residual window is the driver dying between the
+    append's job commit and the marker write — there the retry
+    re-appends, i.e. the cross-crash contract is AT-LEAST-ONCE, the
+    same posture as the webhook/Pub/Sub sinks (plain parquet has no
+    two-directory transaction; a table format closes the window).
+    Serve streams re-list per batch, so vectors flow file → index →
+    query results with no rebuild and no restart anywhere.
+    availableNow trigger (cron-style ingest).
 
-    Within-batch duplicate or NULL vec_ids fail the stream loudly
-    BEFORE any append (the same fail-stop posture as the Pub/Sub
-    ledger): an appended duplicate would serve twice forever, which is
-    strictly worse than a halted ingest."""
+    Within-batch duplicate or NULL vec_ids, and NULL embeddings, fail
+    the stream loudly BEFORE any append (the same fail-stop posture as
+    the Pub/Sub ledger): an appended duplicate would serve twice
+    forever, and a silently dropped row would be lost from the index
+    forever — both strictly worse than a halted ingest."""
+    if family not in ("lsh", "ivf-pq"):
+        raise ValueError(f"unknown index family {family!r}")
+    ledger = index_path.rstrip("/") + "/_ingest_ledger"
+
     incoming = (
         spark.readStream.schema("vec_id long, embedding array<double>")
         .option("mode", "PERMISSIVE")
@@ -162,16 +174,32 @@ def start_vector_ingest(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         from pyspark import StorageLevel
 
-        b = batch_df.filter(
-            F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # marker lives on the index's filesystem (local/NFS here; an
+        # object-store deployment routes these three calls through the
+        # Hadoop FS API — same protocol, different client)
+        marker = os.path.join(ledger, f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # crash-retry of a batch whose append committed
+        b = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             chk = b.agg(
                 F.count(F.lit(1)).alias("n"),
+                F.count("vec_id").alias("n_id"),
+                F.count("embedding").alias("n_emb"),
                 F.countDistinct("vec_id").alias("d"),
             ).first()
+            if chk["n_id"] != chk["n"] or chk["n_emb"] != chk["n"]:
+                raise ValueError(
+                    f"vector ingest batch {batch_id}: "
+                    f"{chk['n'] - min(chk['n_id'], chk['n_emb'])} row(s) "
+                    "with NULL vec_id/embedding (malformed JSONL line?) "
+                    "— dropping one silently would lose it from the "
+                    "index forever; fix the feed"
+                )
             if chk["d"] != chk["n"]:
                 raise ValueError(
                     f"vector ingest batch {batch_id}: "
@@ -183,12 +211,12 @@ def start_vector_ingest(
                 return
             if family == "lsh":
                 n = append_lsh_index(b, index_path)
-            elif family == "ivf-pq":
+            else:
                 n = append_ivf_pq_index(spark, b, index_path)[
                     "appended_vectors"
                 ]
-            else:
-                raise ValueError(f"unknown index family {family!r}")
+            os.makedirs(ledger, exist_ok=True)
+            open(marker, "w").close()
             if on_batch is not None:
                 on_batch(batch_id, n)
         finally:
@@ -381,8 +409,14 @@ def append_ivf_pq_index(
     ``_assign_step`` / ``_pq_assign_step`` expressions from
     operators/similarity.py, here fed the FROZEN parameter frames), so
     an appended vector lands in precisely the cell a served query's
-    probe ranks against. Parity pinned by tests/test_index_append.py:
-    appended assignments equal an independent NumPy replay of
+    probe ranks against — including the scorer-tier behavior: past
+    ``_KM_HIER_MIN`` cells ``_assign_step`` is the two-level
+    top-2-probe scorer whose assignment can differ from exact argmin
+    near coarse-group boundaries, for append exactly as for training
+    (consistency with the trainer is the contract; exact argmin is
+    not promised at that tier). Parity pinned by
+    tests/test_index_append.py at the exact-scorer tiers: appended
+    assignments equal an independent NumPy replay of
     argmin-squared-distance with the smallest-cell tie-break, append
     is batch-decomposable (``append(B1 ∪ B2) == append(B2) ∘
     append(B1)``), and existing index rows are bit-unchanged.
@@ -408,11 +442,29 @@ def append_ivf_pq_index(
     vecs = new_vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    ivf = _assign_step(vecs, coarse, k).select(
-        "vec_id", F.col("cell").alias("ivf_cell")
+    # the assignment is consumed by BOTH writes — checkpoint it so the
+    # coarse scoring pass runs once per batch, not once per write
+    ivf = (
+        _assign_step(vecs, coarse, k)
+        .select("vec_id", F.col("cell").alias("ivf_cell"))
+        .localCheckpoint(eager=False)
     )
     codes = _pq_assign_step(_pq_subslices(vecs), codebooks).select(
         "vec_id", "sub", F.col("cell").alias("pq_cell")
+    )
+    # vectors FIRST, codes second: the two appends are not one
+    # transaction, and the half-states differ in kind. A vectors row
+    # without codes is merely unsearchable until the retry completes
+    # (never ADC-ranked); a codes row without vectors would be RANKED
+    # into the shortlist and then silently dropped at the exact-refine
+    # join — an inconsistent index. Writing vectors first makes every
+    # crash window the harmless half-state.
+    (
+        vecs.join(ivf, "vec_id")
+        .withColumnRenamed("ivf_cell", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(index_path + "/vectors")
     )
     (
         codes.join(ivf, "vec_id")
@@ -420,13 +472,6 @@ def append_ivf_pq_index(
         .write.mode("append")
         .partitionBy("cell")
         .parquet(index_path + "/codes")
-    )
-    (
-        vecs.join(ivf, "vec_id")
-        .withColumnRenamed("ivf_cell", "cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(index_path + "/vectors")
     )
     n = new_vectors.count()
     from fintech_etl_spark.operators.similarity import _PQ_SUBS

@@ -306,6 +306,74 @@ def test_streaming_vector_ingest_rejects_duplicate_ids(spark, tmp_path):
     assert _lsh_rows(spark, idx) == rows_before
 
 
+def test_streaming_vector_ingest_rejects_null_rows(spark, tmp_path):
+    """A malformed JSONL line (null vec_id or embedding) halts the
+    stream loudly instead of silently losing the vector."""
+    from pyspark.errors import StreamingQueryException
+
+    from fintech_etl_spark.streaming.ann import start_vector_ingest
+
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, a_dir, idx)
+    rows_before = _lsh_rows(spark, idx)
+
+    vdir = tmp_path / "vectors"
+    vdir.mkdir()
+    good = b.limit(1).first()
+    with open(vdir / "bad.jsonl", "w") as f:
+        f.write(
+            json.dumps({"vec_id": good.vec_id, "embedding": list(good.embedding)})
+            + "\n"
+        )
+        f.write(json.dumps({"vec_id": None, "embedding": [0.0] * 8}) + "\n")
+
+    q = start_vector_ingest(
+        spark, str(vdir / "*.jsonl"), str(tmp_path / "ckpt"), idx
+    )
+    with pytest.raises(StreamingQueryException, match="NULL vec_id"):
+        q.awaitTermination()
+    assert _lsh_rows(spark, idx) == rows_before
+
+
+def test_streaming_vector_ingest_ledger_skips_replayed_batches(spark, tmp_path):
+    """Crash-retry idempotency: if the streaming checkpoint is lost
+    AFTER appends committed (batches re-delivered with the same ids),
+    the _ingest_ledger markers make the replay a no-op."""
+    from fintech_etl_spark.streaming.ann import start_vector_ingest
+
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, a_dir, idx)
+
+    vdir = tmp_path / "vectors"
+    vdir.mkdir()
+    _write_jsonl(b.collect(), vdir / "f0.jsonl")
+    q = start_vector_ingest(
+        spark, str(vdir / "*.jsonl"), str(tmp_path / "ckpt"), idx
+    )
+    q.awaitTermination()
+    rows = _lsh_rows(spark, idx)
+    assert len(rows) == 500 * 12
+
+    # fresh checkpoint → the file re-delivers as batch 0 again; the
+    # ledger marker must swallow it
+    replays = []
+    q = start_vector_ingest(
+        spark,
+        str(vdir / "*.jsonl"),
+        str(tmp_path / "ckpt_lost"),
+        idx,
+        on_batch=lambda bid, n: replays.append((bid, n)),
+    )
+    q.awaitTermination()
+    assert replays == []  # skipped before any append
+    assert _lsh_rows(spark, idx) == rows
+
+    # and the underscore-prefixed ledger dir is invisible to index reads
+    assert spark.read.parquet(idx).count() == len(rows)
+
+
 def test_cli_index_append(spark, tmp_path, capsys, monkeypatch):
     """CLI `index-append` drives both families against an existing
     index: new-batch parquet in, per-batch counts out."""

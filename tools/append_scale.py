@@ -36,7 +36,9 @@ if len(sys.argv) not in (1, 3):
     sys.exit(f"usage: {sys.argv[0]} [lo_dir hi_dir]")
 LO = sys.argv[1] if len(sys.argv) == 3 else "/root/repo/.scale/sf1"
 HI = sys.argv[2] if len(sys.argv) == 3 else "/root/repo/.scale/sf10"
-BATCH_SRC = "/root/repo/.scale/sf0.1"
+# the batch is drawn from LO (ids shifted out of every corpus), so the
+# tool is self-contained wherever the lo/hi dirs live
+BATCH_SRC = LO
 BATCH_N = 1024
 DATA_RATIO = 10.0
 SLACK = 2.5
@@ -47,6 +49,7 @@ def main() -> int:
 
     from fintech_etl_spark.session import build_session
     from fintech_etl_spark.sources.tables import load_table
+    from fintech_etl_spark.operators.similarity import _N_BANDS
     from fintech_etl_spark.streaming.ann import (
         append_ivf_pq_index,
         append_lsh_index,
@@ -58,7 +61,8 @@ def main() -> int:
     # the SAME batch at every scale, ids shifted out of every corpus
     batch = (
         load_table(spark, BATCH_SRC, "embeddings")
-        .filter(F.col("vec_id") < BATCH_N)
+        .orderBy("vec_id")
+        .limit(BATCH_N)
         .withColumn("vec_id", F.col("vec_id") + F.lit(10**9))
         .localCheckpoint()
     )
@@ -78,7 +82,7 @@ def main() -> int:
             t0 = time.time()
             n = append_lsh_index(batch, lsh)
             rec["lsh_append_s"] = round(time.time() - t0, 3)
-            assert n == n_batch * 12
+            assert n == n_batch * _N_BANDS
 
             ivf = os.path.join(work, f"ivf_{tag}")
             t0 = time.time()

@@ -44,9 +44,16 @@ def _file_stats(path: str, cols: list[str]) -> list[dict]:
                 if col.path_in_schema not in cols:
                     continue
                 s = col.statistics
+                if s is None or not s.has_min_max:
+                    continue
                 lo, hi = stats.get(col.path_in_schema, (s.min, s.max))
                 stats[col.path_in_schema] = (min(lo, s.min), max(hi, s.max))
-        out.append(stats)
+        if all(c in stats for c in cols):
+            out.append(stats)
+        else:
+            # a file with no usable stats can never be pruned — model
+            # it as admitting every box
+            out.append({c: (-(2**62), 2**62) for c in cols})
     return out
 
 
