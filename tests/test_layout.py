@@ -50,10 +50,15 @@ def test_with_zvalue_scales_before_interleaving(spark):
 
 def _files_overlapping_box(path, plo, phi, slo, shi):
     """Count parquet files whose footer min/max stats admit rows in
-    the box — exactly the pruning decision a stats-aware scan makes."""
+    the box — exactly the pruning decision a stats-aware scan makes.
+    Empty files (range repartitioning may emit empty partitions) prune
+    trivially and are excluded; a non-empty file missing stats could
+    never be pruned and counts as admitted."""
     hit, total = 0, 0
     for f in glob.glob(os.path.join(path, "*.parquet")):
         meta = pq.ParquetFile(f).metadata
+        if meta.num_rows == 0:
+            continue
         stats = {}
         for rg in range(meta.num_row_groups):
             g = meta.row_group(rg)
@@ -66,6 +71,9 @@ def _files_overlapping_box(path, plo, phi, slo, shi):
                 lo, hi = stats.get(name, (s.min, s.max))
                 stats[name] = (min(lo, s.min), max(hi, s.max))
         total += 1
+        if "l_partkey" not in stats or "l_suppkey" not in stats:
+            hit += 1  # no stats → unprunable → always admitted
+            continue
         if (
             stats["l_partkey"][0] <= phi
             and stats["l_partkey"][1] >= plo
@@ -81,7 +89,6 @@ def test_zorder_write_prunes_box_predicates_on_both_keys(spark, tmp_path):
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
     n = li.count()
-    # the box: middle ~15% of each key's range
     b = li.agg(
         F.min("l_partkey").alias("plo"),
         F.max("l_partkey").alias("phi"),
@@ -89,26 +96,35 @@ def test_zorder_write_prunes_box_predicates_on_both_keys(spark, tmp_path):
         F.max("l_suppkey").alias("shi"),
     ).first()
     pspan, sspan = b.phi - b.plo, b.shi - b.slo
-    box = (
-        b.plo + int(0.42 * pspan),
-        b.plo + int(0.58 * pspan),
-        b.slo + int(0.42 * sspan),
-        b.slo + int(0.58 * sspan),
-    )
 
     natural = str(tmp_path / "natural")
     li.repartitionByRange(16, "l_orderkey").write.parquet(natural)
     zpath = str(tmp_path / "zorder")
     assert zorder_write(li, ["l_partkey", "l_suppkey"], zpath, num_files=16) == n
 
-    nat_hit, nat_total = _files_overlapping_box(natural, *box)
-    z_hit, z_total = _files_overlapping_box(zpath, *box)
-    assert nat_total >= 8 and z_total >= 8
+    # A 3×3 grid of ~15% boxes, asserted ON AVERAGE: file boundaries
+    # come from RangePartitioner's sampled bounds (seeded by the
+    # session-global RDD id), so any SINGLE box's admitted count can
+    # wobble ±1-2 with where boundaries land relative to curve seams —
+    # the central box especially (all four Morton quadrants meet
+    # there). The aggregate claim is what the layout guarantees.
+    nat_hits, z_hits, totals = [], [], []
+    for gi in range(3):
+        for gj in range(3):
+            plo = b.plo + int((0.1 + 0.3 * gi) * pspan)
+            slo = b.slo + int((0.1 + 0.3 * gj) * sspan)
+            box = (plo, plo + int(0.15 * pspan), slo, slo + int(0.15 * sspan))
+            nh, nt = _files_overlapping_box(natural, *box)
+            zh, zt = _files_overlapping_box(zpath, *box)
+            nat_hits.append(nh)
+            z_hits.append(zh)
+            totals.append((nt, zt))
+    assert all(nt >= 8 and zt >= 8 for nt, zt in totals)
     # orderkey-sorted files carry the full (partkey, suppkey) spread —
-    # the box predicate prunes (almost) nothing
-    assert nat_hit >= nat_total - 1
+    # the box predicates prune (almost) nothing
+    assert sum(nat_hits) >= sum(nt for nt, _ in totals) - len(totals)
     # z-clustered files are compact boxes — most files prune away
-    assert z_hit <= z_total // 2, (z_hit, z_total)
+    assert sum(z_hits) <= sum(nat_hits) / 2, (z_hits, nat_hits)
 
     # and the layouts hold identical data
     got = spark.read.parquet(zpath)
