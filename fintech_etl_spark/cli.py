@@ -11,7 +11,7 @@ Commands mirror the reference endpoints:
   list-pending  GET  /list-pending      — list unprocessed objects
   stream        (new) watch a landing dir with checkpointed streaming
   query         (new) run any registered analytics query by name
-                (`query` alone lists all 112 with their oracle status)
+                (`query` alone lists all 208 with their oracle status)
 
 Each command builds the same declarative pipeline; sinks are parquet
 (receipt lake) and optionally a webhook URL.
