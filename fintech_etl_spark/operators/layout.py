@@ -71,6 +71,16 @@ def with_zvalue(
         *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
         *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
     ).first()
+    # fail here with the real cause: interpolating a None bound would
+    # emit the bare token `None` into the SQL and surface as an
+    # unresolved-identifier AnalysisException far from this call
+    missing = [c for c in cols if bounds[f"lo_{c}"] is None]
+    if missing:
+        raise ValueError(
+            "with_zvalue: no min/max bounds for column(s) "
+            f"{missing} — input is empty or the column is all-NULL; "
+            "z-ordering needs at least one non-NULL value per key"
+        )
     # scale into named intermediates FIRST so the interleave's 2·bits
     # terms reference a plain column, not 2·bits copies of the division
     d = df

@@ -130,9 +130,16 @@ def compact_partitioned(
     files_per_partition: int = 1,
 ) -> dict:
     """Compact a ``partitionBy(partition_cols)`` parquet dataset in
-    place to ``files_per_partition`` files per partition dir. Returns
-    {files_before, files_after, rows}. Row multiset is preserved
-    bit-for-bit (pinned by tests/test_index_maintenance.py).
+    place to AT MOST ``files_per_partition`` files per partition dir
+    (the salt is a payload hash modulo the target, so collisions — or
+    partitions with fewer distinct payload rows than the target —
+    yield fewer files; the target is an upper bound, not an exact
+    count). Returns {files_before, files_after, rows}. Row multiset is
+    preserved bit-for-bit (pinned by tests/test_index_maintenance.py).
+    Underscore-prefixed entries directly under ``path`` (e.g. the
+    ``_ingest_ledger`` crash-replay markers, which parquet reads never
+    see) are carried into the compacted layout — compaction must not
+    erase the dedup history the ingest path relies on.
 
     Concurrency caveat — the swap is two renames, NOT a transaction:
     a reader that lists ``path`` in the instant between them sees no
@@ -148,10 +155,19 @@ def compact_partitioned(
     files_before = _parquet_file_count(path)
     df = spark.read.parquet(path)
     keys = [F.col(c) for c in partition_cols]
+    payload = [c for c in df.columns if c not in partition_cols]
+    if not payload:
+        # Spark itself rejects a write partitioned on every column
+        # (ALL_PARTITION_COLUMNS_NOT_ALLOWED) — fail here with the
+        # actual cause instead of from inside the rewrite
+        raise ValueError(
+            "compact_partitioned: partition_cols covers every column "
+            f"of {path!r} — a partitionBy write needs at least one "
+            "payload column"
+        )
     if files_per_partition > 1:
         # deterministic salt from the non-partition payload so large
         # partitions split reproducibly across the target file count
-        payload = [c for c in df.columns if c not in partition_cols]
         salt = F.pmod(
             F.xxhash64(*[F.col(c).cast("string") for c in payload]),
             F.lit(files_per_partition),
@@ -168,6 +184,12 @@ def compact_partitioned(
 
     old = f"{path.rstrip('/')}.old-{uuid.uuid4().hex[:8]}"
     shutil.move(path, old)
+    # carry underscore-prefixed metadata (ingest ledger markers, etc.)
+    # into the new layout BEFORE it becomes live: parquet reads ignore
+    # them, but the ingest path's crash-replay dedup depends on them
+    for entry in os.listdir(old):
+        if entry.startswith("_") and not os.path.exists(os.path.join(tmp, entry)):
+            shutil.move(os.path.join(old, entry), os.path.join(tmp, entry))
     shutil.move(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return {

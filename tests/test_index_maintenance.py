@@ -214,3 +214,35 @@ def test_cli_index_compact(spark, tmp_path, capsys, monkeypatch):
     assert out["codes"]["files_after"] <= out["codes"]["files_before"]
     assert spark.read.parquet(ivf + "/codes").count() == n_codes
     assert spark.read.parquet(ivf + "/vectors").count() == n_vecs
+
+
+def test_compaction_preserves_ingest_ledger_markers(spark, tmp_path):
+    """Compaction rewrites the data layout but must NOT erase the
+    underscore-prefixed `_ingest_ledger` markers: parquet reads ignore
+    them, and without this carry-over a checkpoint-loss replay after a
+    compaction would re-append every batch the markers had swallowed."""
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, a_dir, idx)
+    append_lsh_index(b, idx)
+    ledger = os.path.join(idx, "_ingest_ledger")
+    os.makedirs(ledger)
+    open(os.path.join(ledger, "batch-deadbeef1234"), "w").close()
+    before = _rows(spark, idx)
+
+    compact_partitioned(spark, idx, ["band", "bucket"])
+    assert os.path.exists(os.path.join(ledger, "batch-deadbeef1234"))
+    assert _rows(spark, idx) == before
+
+
+def test_compaction_all_partition_columns_rejected_loudly(spark, tmp_path):
+    """partition_cols covering every column can never be rewritten
+    (Spark rejects all-column partitionBy writes) — the guard raises a
+    descriptive ValueError up front instead of an AnalysisException
+    from inside the staged rewrite."""
+    p = str(tmp_path / "kv")
+    spark.createDataFrame(
+        [(i % 3, i % 2, i) for i in range(24)], "k int, v int, x int"
+    ).write.partitionBy("k", "v").parquet(p)
+    with pytest.raises(ValueError, match="covers every column"):
+        compact_partitioned(spark, p, ["k", "v", "x"], files_per_partition=4)

@@ -147,3 +147,15 @@ def test_zorder_box_query_results_unchanged(spark, tmp_path):
     want = sorted(map(tuple, li.filter(pred).collect()))
     got = sorted(map(tuple, spark.read.parquet(zpath).filter(pred).collect()))
     assert got == want and want, "box must be non-empty"
+
+
+def test_with_zvalue_empty_or_all_null_raises(spark):
+    """Empty input / all-NULL key → a descriptive ValueError at the
+    bounds agg, not an unresolved-`None`-token AnalysisException deep
+    inside the generated SQL."""
+    empty = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError, match="empty or the column is all-NULL"):
+        with_zvalue(empty, ["a", "b"])
+    nullish = spark.createDataFrame([(1, None), (2, None)], "a long, b long")
+    with pytest.raises(ValueError, match=r"\['b'\]"):
+        with_zvalue(nullish, ["a", "b"])
