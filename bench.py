@@ -230,9 +230,26 @@ def main() -> int:
     # round 7's driver bench came back parsed:null because everything
     # shared ONE final JSON line that outgrew the driver's tail buffer.
     # The driver parses the LAST JSON line — keep it compact.
+    # The sidecar is PER-ROUND (BENCH_DETAIL_r{N}.json, r9 verdict #3):
+    # a single mutable filename left the working tree dirty after every
+    # driver bench and erased per-query history. The round number is
+    # the next BENCH_r{N} slot (the driver writes BENCH_r{N}.json for
+    # the round being benched AFTER running this), overridable via
+    # SPARK_GRAFT_ROUND.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        import re as _re
+
+        done = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rnd = f"{(max(done) + 1) if done else 1:02d}"
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            os.path.join(here, f"BENCH_DETAIL_r{rnd}.json"),
             "w",
         ) as fh:
             json.dump(

@@ -56,46 +56,17 @@ def _barrier(d: DataFrame, strategy: str) -> DataFrame:
     calls grow the plan 3^depth (the un-checkpointed RFM plan was 658
     nodes) — and re-runs the range exchange.
 
-    Strategies (``barrier=`` on the public helpers):
-
-    - ``"reliable"`` — ``checkpoint(eager=False)`` against the
-      session's checkpoint dir: plan truncation AND fault tolerance
-      (the materialized partitions live on the reliable store, so an
-      executor loss replays from there). The cluster posture.
-    - ``"local"`` — ``localCheckpoint(eager=False)``: plan truncation,
-      but partitions live on EXECUTOR-LOCAL storage with no lineage to
-      replay — a single executor loss fails the job. Only safe where
-      executors don't die (local mode / non-preemptible dev).
-    - ``"persist"`` — ``StorageLevel.MEMORY_AND_DISK`` cache: keeps
-      lineage (recompute on loss is safe — the range sort is
-      deterministic on a total order, so ``monotonically_increasing_id``
-      recomputes identically), but does NOT truncate the logical plan,
-      so deeply nested calls pay the 3^depth analysis cost.
-    - ``"none"`` — no barrier (plan-inspection tests only).
-    - ``"auto"`` (default) — ``"reliable"`` when the SparkContext has a
-      checkpoint dir configured, else ``"local"``. Set
-      ``spark.sparkContext.setCheckpointDir(...)`` on any real cluster
-      — especially preemptible/spot fleets, where executor loss is the
-      dominant failure mode — and the ranking family becomes
-      fault-tolerant with no call-site change.
+    The strategy semantics (auto|reliable|local|persist|none) live in
+    :mod:`fintech_etl_spark.barrier` — the policy is shared with every
+    other multiply-consumed frame in the engine (e.g. the IVF-PQ append
+    assignment), so a configured checkpoint dir upgrades them all at
+    once. ``persist`` here is recompute-safe: the range sort is
+    deterministic on a total order, so ``monotonically_increasing_id``
+    recomputes identically on executor loss.
     """
-    if strategy == "none":
-        return d
-    if strategy == "persist":
-        from pyspark import StorageLevel
+    from fintech_etl_spark.barrier import materialization_barrier
 
-        return d.persist(StorageLevel.MEMORY_AND_DISK)
-    if strategy == "auto":
-        has_dir = d.sparkSession.sparkContext.getCheckpointDir() is not None
-        strategy = "reliable" if has_dir else "local"
-    if strategy == "reliable":
-        return d.checkpoint(eager=False)
-    if strategy == "local":
-        return d.localCheckpoint(eager=False)
-    raise ValueError(
-        f"unknown barrier strategy {strategy!r} "
-        "(expected auto|reliable|local|persist|none)"
-    )
+    return materialization_barrier(d, strategy)
 
 
 def global_row_number(

@@ -389,7 +389,11 @@ def build_ivf_pq_index(
 
 
 def append_ivf_pq_index(
-    spark: SparkSession, new_vectors: DataFrame, index_path: str
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    index_path: str,
+    *,
+    barrier: str = "auto",
 ) -> dict:
     """Incremental IVF-PQ index maintenance: assign a NEW vector batch
     against the index's FROZEN coarse centroids and PQ codebooks —
@@ -428,7 +432,18 @@ def append_ivf_pq_index(
     ``IVF.add()`` after ``train()``.
 
     Caller contract: ids must be fresh (an appended duplicate would
-    serve twice). Returns per-batch counts."""
+    serve twice). Returns per-batch counts.
+
+    ``barrier`` picks the materialization strategy for the
+    twice-consumed assignment frame via the shared policy in
+    :mod:`fintech_etl_spark.barrier` (``"auto"`` → a RELIABLE
+    checkpoint whenever the SparkContext has a checkpoint dir — the
+    executor-loss-safe cluster posture; executor-local truncation only
+    as the local-mode fast path). The blast radius of a lost barrier
+    is one batch-sized frame, and the ingest ledger makes a retry
+    safe — but the append path rides the same posture switch as the
+    ranking family rather than hard-coding the local tier."""
+    from fintech_etl_spark.barrier import materialization_barrier
     from fintech_etl_spark.operators.similarity import (
         _assign_step,
         _pq_assign_step,
@@ -442,12 +457,13 @@ def append_ivf_pq_index(
     vecs = new_vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # the assignment is consumed by BOTH writes — checkpoint it so the
+    # the assignment is consumed by BOTH writes — barrier it so the
     # coarse scoring pass runs once per batch, not once per write
-    ivf = (
-        _assign_step(vecs, coarse, k)
-        .select("vec_id", F.col("cell").alias("ivf_cell"))
-        .localCheckpoint(eager=False)
+    ivf = materialization_barrier(
+        _assign_step(vecs, coarse, k).select(
+            "vec_id", F.col("cell").alias("ivf_cell")
+        ),
+        barrier,
     )
     codes = _pq_assign_step(_pq_subslices(vecs), codebooks).select(
         "vec_id", "sub", F.col("cell").alias("pq_cell")

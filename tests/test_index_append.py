@@ -399,3 +399,29 @@ def test_cli_index_append(spark, tmp_path, capsys, monkeypatch):
     assert out["appended_vectors"] == b.count()
     n = spark.read.parquet(ivf + "/vectors").count()
     assert n == load_table(spark, SF_SMOKE, "embeddings").count()
+
+
+def test_ivfpq_append_reliable_barrier_parity(spark, tmp_path):
+    """The append path rides the shared barrier policy: under a real
+    checkpoint dir (barrier='reliable' — what 'auto' selects on a
+    cluster) the appended assignments are bit-identical to the
+    local-mode default."""
+    a_dir, a, b = _split(spark, tmp_path)
+    local = str(tmp_path / "idx_local")
+    rel = str(tmp_path / "idx_reliable")
+    build_ivf_pq_index(spark, a_dir, local)
+    shutil.copytree(local, rel)
+
+    sc = spark.sparkContext
+    had = sc.getCheckpointDir()
+    if had is None:
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        append_ivf_pq_index(spark, b, rel, barrier="reliable")
+    finally:
+        if had is None:
+            sc._jsc.sc().setCheckpointDir(None)
+    append_ivf_pq_index(spark, b, local)
+
+    assert _codes_rows(spark, rel) == _codes_rows(spark, local)
+    assert _vector_rows(spark, rel) == _vector_rows(spark, local)
