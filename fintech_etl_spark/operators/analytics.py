@@ -253,6 +253,184 @@ def agg_quantiles_distributed_exact(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# ---------------------------------------------------------------------------
+# exact_quantiles: the auto-tier picker over the quantile decision table
+# ---------------------------------------------------------------------------
+
+
+def _q_alias(q: float) -> str:
+    """0.25 → p25, 0.975 → p97_5 — stable column names both tiers share."""
+    return ("p%g" % (q * 100)).replace(".", "_")
+
+
+def _pick_quantile_tier(
+    n_groups: int,
+    max_group: int,
+    *,
+    max_groups_for_ranking: int,
+    max_group_rows_for_agg: int,
+) -> str:
+    """The decision table as a pure function (unit-tested directly):
+
+    - max group fits one aggregation buffer → ``"agg"`` (plain hash
+      agg; Spark's exact percentile() buffers ONE group's values, so
+      the bound is the largest group, not the lake);
+    - else, few enough groups for the grouped-ranking offset table →
+      ``"ranking"`` (each huge group spreads over the range exchange);
+    - else (many groups AND a huge group) → ``"sketch"`` — no exact
+      plan is shuffle-safe, so fall back to approx_percentile and say
+      so loudly.
+    """
+    if max_group <= max_group_rows_for_agg:
+        return "agg"
+    if n_groups <= max_groups_for_ranking:
+        return "ranking"
+    return "sketch"
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = _QUANTS,
+    by: list[str] | None = None,
+    *,
+    max_groups_for_ranking: int = 100_000,
+    max_group_rows_for_agg: int = 20_000_000,
+    barrier: str = "auto",
+    tier: str | None = None,
+) -> DataFrame:
+    """Exact interpolated quantiles with the scale-safe plan picked
+    from the data's shape, so callers get the right tier without
+    reading the decision table spelled out across
+    ``agg_percentiles_grouped_window`` / ``agg_percentiles_
+    distributed_exact`` / ``agg_quantiles_distributed_exact``.
+
+    Ungrouped (``by=None``): always the distributed-ranking recipe
+    (one range exchange; the built-in percentile() would buffer every
+    value in one task). Grouped: two cheap probe aggregates (|groups|
+    and max group size — one groupBy count, rows out ≤ |groups|)
+    choose per :func:`_pick_quantile_tier`; pass ``tier=`` to skip the
+    probe and force one. The sketch tier emits a ``UserWarning``
+    because it is no longer exact (±accuracy rank error) — it exists
+    for the shape where NO exact plan bounds memory: more groups than
+    the ranking offset table holds AND a group too big for one buffer.
+
+    All tiers return the same schema — ``by`` columns, one ``p{q}``
+    column per quantile (``round(…, 4)``, quantile_cont semantics),
+    and ``n`` rows per group — and the two exact tiers return
+    identical values (pinned by tests/test_exact_quantiles.py).
+    """
+    if tier is None:
+        if by is None:
+            tier = "ranking"
+        else:
+            probe = (
+                df.groupBy(*by)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_groups"),
+                    F.max("_n").alias("max_group"),
+                )
+                .first()
+            )
+            if probe["max_group"] is None:
+                tier = "agg"  # empty input: any tier returns 0 rows
+            else:
+                tier = _pick_quantile_tier(
+                    probe["n_groups"],
+                    probe["max_group"],
+                    max_groups_for_ranking=max_groups_for_ranking,
+                    max_group_rows_for_agg=max_group_rows_for_agg,
+                )
+    if tier not in ("agg", "ranking", "sketch"):
+        raise ValueError(
+            f"unknown quantile tier {tier!r} (expected agg|ranking|sketch)"
+        )
+
+    if tier == "agg" and by is None:
+        # honor an explicit force, but an ungrouped exact percentile()
+        # is the one-buffer plan the helper exists to avoid
+        import warnings
+
+        warnings.warn(
+            "exact_quantiles(tier='agg', by=None) buffers every value "
+            "in one aggregation buffer — the auto tier uses the "
+            "distributed-ranking plan instead",
+            stacklevel=2,
+        )
+
+    group_cols = list(by) if by else []
+    if tier == "agg":
+        pct = F.percentile(value_col, F.array(*[F.lit(q) for q in qs]))
+        aggs = [
+            _r4(F.element_at(pct, i + 1)).alias(_q_alias(q))
+            for i, q in enumerate(qs)
+        ] + [F.count(F.lit(1)).alias("n")]
+        return (
+            df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+        )
+
+    if tier == "sketch":
+        import warnings
+
+        warnings.warn(
+            "exact_quantiles: falling back to the approx_percentile "
+            "sketch — too many groups for the grouped-ranking offset "
+            f"table (> {max_groups_for_ranking}) AND a group too large "
+            f"for one aggregation buffer (> {max_group_rows_for_agg} "
+            "rows); results are approximate (mergeable fixed-size "
+            "sketch, rank error bounded by its accuracy parameter)",
+            stacklevel=2,
+        )
+        sk = F.percentile_approx(
+            value_col, F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
+        )
+        aggs = [
+            _r4(F.element_at(sk, i + 1)).alias(_q_alias(q))
+            for i, q in enumerate(qs)
+        ] + [F.count(F.lit(1)).alias("n")]
+        return (
+            df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+        )
+
+    # ranking tier: the distributed-exact recipe shared with the
+    # registry rows. Tie-break by a synthesized unique id — rank order
+    # among EQUAL values is arbitrary, but quantile interpolation only
+    # reads the values at positions floor(h)/ceil(h), which ties can't
+    # change.
+    vals = df.select(
+        *group_cols, F.col(value_col).alias("_v")
+    ).withColumn("_tb", F.monotonically_increasing_id())
+    ranked = global_row_number(
+        vals,
+        [F.col("_v").asc(), F.col("_tb").asc()],
+        out="_rk",
+        total="_n",
+        partition_by=group_cols or None,
+        barrier=barrier,
+        max_side_rows=max(max_groups_for_ranking, 4_000_000),
+    )
+    idx = F.col("_rk") - 1
+    n1 = (F.col("_n") - 1).cast("double")
+    keep = None
+    for q in qs:
+        hit = (idx == F.floor(n1 * q)) | (idx == F.ceil(n1 * q))
+        keep = hit if keep is None else (keep | hit)
+    b = ranked.filter(keep)
+
+    def interp(q: float):
+        h = n1 * q
+        lo = F.max(F.when(idx == F.floor(h), F.col("_v")))
+        hi = F.max(F.when(idx == F.ceil(h), F.col("_v")))
+        frac = F.max(h - F.floor(h))
+        return F.round(lo + (hi - lo) * frac, 4)
+
+    aggs = [interp(q).alias(_q_alias(q)) for q in qs] + [
+        F.max("_n").alias("n")
+    ]
+    return b.groupBy(*group_cols).agg(*aggs) if group_cols else b.agg(*aggs)
+
+
 def approx_sketches_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates + exact ground truth + rank counts, per
     l_returnflag. HLL++ distinct counts and the KLL-style approximate
