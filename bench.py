@@ -136,6 +136,10 @@ HEADLINE = (
     # file-skipping layout math (min-max scale + bit interleave) as
     # exact shared BIGINT arithmetic
     "layout_zorder_buckets",
+    # appended r10: the end-to-end z-order scan — zorder_write
+    # materializes the clustered layout and the box query is answered
+    # FROM it (write + pruned read in one measured operation)
+    "layout_zorder_box_query",
 )
 
 # headline entries whose warm cost is dominated by per-invocation index

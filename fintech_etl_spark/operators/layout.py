@@ -174,3 +174,87 @@ def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").cast("long").alias("supp_lo"),
         F.max("l_suppkey").cast("long").alias("supp_hi"),
     )
+
+
+# the end-to-end box query: the center box [3/8, 5/8] of each key's
+# range, derived with the SAME integer arithmetic on both engines
+# (Python // on positive spans ≡ Spark div ≡ DuckDB //)
+_ZQ_ORACLE = """
+    WITH b AS (SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+                      min(l_suppkey) AS slo, max(l_suppkey) AS shi
+               FROM lineitem),
+    box AS (SELECT (plo + (((phi - plo) * 3) // 8)) AS p_lo,
+                   (plo + (((phi - plo) * 5) // 8)) AS p_hi,
+                   (slo + (((shi - slo) * 3) // 8)) AS s_lo,
+                   (slo + (((shi - slo) * 5) // 8)) AS s_hi
+            FROM b)
+    SELECT CAST(count(*) AS BIGINT)        AS n,
+           round(sum(l_quantity), 4)       AS sum_qty,
+           round(sum(l_extendedprice), 4)  AS sum_price,
+           CAST(min(l_orderkey) AS BIGINT) AS first_order,
+           CAST(max(l_orderkey) AS BIGINT) AS last_order
+    FROM lineitem CROSS JOIN box
+    WHERE l_partkey BETWEEN p_lo AND p_hi
+      AND l_suppkey BETWEEN s_lo AND s_hi
+"""
+
+
+@register(
+    "layout_zorder_box_query",
+    _ZQ_ORACLE,
+    doc=(
+        "End-to-end Z-order scan: zorder_write materializes lineitem "
+        "as 32 parquet files clustered on the Morton curve of "
+        "(l_partkey, l_suppkey), then a box predicate spanning the "
+        "center quarter of BOTH key ranges is answered FROM THE "
+        "Z-CLUSTERED LAYOUT — the read path a stats-aware scan prunes "
+        "(each file covers a compact hyper-rectangle, so most files' "
+        "footer min/max exclude the box; admitted-file counts receipted "
+        "in SCALE_RECEIPT_r10_zorder_query.json and pinned by "
+        "tests/test_layout.py). The oracle runs the same box query on "
+        "the raw table: the layout is a physical detail, so the "
+        "answers must match exactly — proving the clustered write is "
+        "lossless AND the pruned scan is correct. Box bounds derive "
+        "from min/max with shared integer arithmetic (Python // ≡ "
+        "Spark div ≡ DuckDB //)."
+    ),
+    tags=("layout", "scale"),
+)
+def layout_zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    b = li.agg(
+        F.min("l_partkey").alias("plo"),
+        F.max("l_partkey").alias("phi"),
+        F.min("l_suppkey").alias("slo"),
+        F.max("l_suppkey").alias("shi"),
+    ).first()
+    p_lo = b.plo + (b.phi - b.plo) * 3 // 8
+    p_hi = b.plo + (b.phi - b.plo) * 5 // 8
+    s_lo = b.slo + (b.shi - b.slo) * 3 // 8
+    s_hi = b.slo + (b.shi - b.slo) * 5 // 8
+
+    # materialize the clustered layout (idempotent overwrite, one path
+    # per sf_dir) and answer the box from IT, not from the source table
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "fintech_etl_zbox_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    zorder_write(li, ["l_partkey", "l_suppkey"], path, num_files=32)
+    z = spark.read.parquet(path)
+    return z.filter(
+        F.col("l_partkey").between(p_lo, p_hi)
+        & F.col("l_suppkey").between(s_lo, s_hi)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.min("l_orderkey").cast("long").alias("first_order"),
+        F.max("l_orderkey").cast("long").alias("last_order"),
+    )
