@@ -121,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
         help="IVF coarse cells (default: auto ⌈N/512⌉ so probe cost "
         "stays flat as the corpus grows)",
     )
+    ib.add_argument(
+        "--transactional",
+        action="store_true",
+        help="manifest-backed index (atomic pointer commits): ingest "
+        "becomes exactly-once per source file and compaction becomes "
+        "a race-free snapshot swap; append/ingest/compact/serve "
+        "auto-detect the mode",
+    )
 
     ia = sub.add_parser(
         "index-append",
@@ -152,10 +160,11 @@ def main(argv: list[str] | None = None) -> int:
     ic = sub.add_parser(
         "index-compact",
         help="compact an index's partition dirs after appends (row "
-        "multiset preserved). Run between serving drains: the "
-        "directory swap is not transactional, so a query racing it "
-        "can fail — cron-style availableNow serving makes the gap "
-        "natural",
+        "multiset preserved). Manifest-backed indexes (index-build "
+        "--transactional) swap snapshots atomically and may compact "
+        "WHILE serving; plain directories use a two-rename swap — run "
+        "those between serving drains (cron-style availableNow "
+        "serving makes the gap natural)",
     )
     ic.add_argument("kind", choices=("ivf-pq", "lsh"))
     ic.add_argument("--index", required=True)
@@ -165,6 +174,14 @@ def main(argv: list[str] | None = None) -> int:
         default=1,
         help="target files per partition dir (default 1; raise for "
         "partitions too large for a single file)",
+    )
+    ic.add_argument(
+        "--vacuum-keep",
+        type=int,
+        help="after a transactional compaction, garbage-collect "
+        "segments not referenced by the newest N manifest versions "
+        "(keep >= 2 while any scan may be in flight — the Delta "
+        "VACUUM retention rule); omit to keep everything",
     )
 
     sa = sub.add_parser(
@@ -273,13 +290,19 @@ def main(argv: list[str] | None = None) -> int:
             from fintech_etl_spark.streaming.ann import build_ivf_pq_index
 
             counts = build_ivf_pq_index(
-                spark, args.sf_dir, args.index, k=args.k_cells
+                spark,
+                args.sf_dir,
+                args.index,
+                k=args.k_cells,
+                transactional=args.transactional,
             )
             print(json.dumps({"index": args.index, **counts}))
         else:
             from fintech_etl_spark.streaming.ann import build_lsh_index
 
-            n = build_lsh_index(spark, args.sf_dir, args.index)
+            n = build_lsh_index(
+                spark, args.sf_dir, args.index, transactional=args.transactional
+            )
             print(json.dumps({"index": args.index, "index_rows": n}))
     elif args.cmd == "index-append":
         new_vecs = spark.read.parquet(args.vectors)
@@ -319,6 +342,13 @@ def main(argv: list[str] | None = None) -> int:
         stats = fn(
             spark, args.index, files_per_partition=args.files_per_partition
         )
+        if args.vacuum_keep is not None:
+            from fintech_etl_spark.sinks import manifest as mfst
+
+            stats = {
+                **stats,
+                "vacuum": mfst.vacuum(args.index, keep_last=args.vacuum_keep),
+            }
         print(json.dumps({"index": args.index, **stats}))
     elif args.cmd == "serve-ann":
         from fintech_etl_spark.streaming.ann import (

@@ -1861,10 +1861,26 @@ def dedup_minhash_lsh_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dense_band_verify(docs, minhash_signature_hash64("s"))
 
 
-def _dense_band_verify(docs: DataFrame, sig_col: F.Column) -> DataFrame:
+def _dense_band_verify(
+    docs: DataFrame, sig_col: F.Column, bucket_cap: int | None = None
+) -> DataFrame:
     """Shared 16×4 banding → bucket pair-gen → exact-jaccard verify
     pipeline behind both dense tiers (md5-verifiable and xxhash64-fast);
-    only the signature expression differs."""
+    only the signature expression differs.
+
+    ``bucket_cap``: band buckets holding more than this many docs sit
+    out pair generation (the same one-filter mechanism as the capped
+    SimHash/phash tiers). The registry rows pass None — the generated
+    corpus is template-diverse, and the DuckDB oracles replay the
+    uncapped banding — but a HOT corpus (one template stamped onto a
+    double-digit share of documents, the adversarial shape receipted in
+    SCALE_RECEIPT_r10_skew.json) puts the template's whole clone set
+    into ONE bucket per band, and C(hot, 2) candidate pairs go
+    quadratic in the clone count. Production posture for such corpora:
+    run exact dedup first (clone sets collapse to one survivor — the
+    documented dedup-family composition) or set a cap; either bounds
+    candidate work at O(cap·n) while pairs OUTSIDE mega-buckets are
+    untouched (pinned by tests/test_hashing.py)."""
     sh = with_shingles(docs, 3)
     sig = sh.select("doc_id", sig_col.alias("sig"))
     bands = sig.select(
@@ -1884,11 +1900,15 @@ def _dense_band_verify(docs: DataFrame, sig_col: F.Column) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    cand = (
+    buckets = (
         bands.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("m"))
         .filter(F.size("m") >= 2)
-        .select(
+    )
+    if bucket_cap is not None:
+        buckets = buckets.filter(F.size("m") <= bucket_cap)
+    cand = (
+        buckets.select(
             F.explode(
                 F.expr(
                     "flatten(transform(m, (x, i) -> "

@@ -123,6 +123,42 @@ def _parquet_file_count(root: str) -> int:
     return n
 
 
+def _compaction_layout(
+    df: DataFrame,
+    partition_cols: list[str],
+    files_per_partition: int,
+    what: str,
+) -> DataFrame:
+    """Shared rewrite shape for both compaction modes: hash-repartition
+    on the partition keys (plus a deterministic payload salt when more
+    than one file per partition dir is wanted) so the partitioned write
+    emits AT MOST ``files_per_partition`` files per dir."""
+    keys = [F.col(c) for c in partition_cols]
+    payload = [c for c in df.columns if c not in partition_cols]
+    if not payload:
+        # Spark itself rejects a write partitioned on every column
+        # (ALL_PARTITION_COLUMNS_NOT_ALLOWED) — fail here with the
+        # actual cause instead of from inside the rewrite
+        raise ValueError(
+            "compaction: partition_cols covers every column "
+            f"of {what!r} — a partitionBy write needs at least one "
+            "payload column"
+        )
+    if files_per_partition > 1:
+        # deterministic salt from the non-partition payload so large
+        # partitions split reproducibly across the target file count
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c).cast("string") for c in payload]),
+            F.lit(files_per_partition),
+        )
+        return (
+            df.withColumn("_salt", salt)
+            .repartition(*keys, F.col("_salt"))
+            .drop("_salt")
+        )
+    return df.repartition(*keys)
+
+
 def compact_partitioned(
     spark: SparkSession,
     path: str,
@@ -147,36 +183,15 @@ def compact_partitioned(
     the cleanup mid-scan. Run compaction when no query is in flight
     (the serve streams' per-batch re-listing means the next batch
     picks the new layout up; a batch racing the swap can fail and the
-    stream must be restarted) — or, on a real lake, wrap the rewrite
-    in a table-format transaction (Delta/Iceberg rewrite: identical
-    Spark plan, transactional commit). A crash between the renames
-    leaves the data in the ``.old-*`` dir — recovery is renaming it
-    back."""
+    stream must be restarted). A crash between the renames leaves the
+    data in the ``.old-*`` dir — recovery is renaming it back. Both
+    windows are CLOSED by the manifest-backed mode: build the index
+    with ``transactional=True`` and :func:`compact_transactional`
+    swaps snapshots with one atomic pointer commit, safe to run WHILE
+    serving (tests/test_manifest.py pins the race)."""
     files_before = _parquet_file_count(path)
     df = spark.read.parquet(path)
-    keys = [F.col(c) for c in partition_cols]
-    payload = [c for c in df.columns if c not in partition_cols]
-    if not payload:
-        # Spark itself rejects a write partitioned on every column
-        # (ALL_PARTITION_COLUMNS_NOT_ALLOWED) — fail here with the
-        # actual cause instead of from inside the rewrite
-        raise ValueError(
-            "compact_partitioned: partition_cols covers every column "
-            f"of {path!r} — a partitionBy write needs at least one "
-            "payload column"
-        )
-    if files_per_partition > 1:
-        # deterministic salt from the non-partition payload so large
-        # partitions split reproducibly across the target file count
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c).cast("string") for c in payload]),
-            F.lit(files_per_partition),
-        )
-        out = df.withColumn("_salt", salt).repartition(*keys, F.col("_salt")).drop(
-            "_salt"
-        )
-    else:
-        out = df.repartition(*keys)
+    out = _compaction_layout(df, partition_cols, files_per_partition, path)
 
     tmp = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
@@ -199,14 +214,79 @@ def compact_partitioned(
     }
 
 
+def compact_transactional(
+    spark: SparkSession,
+    root: str,
+    datasets: dict[str, list[str]],
+    files_per_partition: int = 1,
+) -> dict:
+    """Manifest-mode compaction (sinks/manifest.py): rewrite each
+    dataset's committed segments into ONE fresh segment with the same
+    partition layout, then swap them in with a SINGLE atomic pointer
+    commit covering every dataset. No live directory is renamed and no
+    reader can observe a half-state: a scan that resolved the pointer
+    before the commit keeps reading the old segments (still on disk
+    until :func:`fintech_etl_spark.sinks.manifest.vacuum`), a scan
+    after it sees only the compacted layout — so compaction can run
+    CONCURRENTLY with serving (pinned by the race test in
+    tests/test_manifest.py), closing the directory-swap caveat
+    :func:`compact_partitioned` documents. The manifest's ingest
+    dedup history is carried by the commit itself. Returns per-dataset
+    {files_before, files_after, rows}."""
+    from fintech_etl_spark.sinks import manifest as mfst
+
+    stats: dict = {}
+    replace: dict[str, list[str]] = {}
+    for name, pcols in datasets.items():
+        segs = mfst.dataset_segments(root, name)
+        if not segs:
+            stats[name] = {"files_before": 0, "files_after": 0, "rows": 0}
+            continue
+        files_before = sum(_parquet_file_count(s) for s in segs)
+        df = spark.read.parquet(segs[0])
+        for s in segs[1:]:
+            df = df.unionByName(spark.read.parquet(s))
+        out = _compaction_layout(df, pcols, files_per_partition, root)
+        seg = mfst.new_segment_path(root)
+        out.write.mode("overwrite").partitionBy(*pcols).parquet(seg)
+        replace[name] = [seg]
+        stats[name] = {
+            "files_before": files_before,
+            "files_after": _parquet_file_count(seg),
+            "rows": spark.read.parquet(seg).count(),
+        }
+    if replace:
+        mfst.commit(root, replace=replace)
+    return stats
+
+
 def compact_lsh_index(spark: SparkSession, index_path: str, **kw) -> dict:
-    """Compact an LSH index's (band, bucket) partition layout."""
+    """Compact an LSH index's (band, bucket) partition layout.
+    Manifest-backed indexes take the transactional snapshot-swap path;
+    plain directories take the two-rename swap (run those between
+    serving drains — see :func:`compact_partitioned`)."""
+    from fintech_etl_spark.sinks import manifest as mfst
+
+    if mfst.is_transactional(index_path):
+        return compact_transactional(
+            spark, index_path, {"index": ["band", "bucket"]}, **kw
+        )["index"]
     return compact_partitioned(spark, index_path, ["band", "bucket"], **kw)
 
 
 def compact_ivf_pq_index(spark: SparkSession, index_path: str, **kw) -> dict:
     """Compact an IVF-PQ index's per-cell codes and vectors datasets
-    (coarse/codebooks are single tiny files — never compacted)."""
+    (coarse/codebooks are single tiny files — never compacted). On a
+    manifest-backed index BOTH datasets swap in one atomic commit."""
+    from fintech_etl_spark.sinks import manifest as mfst
+
+    if mfst.is_transactional(index_path):
+        return compact_transactional(
+            spark,
+            index_path,
+            {"codes": ["cell"], "vectors": ["cell"]},
+            **kw,
+        )
     return {
         "codes": compact_partitioned(
             spark, index_path + "/codes", ["cell"], **kw

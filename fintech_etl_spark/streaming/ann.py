@@ -41,11 +41,37 @@ from fintech_etl_spark.operators.similarity import (
     _deterministic_hyperplanes,
     dot,
 )
+from fintech_etl_spark.sinks import manifest as mf
 from fintech_etl_spark.sources.tables import load_table
 
 ResultHandler = Callable[[DataFrame, int], None]
 
 _QUERY_SCHEMA = f"query_id long, embedding array<double>"
+
+# empty-dataset schemas for manifest-backed reads (partition columns
+# come back as ints from directory inference, so pin them the same way)
+_LSH_SCHEMA = "neighbor_id long, u array<double>, band int, bucket int"
+_IVF_SCHEMAS = {
+    "codes": "vec_id long, sub int, pq_cell int, cell int",
+    "vectors": "vec_id long, v array<double>, cell int",
+}
+
+
+def _read_lsh_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The index scan both the serve stream and build-count use:
+    manifest-backed roots resolve the `_current` pointer (a consistent
+    snapshot no compaction can tear), plain roots list the directory."""
+    if mf.is_transactional(index_path):
+        return mf.read_dataset(spark, index_path, "index", _LSH_SCHEMA)
+    return spark.read.parquet(index_path)
+
+
+def _read_ivf_dataset(
+    spark: SparkSession, index_path: str, name: str
+) -> DataFrame:
+    if mf.is_transactional(index_path):
+        return mf.read_dataset(spark, index_path, name, _IVF_SCHEMAS[name])
+    return spark.read.parquet(index_path + "/" + name)
 
 
 def _bucketed_units(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -78,7 +104,13 @@ def _bucketed_units(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def build_lsh_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
+def build_lsh_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    *,
+    transactional: bool = False,
+) -> int:
     """Materialize the corpus LSH index: (band, bucket, neighbor_id, u)
     parquet partitioned by (band, bucket) — with 4 sign bits per band
     the bucket space is 12 × 16 = 192 directories, so a probe of a
@@ -86,18 +118,37 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
     (the serving path pushes the collected pairs as literal filters;
     at a wider bucket space the second key becomes a bucket PREFIX,
     same mechanics). Returns the number of index rows (= corpus size ×
-    bands). Linear single pass; idempotent overwrite."""
+    bands). Linear single pass; idempotent overwrite.
+
+    ``transactional=True`` builds a manifest-backed index
+    (sinks/manifest.py): data lands in an immutable staged segment and
+    becomes visible via one atomic pointer swap; every downstream
+    lifecycle call (append / ingest / compact / serve) auto-detects the
+    mode, upgrading compaction to a race-free snapshot swap and ingest
+    to exactly-once per source file."""
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _bucketed_units(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         "u",
         F.posexplode("bks").alias("band", "bucket"),
     )
-    idx.write.mode("overwrite").partitionBy("band", "bucket").parquet(index_path)
-    return spark.read.parquet(index_path).count()
+    if transactional:
+        seg = mf.new_segment_path(index_path)
+        idx.write.mode("overwrite").partitionBy("band", "bucket").parquet(seg)
+        mf.commit(index_path, replace={"index": [seg]})
+    else:
+        idx.write.mode("overwrite").partitionBy("band", "bucket").parquet(
+            index_path
+        )
+    return _read_lsh_index(spark, index_path).count()
 
 
-def append_lsh_index(new_vectors: DataFrame, index_path: str) -> int:
+def append_lsh_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    *,
+    file_keys: list[str] | None = None,
+) -> int:
     """Incremental LSH index maintenance — the lake-scale shape where
     an index is APPENDED, never rebuilt. The hyperplanes are
     deterministic and data-independent, so hashing a new batch needs
@@ -117,7 +168,16 @@ def append_lsh_index(new_vectors: DataFrame, index_path: str) -> int:
     id would duplicate its 12 rows (the serving dedup collapses them,
     but the index grows). Route re-sends through the Pub/Sub-style
     idempotency ledger upstream. Returns appended index rows
-    (batch × bands)."""
+    (batch × bands).
+
+    On a manifest-backed index (``build_lsh_index(transactional=
+    True)``) the batch is STAGED as a new segment and committed with
+    one atomic pointer swap — ``file_keys`` (source-file identities,
+    supplied by the ingest stream) land in the same commit, making
+    append + dedup-marker a single transaction."""
+    n = new_vectors.count()
+    if n == 0:
+        return 0
     new_rows = (
         _bucketed_units(new_vectors)
         .select(
@@ -126,8 +186,17 @@ def append_lsh_index(new_vectors: DataFrame, index_path: str) -> int:
             F.posexplode("bks").alias("band", "bucket"),
         )
     )
-    new_rows.write.mode("append").partitionBy("band", "bucket").parquet(index_path)
-    return new_vectors.count() * _N_BANDS
+    if mf.is_transactional(index_path):
+        seg = mf.new_segment_path(index_path)
+        new_rows.write.mode("overwrite").partitionBy("band", "bucket").parquet(
+            seg
+        )
+        mf.commit(index_path, add={"index": [seg]}, file_keys=file_keys)
+    else:
+        new_rows.write.mode("append").partitionBy("band", "bucket").parquet(
+            index_path
+        )
+    return n * _N_BANDS
 
 
 def start_vector_ingest(
@@ -145,17 +214,31 @@ def start_vector_ingest(
     each micro-batch into the index at ``index_path`` via
     :func:`append_lsh_index` / :func:`append_ivf_pq_index`. The
     streaming checkpoint makes file processing exactly-once in normal
-    operation, and a ``_ingest_ledger`` marker inside the index dir
-    (underscore-prefixed → invisible to every index read) makes a
-    batch re-delivered after a crash SKIP re-appending when its append
-    had committed. The residual window is the driver dying between the
-    append's job commit and the marker write — there the retry
-    re-appends, i.e. the cross-crash contract is AT-LEAST-ONCE, the
-    same posture as the webhook/Pub/Sub sinks (plain parquet has no
-    two-directory transaction; a table format closes the window).
-    Serve streams re-list per batch, so vectors flow file → index →
-    query results with no rebuild and no restart anywhere.
-    availableNow trigger (cron-style ingest).
+    operation; across a CHECKPOINT LOSS, dedup is keyed on the SOURCE
+    FILE — Spark's own unit of file-stream work — never on the batch
+    id (ids restart at 0 for any new checkpoint, so a fresh stream
+    over new files would have its first batches silently swallowed by
+    a bare-batch-id ledger) and never on whole-batch digests (a replay
+    may recompose the same files into different batches). A batch
+    whose files were all processed is skipped; a MIXED batch appends
+    only the rows from unprocessed files.
+
+    - **Manifest-backed index** (``build_*_index(transactional=
+      True)``): the appended segment and its file keys land in ONE
+      atomic pointer-swap commit — exactly-once per file with no
+      append-to-marker window at all. A crash before the commit leaves
+      an invisible orphan segment (``manifest.vacuum`` collects it);
+      the retry appends cleanly.
+    - **Plain directory index**: one ``_ingest_ledger/file-<digest>``
+      marker per source file (underscore-prefixed → invisible to every
+      index read), written AFTER the append commits. The residual
+      window is the driver dying between append and marker — there the
+      retry re-appends, i.e. the cross-crash contract is
+      AT-LEAST-ONCE, the same posture as the webhook/Pub/Sub sinks.
+
+    Serve streams re-resolve the index per batch, so vectors flow
+    file → index → query results with no rebuild and no restart
+    anywhere. availableNow trigger (cron-style ingest).
 
     Within-batch duplicate or NULL vec_ids, and NULL embeddings, fail
     the stream loudly BEFORE any append (the same fail-stop posture as
@@ -173,19 +256,48 @@ def start_vector_ingest(
         .json(vectors_glob)
     )
 
+    def _digest(uri: str) -> str:
+        import hashlib
+
+        return hashlib.sha256(uri.encode()).hexdigest()[:24]
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         from pyspark import StorageLevel
 
-        # marker lives on the index's filesystem (local/NFS here; an
-        # object-store deployment routes these three calls through the
-        # Hadoop FS API — same protocol, different client)
-        marker = os.path.join(ledger, f"batch-{batch_id}")
-        if os.path.exists(marker):
-            return  # crash-retry of a batch whose append committed
-        b = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        transactional = mf.is_transactional(index_path)
+        # tag rows with their source file BEFORE caching — both
+        # inputFiles() and a post-cache input_file_name() come back
+        # empty on a micro-batch frame
+        tagged = batch_df.withColumn("_src", F.input_file_name()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         try:
+            files = sorted(
+                r["_src"] for r in tagged.select("_src").distinct().collect()
+            )
+            # ledger/manifest live on the index's filesystem (local/NFS
+            # here; an object-store deployment routes these through the
+            # Hadoop FS API — same protocol, different client)
+            if transactional:
+                done = set(mf.current(index_path)["ingested_files"])
+                todo = [f for f in files if f not in done]
+            else:
+                todo = [
+                    f
+                    for f in files
+                    if not os.path.exists(
+                        os.path.join(ledger, f"file-{_digest(f)}")
+                    )
+                ]
+            if not todo:
+                return  # crash-retry of files whose append committed
+            b = tagged
+            if len(todo) < len(files):
+                # mixed replay: keep only rows from unprocessed files
+                b = tagged.filter(F.col("_src").isin(todo))
+            b = b.drop("_src")
             chk = b.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count("vec_id").alias("n_id"),
@@ -210,17 +322,24 @@ def start_vector_ingest(
             if chk["n"] == 0:
                 return
             if family == "lsh":
-                n = append_lsh_index(b, index_path)
+                n = append_lsh_index(
+                    b, index_path, file_keys=todo if transactional else None
+                )
             else:
-                n = append_ivf_pq_index(spark, b, index_path)[
-                    "appended_vectors"
-                ]
-            os.makedirs(ledger, exist_ok=True)
-            open(marker, "w").close()
+                n = append_ivf_pq_index(
+                    spark,
+                    b,
+                    index_path,
+                    file_keys=todo if transactional else None,
+                )["appended_vectors"]
+            if not transactional:
+                os.makedirs(ledger, exist_ok=True)
+                for f in todo:
+                    open(os.path.join(ledger, f"file-{_digest(f)}"), "w").close()
             if on_batch is not None:
                 on_batch(batch_id, n)
         finally:
-            b.unpersist()
+            tagged.unpersist()
 
     return (
         incoming.writeStream.foreachBatch(handle)
@@ -259,7 +378,8 @@ def start_ann_queries(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        index = spark.read.parquet(index_path)  # fresh listing per batch
+        # fresh listing (or manifest-pointer resolution) per batch
+        index = _read_lsh_index(spark, index_path)
         q = _bucketed_units(batch_df.filter(F.col("embedding").isNotNull()))
         qx = q.select(
             "query_id",
@@ -335,6 +455,8 @@ def build_ivf_pq_index(
     sf_dir: str,
     index_path: str,
     k: int | None = _KM_K,
+    *,
+    transactional: bool = False,
 ) -> dict:
     """Materialize the IVF-PQ index the batch ``ann_ivf_pq`` trains per
     invocation, as a SERVABLE on-disk layout (train once, probe many —
@@ -352,6 +474,13 @@ def build_ivf_pq_index(
     batch tier runs, so a served query must reproduce the batch tier's
     rows bit-for-bit — pinned by the streaming parity test. Returns
     layout counts for assertions.
+
+    ``transactional=True`` makes codes/ and vectors/ manifest-backed
+    datasets under ONE commit log at the index root (coarse/codebooks
+    stay plain immutable files — the append contract freezes them, so
+    they need no transaction): appends stage both datasets and commit
+    them atomically together, and compaction becomes a race-free
+    snapshot swap. See sinks/manifest.py.
     """
     from fintech_etl_spark.operators.similarity import kmeans_fit, pq_fit
 
@@ -362,27 +491,36 @@ def build_ivf_pq_index(
     pq_cent, codes = pq_fit(emb)
 
     ivf = coarse_assign.select("vec_id", F.col("cell").alias("ivf_cell"))
-    (
+    codes_out = (
         codes.withColumnRenamed("cell", "pq_cell")
         .join(ivf, "vec_id")
         .withColumnRenamed("ivf_cell", "cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(index_path + "/codes")
     )
-    (
+    vecs_out = (
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .join(ivf, "vec_id")
         .withColumnRenamed("ivf_cell", "cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(index_path + "/vectors")
     )
+    if transactional:
+        seg_c = mf.new_segment_path(index_path)
+        seg_v = mf.new_segment_path(index_path)
+        codes_out.write.mode("overwrite").partitionBy("cell").parquet(seg_c)
+        vecs_out.write.mode("overwrite").partitionBy("cell").parquet(seg_v)
+        mf.commit(
+            index_path, replace={"codes": [seg_c], "vectors": [seg_v]}
+        )
+    else:
+        codes_out.write.mode("overwrite").partitionBy("cell").parquet(
+            index_path + "/codes"
+        )
+        vecs_out.write.mode("overwrite").partitionBy("cell").parquet(
+            index_path + "/vectors"
+        )
     coarse_cent.write.mode("overwrite").parquet(index_path + "/coarse")
     pq_cent.write.mode("overwrite").parquet(index_path + "/codebooks")
     return {
-        "codes": spark.read.parquet(index_path + "/codes").count(),
-        "vectors": spark.read.parquet(index_path + "/vectors").count(),
+        "codes": _read_ivf_dataset(spark, index_path, "codes").count(),
+        "vectors": _read_ivf_dataset(spark, index_path, "vectors").count(),
         "coarse_cells": spark.read.parquet(index_path + "/coarse").count(),
         "codebook_rows": spark.read.parquet(index_path + "/codebooks").count(),
     }
@@ -394,6 +532,7 @@ def append_ivf_pq_index(
     index_path: str,
     *,
     barrier: str = "auto",
+    file_keys: list[str] | None = None,
 ) -> dict:
     """Incremental IVF-PQ index maintenance: assign a NEW vector batch
     against the index's FROZEN coarse centroids and PQ codebooks —
@@ -450,6 +589,11 @@ def append_ivf_pq_index(
         _pq_subslices,
     )
 
+    from fintech_etl_spark.operators.similarity import _PQ_SUBS
+
+    n = new_vectors.count()
+    if n == 0:
+        return {"appended_vectors": 0, "appended_code_rows": 0}
     coarse = spark.read.parquet(index_path + "/coarse")
     codebooks = spark.read.parquet(index_path + "/codebooks")
     k = coarse.count()  # tiny parameter frame
@@ -468,30 +612,36 @@ def append_ivf_pq_index(
     codes = _pq_assign_step(_pq_subslices(vecs), codebooks).select(
         "vec_id", "sub", F.col("cell").alias("pq_cell")
     )
-    # vectors FIRST, codes second: the two appends are not one
-    # transaction, and the half-states differ in kind. A vectors row
-    # without codes is merely unsearchable until the retry completes
-    # (never ADC-ranked); a codes row without vectors would be RANKED
-    # into the shortlist and then silently dropped at the exact-refine
-    # join — an inconsistent index. Writing vectors first makes every
-    # crash window the harmless half-state.
-    (
-        vecs.join(ivf, "vec_id")
-        .withColumnRenamed("ivf_cell", "cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(index_path + "/vectors")
-    )
-    (
-        codes.join(ivf, "vec_id")
-        .withColumnRenamed("ivf_cell", "cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(index_path + "/codes")
-    )
-    n = new_vectors.count()
-    from fintech_etl_spark.operators.similarity import _PQ_SUBS
-
+    vecs_out = vecs.join(ivf, "vec_id").withColumnRenamed("ivf_cell", "cell")
+    codes_out = codes.join(ivf, "vec_id").withColumnRenamed("ivf_cell", "cell")
+    if mf.is_transactional(index_path):
+        # manifest mode: stage BOTH datasets, then one atomic commit —
+        # codes and vectors become visible together or not at all, so
+        # no half-state ordering argument is needed
+        seg_v = mf.new_segment_path(index_path)
+        seg_c = mf.new_segment_path(index_path)
+        vecs_out.write.mode("overwrite").partitionBy("cell").parquet(seg_v)
+        codes_out.write.mode("overwrite").partitionBy("cell").parquet(seg_c)
+        mf.commit(
+            index_path,
+            add={"vectors": [seg_v], "codes": [seg_c]},
+            file_keys=file_keys,
+        )
+    else:
+        # vectors FIRST, codes second: the two appends are not one
+        # transaction, and the half-states differ in kind. A vectors
+        # row without codes is merely unsearchable until the retry
+        # completes (never ADC-ranked); a codes row without vectors
+        # would be RANKED into the shortlist and then silently dropped
+        # at the exact-refine join — an inconsistent index. Writing
+        # vectors first makes every crash window the harmless
+        # half-state.
+        vecs_out.write.mode("append").partitionBy("cell").parquet(
+            index_path + "/vectors"
+        )
+        codes_out.write.mode("append").partitionBy("cell").parquet(
+            index_path + "/codes"
+        )
     return {"appended_vectors": n, "appended_code_rows": n * _PQ_SUBS}
 
 
@@ -546,8 +696,8 @@ def start_ivf_pq_queries(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        codes = spark.read.parquet(index_path + "/codes")
-        vectors = spark.read.parquet(index_path + "/vectors")
+        codes = _read_ivf_dataset(spark, index_path, "codes")
+        vectors = _read_ivf_dataset(spark, index_path, "vectors")
         q = batch_df.filter(F.col("embedding").isNotNull()).select(
             "query_id", F.col("embedding").cast("array<double>").alias("qv")
         )

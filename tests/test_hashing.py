@@ -185,3 +185,35 @@ def test_aa_quantization_ln_parity_across_engines(spark):
         .fetchall()
     )
     assert spark_vals == duck_vals
+
+
+def test_dense_band_verify_bucket_cap_bounds_hot_template(spark):
+    """The dense-tier bucket cap (production posture for single-
+    template-hot corpora): a template stamped onto many docs forms one
+    mega-bucket per band; with the cap those buckets sit out pair
+    generation, while pairs OUTSIDE them are returned unchanged."""
+    from pyspark.sql import functions as F
+
+    from fintech_etl_spark.operators.dedup import (
+        _dense_band_verify,
+        minhash_signature_xxhash64,
+    )
+
+    hot = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(40)]
+    cold = [
+        (100, "one two three four five six seven eight nine ten"),
+        (101, "one two three four five six seven eight nine ten"),
+        (102, "totally different words appear in this document here"),
+    ]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+
+    sig = minhash_signature_xxhash64("s")
+    uncapped = _dense_band_verify(docs, sig)
+    capped = _dense_band_verify(docs, sig, bucket_cap=8)
+
+    got_un = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    got_cap = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # uncapped: the 40-clone template contributes C(40,2) = 780 pairs
+    assert (100, 101) in got_un and len(got_un) == 780 + 1
+    # capped: the mega-bucket sits out; the cold near-dup pair survives
+    assert got_cap == {(100, 101)}

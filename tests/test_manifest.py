@@ -1,0 +1,507 @@
+"""Manifest-pointer transactional commits (sinks/manifest.py) and the
+transactional ANN index lifecycle built on them. Pinned here:
+
+- commit/pointer mechanics: versions increase, the pointer resolves
+  atomically, duplicate file keys are rejected, vacuum collects only
+  unreferenced segments and old manifests;
+- a transactional LSH build/append holds the same rows as the plain
+  directory layout (the manifest changes WHERE bytes live, never WHAT
+  a reader sees);
+- THE RACE: compaction running concurrently with a draining serve
+  stream never fails a batch and never shows a half-state — every
+  batch matches the batch-tier oracle (the directory-swap mode
+  documents exactly this failure; the manifest mode closes it);
+- ingest is exactly-once per source file: a crash between segment
+  stage and commit leaves the index unchanged (orphan collected by
+  vacuum) and the retry appends once; a replay after the commit is
+  skipped; compaction preserves the dedup history; a NEW file arriving
+  under a reused batch_id 0 is appended, not swallowed (the r9 ADVICE
+  silent-loss scenario) — in BOTH modes;
+- IVF-PQ transactional appends are all-or-nothing across codes and
+  vectors (one commit covers both datasets).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.sinks import manifest as mf
+from fintech_etl_spark.sinks.maintenance import (
+    compact_ivf_pq_index,
+    compact_lsh_index,
+)
+from fintech_etl_spark.sources.tables import load_table
+from fintech_etl_spark.streaming.ann import (
+    append_ivf_pq_index,
+    append_lsh_index,
+    build_ivf_pq_index,
+    build_lsh_index,
+    start_ann_queries,
+    start_vector_ingest,
+)
+from tests.conftest import SF_SMOKE
+
+_CUT = 400
+
+
+def _split(spark, tmp_path):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = emb.filter(F.col("vec_id") < _CUT)
+    b = emb.filter(F.col("vec_id") >= _CUT)
+    a_dir = tmp_path / "sfA"
+    a_dir.mkdir()
+    a.write.parquet(str(a_dir / "embeddings.parquet"))
+    return str(a_dir), a, b
+
+
+def _lsh_rows(spark, path):
+    from fintech_etl_spark.streaming.ann import _read_lsh_index
+
+    return {
+        (r.neighbor_id, r.band, r.bucket, tuple(r.u))
+        for r in _read_lsh_index(spark, path).collect()
+    }
+
+
+def _write_jsonl(rows, path):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps({"vec_id": r.vec_id, "embedding": list(r.embedding)})
+                + "\n"
+            )
+
+
+# ---------------------------------------------------------------------------
+# pointer/commit mechanics
+# ---------------------------------------------------------------------------
+
+
+def test_commit_versions_and_pointer(tmp_path):
+    root = str(tmp_path / "ds")
+    assert not mf.is_transactional(root)
+    m0 = mf.commit(root, replace={"d": []})
+    assert m0["version"] == 0 and mf.is_transactional(root)
+    seg = mf.new_segment_path(root)
+    os.makedirs(seg)
+    m1 = mf.commit(root, add={"d": [seg]}, file_keys=["f0"])
+    assert m1["version"] == 1
+    cur = mf.current(root)
+    assert cur["version"] == 1
+    assert cur["ingested_files"] == ["f0"]
+    # segment paths are stored root-relative
+    assert all(not s.startswith("/") for s in cur["datasets"]["d"])
+    assert mf.dataset_segments(root, "d") == [
+        os.path.join(root, cur["datasets"]["d"][0])
+    ]
+
+
+def test_commit_rejects_duplicate_file_keys(tmp_path):
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []}, file_keys=["f0"])
+    with pytest.raises(ValueError, match="already in the ingested set"):
+        mf.commit(root, file_keys=["f0"])
+
+
+def test_vacuum_retention_and_orphans(tmp_path):
+    root = str(tmp_path / "ds")
+    segs = []
+    for i in range(3):
+        s = mf.new_segment_path(root)
+        os.makedirs(s)
+        open(os.path.join(s, "part.parquet"), "w").close()
+        segs.append(s)
+        mf.commit(root, replace={"d": [s]})
+    orphan = mf.new_segment_path(root)  # staged, never committed
+    os.makedirs(orphan)
+    out = mf.vacuum(root, keep_last=2)
+    # v0's segment and the orphan are gone; v1/v2 segments remain
+    assert not os.path.exists(segs[0]) and not os.path.exists(orphan)
+    assert os.path.exists(segs[1]) and os.path.exists(segs[2])
+    assert len(out["removed_segments"]) == 2
+    assert len(out["kept_manifests"]) == 2
+    assert mf.current(root)["version"] == 2
+    with pytest.raises(ValueError, match="keep_last"):
+        mf.vacuum(root, keep_last=0)
+
+
+# ---------------------------------------------------------------------------
+# transactional LSH lifecycle parity
+# ---------------------------------------------------------------------------
+
+
+def test_transactional_build_append_matches_plain(spark, tmp_path):
+    a_dir, a, b = _split(spark, tmp_path)
+    tx = str(tmp_path / "idx_tx")
+    plain = str(tmp_path / "idx_plain")
+
+    n_tx = build_lsh_index(spark, a_dir, tx, transactional=True)
+    assert mf.is_transactional(tx)
+    n_plain = build_lsh_index(spark, SF_SMOKE, plain)
+    append_lsh_index(b, tx)
+    assert mf.current(tx)["version"] == 1
+    assert _lsh_rows(spark, tx) == _lsh_rows(spark, plain)
+    assert n_tx == a.count() * 12 and n_plain == 500 * 12
+
+
+def test_transactional_compaction_bit_preserving(spark, tmp_path):
+    a_dir, a, b = _split(spark, tmp_path)
+    tx = str(tmp_path / "idx_tx")
+    build_lsh_index(spark, a_dir, tx, transactional=True)
+    for lo, hi in ((_CUT, _CUT + 50), (_CUT + 50, 500)):
+        append_lsh_index(
+            b.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), tx
+        )
+    before = _lsh_rows(spark, tx)
+    assert len(mf.dataset_segments(tx, "index")) == 3
+    stats = compact_lsh_index(spark, tx)
+    assert stats["files_after"] <= stats["files_before"]
+    assert len(mf.dataset_segments(tx, "index")) == 1
+    assert _lsh_rows(spark, tx) == before
+    # old segments still on disk until vacuum; vacuum keeps the index sane
+    mf.vacuum(tx, keep_last=1)
+    assert _lsh_rows(spark, tx) == before
+    assert len(os.listdir(os.path.join(tx, "segments"))) == 1
+
+
+# ---------------------------------------------------------------------------
+# THE RACE: serving drains while compaction commits
+# ---------------------------------------------------------------------------
+
+
+def test_serving_races_compaction_without_half_states(spark, tmp_path):
+    from fintech_etl_spark.operators.similarity import (
+        _N_QUERIES,
+        ann_lsh_bucketed,
+    )
+
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, SF_SMOKE, idx, transactional=True)
+    # several appended segments so compaction has real work each round
+    # (appends of disjoint slices of an ALREADY-indexed corpus would
+    # duplicate rows, so instead pre-split the committed layout by
+    # compacting to >1 files first)
+    compact_lsh_index(spark, idx, files_per_partition=2)
+
+    qrows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .collect()
+    )
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    third = max(1, len(qrows) // 3)
+    chunks = [qrows[:third], qrows[third : 2 * third], qrows[2 * third :]]
+    for fno, chunk in enumerate(chunks):
+        with open(qdir / f"batch{fno}.jsonl", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {"query_id": r.query_id, "embedding": list(r.embedding)}
+                    )
+                    + "\n"
+                )
+
+    stop = threading.Event()
+    compactions = []
+    failures = []
+
+    def churn():
+        fpp = 1
+        while not stop.is_set():
+            try:
+                compact_lsh_index(spark, idx, files_per_partition=fpp)
+                compactions.append(fpp)
+                fpp = 2 if fpp == 1 else 1  # alternate so every pass rewrites
+            except Exception as e:  # noqa: BLE001 — the test's whole point
+                failures.append(repr(e))
+                return
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+
+    got: dict = {}
+
+    def on_results(df, batch_id):
+        got.update(
+            {(r.query_id, r.rank): (r.neighbor_id, r.cos) for r in df.collect()}
+        )
+
+    q = start_ann_queries(
+        spark,
+        str(qdir / "*.jsonl"),
+        str(tmp_path / "ckpt"),
+        idx,
+        on_results,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    stop.set()
+    t.join(timeout=120)
+
+    assert not failures, f"compaction failed mid-serve: {failures}"
+    assert len(compactions) >= 2, "churn thread never overlapped the drain"
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in ann_lsh_bucketed(spark, SF_SMOKE).collect()
+    }
+    assert got == want  # every batch read a consistent snapshot
+
+
+# ---------------------------------------------------------------------------
+# ingest: exactly-once per source file
+# ---------------------------------------------------------------------------
+
+
+def test_ingest_crash_before_commit_then_retry_is_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    from pyspark.errors import StreamingQueryException
+
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, a_dir, idx, transactional=True)
+    rows_a = _lsh_rows(spark, idx)
+
+    vdir = tmp_path / "vectors"
+    vdir.mkdir()
+    _write_jsonl(b.collect(), vdir / "f0.jsonl")
+
+    # crash the driver AFTER the segment is staged, BEFORE the commit
+    real_commit = mf.commit
+    calls = []
+
+    def dying_commit(root, **kw):
+        calls.append(kw)
+        raise RuntimeError("driver died before the pointer swap")
+
+    monkeypatch.setattr(mf, "commit", dying_commit)
+    q = start_vector_ingest(
+        spark, str(vdir / "*.jsonl"), str(tmp_path / "ckpt0"), idx
+    )
+    with pytest.raises(StreamingQueryException, match="pointer swap"):
+        q.awaitTermination()
+    monkeypatch.setattr(mf, "commit", real_commit)
+
+    # nothing visible: the staged segment is an orphan
+    assert calls and _lsh_rows(spark, idx) == rows_a
+    seg_dir = os.path.join(idx, "segments")
+    orphans_before = len(os.listdir(seg_dir))
+
+    # retry under a FRESH checkpoint (worst case: checkpoint lost too)
+    batches = []
+    q = start_vector_ingest(
+        spark,
+        str(vdir / "*.jsonl"),
+        str(tmp_path / "ckpt1"),
+        idx,
+        on_batch=lambda bid, n: batches.append(n),
+    )
+    q.awaitTermination()
+    assert batches == [100 * 12]
+
+    full = str(tmp_path / "idx_full")
+    build_lsh_index(spark, SF_SMOKE, full)
+    assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
+
+    # a second replay (another lost checkpoint) is skipped via the
+    # manifest's ingested-files set — exactly-once end to end
+    replays = []
+    q = start_vector_ingest(
+        spark,
+        str(vdir / "*.jsonl"),
+        str(tmp_path / "ckpt2"),
+        idx,
+        on_batch=lambda bid, n: replays.append(n),
+    )
+    q.awaitTermination()
+    assert replays == []
+    assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
+
+    # vacuum collects the crashed attempt's orphan segment
+    out = mf.vacuum(idx, keep_last=2)
+    assert len(os.listdir(seg_dir)) < orphans_before + 1 + len(
+        out["removed_segments"]
+    )
+    assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
+
+
+def test_ingest_dedup_survives_compaction(spark, tmp_path):
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, a_dir, idx, transactional=True)
+
+    vdir = tmp_path / "vectors"
+    vdir.mkdir()
+    _write_jsonl(b.collect(), vdir / "f0.jsonl")
+    q = start_vector_ingest(
+        spark, str(vdir / "*.jsonl"), str(tmp_path / "ckpt0"), idx
+    )
+    q.awaitTermination()
+    rows = _lsh_rows(spark, idx)
+
+    compact_lsh_index(spark, idx)  # must CARRY the ingested-files set
+    assert mf.current(idx)["ingested_files"], "dedup history lost"
+
+    replays = []
+    q = start_vector_ingest(
+        spark,
+        str(vdir / "*.jsonl"),
+        str(tmp_path / "ckpt1"),
+        idx,
+        on_batch=lambda bid, n: replays.append(n),
+    )
+    q.awaitTermination()
+    assert replays == [] and _lsh_rows(spark, idx) == rows
+
+
+@pytest.mark.parametrize("transactional", [False, True])
+def test_new_file_under_reused_batch_id_is_not_swallowed(
+    spark, tmp_path, transactional
+):
+    """The r9 ADVICE silent-loss scenario: a SECOND ingest stream (new
+    checkpoint → batch ids restart at 0) over NEW files must append
+    them — a ledger keyed on bare batch ids swallowed them forever."""
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, a_dir, idx, transactional=transactional)
+
+    b_rows = b.collect()
+    d1 = tmp_path / "wave1"
+    d1.mkdir()
+    _write_jsonl(b_rows[:50], d1 / "f0.jsonl")
+    q = start_vector_ingest(
+        spark, str(d1 / "*.jsonl"), str(tmp_path / "ckpt1"), idx
+    )
+    q.awaitTermination()
+
+    d2 = tmp_path / "wave2"
+    d2.mkdir()
+    _write_jsonl(b_rows[50:], d2 / "f0.jsonl")  # same BASENAME even
+    appended = []
+    q = start_vector_ingest(
+        spark,
+        str(d2 / "*.jsonl"),
+        str(tmp_path / "ckpt2"),
+        idx,
+        on_batch=lambda bid, n: appended.append(n),
+    )
+    q.awaitTermination()
+    assert appended == [50 * 12], "new file under reused batch id lost"
+
+    full = str(tmp_path / "idx_full")
+    build_lsh_index(spark, SF_SMOKE, full)
+    assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
+
+
+def test_mixed_batch_appends_only_unprocessed_files(spark, tmp_path):
+    """A replayed batch that recomposes one processed and one new file
+    appends ONLY the new file's rows (per-file dedup; a whole-batch
+    digest would re-append both)."""
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, a_dir, idx, transactional=True)
+
+    b_rows = b.collect()
+    vdir = tmp_path / "vectors"
+    vdir.mkdir()
+    _write_jsonl(b_rows[:50], vdir / "f0.jsonl")
+    q = start_vector_ingest(
+        spark, str(vdir / "*.jsonl"), str(tmp_path / "ckpt0"), idx
+    )
+    q.awaitTermination()
+
+    # second file lands; a fresh checkpoint re-delivers BOTH files in
+    # one batch (maxFilesPerTrigger default pulls them together)
+    _write_jsonl(b_rows[50:], vdir / "f1.jsonl")
+    appended = []
+    q = start_vector_ingest(
+        spark,
+        str(vdir / "*.jsonl"),
+        str(tmp_path / "ckpt1"),
+        idx,
+        on_batch=lambda bid, n: appended.append(n),
+    )
+    q.awaitTermination()
+    assert sum(appended) == 50 * 12  # only f1's rows
+
+    full = str(tmp_path / "idx_full")
+    build_lsh_index(spark, SF_SMOKE, full)
+    assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: atomic dual-dataset commits
+# ---------------------------------------------------------------------------
+
+
+def _codes_rows(spark, path):
+    from fintech_etl_spark.streaming.ann import _read_ivf_dataset
+
+    return {
+        (r.vec_id, r.sub, r.pq_cell, r.cell)
+        for r in _read_ivf_dataset(spark, path, "codes").collect()
+    }
+
+
+def _vector_rows(spark, path):
+    from fintech_etl_spark.streaming.ann import _read_ivf_dataset
+
+    return {
+        (r.vec_id, tuple(r.v), r.cell)
+        for r in _read_ivf_dataset(spark, path, "vectors").collect()
+    }
+
+
+def test_ivfpq_transactional_append_is_all_or_nothing(
+    spark, tmp_path, monkeypatch
+):
+    a_dir, a, b = _split(spark, tmp_path)
+    tx = str(tmp_path / "idx_tx")
+    plain = str(tmp_path / "idx_plain")
+    build_ivf_pq_index(spark, a_dir, tx, transactional=True)
+
+    codes_before = _codes_rows(spark, tx)
+    vecs_before = _vector_rows(spark, tx)
+
+    real_commit = mf.commit
+
+    def dying_commit(root, **kw):
+        raise RuntimeError("died before the pointer swap")
+
+    monkeypatch.setattr(mf, "commit", dying_commit)
+    with pytest.raises(RuntimeError, match="pointer swap"):
+        append_ivf_pq_index(spark, b, tx)
+    monkeypatch.setattr(mf, "commit", real_commit)
+    # NEITHER dataset moved — no vectors-without-codes half state
+    assert _codes_rows(spark, tx) == codes_before
+    assert _vector_rows(spark, tx) == vecs_before
+
+    # the retry lands both, and matches the plain-directory twin built
+    # from the same frozen quantizers
+    import shutil as _sh
+
+    _sh.copytree(
+        os.path.join(tx, "coarse"), os.path.join(plain, "coarse")
+    )
+    _sh.copytree(
+        os.path.join(tx, "codebooks"), os.path.join(plain, "codebooks")
+    )
+    append_ivf_pq_index(spark, b, tx)
+    assert {v for v, *_ in _codes_rows(spark, tx)} == {
+        r.vec_id for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    stats = compact_ivf_pq_index(spark, tx)
+    assert set(stats) == {"codes", "vectors"}
+    assert _codes_rows(spark, tx) >= codes_before
+    assert _vector_rows(spark, tx) >= vecs_before
