@@ -148,9 +148,11 @@ def main(argv: list[str] | None = None) -> int:
     iv = sub.add_parser(
         "ingest-vectors",
         help="checkpointed streaming ingest: watch a JSONL glob of new "
-        "vectors and append each micro-batch into an existing index "
-        "(checkpoint + _ingest_ledger markers dedup crash retries; "
-        "at-least-once across the append-to-marker window)",
+        "vectors and append each micro-batch into an existing index. "
+        "Crash-replay dedup is keyed per SOURCE FILE: exactly-once on "
+        "a manifest-backed index (file keys commit atomically with the "
+        "appended segment); at-least-once across the append-to-marker "
+        "window on a plain directory index",
     )
     iv.add_argument("kind", choices=("ivf-pq", "lsh"))
     iv.add_argument("--vectors-glob", required=True)

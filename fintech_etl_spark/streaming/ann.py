@@ -363,11 +363,14 @@ def start_ann_queries(
     embedding}); per micro-batch emit (query_id, neighbor_id, cos,
     rank) top-k rows to ``on_results``. availableNow trigger — drains
     pending files then stops (cron-style serving; swap the trigger for
-    continuous). The index is re-listed per micro-batch (the read sits
-    inside the handler), so rows landed by ``append_lsh_index`` — or a
-    compacted layout from ``sinks.maintenance.compact_partitioned`` —
-    between batches are served WITHOUT a stream restart; the listing
-    cost is bounded by the bucket directory count, not the corpus."""
+    continuous). The index is re-resolved per micro-batch (the read
+    sits inside the handler): a plain directory is re-listed, a
+    manifest-backed index resolves the ``_current`` pointer — so rows
+    landed by ``append_lsh_index``, or a compacted layout, are served
+    WITHOUT a stream restart; on the manifest path a compaction can
+    even commit WHILE a batch scans (snapshot isolation — the race is
+    pinned in tests/test_manifest.py). Listing cost is bounded by the
+    bucket directory count, not the corpus."""
     from pyspark.sql.window import Window as W
 
     incoming = (
