@@ -505,6 +505,12 @@ def build_ivf_pq_index(
         .withColumnRenamed("ivf_cell", "cell")
     )
     if transactional:
+        # quantizers land BEFORE the commit that makes codes visible,
+        # so on-disk coarse/codebooks are never older than any
+        # committed assignment (a rebuild under live serving still
+        # needs a serving restart — streams freeze quantizers at start)
+        coarse_cent.write.mode("overwrite").parquet(index_path + "/coarse")
+        pq_cent.write.mode("overwrite").parquet(index_path + "/codebooks")
         seg_c = mf.new_segment_path(index_path)
         seg_v = mf.new_segment_path(index_path)
         codes_out.write.mode("overwrite").partitionBy("cell").parquet(seg_c)
@@ -519,8 +525,8 @@ def build_ivf_pq_index(
         vecs_out.write.mode("overwrite").partitionBy("cell").parquet(
             index_path + "/vectors"
         )
-    coarse_cent.write.mode("overwrite").parquet(index_path + "/coarse")
-    pq_cent.write.mode("overwrite").parquet(index_path + "/codebooks")
+        coarse_cent.write.mode("overwrite").parquet(index_path + "/coarse")
+        pq_cent.write.mode("overwrite").parquet(index_path + "/codebooks")
     return {
         "codes": _read_ivf_dataset(spark, index_path, "codes").count(),
         "vectors": _read_ivf_dataset(spark, index_path, "vectors").count(),

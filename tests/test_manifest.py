@@ -505,3 +505,38 @@ def test_ivfpq_transactional_append_is_all_or_nothing(
     assert set(stats) == {"codes", "vectors"}
     assert _codes_rows(spark, tx) >= codes_before
     assert _vector_rows(spark, tx) >= vecs_before
+
+
+def test_cli_transactional_lifecycle(spark, tmp_path, capsys, monkeypatch):
+    """CLI end-to-end on a manifest-backed index: index-build
+    --transactional -> index-append -> index-compact --vacuum-keep."""
+    from fintech_etl_spark import cli
+
+    a_dir, a, b = _split(spark, tmp_path)
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+
+    idx = str(tmp_path / "lsh_tx")
+    rc = cli.main(
+        ["index-build", "lsh", "--sf-dir", a_dir, "--index", idx,
+         "--transactional"]
+    )
+    assert rc == 0 and mf.is_transactional(idx)
+
+    batch = str(tmp_path / "batch.parquet")
+    b.write.parquet(batch)
+    rc = cli.main(["index-append", "lsh", "--index", idx, "--vectors", batch])
+    assert rc == 0
+    assert len(mf.dataset_segments(idx, "index")) == 2
+
+    rc = cli.main(
+        ["index-compact", "lsh", "--index", idx, "--vacuum-keep", "1"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_after"] <= out["files_before"]
+    assert out["vacuum"]["removed_segments"]
+    assert len(mf.dataset_segments(idx, "index")) == 1
+
+    full = str(tmp_path / "full")
+    build_lsh_index(spark, SF_SMOKE, full)
+    assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
