@@ -156,6 +156,15 @@ def commit(
     tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
     _fsync_write(tmp, name)
     os.replace(tmp, os.path.join(mdir, _CURRENT))  # THE commit point
+    # fsync the DIRECTORY too: rename atomicity is immediate, but its
+    # durability is not — an OS crash could otherwise revert the
+    # pointer to the previous manifest, resurrecting the exactly-once
+    # window the commit exists to close
+    dfd = os.open(mdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     m["_file"] = name
     return m
 
