@@ -65,7 +65,21 @@ def main() -> int:
         )
         .first()
     )
-    parity = tuple(got) == tuple(want)
+    # integer fields must match exactly; the two double SUMS are
+    # compared at 1e-9 relative tolerance — summing millions of
+    # doubles in two different scan orders (z-clustered layout vs raw
+    # table) legitimately drifts past the 4th decimal at sf10 (3.7M
+    # box rows), which is accumulation-order noise, not data loss
+    def _close(a, b):
+        return abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0)
+
+    parity = (
+        got.n == want.n
+        and got.first_order == want.first_order
+        and got.last_order == want.last_order
+        and _close(got.sum_qty, want.sum_qty)
+        and _close(got.sum_price, want.sum_price)
+    )
 
     # footer-stats admission for the query's box over the layout the
     # query just wrote
