@@ -540,3 +540,119 @@ def test_cli_transactional_lifecycle(spark, tmp_path, capsys, monkeypatch):
     full = str(tmp_path / "full")
     build_lsh_index(spark, SF_SMOKE, full)
     assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
+
+
+# ---------------------------------------------------------------------------
+# property test: the commit/vacuum algebra under random operation sequences
+# ---------------------------------------------------------------------------
+
+
+from hypothesis import settings
+from hypothesis.stateful import (
+    RuleBasedStateMachine,
+    initialize,
+    invariant,
+    rule,
+)
+from hypothesis import strategies as st
+
+
+class ManifestMachine(RuleBasedStateMachine):
+    """Random interleavings of add/replace commits, file-key commits,
+    crashed (uncommitted) stagings, and vacuums — after every step the
+    pointer must resolve to EXACTLY the model state, every referenced
+    segment must exist on disk, and vacuum must never collect a live
+    segment. This is the adversarial sequencing a lake's maintenance
+    loop produces over months, compressed."""
+
+    def __init__(self):
+        super().__init__()
+        import tempfile
+
+        self.root = tempfile.mkdtemp(prefix="mf_prop_")
+        self.datasets: dict[str, list[str]] = {}
+        self.ingested: list[str] = []
+        self.version = -1
+        self.key_no = 0
+
+    def _new_segment(self) -> str:
+        seg = mf.new_segment_path(self.root)
+        os.makedirs(seg)
+        open(os.path.join(seg, "part-0.parquet"), "w").close()
+        return seg
+
+    def _rel(self, seg: str) -> str:
+        return os.path.relpath(seg, self.root)
+
+    @initialize()
+    def init_commit(self):
+        mf.commit(self.root, replace={"d0": []})
+        self.datasets = {"d0": []}
+        self.version = 0
+
+    @rule(ds=st.sampled_from(["d0", "d1"]), n=st.integers(1, 2))
+    def commit_add(self, ds, n):
+        segs = [self._new_segment() for _ in range(n)]
+        mf.commit(self.root, add={ds: segs})
+        self.datasets.setdefault(ds, [])
+        self.datasets[ds] += [self._rel(s) for s in segs]
+        self.version += 1
+
+    @rule(ds=st.sampled_from(["d0", "d1"]))
+    def commit_replace(self, ds):
+        seg = self._new_segment()
+        mf.commit(self.root, replace={ds: [seg]})
+        self.datasets[ds] = [self._rel(seg)]
+        self.version += 1
+
+    @rule(n=st.integers(1, 3))
+    def commit_file_keys(self, n):
+        keys = [f"file-{self.key_no + i}" for i in range(n)]
+        self.key_no += n
+        mf.commit(self.root, file_keys=keys)
+        self.ingested += keys
+        self.version += 1
+
+    @rule()
+    def duplicate_file_key_rejected(self):
+        if not self.ingested:
+            return
+        with pytest.raises(ValueError, match="already in the ingested"):
+            mf.commit(self.root, file_keys=[self.ingested[0]])
+        # rejected commit must not advance the pointer
+
+    @rule()
+    def crashed_staging(self):
+        # a writer died after staging, before commit: invisible orphan
+        self._new_segment()
+
+    @rule(keep=st.integers(1, 3))
+    def vacuum(self, keep):
+        mf.vacuum(self.root, keep_last=keep)
+
+    @invariant()
+    def pointer_matches_model(self):
+        if self.version < 0:
+            return
+        cur = mf.current(self.root)
+        assert cur["version"] == self.version
+        assert {
+            k: v for k, v in cur["datasets"].items()
+        } == self.datasets
+        assert cur["ingested_files"] == self.ingested
+        for segs in cur["datasets"].values():
+            for s in segs:
+                assert os.path.isdir(os.path.join(self.root, s)), (
+                    "vacuum collected a live segment"
+                )
+
+    def teardown(self):
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+
+
+TestManifestProtocol = ManifestMachine.TestCase
+TestManifestProtocol.settings = settings(
+    max_examples=25, stateful_step_count=30, deadline=None
+)
