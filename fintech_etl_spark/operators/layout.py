@@ -62,37 +62,49 @@ def interleave_expr(xs: list[str], bits: int = _Z_BITS) -> str:
 
 
 def with_zvalue(
-    df: DataFrame, cols: list[str], out: str = "z", bits: int = _Z_BITS
+    df: DataFrame,
+    cols: list[str],
+    out: str = "z",
+    bits: int = _Z_BITS,
+    bounds: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Add the Morton z-value of ``cols`` (min-max scaled per column —
     one tiny agg pass collects the bounds, then the curve is a pure
-    projection)."""
-    bounds = df.agg(
-        *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
-        *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
-    ).first()
-    # fail here with the real cause: interpolating a None bound would
-    # emit the bare token `None` into the SQL and surface as an
-    # unresolved-identifier AnalysisException far from this call
-    missing = [c for c in cols if bounds[f"lo_{c}"] is None]
-    if missing:
-        raise ValueError(
-            "with_zvalue: no min/max bounds for column(s) "
-            f"{missing} — input is empty or the column is all-NULL; "
-            "z-ordering needs at least one non-NULL value per key"
-        )
+    projection). Pass ``bounds`` ({col: (lo, hi)}) to scale against
+    FROZEN bounds instead (the incremental-append path): values
+    outside the frozen range clamp to the curve's edge cells, so a
+    batch that drifts past the layout-time min/max still lands on the
+    curve (re-clustering refreshes the bounds)."""
+    if bounds is None:
+        agg = df.agg(
+            *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
+        ).first()
+        # fail here with the real cause: interpolating a None bound
+        # would emit the bare token `None` into the SQL and surface as
+        # an unresolved-identifier AnalysisException far from this call
+        missing = [c for c in cols if agg[f"lo_{c}"] is None]
+        if missing:
+            raise ValueError(
+                "with_zvalue: no min/max bounds for column(s) "
+                f"{missing} — input is empty or the column is all-NULL; "
+                "z-ordering needs at least one non-NULL value per key"
+            )
+        bounds = {c: (agg[f"lo_{c}"], agg[f"hi_{c}"]) for c in cols}
+        clamp = False
+    else:
+        clamp = True  # frozen bounds: out-of-range keys hit edge cells
     # scale into named intermediates FIRST so the interleave's 2·bits
     # terms reference a plain column, not 2·bits copies of the division
     d = df
     names = []
     for c in cols:
         names.append(f"_zs_{c}")
-        d = d.withColumn(
-            names[-1],
-            F.expr(
-                scaled_expr(c, str(bounds[f"lo_{c}"]), str(bounds[f"hi_{c}"]), bits)
-            ),
-        )
+        lo, hi = bounds[c]
+        expr = scaled_expr(c, str(lo), str(hi), bits)
+        if clamp:
+            expr = f"least(greatest({expr}, 0), {(1 << bits) - 1})"
+        d = d.withColumn(names[-1], F.expr(expr))
     return d.withColumn(out, F.expr(interleave_expr(names, bits))).drop(*names)
 
 
@@ -109,8 +121,27 @@ def zorder_write(
     key space, so min/max stats prune it for predicates on ANY of the
     interleaved columns — pinned by the footer-stats pruning test in
     tests/test_layout.py and receipted at sf0.1
-    (SCALE_RECEIPT_r09_zorder.json). Returns the row count."""
-    z = with_zvalue(df, cols, out="_z", bits=bits)
+    (SCALE_RECEIPT_r09_zorder.json). Returns the row count.
+
+    The layout's scaling bounds are persisted in a ``_zbounds.json``
+    sidecar (underscore-prefixed — invisible to parquet reads) so
+    :func:`zorder_append` can cluster LATER batches against the same
+    frozen curve."""
+    import json
+    import os
+
+    agg = df.agg(
+        *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
+    ).first()
+    missing = [c for c in cols if agg[f"lo_{c}"] is None]
+    if missing:
+        raise ValueError(
+            f"zorder_write: no bounds for {missing} — empty input or "
+            "all-NULL key column"
+        )
+    bounds = {c: (agg[f"lo_{c}"], agg[f"hi_{c}"]) for c in cols}
+    z = with_zvalue(df, cols, out="_z", bits=bits, bounds=bounds)
     (
         z.repartitionByRange(num_files, F.col("_z"))
         .sortWithinPartitions("_z")
@@ -118,7 +149,42 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+    with open(os.path.join(path, "_zbounds.json"), "w") as fh:
+        json.dump({"cols": cols, "bits": bits, "bounds": bounds}, fh)
     return df.sparkSession.read.parquet(path).count()
+
+
+def zorder_append(df: DataFrame, path: str, num_files: int = 4) -> int:
+    """Incremental Z-order maintenance — the layout twin of the ANN
+    index append contract (frozen parameters, batch-proportional
+    cost): cluster a NEW batch along the EXISTING layout's curve
+    (bounds frozen in the ``_zbounds.json`` sidecar
+    :func:`zorder_write` leaves) and append it as ``num_files``
+    box-compact files. Nothing from the existing layout is read or
+    rewritten — cost is linear in the BATCH — and footer-stats pruning
+    is per-file, so the appended files prune exactly like the
+    originals (pinned by tests/test_layout.py). Keys that drift past
+    the frozen bounds clamp to the curve's edge cells (their files
+    stay prunable for in-range predicates; a periodic
+    :func:`zorder_write` re-cluster refreshes the bounds — the same
+    rhythm as index compaction). Returns appended row count."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_zbounds.json")) as fh:
+        meta = json.load(fh)
+    bounds = {c: tuple(v) for c, v in meta["bounds"].items()}
+    z = with_zvalue(
+        df, meta["cols"], out="_z", bits=meta["bits"], bounds=bounds
+    )
+    (
+        z.repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("append")
+        .parquet(path)
+    )
+    return df.count()
 
 
 _Z_ORACLE = f"""

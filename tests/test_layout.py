@@ -159,3 +159,114 @@ def test_with_zvalue_empty_or_all_null_raises(spark):
     nullish = spark.createDataFrame([(1, None), (2, None)], "a long, b long")
     with pytest.raises(ValueError, match=r"\['b'\]"):
         with_zvalue(nullish, ["a", "b"])
+
+
+def test_zorder_append_preserves_data_and_box_queries(spark, tmp_path):
+    """Frozen-bounds incremental clustering: build the layout from 80%
+    of lineitem, append the rest in two batches — the union is intact
+    and box queries return identical rows to the raw table."""
+    from fintech_etl_spark.operators.layout import zorder_append
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    cut = int(li.count() * 0.8)
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    rest = li.filter(F.col("l_orderkey") % 5 == 0)
+    zpath = str(tmp_path / "z")
+    zorder_write(base, ["l_partkey", "l_suppkey"], zpath, num_files=8)
+    n1 = zorder_append(rest.filter(F.col("l_partkey") % 2 == 0), zpath)
+    n2 = zorder_append(rest.filter(F.col("l_partkey") % 2 == 1), zpath)
+    assert n1 + n2 == rest.count()
+
+    got = spark.read.parquet(zpath)
+    assert got.count() == li.count()
+    assert got.exceptAll(li).count() == 0 and li.exceptAll(got).count() == 0
+
+    pred = (
+        (F.col("l_partkey").between(50, 90))
+        & (F.col("l_suppkey").between(3, 7))
+    )
+    want = sorted(map(tuple, li.filter(pred).collect()))
+    assert sorted(map(tuple, got.filter(pred).collect())) == want and want
+
+
+def test_zorder_append_files_stay_box_compact(spark, tmp_path):
+    """Appended files carry tight footer stats too: on a grid of box
+    predicates, the appended-to layout still admits at most half of
+    its files on average (aggregate claim — RangePartitioner
+    boundaries drift with session history)."""
+    import pyarrow.parquet as pq
+
+    from fintech_etl_spark.operators.layout import zorder_append
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    rest = li.filter(F.col("l_orderkey") % 5 == 0)
+    zpath = str(tmp_path / "z")
+    zorder_write(base, ["l_partkey", "l_suppkey"], zpath, num_files=8)
+    zorder_append(rest, zpath, num_files=4)
+
+    stats = []
+    for f in glob.glob(os.path.join(zpath, "*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        s: dict = {}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema in ("l_partkey", "l_suppkey"):
+                    st_ = col.statistics
+                    lo, hi = s.get(col.path_in_schema, (st_.min, st_.max))
+                    s[col.path_in_schema] = (
+                        min(lo, st_.min),
+                        max(hi, st_.max),
+                    )
+        stats.append(s)
+    assert len(stats) == 12  # 8 base + 4 appended
+
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    pspan, sspan = b[1] - b[0], b[3] - b[2]
+    admitted = []
+    for gi in range(3):
+        for gj in range(3):
+            plo = b[0] + int((0.1 + 0.3 * gi) * pspan)
+            slo = b[2] + int((0.1 + 0.3 * gj) * sspan)
+            phi, shi = plo + int(0.15 * pspan), slo + int(0.15 * sspan)
+            admitted.append(
+                sum(
+                    1
+                    for s in stats
+                    if s["l_partkey"][0] <= phi
+                    and s["l_partkey"][1] >= plo
+                    and s["l_suppkey"][0] <= shi
+                    and s["l_suppkey"][1] >= slo
+                )
+            )
+    assert sum(admitted) <= len(admitted) * len(stats) / 2, admitted
+
+
+def test_zorder_append_clamps_out_of_range_keys(spark, tmp_path):
+    """A batch that drifts past the frozen bounds lands on the curve's
+    edge cells instead of failing; the data round-trips intact."""
+    from fintech_etl_spark.operators.layout import zorder_append
+
+    base = spark.createDataFrame(
+        [(i, i % 50, i % 7) for i in range(500)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    zpath = str(tmp_path / "z")
+    zorder_write(base, ["l_partkey", "l_suppkey"], zpath, num_files=4)
+    drift = spark.createDataFrame(
+        [(10_000 + i, 1_000_000 + i, -50) for i in range(20)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    assert zorder_append(drift, zpath, num_files=1) == 20
+    got = spark.read.parquet(zpath)
+    assert got.count() == 520
+    assert got.filter(F.col("l_partkey") >= 1_000_000).count() == 20

@@ -1,0 +1,136 @@
+"""Batch-proportional cost receipt for zorder_append (frozen-bounds
+incremental clustering). Builds the z-layout at the given scale, then
+appends a ~1% batch and re-times a FULL rewrite of the union — the
+claim is the index-append claim transplanted to layouts: append cost
+follows the BATCH, rewrite cost follows the corpus. Also verifies the
+grid-pruning profile holds after the append (aggregate admitted
+fraction) and the union round-trips bit-intact.
+
+Usage: python tools/zorder_append_receipt.py [sf_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else None
+N_FILES = 32
+
+
+def _grid_admitted(path: str, b) -> tuple[int, int]:
+    import pyarrow.parquet as pq
+
+    stats = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        s: dict = {}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema in ("l_partkey", "l_suppkey"):
+                    st_ = col.statistics
+                    lo, hi = s.get(col.path_in_schema, (st_.min, st_.max))
+                    s[col.path_in_schema] = (min(lo, st_.min), max(hi, st_.max))
+        stats.append(s)
+    pspan, sspan = b.phi - b.plo, b.shi - b.slo
+    admitted = 0
+    for gi in range(3):
+        for gj in range(3):
+            plo = b.plo + int((0.1 + 0.3 * gi) * pspan)
+            slo = b.slo + int((0.1 + 0.3 * gj) * sspan)
+            phi, shi = plo + int(0.15 * pspan), slo + int(0.15 * sspan)
+            admitted += sum(
+                1
+                for s in stats
+                if s["l_partkey"][0] <= phi
+                and s["l_partkey"][1] >= plo
+                and s["l_suppkey"][0] <= shi
+                and s["l_suppkey"][1] >= slo
+            )
+    return admitted, 9 * len(stats)
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from fintech_etl_spark.operators.layout import zorder_append, zorder_write
+    from fintech_etl_spark.session import build_session
+    from fintech_etl_spark.sources.tables import load_table
+
+    spark = build_session("zorder_append_receipt")
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n = li.count()
+    base = li.filter(F.col("l_orderkey") % 100 != 0)
+    batch = li.filter(F.col("l_orderkey") % 100 == 0)
+    b = li.agg(
+        F.min("l_partkey").alias("plo"),
+        F.max("l_partkey").alias("phi"),
+        F.min("l_suppkey").alias("slo"),
+        F.max("l_suppkey").alias("shi"),
+    ).first()
+
+    work = tempfile.mkdtemp(prefix="zappend_")
+    try:
+        zpath = os.path.join(work, "z")
+        t0 = time.perf_counter()
+        zorder_write(base, ["l_partkey", "l_suppkey"], zpath, N_FILES)
+        build_wall = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        n_app = zorder_append(batch, zpath, num_files=2)
+        append_wall = round(time.perf_counter() - t0, 2)
+
+        admitted, total = _grid_admitted(zpath, b)
+        union_ok = (
+            spark.read.parquet(zpath).count() == n
+            and spark.read.parquet(zpath).exceptAll(li).count() == 0
+        )
+
+        t0 = time.perf_counter()
+        zorder_write(li, ["l_partkey", "l_suppkey"], os.path.join(work, "z2"), N_FILES)
+        rewrite_wall = round(time.perf_counter() - t0, 2)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    receipt = {
+        "metric": "zorder_append_batch_proportional",
+        "sf_dir": SF,
+        "rows_total": n,
+        "rows_batch": n_app,
+        "batch_frac": round(n_app / n, 4),
+        "build_wall_sec": build_wall,
+        "append_wall_sec": append_wall,
+        "full_rewrite_wall_sec": rewrite_wall,
+        "append_over_rewrite": round(append_wall / max(rewrite_wall, 1e-9), 3),
+        "grid_admitted_files": admitted,
+        "grid_total_file_checks": total,
+        "grid_admitted_frac": round(admitted / total, 3),
+        "union_intact": union_ok,
+        # append must cost well under the rewrite and the appended-to
+        # layout must keep pruning (<= half the files admitted)
+        "passed": union_ok
+        and append_wall <= rewrite_wall / 2
+        and admitted <= total / 2,
+    }
+    line = json.dumps(receipt)
+    print(line)
+    if OUT:
+        with open(OUT, "w") as fh:
+            fh.write(line + "\n")
+    return 0 if receipt["passed"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
