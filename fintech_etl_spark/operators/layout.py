@@ -171,7 +171,15 @@ def zorder_append(df: DataFrame, path: str, num_files: int = 4) -> int:
     import json
     import os
 
-    with open(os.path.join(path, "_zbounds.json")) as fh:
+    sidecar = os.path.join(path, "_zbounds.json")
+    if not os.path.exists(sidecar):
+        raise ValueError(
+            f"zorder_append: {path!r} has no _zbounds.json sidecar — "
+            "the layout predates frozen-bounds support (or is not a "
+            "zorder_write layout); re-cluster it with zorder_write "
+            "once to record the curve bounds"
+        )
+    with open(sidecar) as fh:
         meta = json.load(fh)
     bounds = {c: tuple(v) for c, v in meta["bounds"].items()}
     z = with_zvalue(

@@ -202,8 +202,14 @@ def vacuum(root: str, keep_last: int = 2) -> dict:
     collected too — they are referenced by no manifest at all."""
     if keep_last < 1:
         raise ValueError("vacuum keep_last must be >= 1")
+    if not is_transactional(root):
+        raise ValueError(
+            f"vacuum: {root!r} is not a manifest-backed dataset "
+            "(no _manifests/_current pointer) — nothing to vacuum; "
+            "plain-directory indexes clean up via compact_partitioned"
+        )
     mdir = manifests_dir(root)
-    cur = current(root)  # raises if not transactional — nothing to vacuum
+    cur = current(root)
     names = sorted(
         n for n in os.listdir(mdir) if n.startswith("manifest-")
     )  # version-prefixed → lexical == numeric order

@@ -656,3 +656,17 @@ TestManifestProtocol = ManifestMachine.TestCase
 TestManifestProtocol.settings = settings(
     max_examples=25, stateful_step_count=30, deadline=None
 )
+
+
+def test_vacuum_on_plain_directory_is_loud(tmp_path):
+    with pytest.raises(ValueError, match="not a manifest-backed"):
+        mf.vacuum(str(tmp_path))
+
+
+def test_zorder_append_without_sidecar_is_loud(spark, tmp_path):
+    from fintech_etl_spark.operators.layout import zorder_append
+
+    p = str(tmp_path / "plain")
+    spark.createDataFrame([(1, 2)], "a long, b long").write.parquet(p)
+    with pytest.raises(ValueError, match="_zbounds.json"):
+        zorder_append(spark.createDataFrame([(1, 2)], "a long, b long"), p)
