@@ -236,7 +236,8 @@ def compact_transactional(
     from fintech_etl_spark.sinks import manifest as mfst
 
     stats: dict = {}
-    replace: dict[str, list[str]] = {}
+    add: dict[str, list[str]] = {}
+    remove: dict[str, list[str]] = {}
     for name, pcols in datasets.items():
         segs = mfst.dataset_segments(root, name)
         if not segs:
@@ -249,14 +250,20 @@ def compact_transactional(
         out = _compaction_layout(df, pcols, files_per_partition, root)
         seg = mfst.new_segment_path(root)
         out.write.mode("overwrite").partitionBy(*pcols).parquet(seg)
-        replace[name] = [seg]
+        add[name] = [seg]
+        remove[name] = segs
         stats[name] = {
             "files_before": files_before,
             "files_after": _parquet_file_count(seg),
             "rows": spark.read.parquet(seg).count(),
         }
-    if replace:
-        mfst.commit(root, replace=replace)
+    if add:
+        # remove exactly what was read + add the rewrite — a CONCURRENT
+        # ingest commit landing mid-rewrite is carried forward by the
+        # manifest's read-modify-write, never lost (Iceberg's
+        # rewrite-commit shape; a StaleSegmentError means another
+        # compactor won — retry from a fresh read)
+        mfst.commit(root, remove=remove, add=add)
     return stats
 
 

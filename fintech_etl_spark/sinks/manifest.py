@@ -36,12 +36,17 @@ Consequences:
 
 Contracts and limits (documented, not hidden):
 
-- SINGLE WRITER. Two concurrent committers both succeed and the last
-  pointer swap wins — the loser's segments become orphans. A real
-  multi-writer lake needs a compare-and-swap on the pointer (the same
-  reason Delta on S3 needs a lock service); the index lifecycle here
-  has one maintenance actor by construction (one ingest stream, cron
-  compaction).
+- CONCURRENT COMMITTERS are safe on filesystems with atomic
+  O_CREAT|O_EXCL (POSIX, NFSv4, HDFS): every commit runs its
+  read-modify-write of the manifest under a short-lived lock file
+  (held only for the metadata step — microseconds — never across a
+  data rewrite), and compaction commits REMOVE+ADD deltas rather than
+  wholesale replacements, so an ingest commit landing between a
+  compactor's read and its commit is carried forward, not lost (the
+  Iceberg rewrite-commit shape). A crashed committer's lock is stolen
+  after a staleness timeout. Object stores WITHOUT atomic
+  create-exclusive still need an external lock/CAS service — the same
+  reason Delta on S3 does.
 - ``vacuum`` retention: a reader holds the manifest it resolved for
   the duration of one scan, so only run ``vacuum(keep_last>=2)`` (or
   pause long scans for keep_last=1) — the same retention contract as
@@ -67,6 +72,19 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFESTS = "_manifests"
 _CURRENT = "_current"
 _SEGMENTS = "segments"
+_LOCK = "_commit.lock"
+#: commits hold the lock for the metadata step only (microseconds);
+#: a lock older than this belongs to a crashed committer and is stolen
+_LOCK_STALE_SEC = 60.0
+_LOCK_TIMEOUT_SEC = 120.0
+
+
+class StaleSegmentError(RuntimeError):
+    """A remove-commit named a segment no longer in the manifest:
+    another committer already compacted it away, so the caller's
+    rewrite is based on a superseded layout. Abort (the staged segment
+    is an invisible orphan — vacuum collects it) and retry from a
+    fresh read."""
 
 
 def manifests_dir(root: str) -> str:
@@ -106,65 +124,138 @@ def _fsync_write(path: str, body: str) -> None:
         os.fsync(fh.fileno())
 
 
+def _acquire_lock(mdir: str) -> str:
+    """Create the commit lock with O_CREAT|O_EXCL — atomic on POSIX /
+    NFSv4 / HDFS. A lock older than ``_LOCK_STALE_SEC`` belongs to a
+    crashed committer (the locked section is metadata-only,
+    microseconds) and is stolen."""
+    import time
+
+    path = os.path.join(mdir, _LOCK)
+    deadline = time.monotonic() + _LOCK_TIMEOUT_SEC
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return path
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                age = 0.0  # holder just released — retry immediately
+            if age > _LOCK_STALE_SEC:
+                try:
+                    os.unlink(path)  # steal a crashed committer's lock
+                except OSError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"manifest commit: lock {path!r} held for "
+                    f">{_LOCK_TIMEOUT_SEC}s — a committer is stuck "
+                    "inside what should be a microsecond metadata step"
+                ) from None
+            time.sleep(0.02)
+
+
 def commit(
     root: str,
     *,
     add: dict[str, list[str]] | None = None,
     replace: dict[str, list[str]] | None = None,
+    remove: dict[str, list[str]] | None = None,
     file_keys: list[str] | None = None,
 ) -> dict:
     """Write the next manifest version and atomically swap the pointer.
 
     ``add`` appends segment dirs to named datasets; ``replace`` swaps a
-    dataset's whole segment list (compaction / initial build);
-    ``file_keys`` records ingested source files into the manifest's
-    dedup history (kept forever, across compactions — erasing it is
-    exactly the bug the directory-mode ledger had). Segment paths are
-    stored relative to ``root`` so the index directory can be moved.
-    Returns the committed manifest. First commit creates the log.
-    """
+    dataset's whole segment list (initial build); ``remove`` deletes
+    specific segments from a dataset's list — compaction commits
+    ``remove`` (what it read) + ``add`` (its rewrite) so a CONCURRENT
+    add landing after its read is carried forward, never lost (the
+    Iceberg rewrite-commit shape; a removed segment that has already
+    vanished raises :class:`StaleSegmentError` — the caller's rewrite
+    is based on a superseded layout and must be retried from a fresh
+    read). ``file_keys`` records ingested source files into the
+    manifest's dedup history (kept forever, across compactions —
+    erasing it is exactly the bug the directory-mode ledger had).
+    Segment paths are stored relative to ``root`` so the index
+    directory can be moved. Returns the committed manifest. First
+    commit creates the log.
+
+    The whole read-modify-write runs under the commit lock, so
+    concurrent committers (an ingest stream and a cron compactor, the
+    normal pair) serialize on the metadata step only — data stays
+    staged outside the lock."""
     mdir = manifests_dir(root)
     os.makedirs(mdir, exist_ok=True)
-    if is_transactional(root):
-        cur = current(root)
-        version = cur["version"] + 1
-        datasets = {k: list(v) for k, v in cur["datasets"].items()}
-        ingested = list(cur["ingested_files"])
-    else:
-        version, datasets, ingested = 0, {}, []
 
     def _rel(p: str) -> str:
         return os.path.relpath(os.path.abspath(p), os.path.abspath(root))
 
-    for ds, segs in (replace or {}).items():
-        datasets[ds] = [_rel(s) for s in segs]
-    for ds, segs in (add or {}).items():
-        datasets.setdefault(ds, [])
-        datasets[ds] = datasets[ds] + [_rel(s) for s in segs]
-    for k in file_keys or []:
-        if k in ingested:
-            raise ValueError(
-                f"manifest commit: source file {k!r} is already in the "
-                "ingested set — the caller must skip processed files "
-                "before staging (double-append would corrupt the index)"
-            )
-        ingested.append(k)
-
-    name = f"manifest-{version:010d}-{uuid.uuid4().hex[:8]}.json"
-    m = {"version": version, "datasets": datasets, "ingested_files": ingested}
-    _fsync_write(os.path.join(mdir, name), json.dumps(m, indent=1))
-    tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
-    _fsync_write(tmp, name)
-    os.replace(tmp, os.path.join(mdir, _CURRENT))  # THE commit point
-    # fsync the DIRECTORY too: rename atomicity is immediate, but its
-    # durability is not — an OS crash could otherwise revert the
-    # pointer to the previous manifest, resurrecting the exactly-once
-    # window the commit exists to close
-    dfd = os.open(mdir, os.O_RDONLY)
+    lock = _acquire_lock(mdir)
     try:
-        os.fsync(dfd)
+        if is_transactional(root):
+            cur = current(root)
+            version = cur["version"] + 1
+            datasets = {k: list(v) for k, v in cur["datasets"].items()}
+            ingested = list(cur["ingested_files"])
+        else:
+            version, datasets, ingested = 0, {}, []
+
+        for ds, segs in (replace or {}).items():
+            datasets[ds] = [_rel(s) for s in segs]
+        for ds, segs in (remove or {}).items():
+            have = datasets.get(ds, [])
+            for s in segs:
+                r = _rel(s)
+                if r not in have:
+                    raise StaleSegmentError(
+                        f"manifest commit: segment {r!r} is not in "
+                        f"dataset {ds!r} — another committer already "
+                        "compacted it away; retry the rewrite from a "
+                        "fresh read (the staged output is an orphan "
+                        "vacuum will collect)"
+                    )
+                have = [x for x in have if x != r]
+            datasets[ds] = have
+        for ds, segs in (add or {}).items():
+            datasets.setdefault(ds, [])
+            datasets[ds] = datasets[ds] + [_rel(s) for s in segs]
+        for k in file_keys or []:
+            if k in ingested:
+                raise ValueError(
+                    f"manifest commit: source file {k!r} is already in "
+                    "the ingested set — the caller must skip processed "
+                    "files before staging (double-append would corrupt "
+                    "the index)"
+                )
+            ingested.append(k)
+
+        name = f"manifest-{version:010d}-{uuid.uuid4().hex[:8]}.json"
+        m = {
+            "version": version,
+            "datasets": datasets,
+            "ingested_files": ingested,
+        }
+        _fsync_write(os.path.join(mdir, name), json.dumps(m, indent=1))
+        tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
+        _fsync_write(tmp, name)
+        os.replace(tmp, os.path.join(mdir, _CURRENT))  # THE commit point
+        # fsync the DIRECTORY too: rename atomicity is immediate, but
+        # its durability is not — an OS crash could otherwise revert
+        # the pointer to the previous manifest, resurrecting the
+        # exactly-once window the commit exists to close
+        dfd = os.open(mdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     finally:
-        os.close(dfd)
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
     m["_file"] = name
     return m
 
@@ -193,13 +284,24 @@ def read_dataset(
     return out
 
 
-def vacuum(root: str, keep_last: int = 2) -> dict:
+def vacuum(
+    root: str, keep_last: int = 2, orphan_grace_sec: float = 300.0
+) -> dict:
     """Garbage-collect segments referenced by NO kept manifest and
     manifests older than the newest ``keep_last`` versions. Retention
     contract: an in-flight reader resolved the pointer at scan start,
     so keep at least 2 versions while anything might be scanning (the
     Delta VACUUM rule). Orphan segments from crashed commits are
-    collected too — they are referenced by no manifest at all."""
+    collected too — they are referenced by no manifest at all.
+
+    Runs under the commit lock. Segments referenced by a SUPERSEDED
+    manifest are collected under the ``keep_last`` retention rule;
+    segments referenced by NO manifest at all are either crashed-
+    commit orphans (garbage) or a concurrent committer's in-flight
+    staging (staged OUTSIDE the lock!) — ``orphan_grace_sec``
+    disambiguates by age, sparing fresh ones (the same reason Delta's
+    VACUUM has a retention period). Pass 0 only when no committer can
+    be running."""
     if keep_last < 1:
         raise ValueError("vacuum keep_last must be >= 1")
     if not is_transactional(root):
@@ -208,33 +310,57 @@ def vacuum(root: str, keep_last: int = 2) -> dict:
             "(no _manifests/_current pointer) — nothing to vacuum; "
             "plain-directory indexes clean up via compact_partitioned"
         )
+    import time
+
     mdir = manifests_dir(root)
-    cur = current(root)
-    names = sorted(
-        n for n in os.listdir(mdir) if n.startswith("manifest-")
-    )  # version-prefixed → lexical == numeric order
-    keep = names[-keep_last:]
-    if cur["_file"] not in keep:  # never collect the live manifest
-        keep.append(cur["_file"])
-    live: set[str] = set()
-    for n in keep:
-        with open(os.path.join(mdir, n)) as fh:
-            m = json.load(fh)
-        for segs in m["datasets"].values():
-            live.update(segs)
-    removed_segments = []
-    seg_root = os.path.join(root, _SEGMENTS)
-    if os.path.isdir(seg_root):
-        for entry in sorted(os.listdir(seg_root)):
-            rel = os.path.join(_SEGMENTS, entry)
-            if rel not in live:
-                shutil.rmtree(os.path.join(seg_root, entry))
+    lock = _acquire_lock(mdir)
+    try:
+        cur = current(root)
+        names = sorted(
+            n for n in os.listdir(mdir) if n.startswith("manifest-")
+        )  # version-prefixed → lexical == numeric order
+        keep = names[-keep_last:]
+        if cur["_file"] not in keep:  # never collect the live manifest
+            keep.append(cur["_file"])
+        live: set[str] = set()
+        known: set[str] = set()  # referenced by ANY manifest, live or old
+        for n in names:
+            with open(os.path.join(mdir, n)) as fh:
+                m = json.load(fh)
+            for segs in m["datasets"].values():
+                known.update(segs)
+                if n in keep:
+                    live.update(segs)
+        removed_segments = []
+        seg_root = os.path.join(root, _SEGMENTS)
+        if os.path.isdir(seg_root):
+            now = time.time()
+            for entry in sorted(os.listdir(seg_root)):
+                rel = os.path.join(_SEGMENTS, entry)
+                full = os.path.join(seg_root, entry)
+                if rel in live:
+                    continue
+                if rel not in known:
+                    # never referenced: a crashed commit's orphan — or a
+                    # CONCURRENT committer's in-flight staging; age tells
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue
+                    if age < orphan_grace_sec:
+                        continue
+                shutil.rmtree(full)
                 removed_segments.append(rel)
-    removed_manifests = []
-    for n in names:
-        if n not in keep:
-            os.remove(os.path.join(mdir, n))
-            removed_manifests.append(n)
+        removed_manifests = []
+        for n in names:
+            if n not in keep:
+                os.remove(os.path.join(mdir, n))
+                removed_manifests.append(n)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
     return {
         "removed_segments": removed_segments,
         "removed_manifests": removed_manifests,

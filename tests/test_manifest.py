@@ -121,7 +121,7 @@ def test_vacuum_retention_and_orphans(tmp_path):
         mf.commit(root, replace={"d": [s]})
     orphan = mf.new_segment_path(root)  # staged, never committed
     os.makedirs(orphan)
-    out = mf.vacuum(root, keep_last=2)
+    out = mf.vacuum(root, keep_last=2, orphan_grace_sec=0)
     # v0's segment and the orphan are gone; v1/v2 segments remain
     assert not os.path.exists(segs[0]) and not os.path.exists(orphan)
     assert os.path.exists(segs[1]) and os.path.exists(segs[2])
@@ -328,7 +328,7 @@ def test_ingest_crash_before_commit_then_retry_is_exactly_once(
     assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
 
     # vacuum collects the crashed attempt's orphan segment
-    out = mf.vacuum(idx, keep_last=2)
+    out = mf.vacuum(idx, keep_last=2, orphan_grace_sec=0)
     assert len(os.listdir(seg_dir)) < orphans_before + 1 + len(
         out["removed_segments"]
     )
@@ -670,3 +670,125 @@ def test_zorder_append_without_sidecar_is_loud(spark, tmp_path):
     spark.createDataFrame([(1, 2)], "a long, b long").write.parquet(p)
     with pytest.raises(ValueError, match="_zbounds.json"):
         zorder_append(spark.createDataFrame([(1, 2)], "a long, b long"), p)
+
+
+# ---------------------------------------------------------------------------
+# concurrent committers: ingest stream racing a compaction churn thread
+# ---------------------------------------------------------------------------
+
+
+def test_concurrent_ingest_and_compaction_lose_nothing(spark, tmp_path):
+    """THE two-writer scenario a real deployment runs: a streaming
+    ingest appends batches WHILE a cron compactor rewrites. Commits
+    serialize on the lock and compaction removes exactly what it read
+    (remove+add, not replace), so an ingest commit landing mid-rewrite
+    is carried forward — the final index equals a full rebuild on the
+    union, bit-for-bit, and the ingest dedup history survives."""
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, a_dir, idx, transactional=True)
+
+    vdir = tmp_path / "vectors"
+    vdir.mkdir()
+    b_rows = b.collect()
+    step = max(1, len(b_rows) // 4)
+    for fno, lo in enumerate(range(0, len(b_rows), step)):
+        _write_jsonl(b_rows[lo : lo + step], vdir / f"f{fno}.jsonl")
+
+    stop = threading.Event()
+    compactions, failures = [], []
+
+    def churn():
+        fpp = 1
+        while not stop.is_set():
+            try:
+                compact_lsh_index(spark, idx, files_per_partition=fpp)
+                compactions.append(fpp)
+                fpp = 2 if fpp == 1 else 1
+            except mf.StaleSegmentError:
+                continue  # another committer won; re-read and go again
+            except Exception as e:  # noqa: BLE001 — the test's point
+                failures.append(repr(e))
+                return
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    try:
+        q = start_vector_ingest(
+            spark,
+            str(vdir / "*.jsonl"),
+            str(tmp_path / "ckpt"),
+            idx,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+    finally:
+        stop.set()
+        t.join(timeout=180)
+
+    assert not failures, failures
+    assert compactions, "churn thread never ran a compaction"
+    full = str(tmp_path / "idx_full")
+    build_lsh_index(spark, SF_SMOKE, full)
+    assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
+    # dedup history intact: a full replay under a lost checkpoint is a no-op
+    replays = []
+    q = start_vector_ingest(
+        spark,
+        str(vdir / "*.jsonl"),
+        str(tmp_path / "ckpt_lost"),
+        idx,
+        on_batch=lambda bid, n: replays.append(n),
+    )
+    q.awaitTermination()
+    assert replays == [] and _lsh_rows(spark, idx) == _lsh_rows(spark, full)
+
+
+def test_commit_lock_serializes_metadata_threads(tmp_path):
+    """N threads hammering add-commits: every commit survives, the
+    version counter counts every one, and no segment reference is
+    lost — the lost-update the lock exists to prevent."""
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []})
+    errors = []
+
+    def adder(tid):
+        try:
+            for i in range(8):
+                seg = mf.new_segment_path(root)
+                os.makedirs(seg)
+                mf.commit(root, add={"d": [seg]}, file_keys=[f"t{tid}-{i}"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=adder, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    cur = mf.current(root)
+    assert cur["version"] == 32  # initial 0 + 32 adds
+    assert len(cur["datasets"]["d"]) == 32
+    assert len(set(cur["ingested_files"])) == 32
+
+
+def test_stale_segment_error_on_racing_compactors(tmp_path):
+    """A compactor whose read was superseded must get a loud
+    StaleSegmentError, not silently resurrect compacted-away data."""
+    root = str(tmp_path / "ds")
+    seg0 = mf.new_segment_path(root)
+    os.makedirs(seg0)
+    mf.commit(root, replace={"d": [seg0]})
+    # compactor A reads [seg0]; compactor B wins the race:
+    segB = mf.new_segment_path(root)
+    os.makedirs(segB)
+    mf.commit(root, remove={"d": [seg0]}, add={"d": [segB]})
+    # A's commit now names a vanished segment
+    segA = mf.new_segment_path(root)
+    os.makedirs(segA)
+    with pytest.raises(mf.StaleSegmentError, match="another committer"):
+        mf.commit(root, remove={"d": [seg0]}, add={"d": [segA]})
+    assert mf.current(root)["datasets"]["d"] == [
+        os.path.relpath(segB, root)
+    ]
