@@ -792,3 +792,127 @@ def test_stale_segment_error_on_racing_compactors(tmp_path):
     assert mf.current(root)["datasets"]["d"] == [
         os.path.relpath(segB, root)
     ]
+
+
+def test_ivfpq_serving_races_compaction(spark, tmp_path):
+    """The IVF-PQ twin of the LSH race test: probes drain while a
+    compaction churn thread swaps codes+vectors snapshots — every
+    batch sees a consistent index (rank-1 self-match at dist 0 for
+    every served query; appended via the transactional path first)."""
+    from fintech_etl_spark.streaming.ann import start_ivf_pq_queries
+
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(spark, a_dir, idx, transactional=True)
+    append_ivf_pq_index(spark, b, idx)  # fragment: 2 segments/dataset
+    assert len(mf.dataset_segments(idx, "codes")) == 2
+
+    qrows = a.limit(30).collect()
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    for fno in range(3):
+        with open(qdir / f"q{fno}.jsonl", "w") as f:
+            for r in qrows[fno * 10 : (fno + 1) * 10]:
+                f.write(
+                    json.dumps(
+                        {
+                            "query_id": r.vec_id + 10_000_000,
+                            "embedding": list(r.embedding),
+                        }
+                    )
+                    + "\n"
+                )
+
+    stop = threading.Event()
+    compactions, failures = [], []
+
+    def churn():
+        fpp = 1
+        while not stop.is_set():
+            try:
+                compact_ivf_pq_index(spark, idx, files_per_partition=fpp)
+                compactions.append(fpp)
+                fpp = 2 if fpp == 1 else 1
+            except mf.StaleSegmentError:
+                continue
+            except Exception as e:  # noqa: BLE001
+                failures.append(repr(e))
+                return
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    got = {}
+
+    def on_results(df, batch_id):
+        for row in df.collect():
+            got.setdefault(row.query_id, []).append(
+                (row.rank, row.neighbor_id, row.dist)
+            )
+
+    try:
+        q = start_ivf_pq_queries(
+            spark,
+            str(qdir / "*.jsonl"),
+            str(tmp_path / "ckpt"),
+            idx,
+            on_results,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+    finally:
+        stop.set()
+        t.join(timeout=180)
+
+    assert not failures, failures
+    assert compactions, "no compaction overlapped the drain"
+    # every query is an indexed vector: it must come back as its own
+    # rank-1 neighbor at exact distance 0 from SOME consistent snapshot
+    for r in qrows:
+        rows = sorted(got[r.vec_id + 10_000_000])
+        assert rows[0] == (1, r.vec_id, 0.0), (r.vec_id, rows[:2])
+
+
+def test_transactional_ivfpq_streaming_ingest_exactly_once(spark, tmp_path):
+    """start_vector_ingest with family=ivf-pq on a manifest-backed
+    index: drained vectors land in BOTH datasets atomically, and a
+    replay under a lost checkpoint is a no-op (file keys committed
+    with the segments)."""
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(spark, a_dir, idx, transactional=True)
+    n_before = len(_vector_rows(spark, idx))
+
+    vdir = tmp_path / "vectors"
+    vdir.mkdir()
+    b_rows = b.collect()
+    _write_jsonl(b_rows[:50], vdir / "f0.jsonl")
+    _write_jsonl(b_rows[50:], vdir / "f1.jsonl")
+
+    batches = []
+    q = start_vector_ingest(
+        spark,
+        str(vdir / "*.jsonl"),
+        str(tmp_path / "ckpt0"),
+        idx,
+        family="ivf-pq",
+        max_files_per_trigger=1,
+        on_batch=lambda bid, n: batches.append(n),
+    )
+    q.awaitTermination()
+    assert sorted(batches) == [50, 50]
+    assert len(_vector_rows(spark, idx)) == n_before + 100
+    assert len(_codes_rows(spark, idx)) == (n_before + 100) * 8
+    assert len(mf.current(idx)["ingested_files"]) == 2
+
+    replays = []
+    q = start_vector_ingest(
+        spark,
+        str(vdir / "*.jsonl"),
+        str(tmp_path / "ckpt1"),
+        idx,
+        family="ivf-pq",
+        on_batch=lambda bid, n: replays.append(n),
+    )
+    q.awaitTermination()
+    assert replays == []
+    assert len(_vector_rows(spark, idx)) == n_before + 100
