@@ -916,3 +916,31 @@ def test_transactional_ivfpq_streaming_ingest_exactly_once(spark, tmp_path):
     q.awaitTermination()
     assert replays == []
     assert len(_vector_rows(spark, idx)) == n_before + 100
+
+
+def test_commit_steals_stale_lock(tmp_path):
+    """A crashed committer's lock (older than the staleness bound) is
+    stolen; the next commit proceeds and releases cleanly."""
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []})
+    lock = os.path.join(mf.manifests_dir(root), "_commit.lock")
+    open(lock, "w").close()
+    old = time.time() - mf._LOCK_STALE_SEC - 10
+    os.utime(lock, (old, old))
+    m = mf.commit(root, file_keys=["k0"])
+    assert m["version"] == 1
+    assert not os.path.exists(lock)
+
+
+def test_commit_times_out_on_held_lock(tmp_path, monkeypatch):
+    """A FRESH lock (live committer) is honored until the timeout, then
+    the waiter fails loudly instead of corrupting the metadata step."""
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []})
+    lock = os.path.join(mf.manifests_dir(root), "_commit.lock")
+    open(lock, "w").close()  # fresh mtime — a live holder
+    monkeypatch.setattr(mf, "_LOCK_TIMEOUT_SEC", 0.3)
+    with pytest.raises(RuntimeError, match="lock .* held"):
+        mf.commit(root, file_keys=["k0"])
+    os.unlink(lock)
+    assert mf.commit(root, file_keys=["k0"])["version"] == 1
