@@ -214,14 +214,21 @@ def main() -> int:
     core_sum = round(total - build_sum, 3)
     detail = {
         "metric": "headline_suite_detail",
+        "queries": timings,
         "queries_median": medians,
         "load_per_cpu_per_query": query_load,
     }
+    # The driver parses the LAST JSON line of stdout into a ~2000-char
+    # tail buffer. r7 overflowed it with one giant line; the r8 "compact
+    # summary" fix put per-query timings back on the summary and the
+    # suite outgrew the buffer AGAIN by r9 (BENCH_r{9,10} both
+    # parsed:null). Per-query timings now live ONLY on the detail line
+    # and in BENCH_DETAIL_r{N}.json — the summary stays a few hundred
+    # chars no matter how many queries the suite grows to.
     summary = {
         "metric": "headline_suite_warm_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "value_median": total_median,
         "headline_core_sec": core_sum,
         "headline_index_build_sec": build_sum,
