@@ -244,9 +244,9 @@ def compact_transactional(
             stats[name] = {"files_before": 0, "files_after": 0, "rows": 0}
             continue
         files_before = sum(_parquet_file_count(s) for s in segs)
-        df = spark.read.parquet(segs[0])
-        for s in segs[1:]:
-            df = df.unionByName(spark.read.parquet(s))
+        # flat-plan scan over a fragmented dataset (hundreds of ingest
+        # segments between compactions) — see manifest.read_segments
+        df = mfst.read_segments(spark, segs)
         out = _compaction_layout(df, pcols, files_per_partition, root)
         seg = mfst.new_segment_path(root)
         out.write.mode("overwrite").partitionBy(*pcols).parquet(seg)

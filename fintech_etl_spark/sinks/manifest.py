@@ -14,7 +14,7 @@ module is the minimal dependency-free version of that idea:
   a write STAGES a new segment — invisible until committed;
 - a versioned MANIFEST file (``<root>/_manifests/manifest-<v>-<id>.
   json``) names, per logical dataset, exactly the segments a reader
-  may see, plus the set of ingested source files (the dedup history);
+  may see, plus the ingested-source-file dedup history;
 - a single ``_current`` pointer file names the live manifest and is
   swapped with ``os.replace`` — POSIX-atomic, so every reader resolves
   EITHER the old state or the new one, never a half-state. Commit =
@@ -34,19 +34,47 @@ Consequences:
 - crash recovery is "do nothing": the pointer always names a complete
   manifest.
 
+Ingested-file history at lake scale (r10 audit, "What's missing #2"):
+the history must live INSIDE the commit (a sidecar marker written
+before/after the pointer swap re-opens the exactly-once window), but
+inlining the whole list in every manifest made commit cost and
+manifest size O(total files ever ingested). The log therefore stores
+the history Delta-checkpoint-style:
+
+- each manifest carries only ``ingested_tail`` — the keys committed
+  since the last rollup (insertion-ordered);
+- when the tail outgrows ``_INGEST_TAIL_MAX``, the commit folds it
+  into ``ingested_checkpoint``: hash-bucketed, IMMUTABLE key files
+  (``_manifests/ingested-<id>-<bucket>.json``); only buckets touched
+  by the tail are rewritten, untouched buckets are re-referenced by
+  filename. Every manifest is self-contained (checkpoint refs + tail),
+  so vacuuming old manifests never loses history;
+- a duplicate-key probe loads ONE bucket (|history|/``_INGEST_BUCKETS``
+  keys) plus the tail — commit latency stays flat as the history grows
+  (receipted in SCALE_RECEIPT_r11_manifest_commit.json); rollups
+  rewrite at most min(tail, buckets) small files every
+  ``_INGEST_TAIL_MAX`` keys, amortized O(1) per key. (Past ~10⁷ keys,
+  raise ``_INGEST_BUCKETS`` — bucket count is a per-deployment knob,
+  recorded in the checkpoint itself so mixed sizes never mix buckets.)
+
 Contracts and limits (documented, not hidden):
 
 - CONCURRENT COMMITTERS are safe on filesystems with atomic
   O_CREAT|O_EXCL (POSIX, NFSv4, HDFS): every commit runs its
-  read-modify-write of the manifest under a short-lived lock file
+  read-modify-write of the manifest under a short-lived lock
   (held only for the metadata step — microseconds — never across a
   data rewrite), and compaction commits REMOVE+ADD deltas rather than
   wholesale replacements, so an ingest commit landing between a
   compactor's read and its commit is carried forward, not lost (the
   Iceberg rewrite-commit shape). A crashed committer's lock is stolen
-  after a staleness timeout. Object stores WITHOUT atomic
-  create-exclusive still need an external lock/CAS service — the same
-  reason Delta on S3 does.
+  after a staleness timeout via an atomic RENAME (single winner), with
+  an owner token guarding release — see :class:`FileLockProvider`.
+- the lock is INJECTABLE (``lock=`` on :func:`commit` /
+  :func:`vacuum`): object stores without atomic create-exclusive
+  plug in a CAS/lease provider (DynamoDB for Delta-on-S3, etcd, a
+  database row) implementing the two-method ``acquire(mdir) ->
+  handle`` / ``release(handle)`` contract, instead of rewriting the
+  commit path.
 - ``vacuum`` retention: a reader holds the manifest it resolved for
   the duration of one scan, so only run ``vacuum(keep_last>=2)`` (or
   pause long scans for keep_last=1) — the same retention contract as
@@ -57,14 +85,17 @@ Contracts and limits (documented, not hidden):
 The reference engine's landing path has the same lost-update blindness
 this closes (no processed-marker around its writes —
 /root/reference/main.py:181-183); manifests are public-literature
-territory (Iceberg's spec, Delta's _delta_log) re-expressed minimally.
+territory (Iceberg's spec, Delta's _delta_log commit shapes and
+checkpoints) re-expressed minimally.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +108,11 @@ _LOCK = "_commit.lock"
 #: a lock older than this belongs to a crashed committer and is stolen
 _LOCK_STALE_SEC = 60.0
 _LOCK_TIMEOUT_SEC = 120.0
+#: ingested-history layout: keys since the last rollup ride the
+#: manifest inline; beyond this the commit folds them into the
+#: hash-bucketed checkpoint files
+_INGEST_TAIL_MAX = 512
+_INGEST_BUCKETS = 64
 
 
 class StaleSegmentError(RuntimeError):
@@ -124,38 +160,242 @@ def _fsync_write(path: str, body: str) -> None:
         os.fsync(fh.fileno())
 
 
-def _acquire_lock(mdir: str) -> str:
-    """Create the commit lock with O_CREAT|O_EXCL — atomic on POSIX /
-    NFSv4 / HDFS. A lock older than ``_LOCK_STALE_SEC`` belongs to a
-    crashed committer (the locked section is metadata-only,
-    microseconds) and is stolen."""
-    import time
+# ---------------------------------------------------------------------------
+# commit lock — injectable provider
+# ---------------------------------------------------------------------------
 
-    path = os.path.join(mdir, _LOCK)
-    deadline = time.monotonic() + _LOCK_TIMEOUT_SEC
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            return path
-        except FileExistsError:
+
+class FileLockProvider:
+    """Default commit-lock provider: an O_CREAT|O_EXCL lock file —
+    atomic on POSIX / NFSv4 / HDFS — carrying an OWNER TOKEN, with a
+    rename-based staleness steal.
+
+    The r10 steal (bare unlink + recreate) had a two-stealer race: A
+    and B both observe a stale lock; A unlinks and re-creates it; B's
+    unlink then removes A's FRESH lock and both run the metadata
+    read-modify-write concurrently. Here a steal must first WIN an
+    atomic ``os.rename`` of the stale lock to a unique grave name —
+    exactly one renamer succeeds, the loser loops back to observe
+    whatever lock exists next. Release verifies the owner token before
+    unlinking, so a paused-then-resumed holder whose lock was stolen
+    cannot remove the thief's lock.
+
+    Residual windows, stated honestly: (a) between the staleness stat
+    and the rename, the stale holder could release and a NEW committer
+    acquire — the stealer detects this by comparing the renamed file's
+    (inode, mtime) against what it judged stale and restores the
+    displaced lock via ``os.link`` (same inode, token intact); only if
+    a THIRD committer squeezes into that same microsecond window is
+    mutual exclusion briefly unguarded. (b) a holder paused for longer
+    than the staleness bound inside a microsecond-scale critical
+    section has already violated the lock's contract. Both require
+    multi-party races inside a window ~10⁶× smaller than the staleness
+    bound.
+
+    Object stores WITHOUT atomic create-exclusive (S3) cannot use file
+    locks at all — the same reason Delta-on-S3 needs DynamoDB. Inject
+    a provider backed by a CAS/lease service instead: ``acquire(mdir)``
+    must block until it holds a mutual-exclusion lease scoped to
+    ``mdir`` (raising RuntimeError on timeout) and return a handle;
+    ``release(handle)`` must drop only a lease the caller still owns.
+    """
+
+    #: ``None`` = read the module-level constants at call time (so the
+    #: test suite's monkeypatching of _LOCK_STALE_SEC/_LOCK_TIMEOUT_SEC
+    #: keeps steering the default provider)
+    def __init__(
+        self,
+        stale_sec: float | None = None,
+        timeout_sec: float | None = None,
+    ) -> None:
+        self.stale_sec = stale_sec
+        self.timeout_sec = timeout_sec
+
+    def acquire(self, mdir: str) -> tuple[str, str]:
+        stale = self.stale_sec if self.stale_sec is not None else _LOCK_STALE_SEC
+        timeout = (
+            self.timeout_sec
+            if self.timeout_sec is not None
+            else _LOCK_TIMEOUT_SEC
+        )
+        path = os.path.join(mdir, _LOCK)
+        owner = uuid.uuid4().hex
+        deadline = time.monotonic() + timeout
+        while True:
             try:
-                age = time.time() - os.path.getmtime(path)
-            except OSError:
-                age = 0.0  # holder just released — retry immediately
-            if age > _LOCK_STALE_SEC:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 try:
-                    os.unlink(path)  # steal a crashed committer's lock
+                    os.write(fd, owner.encode())
+                finally:
+                    os.close(fd)
+                return (path, owner)
+            except FileExistsError:
+                try:
+                    st = os.stat(path)
+                except OSError:
+                    continue  # holder just released — retry immediately
+                if time.time() - st.st_mtime > stale:
+                    self._steal(path, st)
+                    continue
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"manifest commit: lock {path!r} held for "
+                        f">{timeout}s — a committer is stuck inside "
+                        "what should be a microsecond metadata step"
+                    ) from None
+                time.sleep(0.02)
+
+    def _steal(self, path: str, stale_st: os.stat_result) -> None:
+        """Single-winner steal: atomically rename the stale lock to a
+        unique grave. Losers get ENOENT and loop. If the grave turns
+        out to be a DIFFERENT file than the one judged stale (released
+        + re-acquired between stat and rename), restore it by hard
+        link — same inode, owner token intact."""
+        grave = f"{path}.stale-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(path, grave)
+        except OSError:
+            return  # another stealer won the rename — re-observe
+        try:
+            st = os.stat(grave)
+            if (st.st_ino, st.st_mtime) != (
+                stale_st.st_ino,
+                stale_st.st_mtime,
+            ):
+                # we displaced a LIVE lock — put it back (link keeps the
+                # holder's token); if a third party already re-created
+                # the path, the displaced holder's token-guarded release
+                # is a harmless no-op
+                try:
+                    os.link(grave, path)
                 except OSError:
                     pass
-                continue
-            if time.monotonic() > deadline:
-                raise RuntimeError(
-                    f"manifest commit: lock {path!r} held for "
-                    f">{_LOCK_TIMEOUT_SEC}s — a committer is stuck "
-                    "inside what should be a microsecond metadata step"
-                ) from None
-            time.sleep(0.02)
+        except OSError:
+            pass
+        try:
+            os.unlink(grave)
+        except OSError:
+            pass
+
+    def release(self, handle: tuple[str, str]) -> None:
+        path, owner = handle
+        try:
+            with open(path) as fh:
+                if fh.read() != owner:
+                    return  # stolen from us — never remove the thief's lock
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+DEFAULT_LOCK_PROVIDER = FileLockProvider()
+
+
+# ---------------------------------------------------------------------------
+# ingested-file history — bucketed checkpoint + inline tail
+# ---------------------------------------------------------------------------
+
+
+def _ingest_bucket(key: str, n_buckets: int) -> str:
+    # md5 for a stable, implementation-independent bucket id (non-
+    # cryptographic use; same reason the dedup oracle tiers use it)
+    h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    return f"{h % n_buckets:02x}"
+
+
+def _ingest_state(m: dict) -> tuple[dict[str, str], int, int, list[str]]:
+    """(checkpoint bucket→filename, checkpoint key count, bucket count,
+    tail). Reads both the current layout and the r10 inline-list
+    layout (``ingested_files``) — the first new commit migrates."""
+    if "ingested_tail" in m:
+        cp = m.get("ingested_checkpoint") or {}
+        return (
+            dict(cp.get("buckets", {})),
+            int(cp.get("count", 0)),
+            int(cp.get("n_buckets", _INGEST_BUCKETS)),
+            list(m["ingested_tail"]),
+        )
+    return {}, 0, _INGEST_BUCKETS, list(m.get("ingested_files", []))
+
+
+def _load_bucket(mdir: str, fname: str, cache: dict[str, set]) -> set:
+    if fname not in cache:
+        with open(os.path.join(mdir, fname)) as fh:
+            cache[fname] = set(json.load(fh))
+    return cache[fname]
+
+
+def _rollup_ingested(
+    mdir: str,
+    buckets: dict[str, str],
+    n_buckets: int,
+    tail: list[str],
+    cache: dict[str, set],
+) -> dict[str, str]:
+    """Fold the tail into the checkpoint: rewrite ONLY the buckets the
+    tail touches (new immutable files), re-reference the rest. Written
+    inside the commit lock, before the manifest that names them —
+    unreferenced on crash, collected by vacuum."""
+    by_bucket: dict[str, list[str]] = {}
+    for k in tail:
+        by_bucket.setdefault(_ingest_bucket(k, n_buckets), []).append(k)
+    out = dict(buckets)
+    run = uuid.uuid4().hex[:8]
+    for b, keys in by_bucket.items():
+        have = _load_bucket(mdir, buckets[b], cache) if b in buckets else set()
+        fname = f"ingested-{run}-{b}.json"
+        _fsync_write(
+            os.path.join(mdir, fname), json.dumps(sorted(have | set(keys)))
+        )
+        out[b] = fname
+    return out
+
+
+def ingested_keys(root: str) -> set[str]:
+    """The full ingested-source-file dedup history (checkpoint buckets
+    + tail). O(history) — fine for tests/CLI display; the commit path
+    and per-batch ingest checks use :func:`ingested_contains`."""
+    m = current(root)
+    buckets, _, _, tail = _ingest_state(m)
+    mdir = manifests_dir(root)
+    out = set(tail)
+    for fname in set(buckets.values()):
+        with open(os.path.join(mdir, fname)) as fh:
+            out.update(json.load(fh))
+    return out
+
+
+def ingested_contains(root: str, keys: list[str]) -> set[str]:
+    """The subset of ``keys`` already in the dedup history, loading
+    only the hash buckets those keys map to (|history|/buckets keys
+    per probe) plus the inline tail — the flat-cost membership check
+    the ingest stream runs per micro-batch."""
+    m = current(root)
+    buckets, _, n_buckets, tail = _ingest_state(m)
+    mdir = manifests_dir(root)
+    tail_set = set(tail)
+    cache: dict[str, set] = {}
+    hit = set()
+    for k in keys:
+        if k in tail_set:
+            hit.add(k)
+            continue
+        b = _ingest_bucket(k, n_buckets)
+        if b in buckets and k in _load_bucket(mdir, buckets[b], cache):
+            hit.add(k)
+    return hit
+
+
+def ingested_count(root: str) -> int:
+    """Size of the dedup history, from manifest metadata alone."""
+    m = current(root)
+    _, cp_count, _, tail = _ingest_state(m)
+    return cp_count + len(tail)
+
+
+# ---------------------------------------------------------------------------
+# commit / read / vacuum
+# ---------------------------------------------------------------------------
 
 
 def commit(
@@ -165,6 +405,8 @@ def commit(
     replace: dict[str, list[str]] | None = None,
     remove: dict[str, list[str]] | None = None,
     file_keys: list[str] | None = None,
+    reset_ingested: bool = False,
+    lock: FileLockProvider | None = None,
 ) -> dict:
     """Write the next manifest version and atomically swap the pointer.
 
@@ -177,31 +419,44 @@ def commit(
     vanished raises :class:`StaleSegmentError` — the caller's rewrite
     is based on a superseded layout and must be retried from a fresh
     read). ``file_keys`` records ingested source files into the
-    manifest's dedup history (kept forever, across compactions —
-    erasing it is exactly the bug the directory-mode ledger had).
+    manifest's dedup history (kept across compactions — erasing it on
+    compact is exactly the bug the directory-mode ledger had).
+
+    ``reset_ingested=True`` CLEARS the dedup history in the same
+    commit — for full REBUILDS from batch tables, where the history's
+    keys describe streamed vectors the rebuild just discarded: keeping
+    it would make a later checkpoint-loss replay skip those files
+    forever (the r10 ADVICE silent-loss case), the mirror image of the
+    compaction bug above. Rebuild resets; compaction preserves.
+
+    ``lock`` injects the mutual-exclusion provider (default
+    :data:`DEFAULT_LOCK_PROVIDER`, a :class:`FileLockProvider`); the
+    whole read-modify-write runs under it, so concurrent committers
+    (an ingest stream and a cron compactor, the normal pair) serialize
+    on the metadata step only — data stays staged outside the lock.
+
     Segment paths are stored relative to ``root`` so the index
     directory can be moved. Returns the committed manifest. First
-    commit creates the log.
-
-    The whole read-modify-write runs under the commit lock, so
-    concurrent committers (an ingest stream and a cron compactor, the
-    normal pair) serialize on the metadata step only — data stays
-    staged outside the lock."""
+    commit creates the log."""
     mdir = manifests_dir(root)
     os.makedirs(mdir, exist_ok=True)
 
     def _rel(p: str) -> str:
         return os.path.relpath(os.path.abspath(p), os.path.abspath(root))
 
-    lock = _acquire_lock(mdir)
+    provider = lock if lock is not None else DEFAULT_LOCK_PROVIDER
+    handle = provider.acquire(mdir)
     try:
         if is_transactional(root):
             cur = current(root)
             version = cur["version"] + 1
             datasets = {k: list(v) for k, v in cur["datasets"].items()}
-            ingested = list(cur["ingested_files"])
+            buckets, cp_count, n_buckets, tail = _ingest_state(cur)
         else:
-            version, datasets, ingested = 0, {}, []
+            version, datasets = 0, {}
+            buckets, cp_count, n_buckets, tail = {}, 0, _INGEST_BUCKETS, []
+        if reset_ingested:
+            buckets, cp_count, tail = {}, 0, []
 
         for ds, segs in (replace or {}).items():
             datasets[ds] = [_rel(s) for s in segs]
@@ -222,21 +477,44 @@ def commit(
         for ds, segs in (add or {}).items():
             datasets.setdefault(ds, [])
             datasets[ds] = datasets[ds] + [_rel(s) for s in segs]
+
+        tail_set = set(tail)
+        cache: dict[str, set] = {}
         for k in file_keys or []:
-            if k in ingested:
+            dup = k in tail_set
+            if not dup:
+                b = _ingest_bucket(k, n_buckets)
+                dup = b in buckets and k in _load_bucket(
+                    mdir, buckets[b], cache
+                )
+            if dup:
                 raise ValueError(
                     f"manifest commit: source file {k!r} is already in "
                     "the ingested set — the caller must skip processed "
                     "files before staging (double-append would corrupt "
                     "the index)"
                 )
-            ingested.append(k)
+            tail.append(k)
+            tail_set.add(k)
+        if len(tail) > _INGEST_TAIL_MAX:
+            buckets = _rollup_ingested(mdir, buckets, n_buckets, tail, cache)
+            cp_count += len(tail)
+            tail = []
 
         name = f"manifest-{version:010d}-{uuid.uuid4().hex[:8]}.json"
         m = {
             "version": version,
             "datasets": datasets,
-            "ingested_files": ingested,
+            "ingested_tail": tail,
+            "ingested_checkpoint": (
+                {
+                    "buckets": buckets,
+                    "count": cp_count,
+                    "n_buckets": n_buckets,
+                }
+                if buckets
+                else None
+            ),
         }
         _fsync_write(os.path.join(mdir, name), json.dumps(m, indent=1))
         tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
@@ -252,10 +530,7 @@ def commit(
         finally:
             os.close(dfd)
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        provider.release(handle)
     m["_file"] = name
     return m
 
@@ -266,42 +541,85 @@ def dataset_segments(root: str, dataset: str) -> list[str]:
     return [os.path.join(root, s) for s in m["datasets"].get(dataset, [])]
 
 
-def read_dataset(
-    spark: SparkSession, root: str, dataset: str, empty_schema: str
-) -> DataFrame:
-    """The manifest-resolved scan: union of the named segments (each a
-    self-contained partitioned parquet dir, so partition pruning and
-    filter pushdown apply per segment — Catalyst pushes filters through
-    Union). Resolving the pointer per call is the transactional analogue
-    of the serve streams' per-batch re-listing: appends and compactions
-    land at the next micro-batch with no restart."""
-    segs = dataset_segments(root, dataset)
-    if not segs:
-        return spark.createDataFrame([], empty_schema)
-    out = spark.read.parquet(segs[0])
-    for s in segs[1:]:
-        out = out.unionByName(spark.read.parquet(s))
+def read_segments(spark: SparkSession, segs: list[str]) -> DataFrame:
+    """One scan over many segment dirs, with a FLAT plan either way:
+
+    - UNPARTITIONED segments (no ``key=value`` subdirs) become ONE
+      multi-path ``spark.read.parquet(*segs)`` — a single FileScan
+      node no matter how fragmented the dataset is;
+    - PARTITIONED segments are each their own partition-discovery
+      root, which Spark's multi-path reader refuses outright (KD009:
+      "load them separately and then union them") — so they take a
+      ``unionByName`` whose adjacent Unions the optimizer collapses
+      (CombineUnions) into ONE Union node of N partition-pruned scans:
+      O(1) plan depth, O(segments) width, pruning intact per segment.
+
+    Schema drift across segments (an old segment written before a
+    column was added) also routes to the union path with
+    ``allowMissingColumns`` — the multi-path read would silently
+    resolve one segment's schema for all. Plan shapes pinned by the
+    50-segment tests in tests/test_manifest.py."""
+    if len(segs) == 1:
+        return spark.read.parquet(segs[0])
+
+    def _partitioned(seg: str) -> bool:
+        try:
+            return any(
+                "=" in e
+                for e in os.listdir(seg)
+                if not e.startswith(("_", "."))
+            )
+        except OSError:
+            return False
+
+    dfs = [spark.read.parquet(s) for s in segs]
+    fields = {tuple(sorted(d.schema.fieldNames())) for d in dfs}
+    if len(fields) == 1 and not _partitioned(segs[0]):
+        return spark.read.parquet(*segs)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
     return out
 
 
-def vacuum(
-    root: str, keep_last: int = 2, orphan_grace_sec: float = 300.0
-) -> dict:
-    """Garbage-collect segments referenced by NO kept manifest and
-    manifests older than the newest ``keep_last`` versions. Retention
-    contract: an in-flight reader resolved the pointer at scan start,
-    so keep at least 2 versions while anything might be scanning (the
-    Delta VACUUM rule). Orphan segments from crashed commits are
-    collected too — they are referenced by no manifest at all.
+def read_dataset(
+    spark: SparkSession, root: str, dataset: str, empty_schema: str
+) -> DataFrame:
+    """The manifest-resolved scan: :func:`read_segments` over the
+    segments the live manifest names. Resolving the pointer per call
+    is the transactional analogue of the serve streams' per-batch
+    re-listing: appends and compactions land at the next micro-batch
+    with no restart."""
+    segs = dataset_segments(root, dataset)
+    if not segs:
+        return spark.createDataFrame([], empty_schema)
+    return read_segments(spark, segs)
 
-    Runs under the commit lock. Segments referenced by a SUPERSEDED
-    manifest are collected under the ``keep_last`` retention rule;
-    segments referenced by NO manifest at all are either crashed-
-    commit orphans (garbage) or a concurrent committer's in-flight
-    staging (staged OUTSIDE the lock!) — ``orphan_grace_sec``
-    disambiguates by age, sparing fresh ones (the same reason Delta's
-    VACUUM has a retention period). Pass 0 only when no committer can
-    be running."""
+
+def vacuum(
+    root: str,
+    keep_last: int = 2,
+    orphan_grace_sec: float = 300.0,
+    lock: FileLockProvider | None = None,
+) -> dict:
+    """Garbage-collect segments referenced by NO kept manifest,
+    ingested-checkpoint bucket files referenced by no kept manifest,
+    and manifests older than the newest ``keep_last`` versions.
+    Retention contract: an in-flight reader resolved the pointer at
+    scan start, so keep at least 2 versions while anything might be
+    scanning (the Delta VACUUM rule).
+
+    Runs under the commit lock (injectable via ``lock``). Segments
+    referenced by a SUPERSEDED manifest are collected under the
+    ``keep_last`` retention rule; segments referenced by NO manifest
+    at all are either crashed-commit orphans (garbage) or a concurrent
+    committer's in-flight staging (staged OUTSIDE the lock!) —
+    ``orphan_grace_sec`` disambiguates by age, sparing fresh ones (the
+    same reason Delta's VACUUM has a retention period). Age is the
+    NEWEST mtime anywhere in the segment tree: a long partitionBy
+    staging write stops touching the top-level dir once partition
+    subdirs exist, so a top-level-mtime grace could rmtree a segment
+    mid-write. Pass 0 only when no committer can be running."""
     if keep_last < 1:
         raise ValueError("vacuum keep_last must be >= 1")
     if not is_transactional(root):
@@ -310,10 +628,9 @@ def vacuum(
             "(no _manifests/_current pointer) — nothing to vacuum; "
             "plain-directory indexes clean up via compact_partitioned"
         )
-    import time
-
     mdir = manifests_dir(root)
-    lock = _acquire_lock(mdir)
+    provider = lock if lock is not None else DEFAULT_LOCK_PROVIDER
+    handle = provider.acquire(mdir)
     try:
         cur = current(root)
         names = sorted(
@@ -324,6 +641,7 @@ def vacuum(
             keep.append(cur["_file"])
         live: set[str] = set()
         known: set[str] = set()  # referenced by ANY manifest, live or old
+        live_buckets: set[str] = set()
         for n in names:
             with open(os.path.join(mdir, n)) as fh:
                 m = json.load(fh)
@@ -331,6 +649,9 @@ def vacuum(
                 known.update(segs)
                 if n in keep:
                     live.update(segs)
+            if n in keep:
+                buckets, _, _, _ = _ingest_state(m)
+                live_buckets.update(buckets.values())
         removed_segments = []
         seg_root = os.path.join(root, _SEGMENTS)
         if os.path.isdir(seg_root):
@@ -343,10 +664,7 @@ def vacuum(
                 if rel not in known:
                     # never referenced: a crashed commit's orphan — or a
                     # CONCURRENT committer's in-flight staging; age tells
-                    try:
-                        age = now - os.path.getmtime(full)
-                    except OSError:
-                        continue
+                    age = now - _tree_newest_mtime(full)
                     if age < orphan_grace_sec:
                         continue
                 shutil.rmtree(full)
@@ -356,13 +674,37 @@ def vacuum(
             if n not in keep:
                 os.remove(os.path.join(mdir, n))
                 removed_manifests.append(n)
+        removed_buckets = []
+        for n in sorted(os.listdir(mdir)):
+            if n.startswith("ingested-") and n not in live_buckets:
+                os.remove(os.path.join(mdir, n))
+                removed_buckets.append(n)
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        provider.release(handle)
     return {
         "removed_segments": removed_segments,
         "removed_manifests": removed_manifests,
+        "removed_ingest_buckets": removed_buckets,
         "kept_manifests": sorted(keep),
     }
+
+
+def _tree_newest_mtime(path: str) -> float:
+    """Newest mtime of any entry under ``path`` (including itself) —
+    the honest 'is anything still writing here' signal for a
+    partitioned staging tree. Missing entries (a concurrent rmtree)
+    count as 0 (ancient)."""
+    newest = 0.0
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return 0.0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for name in ("",) + tuple(filenames):
+            try:
+                t = os.path.getmtime(os.path.join(dirpath, name))
+            except OSError:
+                continue
+            if t > newest:
+                newest = t
+    return newest

@@ -135,7 +135,15 @@ def build_lsh_index(
     if transactional:
         seg = mf.new_segment_path(index_path)
         idx.write.mode("overwrite").partitionBy("band", "bucket").parquet(seg)
-        mf.commit(index_path, replace={"index": [seg]})
+        # a REBUILD from the corpus tables discards previously STREAMED
+        # vectors, so the ingest dedup history must reset with it —
+        # otherwise a checkpoint-loss replay of those source files is
+        # skipped as "already processed" and the vectors stay missing
+        # forever (plain-directory rebuilds get this via the overwrite
+        # wiping _ingest_ledger; the manifest mode must match)
+        mf.commit(
+            index_path, replace={"index": [seg]}, reset_ingested=True
+        )
     else:
         idx.write.mode("overwrite").partitionBy("band", "bucket").parquet(
             index_path
@@ -281,7 +289,11 @@ def start_vector_ingest(
             # here; an object-store deployment routes these through the
             # Hadoop FS API — same protocol, different client)
             if transactional:
-                done = set(mf.current(index_path)["ingested_files"])
+                # bucket-probing membership: loads |history|/buckets
+                # keys per probe, so this per-batch check stays flat
+                # as the lifetime file count grows (mf.ingested_keys
+                # would reload the whole history every micro-batch)
+                done = mf.ingested_contains(index_path, files)
                 todo = [f for f in files if f not in done]
             else:
                 todo = [
@@ -515,8 +527,13 @@ def build_ivf_pq_index(
         seg_v = mf.new_segment_path(index_path)
         codes_out.write.mode("overwrite").partitionBy("cell").parquet(seg_c)
         vecs_out.write.mode("overwrite").partitionBy("cell").parquet(seg_v)
+        # rebuild-resets-history: see build_lsh_index — the replaced
+        # datasets no longer hold the streamed vectors the ingest
+        # history describes
         mf.commit(
-            index_path, replace={"codes": [seg_c], "vectors": [seg_v]}
+            index_path,
+            replace={"codes": [seg_c], "vectors": [seg_v]},
+            reset_ingested=True,
         )
     else:
         codes_out.write.mode("overwrite").partitionBy("cell").parquet(

@@ -95,7 +95,8 @@ def test_commit_versions_and_pointer(tmp_path):
     assert m1["version"] == 1
     cur = mf.current(root)
     assert cur["version"] == 1
-    assert cur["ingested_files"] == ["f0"]
+    assert mf.ingested_keys(root) == {"f0"}
+    assert mf.ingested_count(root) == 1
     # segment paths are stored root-relative
     assert all(not s.startswith("/") for s in cur["datasets"]["d"])
     assert mf.dataset_segments(root, "d") == [
@@ -350,7 +351,7 @@ def test_ingest_dedup_survives_compaction(spark, tmp_path):
     rows = _lsh_rows(spark, idx)
 
     compact_lsh_index(spark, idx)  # must CARRY the ingested-files set
-    assert mf.current(idx)["ingested_files"], "dedup history lost"
+    assert mf.ingested_keys(idx), "dedup history lost"
 
     replays = []
     q = start_vector_ingest(
@@ -574,6 +575,11 @@ class ManifestMachine(RuleBasedStateMachine):
         self.ingested: list[str] = []
         self.version = -1
         self.key_no = 0
+        # shrink the rollup threshold so random runs actually fold the
+        # tail into checkpoint buckets (the r11 growth-bounding path) —
+        # the algebra must hold identically on both sides of a rollup
+        self._tail_max = mf._INGEST_TAIL_MAX
+        mf._INGEST_TAIL_MAX = 4
 
     def _new_segment(self) -> str:
         seg = mf.new_segment_path(self.root)
@@ -639,16 +645,38 @@ class ManifestMachine(RuleBasedStateMachine):
         assert {
             k: v for k, v in cur["datasets"].items()
         } == self.datasets
-        assert cur["ingested_files"] == self.ingested
+        assert mf.ingested_keys(self.root) == set(self.ingested)
+        assert mf.ingested_count(self.root) == len(self.ingested)
         for segs in cur["datasets"].values():
             for s in segs:
                 assert os.path.isdir(os.path.join(self.root, s)), (
                     "vacuum collected a live segment"
                 )
 
+    @rule(n=st.integers(3, 8))
+    def commit_file_keys_across_rollup(self, n):
+        # a burst big enough to cross the (shrunk) rollup threshold in
+        # one commit — history must survive the fold bit-for-bit and
+        # the manifest's inline tail must have been emptied
+        keys = [f"burst-{self.key_no + i}" for i in range(n)]
+        self.key_no += n
+        mf.commit(self.root, file_keys=keys)
+        self.ingested += keys
+        self.version += 1
+        cur = mf.current(self.root)
+        if cur.get("ingested_checkpoint"):
+            assert len(cur["ingested_tail"]) <= mf._INGEST_TAIL_MAX
+
+    @rule()
+    def reset_ingested(self):
+        mf.commit(self.root, reset_ingested=True)
+        self.ingested = []
+        self.version += 1
+
     def teardown(self):
         import shutil
 
+        mf._INGEST_TAIL_MAX = self._tail_max
         shutil.rmtree(self.root, ignore_errors=True)
 
 
@@ -770,7 +798,7 @@ def test_commit_lock_serializes_metadata_threads(tmp_path):
     cur = mf.current(root)
     assert cur["version"] == 32  # initial 0 + 32 adds
     assert len(cur["datasets"]["d"]) == 32
-    assert len(set(cur["ingested_files"])) == 32
+    assert len(mf.ingested_keys(root)) == 32
 
 
 def test_stale_segment_error_on_racing_compactors(tmp_path):
@@ -902,7 +930,7 @@ def test_transactional_ivfpq_streaming_ingest_exactly_once(spark, tmp_path):
     assert sorted(batches) == [50, 50]
     assert len(_vector_rows(spark, idx)) == n_before + 100
     assert len(_codes_rows(spark, idx)) == (n_before + 100) * 8
-    assert len(mf.current(idx)["ingested_files"]) == 2
+    assert mf.ingested_count(idx) == 2
 
     replays = []
     q = start_vector_ingest(
@@ -916,6 +944,267 @@ def test_transactional_ivfpq_streaming_ingest_exactly_once(spark, tmp_path):
     q.awaitTermination()
     assert replays == []
     assert len(_vector_rows(spark, idx)) == n_before + 100
+
+
+# ---------------------------------------------------------------------------
+# lock provider: single-winner steal, owner tokens, injectability
+# ---------------------------------------------------------------------------
+
+
+def test_stolen_holder_cannot_release_thiefs_lock(tmp_path):
+    """The r10 ADVICE race, second half: a holder paused past the
+    staleness bound resumes AFTER a stealer re-acquired — its release
+    must be a token-guarded no-op, never the removal of the thief's
+    fresh lock."""
+    mdir = str(tmp_path)
+    prov = mf.FileLockProvider(stale_sec=0.05, timeout_sec=5.0)
+    h_victim = prov.acquire(mdir)
+    time.sleep(0.2)  # victim "pauses" past the staleness bound
+    h_thief = prov.acquire(mdir)  # steals via rename + re-create
+    lock = os.path.join(mdir, "_commit.lock")
+    assert os.path.exists(lock)
+    prov.release(h_victim)  # token mismatch → must NOT unlink
+    assert os.path.exists(lock), "victim removed the thief's lock"
+    prov.release(h_thief)
+    assert not os.path.exists(lock)
+
+
+def test_two_stealers_one_winner_under_threads(tmp_path):
+    """N waiters all observing the SAME stale lock: the rename-steal
+    admits exactly one committer at a time (the r10 unlink+recreate
+    steal admitted two). Overlap is detected with an in-critical-
+    section flag."""
+    mdir = str(tmp_path)
+    lock = os.path.join(mdir, "_commit.lock")
+    open(lock, "w").close()
+    old = time.time() - 120
+    os.utime(lock, (old, old))
+
+    prov = mf.FileLockProvider(stale_sec=60.0, timeout_sec=30.0)
+    inside = threading.Event()
+    overlaps, errors = [], []
+
+    def worker():
+        try:
+            for _ in range(5):
+                h = prov.acquire(mdir)
+                if inside.is_set():
+                    overlaps.append(1)
+                inside.set()
+                time.sleep(0.005)
+                inside.clear()
+                prov.release(h)
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    assert not overlaps, "two committers were inside the lock at once"
+
+
+class _ContentiousLock:
+    """A deliberately contentious injectable provider: every acquire
+    spins a few times before granting, and the test can assert it was
+    actually consulted — the plug point an object-store CAS/lease
+    service implements (verdict r10 #7)."""
+
+    def __init__(self):
+        self.acquires = 0
+        self.releases = 0
+        self._mutex = threading.Lock()
+
+    def acquire(self, mdir: str):
+        time.sleep(0.01)  # simulated CAS round-trips
+        self._mutex.acquire()
+        self.acquires += 1
+        return ("fake-lease", mdir)
+
+    def release(self, handle):
+        self.releases += 1
+        self._mutex.release()
+
+
+def test_injected_lock_provider_is_used(tmp_path):
+    root = str(tmp_path / "ds")
+    prov = _ContentiousLock()
+    mf.commit(root, replace={"d": []}, lock=prov)
+    mf.commit(root, file_keys=["k0"], lock=prov)
+    mf.vacuum(root, keep_last=1, lock=prov)
+    assert prov.acquires == 3 and prov.releases == 3
+    # no file lock was ever created by the default provider
+    assert not os.path.exists(
+        os.path.join(mf.manifests_dir(root), "_commit.lock")
+    )
+    assert mf.ingested_keys(root) == {"k0"}
+
+
+# ---------------------------------------------------------------------------
+# ingested history: rollup, flat membership, vacuum, legacy migration
+# ---------------------------------------------------------------------------
+
+
+def test_ingested_rollup_and_bucket_vacuum(tmp_path, monkeypatch):
+    monkeypatch.setattr(mf, "_INGEST_TAIL_MAX", 8)
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []})
+    keys = [f"k{i:03d}" for i in range(30)]
+    for i in range(0, 30, 5):
+        mf.commit(root, file_keys=keys[i : i + 5])
+    cur = mf.current(root)
+    assert cur["ingested_checkpoint"], "tail never rolled up"
+    assert len(cur["ingested_tail"]) <= 8
+    assert mf.ingested_keys(root) == set(keys)
+    assert mf.ingested_count(root) == 30
+    # membership probe across BOTH representations
+    hit = mf.ingested_contains(root, ["k000", "k029", "nope"])
+    assert hit == {"k000", "k029"}
+    # duplicates rejected whether the key sits in a bucket or the tail
+    for dup in ("k000", keys[-1]):
+        with pytest.raises(ValueError, match="already in the ingested"):
+            mf.commit(root, file_keys=[dup])
+    # superseded bucket files (rewritten by later rollups) are vacuumed;
+    # referenced ones survive
+    mdir = mf.manifests_dir(root)
+    before = {n for n in os.listdir(mdir) if n.startswith("ingested-")}
+    out = mf.vacuum(root, keep_last=1, orphan_grace_sec=0)
+    after = {n for n in os.listdir(mdir) if n.startswith("ingested-")}
+    assert after <= before
+    assert mf.ingested_keys(root) == set(keys), "vacuum lost history"
+    ref = set(
+        (mf.current(root).get("ingested_checkpoint") or {})
+        .get("buckets", {})
+        .values()
+    )
+    assert after == ref, (after, ref)
+    assert set(out["removed_ingest_buckets"]) == before - after
+
+
+def test_legacy_inline_manifest_migrates_on_next_commit(tmp_path):
+    """An r10-format manifest (inline ingested_files list) keeps
+    working: reads see the history, and the first new commit carries
+    it into the tail/checkpoint layout."""
+    root = str(tmp_path / "ds")
+    mdir = mf.manifests_dir(root)
+    os.makedirs(mdir)
+    legacy = {
+        "version": 0,
+        "datasets": {"d": []},
+        "ingested_files": ["old-0", "old-1"],
+    }
+    name = "manifest-0000000000-deadbeef.json"
+    with open(os.path.join(mdir, name), "w") as fh:
+        json.dump(legacy, fh)
+    with open(os.path.join(mdir, "_current"), "w") as fh:
+        fh.write(name)
+    assert mf.ingested_keys(root) == {"old-0", "old-1"}
+    assert mf.ingested_contains(root, ["old-1", "new"]) == {"old-1"}
+    with pytest.raises(ValueError, match="already in the ingested"):
+        mf.commit(root, file_keys=["old-0"])
+    m = mf.commit(root, file_keys=["new-0"])
+    assert m["version"] == 1 and "ingested_tail" in m
+    assert mf.ingested_keys(root) == {"old-0", "old-1", "new-0"}
+
+
+def test_rebuild_resets_ingested_history(spark, tmp_path):
+    """The r10 ADVICE divergence: a transactional REBUILD discards
+    streamed vectors, so it must also reset the dedup history — a
+    checkpoint-loss replay of previously ingested files re-ingests
+    them instead of skipping them forever."""
+    a_dir, a, b = _split(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_lsh_index(spark, a_dir, idx, transactional=True)
+
+    vdir = tmp_path / "vectors"
+    vdir.mkdir()
+    _write_jsonl(b.collect(), vdir / "f0.jsonl")
+    q = start_vector_ingest(
+        spark, str(vdir / "*.jsonl"), str(tmp_path / "ckpt0"), idx
+    )
+    q.awaitTermination()
+    assert mf.ingested_count(idx) == 1
+
+    # full rebuild from the batch corpus at a_dir: streamed vectors gone
+    build_lsh_index(spark, a_dir, idx, transactional=True)
+    assert mf.ingested_count(idx) == 0, "rebuild kept a stale history"
+
+    # the replay now re-ingests f0 — the index converges to the union
+    replays = []
+    q = start_vector_ingest(
+        spark,
+        str(vdir / "*.jsonl"),
+        str(tmp_path / "ckpt1"),
+        idx,
+        on_batch=lambda bid, n: replays.append(n),
+    )
+    q.awaitTermination()
+    assert replays == [100 * 12]
+    full = str(tmp_path / "idx_full")
+    build_lsh_index(spark, SF_SMOKE, full)
+    assert _lsh_rows(spark, idx) == _lsh_rows(spark, full)
+
+
+# ---------------------------------------------------------------------------
+# read_dataset: flat multi-path plan + schema-drift fallback
+# ---------------------------------------------------------------------------
+
+
+def test_read_dataset_plan_is_flat_over_many_segments(spark, tmp_path):
+    """50 ingest segments between compactions must scan as ONE flat
+    FileScan, not an O(segments)-deep Union tower (r10 verdict #5)."""
+    root = str(tmp_path / "ds")
+    segs = []
+    base = spark.range(2).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    for i in range(50):
+        s = mf.new_segment_path(root)
+        base.withColumn("a", F.col("a") + F.lit(i * 10)).write.parquet(s)
+        segs.append(s)
+    mf.commit(root, replace={"d": segs})
+    df = mf.read_dataset(spark, root, "d", "a long, b long")
+    assert df.count() == 100
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan[:2000]
+
+
+def test_read_dataset_partitioned_segments_union_is_flat(spark, tmp_path):
+    """Partitioned segments are separate partition-discovery roots —
+    Spark refuses a multi-path read (KD009) — so the scan is a union;
+    it must collapse (CombineUnions) into ONE Union node of pruned
+    scans, never an O(segments)-deep tower."""
+    root = str(tmp_path / "ds")
+    segs = []
+    for i in range(20):
+        s = mf.new_segment_path(root)
+        spark.createDataFrame(
+            [(i, i % 3, i * 10)], "a long, p long, b long"
+        ).write.partitionBy("p").parquet(s)
+        segs.append(s)
+    mf.commit(root, replace={"d": segs})
+    df = mf.read_dataset(spark, root, "d", "a long, p long, b long")
+    assert df.count() == 20
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Union") == 1, plan[:2000]
+    # partition pruning still applies per segment under the union
+    pruned = df.filter(F.col("p") == 1)
+    assert pruned.count() == sum(1 for i in range(20) if i % 3 == 1)
+
+
+def test_read_dataset_schema_drift_falls_back_to_union(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    s0, s1 = mf.new_segment_path(root), mf.new_segment_path(root)
+    spark.createDataFrame([(1,)], "a long").write.parquet(s0)
+    spark.createDataFrame([(2, 20)], "a long, b long").write.parquet(s1)
+    mf.commit(root, replace={"d": [s0, s1]})
+    rows = {
+        (r["a"], r["b"])
+        for r in mf.read_dataset(spark, root, "d", "a long, b long").collect()
+    }
+    assert rows == {(1, None), (2, 20)}
 
 
 def test_commit_steals_stale_lock(tmp_path):
