@@ -319,7 +319,17 @@ def exact_quantiles(
     column per quantile (``round(…, 4)``, quantile_cont semantics),
     and ``n`` rows per group — and the two exact tiers return
     identical values (pinned by tests/test_exact_quantiles.py).
+
+    NULL semantics are identical across tiers BY CONSTRUCTION: NULL
+    values are filtered out before the probe and every tier, so
+    quantiles are over non-NULL values (the percentile()/
+    percentile_approx() convention), ``n`` counts non-NULL values, and
+    a group with no non-NULL values is absent from the result in every
+    tier. Without the shared filter the ranking tier would RANK the
+    NULLs (asc sorts them first), so crossing a tier threshold would
+    silently shift every quantile — the r10 ADVICE finding.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     if tier is None:
         if by is None:
             tier = "ranking"

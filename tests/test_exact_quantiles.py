@@ -133,6 +133,41 @@ def test_empty_input(spark):
     assert exact_quantiles(empty, "v", by=["g"]).count() == 0
 
 
+def test_null_values_agree_across_tiers(spark):
+    """The r10 ADVICE finding: NULLs must not shift quantiles when the
+    auto-dispatch crosses a tier threshold. All tiers ignore NULL
+    values, count only non-NULL rows in ``n``, and drop groups whose
+    values are all NULL."""
+    rows = (
+        [("a", float(i)) for i in range(1, 101)]  # 1..100
+        + [("a", None)] * 25  # would shift every rank if counted
+        + [("b", 7.0), ("b", None)]
+        + [("c", None), ("c", None)]  # all-NULL group: absent everywhere
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    outs = {
+        t: {
+            r.g: (r.p25, r.p50, r.p75, r.p95, r.n)
+            for r in exact_quantiles(df, "v", by=["g"], tier=t).collect()
+        }
+        for t in ("agg", "ranking")
+    }
+    assert outs["agg"] == outs["ranking"]
+    assert set(outs["agg"]) == {"a", "b"}  # no all-NULL group row
+    # ground truth: percentile() over non-NULL values, n = non-NULL count
+    assert outs["agg"]["a"] == (25.75, 50.5, 75.25, 95.05, 100)
+    assert outs["agg"]["b"] == (7.0, 7.0, 7.0, 7.0, 1)
+    # the sketch tier shares the filter too (same n, same group set)
+    with pytest.warns(UserWarning):
+        sk = {
+            r.g: r.n
+            for r in exact_quantiles(
+                df, "v", by=["g"], tier="sketch"
+            ).collect()
+        }
+    assert sk == {"a": 100, "b": 1}
+
+
 def test_unknown_tier_is_loud(spark):
     with pytest.raises(ValueError, match="quantile tier"):
         exact_quantiles(_frame(spark), "v", by=["g"], tier="bogus")
