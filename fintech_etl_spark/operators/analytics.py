@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from fintech_etl_spark.barrier import materialization_barrier
 from fintech_etl_spark.operators.ranking import global_ntile, global_row_number
 from fintech_etl_spark.registry import register
 from fintech_etl_spark.sources.tables import load_table
@@ -441,7 +442,9 @@ def exact_quantiles(
     return b.groupBy(*group_cols).agg(*aggs) if group_cols else b.agg(*aggs)
 
 
-def approx_sketches_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_sketches_raw(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     """Sketch aggregates + exact ground truth + rank counts, per
     l_returnflag. HLL++ distinct counts and the KLL-style approximate
     median next to their exact values, plus how many rows fall
@@ -458,7 +461,8 @@ def approx_sketches_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_suppkey").alias("exact_supps"),
         F.count(F.lit(1)).alias("n_rows"),
-    ).localCheckpoint(eager=False)
+    )
+    agg = materialization_barrier(agg, barrier)
     # ^ the 3-row sketch result is referenced twice below (probe side
     # and final join). Without the checkpoint each branch re-runs the
     # aggregation, and a re-merged percentile sketch can return a value
@@ -1213,14 +1217,18 @@ _AFFINITY_MIN_PAIRS = 3  # support floor for reported part pairs
     ),
     tags=("agg", "join", "recommendation"),
 )
-def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def part_affinity_lift(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # checkpoint: baskets feed four consumers (pairs, supports ×2, the
+    # barrier: baskets feed four consumers (pairs, supports ×2, the
     # order count); without the cut each replans the basket aggregation
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .localCheckpoint(eager=False)
+    # (injectable policy — fintech_etl_spark.barrier)
+    baskets = materialization_barrier(
+        li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        ),
+        barrier,
     )
     # all a<b pairs within the sorted array, generated locally per row
     pair_arr = F.flatten(
@@ -1240,10 +1248,9 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     singles = baskets.select(F.explode("parts").alias("l_partkey"))
     # same: the support dimension broadcasts onto BOTH pair sides
-    s = (
-        singles.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("supp"))
-        .localCheckpoint(eager=False)
+    s = materialization_barrier(
+        singles.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp")),
+        barrier,
     )
     n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     sa = s.select(F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a"))
@@ -1353,7 +1360,9 @@ def agg_linreg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tags=("agg", "window", "audit"),
 )
-def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+def revenue_concentration_gini(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("rev")
@@ -1366,9 +1375,12 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = global_row_number(
         c, [F.col("rev").asc(), F.col("o_custkey").asc()], out="rk"
     )
-    r = global_row_number(
-        r, [F.col("rev").desc(), F.col("o_custkey").asc()], out="drk"
-    ).localCheckpoint(eager=False)
+    r = materialization_barrier(
+        global_row_number(
+            r, [F.col("rev").desc(), F.col("o_custkey").asc()], out="drk"
+        ),
+        barrier,
+    )
     # wsum = Σ rank·rev grows as n²·avg_rev: as BIGINT it would wrap
     # silently in Spark but raise in DuckDB once n reaches tens of
     # millions — DECIMAL(38,0) gives both engines the same exact value

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from fintech_etl_spark.functions.hashing import hash64, hash64_sql
+from fintech_etl_spark.barrier import materialization_barrier
 from fintech_etl_spark.registry import register
 from fintech_etl_spark.sources.tables import load_table
 
@@ -886,7 +887,9 @@ _DSIR_WEIGHTS_SQL = rf"""
     ),
     tags=("corpus", "selection", "agg"),
 )
-def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_dsir_weights(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
@@ -906,10 +909,11 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("c_tgt"),
         )
-        # two consumers (totals + ratios) — cut the replan of the
-        # token-hash aggregation
-        .localCheckpoint(eager=False)
     )
+    # two consumers (totals + ratios) — cut the replan of the
+    # token-hash aggregation via the injectable barrier policy
+    # (fintech_etl_spark.barrier: reliable on checkpoint-dir clusters)
+    cnt = materialization_barrier(cnt, barrier)
     tot = cnt.agg(
         F.sum("c_raw").alias("raw_tot"), F.sum("c_tgt").alias("tgt_tot")
     )

@@ -26,6 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fintech_etl_spark.barrier import materialization_barrier
 from fintech_etl_spark.registry import register
 from fintech_etl_spark.sources.tables import load_table
 
@@ -299,7 +300,12 @@ def minhash_signature(
     ),
     tags=("dedup", "lsh"),
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    # barrier posture: the candidate-pair frame feeds the verify join
+    # and both semi-filters — truncated via the injectable policy
+    # (reliable when a checkpoint dir is set, executor-local in dev)
     # Cheap text-level prefilter (pushed to the scan) instead of
     # size(s)>0: a post-shingle filter gets rewritten against text and
     # pushed below the repartition, recomputing the shingle expression
@@ -349,8 +355,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    cand = materialization_barrier(cand, barrier)
 
     # Exact verification on candidates only: re-shingle JUST the docs
     # that appear in a candidate pair (broadcast semi on 8-byte ids)
@@ -744,7 +750,9 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, barrier: str = "auto"
+) -> DataFrame:
     """Cluster an undirected edge list ``(doc_a, doc_b)`` into connected
     components by iterative min-label propagation; returns
     ``(doc_id, component_id)`` with component_id = min doc_id reachable.
@@ -755,22 +763,27 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     join + min-agg on the node key; convergence takes O(component
     diameter) rounds — near-dup clusters are shallow (stars/chains of a
     few docs), so this is ~3-5 rounds in practice, not O(|V|).
-    ``localCheckpoint`` truncates the lineage each round so the plan
-    doesn't grow exponentially, and the per-round convergence count is
-    the standard driver-side fixpoint test (an O(1)-row action, not a
-    data collect).
+    A materialization barrier truncates the lineage each round so the
+    plan doesn't grow exponentially, and the per-round convergence
+    count is the standard driver-side fixpoint test (an O(1)-row
+    action, not a data collect). ``barrier`` picks the strategy via
+    :mod:`fintech_etl_spark.barrier` — ``"auto"`` is a RELIABLE
+    checkpoint when the session has a checkpoint dir (an executor loss
+    mid-loop replays from the store instead of failing the job),
+    executor-local otherwise; the convergence count materializes each
+    round either way.
     """
-    edges = (
+    edges = materialization_barrier(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        barrier,
     )
-    labels = (
+    labels = materialization_barrier(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .withColumn("comp", F.col("node")),
+        barrier,
     )
     changed = 0
     for _ in range(max_iter):
@@ -779,13 +792,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        prop = (
-            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
-            .select(
+        prop = materialization_barrier(
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            barrier,
         )
         # Pointer jumping: comp ← min(comp, comp[comp]). Neighbor
         # propagation alone converges in O(component diameter) rounds —
@@ -798,13 +810,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         lut = prop.select(
             F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
         )
-        new_labels = (
-            prop.join(lut, prop.comp == lut.jnode, "left")
-            .select(
+        new_labels = materialization_barrier(
+            prop.join(lut, prop.comp == lut.jnode, "left").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("jcomp", "comp")).alias("comp"),
-            )
-            .localCheckpoint()
+            ),
+            barrier,
         )
         changed = (
             new_labels.alias("n")
@@ -991,7 +1002,12 @@ _DFCAP_ORACLE = f"""
     ),
     tags=("dedup", "lsh", "skew"),
 )
-def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh_dfcap(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    # barrier posture: shared subtrees (banned-shingle row, candidate
+    # pairs) truncate via the injectable policy — reliable on clusters
+    # with a checkpoint dir, executor-local in dev
     docs = spread(
         load_table(spark, sf_dir, "documents").filter(
             F.col("text").isNotNull() & (F.trim("text") != "")
@@ -1019,11 +1035,11 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs"))))
         .filter(F.col("df") > cap)
         .agg(F.collect_list("g").alias("banned"))
-        # one-row result; the checkpoint stops its two consumers (the
-        # signature path's `capped` and the verify sides' candidate
-        # re-shingle) from each replanning the whole df-count subtree
-        .localCheckpoint(eager=False)
     )
+    # one-row result; the barrier stops its two consumers (the
+    # signature path's `capped` and the verify sides' candidate
+    # re-shingle) from each replanning the whole df-count subtree
+    banned_arr = materialization_barrier(banned_arr, barrier)
     capped = (
         sh.crossJoin(F.broadcast(banned_arr))
         .select("doc_id", F.array_except("s", "banned").alias("s"))
@@ -1077,10 +1093,10 @@ def dedup_minhash_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
-        # tiny (pairs only); checkpointing lets the two semi-filters
-        # below reuse it instead of replanning the whole LSH subtree
-        .localCheckpoint(eager=False)
     )
+    # tiny (pairs only); the barrier lets the two semi-filters below
+    # reuse it instead of replanning the whole LSH subtree
+    cand = materialization_barrier(cand, barrier)
     # Verify joins only need shingle arrays for docs that appear in a
     # candidate pair — semi-filter the RAW docs first (ids are 8-byte
     # longs, ≤ 2 per pair, broadcastable by construction) and re-shingle
@@ -1184,7 +1200,11 @@ _NGRAM_CAPPED_ORACLE = f"""
     ),
     tags=("dedup", "join", "skew"),
 )
-def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard_capped(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    # barrier posture: the bucket table feeds sizes and pairs — see
+    # fintech_etl_spark.barrier for the auto strategy
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = with_shingles(docs, 3)
     e = sh.select("doc_id", F.explode_outer("s").alias("g")).filter(
@@ -1198,8 +1218,8 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("g")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("m"))
         .filter(F.size("m") <= _NGRAM_DF_CAP)
-        .localCheckpoint(eager=False)
     )
+    buckets = materialization_barrier(buckets, barrier)
     # per-doc kept-shingle counts (the capped |A| and |B|)
     sizes = (
         buckets.select(F.explode("m").alias("doc_id"))
@@ -1464,7 +1484,12 @@ def _sweep_oracle() -> str:
     ),
     tags=("dedup", "lsh", "sweep"),
 )
-def dedup_minhash_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_banding_sweep(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    # barrier posture: the true-pair set and the signature frame are
+    # each consumed by all bandings — injectable policy, see
+    # fintech_etl_spark.barrier
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = with_shingles(docs, 3)
 
@@ -1490,14 +1515,13 @@ def dedup_minhash_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(jac >= _VERIFY_TAU)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
     )
+    truep = materialization_barrier(truep, barrier)
     n_true = truep.agg(F.count(F.lit(1)).alias("n_true"))
 
-    sig = (
-        sh.select("doc_id", F.expr(_SWEEP_SIG_HOF).alias("sig"))
-        # 64 longs/doc; consumed by four bandings → materialize once
-        .localCheckpoint(eager=False)
+    # 64 longs/doc; consumed by four bandings → materialize once
+    sig = materialization_barrier(
+        sh.select("doc_id", F.expr(_SWEEP_SIG_HOF).alias("sig")), barrier
     )
 
     stats = []
@@ -1664,13 +1688,16 @@ def fuzzy_name_match_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tags=("dedup", "entity-resolution", "iterative"),
 )
-def entity_canonicalize_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def entity_canonicalize_catalog(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    # barrier posture: the vocabulary frame feeds pairs, membership and
+    # output — injectable policy, see fintech_etl_spark.barrier
     part = load_table(spark, sf_dir, "part")
-    v = (
-        part.groupBy("p_name")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .localCheckpoint(eager=False)  # feeds pairs, membership, and output
-    )
+    v = materialization_barrier(
+        part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts")),
+        barrier,
+    )  # feeds pairs, membership, and output
     a = v.select(F.col("p_name").alias("doc_a"))
     b = v.select(F.col("p_name").alias("doc_b"))
     pairs = a.join(
@@ -1852,17 +1879,22 @@ def minhash_signature_hash64(
     ),
     tags=("dedup", "lsh", "skew"),
 )
-def dedup_minhash_lsh_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh_dense(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     docs = spread(
         load_table(spark, sf_dir, "documents").filter(
             F.col("text").isNotNull() & (F.trim("text") != "")
         )
     )
-    return _dense_band_verify(docs, minhash_signature_hash64("s"))
+    return _dense_band_verify(docs, minhash_signature_hash64("s"), barrier=barrier)
 
 
 def _dense_band_verify(
-    docs: DataFrame, sig_col: F.Column, bucket_cap: int | None = None
+    docs: DataFrame,
+    sig_col: F.Column,
+    bucket_cap: int | None = None,
+    barrier: str = "auto",
 ) -> DataFrame:
     """Shared 16×4 banding → bucket pair-gen → exact-jaccard verify
     pipeline behind both dense tiers (md5-verifiable and xxhash64-fast);
@@ -1919,8 +1951,10 @@ def _dense_band_verify(
         )
         .select("p.doc_a", "p.doc_b")
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    # barrier posture: cand feeds the verify join and both id filters —
+    # injectable policy, see fintech_etl_spark.barrier
+    cand = materialization_barrier(cand, barrier)
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -1985,10 +2019,14 @@ def minhash_signature_xxhash64(
     ),
     tags=("dedup", "lsh", "skew"),
 )
-def dedup_minhash_lsh_dense_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh_dense_fast(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     docs = spread(
         load_table(spark, sf_dir, "documents").filter(
             F.col("text").isNotNull() & (F.trim("text") != "")
         )
     )
-    return _dense_band_verify(docs, minhash_signature_xxhash64("s"))
+    return _dense_band_verify(
+        docs, minhash_signature_xxhash64("s"), barrier=barrier
+    )

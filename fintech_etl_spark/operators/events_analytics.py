@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fintech_etl_spark.barrier import materialization_barrier
 from fintech_etl_spark.operators.ranking import global_ntile
 from fintech_etl_spark.registry import register
 from fintech_etl_spark.sources.tables import load_table
@@ -655,7 +656,9 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tags=("events", "window", "attribution"),
 )
-def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_linear_attribution(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -672,7 +675,10 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("event_type") == "purchase").cast("int")).over(w),
             F.lit(0),
         ).alias("seg"),
-    ).localCheckpoint(eager=False)  # three consumers below
+    )
+    # three consumers below — injectable barrier policy
+    # (fintech_etl_spark.barrier: reliable on checkpoint-dir clusters)
+    o = materialization_barrier(o, barrier)
     t = o.groupBy("user_id", "seg").agg(
         F.sum(F.col("event_type").isin("click", "view").cast("int"))
         .cast("long")
@@ -750,7 +756,9 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tags=("events", "agg", "experiment"),
 )
-def events_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_ab_test_summary(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max(
@@ -769,10 +777,10 @@ def events_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").cast("long").alias("n_converted"),
             F.avg("converted").alias("rate"),
         )
-        # two consumers (the per-arm rows and the z-test rollup) — cut
-        # the replan of the user-grain aggregation
-        .localCheckpoint(eager=False)
     )
+    # two consumers (the per-arm rows and the z-test rollup) — cut the
+    # replan of the user-grain aggregation via the injectable barrier
+    a = materialization_barrier(a, barrier)
     w = a.agg(
         F.max(F.when(F.col("arm") == "treatment", F.col("rate"))).alias("rt"),
         F.max(F.when(F.col("arm") == "control", F.col("rate"))).alias("rc"),

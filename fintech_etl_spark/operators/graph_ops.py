@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fintech_etl_spark.barrier import materialization_barrier
 from fintech_etl_spark.registry import register
 from fintech_etl_spark.sources.tables import load_table
 
@@ -124,21 +125,24 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sym_edges_and_degrees(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
 ) -> tuple[DataFrame, DataFrame]:
     """Both-direction edge list and per-node undirected degree, each
-    lazily checkpointed — the iterated consumers below would otherwise
-    replan the basket aggregation once per use."""
+    behind a materialization barrier — the iterated consumers below
+    would otherwise replan the basket aggregation once per use.
+    Fault-tolerance posture rides :mod:`fintech_etl_spark.barrier`:
+    ``"auto"`` is a RELIABLE checkpoint when the session has a
+    checkpoint dir (preemptible fleets), executor-local otherwise."""
     u = copurchase_edges(spark, sf_dir)
-    e = (
-        u.union(u.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=False)
+    e = materialization_barrier(
+        u.union(u.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        barrier,
     )
-    deg = (
+    deg = materialization_barrier(
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .select(F.col("src").alias("v"), "deg")
-        .localCheckpoint(eager=False)
+        .select(F.col("src").alias("v"), "deg"),
+        barrier,
     )
     return e, deg
 
@@ -169,8 +173,13 @@ def _sym_edges_and_degrees(
     ),
     tags=("graph", "iterative", "join"),
 )
-def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e, deg = _sym_edges_and_degrees(spark, sf_dir)
+def graph_copurchase_pagerank(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    # barrier posture: per-iteration rank frames are truncated via the
+    # injectable policy — reliable when a checkpoint dir is set, so an
+    # executor loss mid-pagerank replays from the store, not from zero
+    e, deg = _sym_edges_and_degrees(spark, sf_dir, barrier)
     n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     r = deg.crossJoin(F.broadcast(n)).select(
         "v", "deg", F.expr(f"{_PR_E12} div n_nodes").alias("r_e12")
@@ -182,7 +191,7 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc = (
             e.join(share, "src").groupBy("dst").agg(F.sum("share_e12").alias("acc"))
         )
-        r = (
+        r = materialization_barrier(
             deg.join(acc, deg.v == acc.dst)
             .crossJoin(F.broadcast(n))
             .select(
@@ -192,8 +201,8 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{_PR_TELEPORT_E12} div n_nodes"
                     f" + ({_PR_DAMP_NUM} * acc) div {_PR_DAMP_DEN}"
                 ).alias("r_e12"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            barrier,
         )
     return r.crossJoin(F.broadcast(n)).select(
         F.col("v").alias("part_id"),
@@ -239,26 +248,34 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tags=("graph", "join", "agg"),
 )
-def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e, deg = _sym_edges_and_degrees(spark, sf_dir)
+def graph_triangle_clustering(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    # barrier posture: oe/oed feed two wedge sides plus the closing
+    # join — truncated via the injectable policy (reliable on clusters
+    # with a checkpoint dir, executor-local in dev)
+    e, deg = _sym_edges_and_degrees(spark, sf_dir, barrier)
     u = e.filter(F.col("src") < F.col("dst"))
     da = deg.select(F.col("v").alias("src"), F.col("deg").alias("sdeg"))
     db = deg.select(F.col("v").alias("dst"), F.col("deg").alias("ddeg"))
     src_first = (F.col("sdeg") < F.col("ddeg")) | (
         (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
     )
-    oe = (
+    oe = materialization_barrier(
         u.join(da, "src")
         .join(db, "dst")
         .select(
             F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("s"),
             F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("t"),
-        )
-        .localCheckpoint(eager=False)
+        ),
+        barrier,
     )
-    oed = oe.join(
-        deg.select(F.col("v").alias("t"), F.col("deg").alias("tdeg")), "t"
-    ).localCheckpoint(eager=False)
+    oed = materialization_barrier(
+        oe.join(
+            deg.select(F.col("v").alias("t"), F.col("deg").alias("tdeg")), "t"
+        ),
+        barrier,
+    )
     a = oed.select(F.col("s"), F.col("t").alias("t_a"), F.col("tdeg").alias("deg_a"))
     b = oed.select(F.col("s"), F.col("t").alias("t_b"), F.col("tdeg").alias("deg_b"))
     wedge_lt = (F.col("deg_a") < F.col("deg_b")) | (
@@ -344,8 +361,12 @@ _AA_TOP_K = 100
     ),
     tags=("graph", "join", "topk"),
 )
-def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e, deg = _sym_edges_and_degrees(spark, sf_dir)
+def graph_link_prediction_aa(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    # barrier posture: shared edge/degree frames via the injectable
+    # policy (see _sym_edges_and_degrees)
+    e, deg = _sym_edges_and_degrees(spark, sf_dir, barrier)
     u = e.filter(F.col("src") < F.col("dst"))
     ctr = deg.filter(F.col("deg").between(2, _AA_DEG_CAP))
     a = e.select(F.col("src").alias("c"), F.col("dst").alias("na"))

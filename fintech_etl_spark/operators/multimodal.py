@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fintech_etl_spark.barrier import materialization_barrier
 from fintech_etl_spark.registry import register
 from fintech_etl_spark.sources.tables import load_table
 
@@ -891,11 +892,14 @@ _PHASH_ORACLE = (
     ),
     tags=("multimodal", "dedup", "pandas_udf"),
 )
-def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = (
-        synth_ppm_images(spark, sf_dir)
-        .mapInPandas(_phash_batch, _PHASH_SCHEMA)
-        .localCheckpoint(eager=False)
+def media_phash_dedup(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    # barrier posture: the decoded-phash frame feeds banding and the
+    # verify join — injectable policy, see fintech_etl_spark.barrier
+    fp = materialization_barrier(
+        synth_ppm_images(spark, sf_dir).mapInPandas(_phash_batch, _PHASH_SCHEMA),
+        barrier,
     )
     chunks = fp.select(
         "asset_id",
@@ -972,11 +976,13 @@ _PHASH_CAPPED_ORACLE = _PHASH_ORACLE.replace(
     ),
     tags=("multimodal", "dedup", "pandas_udf", "skew"),
 )
-def media_phash_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = (
-        synth_ppm_images(spark, sf_dir)
-        .mapInPandas(_phash_batch, _PHASH_SCHEMA)
-        .localCheckpoint(eager=False)
+def media_phash_dedup_capped(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    # barrier posture: same decoded-phash reuse as the uncapped tier
+    fp = materialization_barrier(
+        synth_ppm_images(spark, sf_dir).mapInPandas(_phash_batch, _PHASH_SCHEMA),
+        barrier,
     )
     chunks = fp.select(
         "asset_id",

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from fintech_etl_spark.barrier import materialization_barrier
 from fintech_etl_spark.operators.dedup import cosine
 from fintech_etl_spark.registry import register
 from fintech_etl_spark.sources.tables import load_table
@@ -180,7 +181,9 @@ def _lsh_oracle() -> str:
     ),
     tags=("similarity", "lsh", "topk"),
 )
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_bucketed(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -215,13 +218,16 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     buckets_udf = pandas_udf(_buckets, "array<long>")
 
-    # ONE Arrow/Python pass over the corpus, checkpointed (vec_id, u,
-    # 12 packed bucket ids — tiny); query side is a filter of the same
-    # materialized table, so the UDF doesn't run a second time and the
-    # band explode happens JVM-side on both branches.
-    packed = unit.select(
-        "vec_id", "u", buckets_udf(F.col("u")).alias("bks")
-    ).localCheckpoint(eager=False)
+    # ONE Arrow/Python pass over the corpus behind the injectable
+    # barrier (vec_id, u, 12 packed bucket ids — tiny); query side is a
+    # filter of the same materialized table, so the UDF doesn't run a
+    # second time and the band explode happens JVM-side on both
+    # branches. fintech_etl_spark.barrier: reliable on clusters with a
+    # checkpoint dir, executor-local in dev.
+    packed = materialization_barrier(
+        unit.select("vec_id", "u", buckets_udf(F.col("u")).alias("bks")),
+        barrier,
+    )
 
     def with_buckets(df: DataFrame, idcol: str) -> DataFrame:
         return df.select(
@@ -658,7 +664,10 @@ def _assign_step(vecs: DataFrame, cent: DataFrame, k: int) -> DataFrame:
 
 
 def kmeans_fit(
-    emb: DataFrame, k: int = _KM_K, max_iter: int = _KM_ITERS
+    emb: DataFrame,
+    k: int = _KM_K,
+    max_iter: int = _KM_ITERS,
+    barrier: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed Lloyd's k-means over an ``(vec_id, embedding)`` frame.
 
@@ -680,7 +689,10 @@ def kmeans_fit(
     ``_KM_HIER_MIN`` cells, two-level beyond it (coarse √k groups +
     top-2 probe: O(√k) per vector, assignment approximate only for
     vectors whose true cell hides outside both probed groups).
-    ``localCheckpoint`` cuts the plan between iterations.
+    The injectable materialization barrier cuts the plan between
+    iterations (fintech_etl_spark.barrier — reliable when the session
+    has a checkpoint dir, so an executor loss mid-Lloyd's replays from
+    the store; executor-local in dev).
     """
     from pyspark.sql import Window as W
 
@@ -695,17 +707,17 @@ def kmeans_fit(
     )
     assign = None
     for _ in range(max_iter):
-        assign = _assign_step(vecs, cent, k).localCheckpoint(eager=False)
-        cent = (
+        assign = materialization_barrier(_assign_step(vecs, cent, k), barrier)
+        cent = materialization_barrier(
             assign.select("cell", F.posexplode("v").alias("i", "x"))
             .groupBy("cell", "i")
             .agg(F.avg("x").alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
-            .select("cell", F.transform("im", lambda s: s["m"]).alias("centroid"))
+            .select("cell", F.transform("im", lambda s: s["m"]).alias("centroid")),
             # consumers (IVF probe, the returned centroids) see a cut
             # lineage; the next iteration's collect materializes it
-            .localCheckpoint(eager=False)
+            barrier,
         )
     return cent, assign.select("vec_id", "cell", "dist")
 
@@ -1078,7 +1090,7 @@ def _pq_assign_step(subs: DataFrame, cent: DataFrame) -> DataFrame:
     return subs.select("vec_id", "sub", best["cell"].alias("cell"), "sv")
 
 
-def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+def pq_fit(emb: DataFrame, barrier: str = "auto") -> tuple[DataFrame, DataFrame]:
     """Train all {_PQ_SUBS} product-quantization codebooks in one set of
     distributed Lloyd rounds (subspace is a grouping key, NOT a Python
     loop): returns ``(codebooks(sub, cell, centroid), codes(vec_id,
@@ -1100,13 +1112,14 @@ def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.row_number().over(W.partitionBy("sub").orderBy("vec_id")),
         )
         .select("sub", "cell", F.col("sv").alias("centroid"))
-        .localCheckpoint(eager=False)
     )
+    # per-iteration frames ride the injectable barrier policy
+    cent = materialization_barrier(cent, barrier)
 
     assign = None
     for _ in range(_PQ_ITERS):
-        assign = _pq_assign_step(subs, cent).localCheckpoint(eager=False)
-        cent = (
+        assign = materialization_barrier(_pq_assign_step(subs, cent), barrier)
+        cent = materialization_barrier(
             assign.select("sub", "cell", F.posexplode("sv").alias("i", "x"))
             .groupBy("sub", "cell", "i")
             .agg(F.avg("x").alias("m"))
@@ -1114,8 +1127,8 @@ def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
             .select(
                 "sub", "cell", F.transform("im", lambda s: s["m"]).alias("centroid")
-            )
-            .localCheckpoint(eager=False)
+            ),
+            barrier,
         )
     return cent, assign.select("vec_id", "sub", "cell")
 
@@ -1548,7 +1561,9 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tags=("similarity", "agg", "eval"),
 )
-def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_label_separation(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     d38 = "decimal(38,0)"
     e = emb.select(
@@ -1564,8 +1579,10 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.lit(1000000000.0) * F.count(F.lit(1)))
             ).alias("m")
         )
-        .localCheckpoint(eager=False)
-    )  # feeds both the intra join and the centroid-pair matrix
+    )
+    # feeds both the intra join and the centroid-pair matrix —
+    # injectable barrier policy (fintech_etl_spark.barrier)
+    c = materialization_barrier(c, barrier)
     dev2_e12 = F.floor(
         (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")) * 1e12
     ).cast("long")

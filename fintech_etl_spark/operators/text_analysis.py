@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fintech_etl_spark.barrier import materialization_barrier
 from fintech_etl_spark.registry import register
 from fintech_etl_spark.sources.tables import load_table
 
@@ -973,7 +974,11 @@ def _boilerplate_oracle() -> str:
     ),
     tags=("text", "quality", "skew"),
 )
-def text_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_boilerplate_report(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    # barrier posture: the one-row banned-set feeds every doc row —
+    # injectable policy, see fintech_etl_spark.barrier
     from fintech_etl_spark.operators.dedup import (
         _DF_CAP_FRACTION,
         spread,
@@ -1000,8 +1005,8 @@ def text_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no coalesce needed on the Spark side (the oracle's list()
         # returns NULL on empty input, hence its coalesce)
         .agg(F.collect_list("g").alias("banned"))
-        .localCheckpoint(eager=False)
     )
+    banned_arr = materialization_barrier(banned_arr, barrier)
     boiler = F.size(F.array_intersect("s", "banned"))
     return sh.crossJoin(F.broadcast(banned_arr)).select(
         "doc_id",
@@ -1328,15 +1333,21 @@ _PPL_BIGRAMS_SQL = (
     ),
     tags=("text", "quality", "agg"),
 )
-def text_lm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_lm_perplexity_bucket(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
-    tok = docs.select(
-        "doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
-    ).localCheckpoint(eager=False)
+    tok = materialization_barrier(
+        docs.select(
+            "doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+        ),
+        barrier,
+    )
     # ^ feeds the train counts, the vocab, AND the scoring explode —
-    # without the checkpoint the tokenization would re-run three times
+    # without the barrier (fintech_etl_spark.barrier: reliable on
+    # checkpoint-dir clusters) the tokenization would re-run three times
     bigrams = F.when(
         F.size("t") >= 2,
         F.expr(
@@ -1349,8 +1360,8 @@ def text_lm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(bigrams).alias("b"))
         .select("b.w1", "b.w2")
     )
-    big = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
-        eager=False
+    big = materialization_barrier(
+        tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")), barrier
     )
     # context counts re-aggregate the (small) bigram table, not the
     # full token stream — one full-stream shuffle instead of two
