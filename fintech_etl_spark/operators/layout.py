@@ -15,6 +15,22 @@ integer math — ``(k − min) · (2^bits − 1) div (max − min)`` — then th
 scaled keys' bits interleave with shifts/masks. No UDFs, no doubles,
 no engine-specific rounding.
 
+Durability (r10 audit "What's missing #1", closed here): the layout
+family is the manifest layer's SECOND client. ``zorder_write(...,
+transactional=True)`` stages the clustered files as an immutable
+manifest segment and commits them together with the frozen curve
+bounds in ONE atomic pointer swap (``sinks/manifest.py``) — so a
+reader racing an append or re-cluster sees the old layout or the new
+one, never a partial batch, and the bounds can never be observed out
+of sync with the segments they cluster. Appends auto-detect the mode
+(:func:`fintech_etl_spark.sinks.manifest.is_transactional`), exactly
+like the ANN index lifecycle; ``zorder_compact`` re-clusters with the
+remove+add commit shape, so a concurrent append is carried forward,
+never lost. Plain-directory mode remains for throwaway layouts, with
+the ``_zbounds.json`` sidecar now written atomically (temp +
+``os.replace`` — a crash mid-write can no longer corrupt the frozen
+bounds).
+
 The reference engine has no layout surface at all (CSV-in, JSON-out —
 /root/reference/stream/processor.py); this is lake-scale gap-fill,
 same as the rest of the analytics registry.
@@ -22,13 +38,21 @@ same as the rest of the analytics registry.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fintech_etl_spark.registry import register
+from fintech_etl_spark.sinks import manifest as mf
 from fintech_etl_spark.sources.tables import load_table
 
 #: curve resolution: 12 bits/key → a 4096×4096 grid, 24-bit z-values.
 _Z_BITS = 12
+
+#: the manifest dataset name a transactional layout lives under
+_LAYOUT_DS = "layout"
 
 
 def scaled_expr(
@@ -108,12 +132,97 @@ def with_zvalue(
     return d.withColumn(out, F.expr(interleave_expr(names, bits))).drop(*names)
 
 
+def _freeze_bounds(df: DataFrame, cols: list[str], who: str) -> dict:
+    agg = df.agg(
+        *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
+    ).first()
+    missing = [c for c in cols if agg[f"lo_{c}"] is None]
+    if missing:
+        raise ValueError(
+            f"{who}: no bounds for {missing} — empty input or "
+            "all-NULL key column"
+        )
+    return {c: (agg[f"lo_{c}"], agg[f"hi_{c}"]) for c in cols}
+
+
+def _cluster_write(
+    df: DataFrame, meta: dict, out_path: str, num_files: int, mode: str
+) -> None:
+    """The shared physical step: z-value against frozen ``meta``
+    bounds, range-partition + sort, drop, write ``num_files`` files."""
+    bounds = {c: tuple(v) for c, v in meta["bounds"].items()}
+    z = with_zvalue(df, meta["cols"], out="_z", bits=meta["bits"], bounds=bounds)
+    (
+        z.repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(out_path)
+    )
+
+
+def _write_sidecar(path: str, meta: dict) -> None:
+    """Atomic ``_zbounds.json`` write: temp + ``os.replace``, so a
+    crash mid-write leaves the previous bounds intact instead of a
+    truncated JSON corrupting the layout's frozen curve (the r10
+    audit's half-state window)."""
+    final = os.path.join(path, "_zbounds.json")
+    tmp = os.path.join(path, f"_zbounds.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
+
+
+def zorder_bounds(path: str) -> dict:
+    """The layout's frozen curve metadata ``{cols, bits, bounds}`` —
+    from the live manifest (transactional layouts: the same pointer
+    read that names the segments) or the ``_zbounds.json`` sidecar
+    (plain layouts). Loud when neither exists."""
+    if mf.is_transactional(path):
+        meta = mf.get_dataset_meta(path, _LAYOUT_DS)
+        if meta is None:
+            raise ValueError(
+                f"zorder_bounds: {path!r} is manifest-backed but its "
+                f"{_LAYOUT_DS!r} dataset carries no zbounds meta — not "
+                "a zorder_write layout"
+            )
+        return meta
+    sidecar = os.path.join(path, "_zbounds.json")
+    if not os.path.exists(sidecar):
+        raise ValueError(
+            f"zorder_bounds: {path!r} has no _zbounds.json sidecar and "
+            "no manifest — the layout predates frozen-bounds support "
+            "(or is not a zorder_write layout); re-cluster it with "
+            "zorder_write once to record the curve bounds"
+        )
+    with open(sidecar) as fh:
+        return json.load(fh)
+
+
+def read_zorder(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a z-ordered layout. Transactional layouts resolve the
+    manifest pointer per call — an append or re-cluster landing
+    mid-stream is seen atomically at the next read, and a racing
+    reader can never observe a partial batch (the plain-directory
+    listing could). Plain layouts are a direct parquet read. Footer
+    pruning works identically in both: segments are just parquet
+    files, the manifest only names which ones are live."""
+    if mf.is_transactional(path):
+        segs = mf.dataset_segments(path, _LAYOUT_DS)
+        return mf.read_segments(spark, segs)
+    return spark.read.parquet(path)
+
+
 def zorder_write(
     df: DataFrame,
     cols: list[str],
     path: str,
     bits: int = _Z_BITS,
     num_files: int = 32,
+    transactional: bool | None = None,
 ) -> int:
     """Write ``df`` as ``num_files`` parquet files clustered along the
     Morton curve of ``cols``: range-partition + sort on the z-value,
@@ -123,76 +232,108 @@ def zorder_write(
     tests/test_layout.py and receipted at sf0.1
     (SCALE_RECEIPT_r09_zorder.json). Returns the row count.
 
-    The layout's scaling bounds are persisted in a ``_zbounds.json``
-    sidecar (underscore-prefixed — invisible to parquet reads) so
-    :func:`zorder_append` can cluster LATER batches against the same
-    frozen curve."""
-    import json
-    import os
+    ``transactional=True`` makes the layout a manifest-backed dataset:
+    the clustered files are staged as an immutable segment under
+    ``path/segments/`` and committed — segments AND frozen bounds —
+    in one atomic pointer swap, so readers racing this write (or any
+    later append/re-cluster) see a consistent snapshot. On an already
+    manifest-backed path a write is a full REBUILD: a ``replace``
+    commit swaps the whole segment list (superseded segments stay on
+    disk for in-flight readers until ``sinks.maintenance.vacuum``).
+    Like a transactional ANN rebuild, it defines the layout's entire
+    new content — don't run concurrent appends across one; their
+    segments would be dropped from the list (orphaned, vacuumed),
+    which is the rebuild contract, not a race. ``None`` auto-detects
+    (stay transactional once transactional — the ANN lifecycle rule).
 
-    agg = df.agg(
-        *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
-        *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
-    ).first()
-    missing = [c for c in cols if agg[f"lo_{c}"] is None]
-    if missing:
-        raise ValueError(
-            f"zorder_write: no bounds for {missing} — empty input or "
-            "all-NULL key column"
+    Plain mode persists the scaling bounds in a ``_zbounds.json``
+    sidecar (underscore-prefixed — invisible to parquet reads),
+    written atomically, so :func:`zorder_append` can cluster LATER
+    batches against the same frozen curve."""
+    if transactional is None:
+        transactional = mf.is_transactional(path)
+    bounds = _freeze_bounds(df, cols, "zorder_write")
+    meta = {"cols": cols, "bits": bits, "bounds": bounds}
+    if transactional:
+        seg = mf.new_segment_path(path)
+        _cluster_write(df, meta, seg, num_files, "overwrite")
+        mf.commit(
+            path, replace={_LAYOUT_DS: [seg]}, dataset_meta={_LAYOUT_DS: meta}
         )
-    bounds = {c: (agg[f"lo_{c}"], agg[f"hi_{c}"]) for c in cols}
-    z = with_zvalue(df, cols, out="_z", bits=bits, bounds=bounds)
-    (
-        z.repartitionByRange(num_files, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-    with open(os.path.join(path, "_zbounds.json"), "w") as fh:
-        json.dump({"cols": cols, "bits": bits, "bounds": bounds}, fh)
-    return df.sparkSession.read.parquet(path).count()
+    else:
+        _cluster_write(df, meta, path, num_files, "overwrite")
+        _write_sidecar(path, meta)
+    return read_zorder(df.sparkSession, path).count()
 
 
 def zorder_append(df: DataFrame, path: str, num_files: int = 4) -> int:
     """Incremental Z-order maintenance — the layout twin of the ANN
     index append contract (frozen parameters, batch-proportional
     cost): cluster a NEW batch along the EXISTING layout's curve
-    (bounds frozen in the ``_zbounds.json`` sidecar
-    :func:`zorder_write` leaves) and append it as ``num_files``
+    (bounds frozen at write time) and append it as ``num_files``
     box-compact files. Nothing from the existing layout is read or
     rewritten — cost is linear in the BATCH — and footer-stats pruning
     is per-file, so the appended files prune exactly like the
     originals (pinned by tests/test_layout.py). Keys that drift past
     the frozen bounds clamp to the curve's edge cells (their files
-    stay prunable for in-range predicates; a periodic
-    :func:`zorder_write` re-cluster refreshes the bounds — the same
-    rhythm as index compaction). Returns appended row count."""
-    import json
-    import os
+    stay prunable for in-range predicates; a periodic re-cluster
+    refreshes the bounds — the same rhythm as index compaction).
 
-    sidecar = os.path.join(path, "_zbounds.json")
-    if not os.path.exists(sidecar):
-        raise ValueError(
-            f"zorder_append: {path!r} has no _zbounds.json sidecar — "
-            "the layout predates frozen-bounds support (or is not a "
-            "zorder_write layout); re-cluster it with zorder_write "
-            "once to record the curve bounds"
-        )
-    with open(sidecar) as fh:
-        meta = json.load(fh)
-    bounds = {c: tuple(v) for c, v in meta["bounds"].items()}
-    z = with_zvalue(
-        df, meta["cols"], out="_z", bits=meta["bits"], bounds=bounds
-    )
-    (
-        z.repartitionByRange(num_files, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("append")
-        .parquet(path)
-    )
+    On a manifest-backed layout the batch stages as a NEW segment and
+    lands via an ``add`` commit — invisible until the pointer swap, so
+    a reader mid-append sees the old layout or old+batch, never a
+    partial file listing (the half-state window the r10 audit charged
+    the plain-directory append with; that mode remains for throwaway
+    layouts and is exactly as atomic as a bare parquet append).
+    Returns appended row count."""
+    meta = zorder_bounds(path)
+    if mf.is_transactional(path):
+        seg = mf.new_segment_path(path)
+        _cluster_write(df, meta, seg, num_files, "overwrite")
+        mf.commit(path, add={_LAYOUT_DS: [seg]})
+    else:
+        _cluster_write(df, meta, path, num_files, "append")
     return df.count()
+
+
+def zorder_compact(
+    spark: SparkSession,
+    path: str,
+    num_files: int = 32,
+    refresh_bounds: bool = True,
+) -> int:
+    """Re-cluster a manifest-backed layout FROM ITSELF: read the live
+    segments, z-write one fresh segment (bounds re-frozen from the
+    data unless ``refresh_bounds=False``), and commit REMOVE(read
+    segments) + ADD(rewrite) — the Iceberg rewrite-commit shape shared
+    with ``compact_transactional``. A concurrent ``zorder_append``
+    landing between the read and the commit is carried forward (its
+    segment stays in the list, clustered against the pre-compaction
+    bounds — still box-compact parquet, prunable as written); a
+    concurrent COMPACTION of the same segments raises
+    ``StaleSegmentError`` and this rewrite aborts as an invisible
+    orphan. Serving reads racing the commit resolve old or new
+    snapshot, never a mix. Returns the compacted row count."""
+    if not mf.is_transactional(path):
+        raise ValueError(
+            f"zorder_compact: {path!r} is not manifest-backed — plain "
+            "layouts re-cluster with zorder_write(transactional=False)"
+        )
+    old_segs = mf.dataset_segments(path, _LAYOUT_DS)
+    meta = zorder_bounds(path)
+    cur = mf.read_segments(spark, old_segs)
+    if refresh_bounds:
+        bounds = _freeze_bounds(cur, meta["cols"], "zorder_compact")
+        meta = {"cols": meta["cols"], "bits": meta["bits"], "bounds": bounds}
+    seg = mf.new_segment_path(path)
+    _cluster_write(cur, meta, seg, num_files, "overwrite")
+    mf.commit(
+        path,
+        remove={_LAYOUT_DS: old_segs},
+        add={_LAYOUT_DS: [seg]},
+        dataset_meta={_LAYOUT_DS: meta},
+    )
+    return spark.read.parquet(seg).count()
 
 
 _Z_ORACLE = f"""
@@ -321,7 +462,75 @@ def layout_zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
     )
     zorder_write(li, ["l_partkey", "l_suppkey"], path, num_files=32)
-    z = spark.read.parquet(path)
+    z = read_zorder(spark, path)
+    return z.filter(
+        F.col("l_partkey").between(p_lo, p_hi)
+        & F.col("l_suppkey").between(s_lo, s_hi)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.min("l_orderkey").cast("long").alias("first_order"),
+        F.max("l_orderkey").cast("long").alias("last_order"),
+    )
+
+
+@register(
+    "layout_zorder_box_query_tx",
+    _ZQ_ORACLE,
+    doc=(
+        "The transactional twin of layout_zorder_box_query: the "
+        "z-clustered layout is MANIFEST-BACKED (zorder_write "
+        "transactional=True — clustered files staged as an immutable "
+        "segment, committed with the frozen curve bounds in one atomic "
+        "pointer swap, sinks/manifest.py), an incremental "
+        "zorder_append lands a second segment via an add commit, and "
+        "the box is answered through read_zorder's manifest-resolved "
+        "scan. The oracle runs the same box on the raw table, so this "
+        "row proves END-TO-END that the transactional lifecycle — "
+        "replace commit, staged append, pointer-resolved multi-segment "
+        "read — is lossless AND the pruned scan over manifest-named "
+        "segments is correct. Race/crash atomicity is pinned by "
+        "tests/test_layout_manifest.py (a reader never sees a partial "
+        "batch; a crashed commit leaves the old snapshot)."
+    ),
+    tags=("layout", "scale", "transactional"),
+)
+def layout_zorder_box_query_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    b = li.agg(
+        F.min("l_partkey").alias("plo"),
+        F.max("l_partkey").alias("phi"),
+        F.min("l_suppkey").alias("slo"),
+        F.max("l_suppkey").alias("shi"),
+    ).first()
+    p_lo = b.plo + (b.phi - b.plo) * 3 // 8
+    p_hi = b.plo + (b.phi - b.plo) * 5 // 8
+    s_lo = b.slo + (b.shi - b.slo) * 3 // 8
+    s_hi = b.slo + (b.shi - b.slo) * 5 // 8
+
+    # fresh root each invocation: build (replace commit) from 7/8 of
+    # the rows, then append the held-out 1/8 as an add commit — the
+    # manifest-resolved read must see exactly the whole table
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "fintech_etl_zboxtx_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    seed = li.filter(F.col("l_orderkey") % 8 != 0)
+    batch = li.filter(F.col("l_orderkey") % 8 == 0)
+    zorder_write(
+        seed, ["l_partkey", "l_suppkey"], path, num_files=28, transactional=True
+    )
+    zorder_append(batch, path, num_files=4)
+    z = read_zorder(spark, path)
     return z.filter(
         F.col("l_partkey").between(p_lo, p_hi)
         & F.col("l_suppkey").between(s_lo, s_hi)

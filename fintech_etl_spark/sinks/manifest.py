@@ -406,6 +406,7 @@ def commit(
     remove: dict[str, list[str]] | None = None,
     file_keys: list[str] | None = None,
     reset_ingested: bool = False,
+    dataset_meta: dict[str, dict] | None = None,
     lock: FileLockProvider | None = None,
 ) -> dict:
     """Write the next manifest version and atomically swap the pointer.
@@ -429,6 +430,14 @@ def commit(
     forever (the r10 ADVICE silent-loss case), the mirror image of the
     compaction bug above. Rebuild resets; compaction preserves.
 
+    ``dataset_meta`` attaches a small JSON dict to named datasets —
+    the Iceberg table-properties shape. It rides the SAME atomic
+    pointer swap as the segment list, which is the whole point: a
+    layout's frozen scaling bounds (the z-order family's
+    ``_zbounds``) must never be observable out of sync with the
+    segments they cluster. Meta for datasets not named is carried
+    forward unchanged; naming a dataset overwrites its whole dict.
+
     ``lock`` injects the mutual-exclusion provider (default
     :data:`DEFAULT_LOCK_PROVIDER`, a :class:`FileLockProvider`); the
     whole read-modify-write runs under it, so concurrent committers
@@ -451,10 +460,15 @@ def commit(
             cur = current(root)
             version = cur["version"] + 1
             datasets = {k: list(v) for k, v in cur["datasets"].items()}
+            meta_by_ds = {
+                k: dict(v) for k, v in (cur.get("dataset_meta") or {}).items()
+            }
             buckets, cp_count, n_buckets, tail = _ingest_state(cur)
         else:
-            version, datasets = 0, {}
+            version, datasets, meta_by_ds = 0, {}, {}
             buckets, cp_count, n_buckets, tail = {}, 0, _INGEST_BUCKETS, []
+        for ds, dm in (dataset_meta or {}).items():
+            meta_by_ds[ds] = dm
         if reset_ingested:
             buckets, cp_count, tail = {}, 0, []
 
@@ -505,6 +519,7 @@ def commit(
         m = {
             "version": version,
             "datasets": datasets,
+            "dataset_meta": meta_by_ds,
             "ingested_tail": tail,
             "ingested_checkpoint": (
                 {
@@ -539,6 +554,14 @@ def dataset_segments(root: str, dataset: str) -> list[str]:
     """Absolute segment paths the live manifest names for ``dataset``."""
     m = current(root)
     return [os.path.join(root, s) for s in m["datasets"].get(dataset, [])]
+
+
+def get_dataset_meta(root: str, dataset: str) -> dict | None:
+    """The live manifest's metadata dict for ``dataset`` (``None`` if
+    never set) — resolved from the same pointer read as the segment
+    list, so callers can never pair fresh segments with stale meta."""
+    m = current(root)
+    return (m.get("dataset_meta") or {}).get(dataset)
 
 
 def read_segments(spark: SparkSession, segs: list[str]) -> DataFrame:

@@ -1,0 +1,238 @@
+"""The z-order layout as the manifest layer's second client
+(operators/layout.py + sinks/manifest.py) — the r10 audit's last
+half-state windows, closed and pinned:
+
+- transactional build/append/compact hold the same data as plain mode
+  (the layout is a physical detail);
+- a reader racing an append sees the OLD snapshot until the commit,
+  then old+batch — never a partial file listing;
+- the frozen bounds ride the manifest pointer (never observable out
+  of sync with the segments) and the plain-mode sidecar write is
+  atomic (a crash mid-write leaves the previous bounds intact);
+- zorder_compact commits remove+add: a concurrent append is carried
+  forward, a superseded rewrite aborts with StaleSegmentError;
+- pruning still works through the manifest-resolved read (the segment
+  files carry the same footer stats as a plain layout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.operators.layout import (
+    _LAYOUT_DS,
+    _write_sidecar,
+    read_zorder,
+    zorder_append,
+    zorder_bounds,
+    zorder_compact,
+    zorder_write,
+)
+from fintech_etl_spark.sinks import manifest as mf
+
+
+def _frame(spark, n=4000, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("rowid"),
+        (F.col("id") * 37 % 997).cast("long").alias("x"),
+        (F.col("id") * 91 % 983).cast("long").alias("y"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_transactional_build_matches_plain(spark, tmp_path):
+    df = _frame(spark)
+    plain, tx = str(tmp_path / "plain"), str(tmp_path / "tx")
+    n_plain = zorder_write(df, ["x", "y"], plain, num_files=8)
+    n_tx = zorder_write(df, ["x", "y"], tx, num_files=8, transactional=True)
+    assert n_plain == n_tx == 4000
+    assert _rows(read_zorder(spark, plain)) == _rows(read_zorder(spark, tx))
+    # bounds identical, manifest-resolved vs sidecar
+    assert zorder_bounds(tx)["bounds"] == {
+        c: list(v) if isinstance(v, list) else v
+        for c, v in zorder_bounds(plain)["bounds"].items()
+    }
+    assert mf.is_transactional(tx) and not mf.is_transactional(plain)
+
+
+def test_append_is_atomic_to_readers(spark, tmp_path):
+    """The r10 half-state window: stage the batch WITHOUT committing —
+    a reader must see exactly the old snapshot; after the commit,
+    exactly old+batch."""
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 2000), ["x", "y"], root, num_files=4,
+                 transactional=True)
+    meta = zorder_bounds(root)
+
+    # stage a batch the way zorder_append does, but crash before commit
+    from fintech_etl_spark.operators.layout import _cluster_write
+
+    seg = mf.new_segment_path(root)
+    _cluster_write(_frame(spark, 500, offset=2000), meta, seg, 2, "overwrite")
+    assert read_zorder(spark, root).count() == 2000  # staged = invisible
+
+    # the retry (full append) commits segment + pointer atomically
+    assert zorder_append(_frame(spark, 500, offset=2000), root, num_files=2) == 500
+    assert read_zorder(spark, root).count() == 2500
+    # both segments are named by the live manifest
+    assert len(mf.dataset_segments(root, _LAYOUT_DS)) == 2
+    # the crashed staging is an unreferenced orphan vacuum collects
+    got = mf.vacuum(root, keep_last=1, orphan_grace_sec=0.0)
+    assert os.path.join("segments", os.path.basename(seg)) in got[
+        "removed_segments"
+    ]
+    assert read_zorder(spark, root).count() == 2500
+
+
+def test_plain_sidecar_write_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-sidecar-write (simulated: fsync raises after the
+    temp file is partially on disk) leaves the ORIGINAL bounds
+    readable — the non-atomic open(...,'w') the r10 audit charged
+    would have truncated them."""
+    path = str(tmp_path)
+    good = {"cols": ["x"], "bits": 4, "bounds": {"x": [0, 10]}}
+    _write_sidecar(path, good)
+
+    real_fsync = os.fsync
+
+    def boom(fd):
+        real_fsync(fd)
+        raise OSError("simulated crash before replace")
+
+    monkeypatch.setattr(os, "fsync", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        _write_sidecar(path, {"cols": ["x"], "bits": 4, "bounds": {"x": [0, 99]}})
+    monkeypatch.undo()
+    with open(os.path.join(path, "_zbounds.json")) as fh:
+        assert json.load(fh) == good
+
+
+def test_bounds_ride_the_pointer(spark, tmp_path):
+    """After a bounds-refreshing compaction, segments and bounds come
+    from the SAME manifest version — there is no file pair to observe
+    out of sync (plain mode: data commit and sidecar replace are two
+    steps)."""
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 1000), ["x", "y"], root, num_files=4,
+                 transactional=True)
+    v0 = mf.current(root)["version"]
+    before = zorder_bounds(root)
+    # append data whose keys extend past the frozen range
+    wide = spark.range(5000, 5400).select(
+        F.col("id").alias("rowid"),
+        (F.col("id") % 2000).cast("long").alias("x"),
+        (F.col("id") % 1500).cast("long").alias("y"),
+    )
+    zorder_append(wide, root, num_files=2)
+    assert zorder_bounds(root) == before  # append never moves bounds
+    n = zorder_compact(spark, root, num_files=4)
+    assert n == 1400
+    m = mf.current(root)
+    assert m["version"] == v0 + 2
+    after = m["dataset_meta"][_LAYOUT_DS]
+    assert after["bounds"]["x"][1] > before["bounds"]["x"][1]
+    assert [os.path.join(root, s) for s in m["datasets"][_LAYOUT_DS]] == \
+        mf.dataset_segments(root, _LAYOUT_DS)
+    assert read_zorder(spark, root).count() == 1400
+
+
+def test_compact_carries_concurrent_append_forward(spark, tmp_path):
+    """The Iceberg rewrite-commit shape, layout edition: an append
+    landing between the compactor's read and its commit survives."""
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 1000), ["x", "y"], root, num_files=4,
+                 transactional=True)
+    old_segs = mf.dataset_segments(root, _LAYOUT_DS)
+    meta = zorder_bounds(root)
+    # compactor stages its rewrite of the CURRENT snapshot...
+    from fintech_etl_spark.operators.layout import _cluster_write
+
+    seg = mf.new_segment_path(root)
+    _cluster_write(mf.read_segments(spark, old_segs), meta, seg, 4, "overwrite")
+    # ...an append lands first...
+    zorder_append(_frame(spark, 300, offset=1000), root, num_files=1)
+    # ...then the compactor commits remove(read)+add(rewrite)
+    mf.commit(
+        root,
+        remove={_LAYOUT_DS: old_segs},
+        add={_LAYOUT_DS: [seg]},
+        dataset_meta={_LAYOUT_DS: meta},
+    )
+    assert read_zorder(spark, root).count() == 1300  # append survived
+    assert len(mf.dataset_segments(root, _LAYOUT_DS)) == 2
+
+
+def test_superseded_compaction_aborts(spark, tmp_path):
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 800), ["x", "y"], root, num_files=2,
+                 transactional=True)
+    old_segs = mf.dataset_segments(root, _LAYOUT_DS)
+    # a faster compactor wins
+    zorder_compact(spark, root, num_files=2)
+    with pytest.raises(mf.StaleSegmentError):
+        mf.commit(root, remove={_LAYOUT_DS: old_segs})
+    assert read_zorder(spark, root).count() == 800
+
+
+def test_pruning_through_manifest_read(spark, tmp_path):
+    """Footer-stats pruning is unchanged by the manifest layer: a box
+    predicate through read_zorder admits a minority of the segment's
+    files, same as the plain-layout pruning test."""
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 20000), ["x", "y"], root, num_files=16,
+                 transactional=True)
+    box = read_zorder(spark, root).filter(
+        F.col("x").between(450, 550) & F.col("y").between(400, 500)
+    )
+    want = _frame(spark, 20000).filter(
+        F.col("x").between(450, 550) & F.col("y").between(400, 500)
+    )
+    assert _rows(box) == _rows(want)
+    # physical check: the scan over manifest segments reads parquet
+    # files whose min/max admit the box — count files actually read
+    seg = mf.dataset_segments(root, _LAYOUT_DS)[0]
+    import glob
+
+    import pyarrow.parquet as pq
+
+    admitted = 0
+    files = glob.glob(os.path.join(seg, "*.parquet"))
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo_x = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        hi_x = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        lo_y = min(md.row_group(i).column(2).statistics.min for i in range(md.num_row_groups))
+        hi_y = max(md.row_group(i).column(2).statistics.max for i in range(md.num_row_groups))
+        if not (hi_x < 450 or lo_x > 550 or hi_y < 400 or lo_y > 500):
+            admitted += 1
+    assert admitted < len(files) / 2, (admitted, len(files))
+
+
+def test_auto_detect_stays_transactional(spark, tmp_path):
+    """transactional=None on an existing manifest-backed layout keeps
+    the mode (the ANN lifecycle rule) — and the rebuild resets the
+    segment list via a replace commit."""
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 500), ["x", "y"], root, num_files=2,
+                 transactional=True)
+    zorder_append(_frame(spark, 100, offset=500), root, num_files=1)
+    assert len(mf.dataset_segments(root, _LAYOUT_DS)) == 2
+    # rebuild (auto-detected transactional): one fresh segment
+    zorder_write(_frame(spark, 700), ["x", "y"], root, num_files=2)
+    assert len(mf.dataset_segments(root, _LAYOUT_DS)) == 1
+    assert read_zorder(spark, root).count() == 700
+
+
+def test_compact_plain_layout_is_loud(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    zorder_write(_frame(spark, 100), ["x", "y"], path, num_files=1)
+    with pytest.raises(ValueError, match="not manifest-backed"):
+        zorder_compact(spark, path)
