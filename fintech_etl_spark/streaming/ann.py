@@ -465,6 +465,91 @@ def start_ann_queries(
 # ---------------------------------------------------------------------------
 
 
+def _split_hot_cells(
+    emb: DataFrame,
+    coarse_cent: DataFrame,
+    coarse_assign: DataFrame,
+    cell_cap: int,
+    max_rounds: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Cap IVF cell sizes by re-clustering oversized cells in place —
+    the FAISS-style answer to a SKEWED corpus (a hot content cluster
+    whose vectors all land in one coarse cell, making every probe of
+    that cell a |cluster|-row scan instead of ~N/k).
+
+    Each round: collect cells with > ``cell_cap`` members (≤ k tiny
+    rows — the same bounded driver-side step as the probe collect),
+    run the SAME deterministic ``kmeans_fit`` on each hot cell's
+    members with k = ⌈2·n/cap⌉ (targets half-cap average so Lloyd's
+    imbalance rarely re-trips the cap), and renumber the sub-cells
+    past the current max id. Probing and appends need NO changes: the
+    split only grows the coarse centroid table, and both already take
+    nearest-of-whatever-coarse/-holds. Rounds bound the recursion; a
+    cell that stays hot after ``max_rounds`` is geometrically
+    unsplittable (near-identical vectors — a dedup problem, not a
+    layout one) and is left with a loud warning rather than looping.
+    Receipted adversarially in SCALE_RECEIPT_r11_ann_skew.json.
+    """
+    from fintech_etl_spark.operators.similarity import kmeans_fit
+
+    for _ in range(max_rounds):
+        sizes = coarse_assign.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        hot = sizes.filter(F.col("n") > cell_cap).collect()
+        if not hot:
+            return coarse_cent, coarse_assign
+        next_id = coarse_cent.agg(F.max("cell")).first()[0]
+        hot_ids = [int(r.cell) for r in hot]
+        keep_cent = coarse_cent.filter(~F.col("cell").isin(hot_ids))
+        keep_assign = coarse_assign.filter(~F.col("cell").isin(hot_ids))
+        new_cents, new_assigns = [], []
+        for r in hot:
+            members = emb.join(
+                coarse_assign.filter(F.col("cell") == int(r.cell)).select(
+                    "vec_id"
+                ),
+                "vec_id",
+                "semi",
+            )
+            sub_k = max(2, -(-2 * int(r.n) // cell_cap))
+            sub_cent, sub_assign = kmeans_fit(members, k=sub_k)
+            new_cents.append(
+                sub_cent.select(
+                    (F.col("cell") + next_id).alias("cell"), "centroid"
+                )
+            )
+            new_assigns.append(
+                sub_assign.select(
+                    "vec_id", (F.col("cell") + next_id).alias("cell"), "dist"
+                )
+            )
+            next_id += sub_k
+        for d in new_cents:
+            keep_cent = keep_cent.unionByName(d)
+        for d in new_assigns:
+            keep_assign = keep_assign.unionByName(d)
+        coarse_cent, coarse_assign = keep_cent, keep_assign
+    still = (
+        coarse_assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cell_cap)
+        .count()
+    )
+    if still:
+        import warnings
+
+        warnings.warn(
+            f"_split_hot_cells: {still} cell(s) still exceed "
+            f"cell_cap={cell_cap} after {max_rounds} split rounds — "
+            "their members are geometrically inseparable (near-"
+            "identical vectors); dedup the corpus instead of "
+            "re-splitting",
+            stacklevel=2,
+        )
+    return coarse_cent, coarse_assign
+
+
 def build_ivf_pq_index(
     spark: SparkSession,
     sf_dir: str,
@@ -472,6 +557,7 @@ def build_ivf_pq_index(
     k: int | None = _KM_K,
     *,
     transactional: bool = False,
+    cell_cap: int | None = None,
 ) -> dict:
     """Materialize the IVF-PQ index the batch ``ann_ivf_pq`` trains per
     invocation, as a SERVABLE on-disk layout (train once, probe many —
@@ -490,6 +576,13 @@ def build_ivf_pq_index(
     rows bit-for-bit — pinned by the streaming parity test. Returns
     layout counts for assertions.
 
+    ``cell_cap`` bounds the largest IVF cell by splitting oversized
+    cells with a second deterministic kmeans pass (the skewed-corpus
+    posture — see :func:`_split_hot_cells`); probing and the frozen-
+    quantizer append contract are unchanged because both take
+    nearest-of-whatever-``coarse/``-holds. Default ``None`` keeps the
+    build bit-identical to the batch ``ann_ivf_pq`` tier.
+
     ``transactional=True`` makes codes/ and vectors/ manifest-backed
     datasets under ONE commit log at the index root (coarse/codebooks
     stay plain immutable files — the append contract freezes them, so
@@ -503,6 +596,13 @@ def build_ivf_pq_index(
     if k is None:  # the auto-k lake contract, as in ivf_pq_search
         k = max(1, -(-emb.count() // 512))
     coarse_cent, coarse_assign = kmeans_fit(emb, k=k)
+    if cell_cap is not None:
+        # skewed-corpus posture: cap cell sizes by splitting hot cells
+        # (see _split_hot_cells). Opt-in — the default build stays
+        # bit-identical to the batch ann_ivf_pq tier (serving parity).
+        coarse_cent, coarse_assign = _split_hot_cells(
+            emb, coarse_cent, coarse_assign, cell_cap
+        )
     pq_cent, codes = pq_fit(emb)
 
     ivf = coarse_assign.select("vec_id", F.col("cell").alias("ivf_cell"))

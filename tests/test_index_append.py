@@ -425,3 +425,86 @@ def test_ivfpq_append_reliable_barrier_parity(spark, tmp_path):
 
     assert _codes_rows(spark, rel) == _codes_rows(spark, local)
     assert _vector_rows(spark, rel) == _vector_rows(spark, local)
+
+
+def _skewed_dir(spark, tmp_path, n=1200, n_hot=300):
+    """A corpus whose HIGHEST vec_ids form one tight cluster — no
+    deterministic kmeans seed (the k lowest ids) starts inside it, so
+    Lloyd's collapses the hot mass into ~one coarse cell (the
+    adversarial shape SCALE_RECEIPT_r11_ann_skew.json measures)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(0.0, 1.0, (n, 64))
+    center = rng.normal(0.0, 1.0, 64) * 2.0
+    v[n - n_hot:] = center + rng.normal(0.0, 0.01, (n_hot, 64))
+    rows = [(i, [float(x) for x in v[i]], i % 10) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tmp_path / "skewed"
+    d.mkdir()
+    df.write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_cell_cap_splits_hot_cell(spark, tmp_path):
+    """cell_cap bounds the largest IVF cell, preserves every vector
+    exactly once, and the frozen-quantizer append keeps working
+    against the expanded coarse table."""
+    sf = _skewed_dir(spark, tmp_path)
+    idx = str(tmp_path / "idx")
+    counts = build_ivf_pq_index(spark, sf, idx, k=None, cell_cap=128)
+    assert counts["vectors"] == 1200
+    sizes = (
+        spark.read.parquet(idx + "/vectors")
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in sizes) <= 128
+    assert sum(r["count"] for r in sizes) == 1200  # a partition, not a copy
+    assert counts["coarse_cells"] == len(sizes) or counts[
+        "coarse_cells"
+    ] >= len(sizes)  # empty cells may exist in coarse
+    # append still assigns to nearest of the EXPANDED coarse table
+    extra = spark.createDataFrame(
+        [(5000 + i, [float(i)] * 64, 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = append_ivf_pq_index(spark, extra, idx)
+    assert got["appended_vectors"] == 5
+    assert spark.read.parquet(idx + "/vectors").count() == 1205
+
+
+def test_cell_cap_none_is_bit_identical(spark, tmp_path):
+    """The default build (cell_cap=None) is unchanged by the split
+    code path — the serving-parity contract with the batch tier."""
+    sf, _a, _b = _split(spark, tmp_path)
+    i1, i2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_ivf_pq_index(spark, sf, i1, k=4)
+    build_ivf_pq_index(spark, sf, i2, k=4, cell_cap=None)
+    assert _codes_rows(spark, i1) == _codes_rows(spark, i2)
+    assert _vector_rows(spark, i1) == _vector_rows(spark, i2)
+
+
+def test_cell_cap_warns_on_unsplittable(spark, tmp_path):
+    """A cell of IDENTICAL vectors cannot be split geometrically —
+    the build warns loudly instead of looping."""
+    import warnings
+
+    rows = [(i, [1.0] * 64, 0) for i in range(60)] + [
+        (100 + i, [float(j % 7) for j in range(i, i + 64)], 1)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tmp_path / "ident"
+    d.mkdir()
+    df.write.parquet(str(d / "embeddings.parquet"))
+    idx = str(tmp_path / "idx_ident")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        build_ivf_pq_index(spark, str(d), idx, k=2, cell_cap=16)
+    assert any("geometrically inseparable" in str(x.message) for x in w)
