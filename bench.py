@@ -137,6 +137,10 @@ HEADLINE = (
     # exact shared BIGINT arithmetic
     "layout_zorder_buckets",
     # appended r10: the end-to-end z-order scan — zorder_write
+    # the transactional twin: manifest-backed build (replace commit) +
+    # staged-segment append (add commit) + pointer-resolved scan — the
+    # lifecycle cost of the layout family's durable mode
+    "layout_zorder_box_query_tx",
     # materializes the clustered layout and the box query is answered
     # FROM it (write + pruned read in one measured operation)
     "layout_zorder_box_query",
