@@ -205,6 +205,75 @@ def main(argv: list[str] | None = None) -> int:
         "--out", help="append results as parquet here instead of JSONL stdout"
     )
 
+    lb = sub.add_parser(
+        "layout-build",
+        help="z-order-cluster a table into a layout directory "
+        "(Delta/Iceberg OPTIMIZE ZORDER shape: box predicates on any "
+        "interleaved key prune most files by footer stats)",
+    )
+    lb.add_argument("table", help="table name under --sf-dir (e.g. lineitem)")
+    lb.add_argument("--sf-dir", required=True)
+    lb.add_argument("--path", required=True, help="output layout dir")
+    lb.add_argument(
+        "--cols", required=True, help="comma-separated z-order key columns"
+    )
+    lb.add_argument("--num-files", type=int, default=32)
+    lb.add_argument(
+        "--transactional",
+        action="store_true",
+        help="manifest-backed layout (atomic pointer commits): appends "
+        "stage invisible segments, re-clustering is a race-free "
+        "snapshot swap, streaming ingest becomes exactly-once per "
+        "source file; append/compact/read auto-detect the mode",
+    )
+
+    la = sub.add_parser(
+        "layout-append",
+        help="cluster a NEW row batch (parquet) against an existing "
+        "layout's frozen curve bounds and append it — cost follows "
+        "the batch, never the corpus",
+    )
+    la.add_argument("--path", required=True, help="existing layout dir")
+    la.add_argument("--rows", required=True, help="parquet of the new batch")
+    la.add_argument("--num-files", type=int, default=4)
+
+    lc = sub.add_parser(
+        "layout-compact",
+        help="re-cluster a manifest-backed layout from itself "
+        "(remove+add commit: concurrent appends are carried forward; "
+        "bounds re-freeze from the data unless --keep-bounds)",
+    )
+    lc.add_argument("--path", required=True)
+    lc.add_argument("--num-files", type=int, default=32)
+    lc.add_argument(
+        "--keep-bounds",
+        action="store_true",
+        help="keep the existing curve bounds instead of re-freezing",
+    )
+    lc.add_argument(
+        "--vacuum-keep",
+        type=int,
+        help="garbage-collect segments not referenced by the newest N "
+        "manifests (keep >= 2 while any scan may be in flight)",
+    )
+
+    lr = sub.add_parser(
+        "ingest-rows",
+        help="checkpointed streaming z-order ingest: watch a JSONL "
+        "glob of row files and cluster each micro-batch into a "
+        "manifest-backed layout — exactly-once per source file (the "
+        "segment and the file keys land in one atomic commit)",
+    )
+    lr.add_argument("--rows-glob", required=True)
+    lr.add_argument("--path", required=True)
+    lr.add_argument("--checkpoint", required=True)
+    lr.add_argument(
+        "--schema",
+        required=True,
+        help='DDL schema of the JSONL rows, e.g. "rowid long, x long"',
+    )
+    lr.add_argument("--num-files", type=int, default=4)
+
     q = sub.add_parser("query", help="run a registered analytics query")
     q.add_argument("name", nargs="?", help="query name (omit to list all)")
     q.add_argument(
@@ -352,6 +421,56 @@ def main(argv: list[str] | None = None) -> int:
                 "vacuum": mfst.vacuum(args.index, keep_last=args.vacuum_keep),
             }
         print(json.dumps({"index": args.index, **stats}))
+    elif args.cmd == "layout-build":
+        from fintech_etl_spark.operators.layout import zorder_write
+        from fintech_etl_spark.sources.tables import load_table
+
+        n = zorder_write(
+            load_table(spark, args.sf_dir, args.table),
+            [c.strip() for c in args.cols.split(",") if c.strip()],
+            args.path,
+            num_files=args.num_files,
+            transactional=args.transactional,
+        )
+        print(json.dumps({"layout": args.path, "rows": n}))
+    elif args.cmd == "layout-append":
+        from fintech_etl_spark.operators.layout import zorder_append
+
+        n = zorder_append(
+            spark.read.parquet(args.rows), args.path, num_files=args.num_files
+        )
+        print(json.dumps({"layout": args.path, "appended_rows": n}))
+    elif args.cmd == "layout-compact":
+        from fintech_etl_spark.operators.layout import zorder_compact
+
+        n = zorder_compact(
+            spark,
+            args.path,
+            num_files=args.num_files,
+            refresh_bounds=not args.keep_bounds,
+        )
+        stats = {"layout": args.path, "rows": n}
+        if args.vacuum_keep is not None:
+            from fintech_etl_spark.sinks import manifest as mfst
+
+            stats["vacuum"] = mfst.vacuum(args.path, keep_last=args.vacuum_keep)
+        print(json.dumps(stats))
+    elif args.cmd == "ingest-rows":
+        from fintech_etl_spark.streaming.layout import start_zorder_ingest
+
+        def on_rows_batch(batch_id: int, n: int) -> None:
+            print(json.dumps({"batch_id": batch_id, "appended": n}))
+
+        start_zorder_ingest(
+            spark,
+            args.rows_glob,
+            args.checkpoint,
+            args.path,
+            args.schema,
+            num_files=args.num_files,
+            on_batch=on_rows_batch,
+        ).awaitTermination()
+        print("ingest drained")
     elif args.cmd == "serve-ann":
         from fintech_etl_spark.streaming.ann import (
             start_ann_queries,

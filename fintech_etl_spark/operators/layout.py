@@ -266,7 +266,12 @@ def zorder_write(
     return read_zorder(df.sparkSession, path).count()
 
 
-def zorder_append(df: DataFrame, path: str, num_files: int = 4) -> int:
+def zorder_append(
+    df: DataFrame,
+    path: str,
+    num_files: int = 4,
+    file_keys: list[str] | None = None,
+) -> int:
     """Incremental Z-order maintenance — the layout twin of the ANN
     index append contract (frozen parameters, batch-proportional
     cost): cluster a NEW batch along the EXISTING layout's curve
@@ -285,13 +290,23 @@ def zorder_append(df: DataFrame, path: str, num_files: int = 4) -> int:
     partial file listing (the half-state window the r10 audit charged
     the plain-directory append with; that mode remains for throwaway
     layouts and is exactly as atomic as a bare parquet append).
+    ``file_keys`` records source-file identities into the manifest's
+    ingested history IN THE SAME COMMIT as the segment — the
+    exactly-once hook the streaming ingest rides (transactional
+    layouts only; the plain directory has no history to record into).
     Returns appended row count."""
     meta = zorder_bounds(path)
     if mf.is_transactional(path):
         seg = mf.new_segment_path(path)
         _cluster_write(df, meta, seg, num_files, "overwrite")
-        mf.commit(path, add={_LAYOUT_DS: [seg]})
+        mf.commit(path, add={_LAYOUT_DS: [seg]}, file_keys=file_keys)
     else:
+        if file_keys:
+            raise ValueError(
+                "zorder_append: file_keys needs a manifest-backed "
+                "layout (zorder_write transactional=True) — the plain "
+                "directory has no ingested history to record into"
+            )
         _cluster_write(df, meta, path, num_files, "append")
     return df.count()
 

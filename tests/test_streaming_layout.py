@@ -1,0 +1,187 @@
+"""Streaming z-order ingest (streaming/layout.py): each micro-batch
+clusters into the manifest-backed layout with exactly-once-per-file
+semantics — the layout twin of the ANN vector ingest's contract.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.operators.layout import (
+    _LAYOUT_DS,
+    read_zorder,
+    zorder_write,
+)
+from fintech_etl_spark.sinks import manifest as mf
+from fintech_etl_spark.streaming.layout import start_zorder_ingest
+
+_SCHEMA = "rowid long, x long, y long"
+
+
+def _frame(spark, n=1000, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("rowid"),
+        (F.col("id") * 37 % 997).cast("long").alias("x"),
+        (F.col("id") * 91 % 983).cast("long").alias("y"),
+    )
+
+
+def _write_jsonl(rows, path):
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _batch_rows(spark, lo, hi):
+    return [
+        {"rowid": r.rowid, "x": r.x, "y": r.y}
+        for r in _frame(spark, hi - lo, offset=lo).collect()
+    ]
+
+
+@pytest.fixture
+def layout(spark, tmp_path):
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 1000), ["x", "y"], root, num_files=4,
+                 transactional=True)
+    land = tmp_path / "land"
+    land.mkdir()
+    return root, land
+
+
+def _drain(spark, land, ck, root, batches=None):
+    got = []
+    q = start_zorder_ingest(
+        spark,
+        str(land / "*.jsonl"),
+        str(ck),
+        root,
+        _SCHEMA,
+        num_files=1,
+        on_batch=lambda bid, n: got.append((bid, n)),
+    )
+    q.awaitTermination()
+    return got
+
+
+def test_ingest_end_to_end(spark, tmp_path, layout):
+    root, land = layout
+    _write_jsonl(_batch_rows(spark, 1000, 1200), land / "a.jsonl")
+    _write_jsonl(_batch_rows(spark, 1200, 1500), land / "b.jsonl")
+    _drain(spark, land, tmp_path / "ck", root)
+    out = read_zorder(spark, root)
+    assert out.count() == 1500
+    # data parity with the batch-built equivalent (layout is physical)
+    want = sorted(tuple(r) for r in _frame(spark, 1500).collect())
+    assert sorted(tuple(r) for r in out.select("rowid", "x", "y").collect()) == want
+    assert mf.ingested_count(root) == 2
+
+
+def test_checkpoint_loss_replay_is_exactly_once(spark, tmp_path, layout):
+    root, land = layout
+    _write_jsonl(_batch_rows(spark, 1000, 1100), land / "a.jsonl")
+    _drain(spark, land, tmp_path / "ck1", root)
+    assert read_zorder(spark, root).count() == 1100
+    # checkpoint lost: a FRESH checkpoint replays the same glob —
+    # the manifest's file history must skip everything
+    _drain(spark, land, tmp_path / "ck2", root)
+    assert read_zorder(spark, root).count() == 1100
+    # and a mixed batch (one replayed + one new file) appends ONLY the
+    # new file's rows
+    _write_jsonl(_batch_rows(spark, 1100, 1150), land / "b.jsonl")
+    _drain(spark, land, tmp_path / "ck3", root)
+    out = read_zorder(spark, root)
+    assert out.count() == 1150
+    assert out.select("rowid").distinct().count() == 1150  # no dupes
+
+
+def test_ingest_requires_transactional(spark, tmp_path):
+    plain = str(tmp_path / "plain")
+    zorder_write(_frame(spark, 100), ["x", "y"], plain, num_files=1)
+    with pytest.raises(ValueError, match="manifest-backed"):
+        start_zorder_ingest(
+            spark, str(tmp_path / "*.jsonl"), str(tmp_path / "ck"), plain,
+            _SCHEMA,
+        )
+
+
+def test_ingested_segments_prune_like_built_ones(spark, tmp_path, layout):
+    """Appended segments cluster against the frozen bounds, so a box
+    scan through the manifest prunes them the same way — and the box
+    answer equals the raw-frame answer."""
+    root, land = layout
+    _write_jsonl(_batch_rows(spark, 1000, 2000), land / "a.jsonl")
+    _drain(spark, land, tmp_path / "ck", root)
+    got = (
+        read_zorder(spark, root)
+        .filter(F.col("x").between(100, 300) & F.col("y").between(100, 300))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rowid").alias("s"))
+        .first()
+    )
+    want = (
+        _frame(spark, 2000)
+        .filter(F.col("x").between(100, 300) & F.col("y").between(100, 300))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rowid").alias("s"))
+        .first()
+    )
+    assert tuple(got) == tuple(want)
+    assert len(mf.dataset_segments(root, _LAYOUT_DS)) == 2
+
+
+def test_cli_layout_lifecycle(spark, tmp_path, capsys, monkeypatch):
+    """CLI layout-build --transactional → layout-append →
+    ingest-rows → layout-compact --vacuum-keep: the whole durable
+    lifecycle from the operator surface a user drives."""
+    import json as _json
+
+    from fintech_etl_spark import cli
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+
+    # a tiny sf-dir with one table
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _frame(spark, 800).write.parquet(str(sf / "base.parquet"))
+    root = str(tmp_path / "lay")
+
+    rc = cli.main([
+        "layout-build", "base", "--sf-dir", str(sf), "--path", root,
+        "--cols", "x,y", "--num-files", "4", "--transactional",
+    ])
+    assert rc in (0, None)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"layout": root, "rows": 800}
+
+    batch = str(tmp_path / "batch.parquet")
+    _frame(spark, 200, offset=800).write.parquet(batch)
+    rc = cli.main(["layout-append", "--path", root, "--rows", batch])
+    assert rc in (0, None)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["appended_rows"] == 200
+
+    land = tmp_path / "land"
+    land.mkdir()
+    _write_jsonl(_batch_rows(spark, 1000, 1100), land / "a.jsonl")
+    rc = cli.main([
+        "ingest-rows", "--rows-glob", str(land / "*.jsonl"),
+        "--path", root, "--checkpoint", str(tmp_path / "ck"),
+        "--schema", _SCHEMA,
+    ])
+    assert rc in (0, None)
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[-1] == "ingest drained"
+    assert _json.loads(lines[-2])["appended"] == 100
+
+    rc = cli.main([
+        "layout-compact", "--path", root, "--num-files", "2",
+        "--vacuum-keep", "2",
+    ])
+    assert rc in (0, None)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 1100
+    assert "vacuum" in out
+    assert read_zorder(spark, root).count() == 1100
