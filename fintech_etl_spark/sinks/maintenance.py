@@ -239,6 +239,18 @@ def compact_transactional(
     add: dict[str, list[str]] = {}
     remove: dict[str, list[str]] = {}
     for name, pcols in datasets.items():
+        meta = mfst.get_dataset_meta(root, name)
+        if meta is not None and {"cols", "bits", "bounds"} <= set(meta):
+            # a z-order layout: a plain rewrite preserves rows but
+            # destroys the per-file curve clustering SILENTLY — every
+            # future box scan would admit every file while the frozen
+            # bounds still claim otherwise
+            raise ValueError(
+                f"compact_transactional: dataset {name!r} is a z-order "
+                "layout (its manifest meta carries curve bounds) — use "
+                "operators.layout.zorder_compact, which re-clusters "
+                "along the curve instead of flattening it"
+            )
         segs = mfst.dataset_segments(root, name)
         if not segs:
             stats[name] = {"files_before": 0, "files_after": 0, "rows": 0}

@@ -236,3 +236,16 @@ def test_compact_plain_layout_is_loud(spark, tmp_path):
     zorder_write(_frame(spark, 100), ["x", "y"], path, num_files=1)
     with pytest.raises(ValueError, match="not manifest-backed"):
         zorder_compact(spark, path)
+
+
+def test_generic_compaction_rejects_layouts(spark, tmp_path):
+    """sinks.maintenance.compact_transactional on a z-order dataset
+    would preserve rows but silently flatten the curve clustering —
+    it must refuse and point at zorder_compact."""
+    from fintech_etl_spark.sinks.maintenance import compact_transactional
+
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 300), ["x", "y"], root, num_files=2,
+                 transactional=True)
+    with pytest.raises(ValueError, match="zorder_compact"):
+        compact_transactional(spark, root, {_LAYOUT_DS: []})
