@@ -212,6 +212,12 @@ def read_zorder(spark: SparkSession, path: str) -> DataFrame:
     files, the manifest only names which ones are live."""
     if mf.is_transactional(path):
         segs = mf.dataset_segments(path, _LAYOUT_DS)
+        if not segs:
+            raise ValueError(
+                f"read_zorder: {path!r} is manifest-backed but its "
+                f"live manifest names no {_LAYOUT_DS!r} segments — not "
+                "a zorder_write layout (or every segment was removed)"
+            )
         return mf.read_segments(spark, segs)
     return spark.read.parquet(path)
 
