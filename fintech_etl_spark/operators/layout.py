@@ -222,6 +222,61 @@ def read_zorder(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def prune_segments(
+    path: str, box: dict[str, tuple[int, int]]
+) -> tuple[list[str], int]:
+    """Manifest-level segment pruning (the Iceberg manifest-stats
+    shape): from ONE pointer read, keep only the segments whose
+    committed column min/max intersect ``box`` ({col: (lo, hi)}).
+    Returns ``(kept absolute paths, total live segments)``.
+
+    This prunes BEFORE any file listing or parquet footer is opened —
+    at 10⁴ ingest segments between compactions, the difference between
+    one small JSON read and 10⁴ object-store LISTs. Footer-stats
+    pruning still applies inside every kept segment (the layers
+    compose: manifest stats skip segments, footers skip files, the
+    curve makes both tight). A segment without stats is always kept —
+    missing stats mean must-scan, never may-skip."""
+    pairs = mf.dataset_segments_with_stats(path, _LAYOUT_DS)
+    kept = []
+    for p, st in pairs:
+        excluded = st is not None and any(
+            c in st and (st[c][1] < lo or st[c][0] > hi)
+            for c, (lo, hi) in box.items()
+        )
+        if not excluded:
+            kept.append(p)
+    return kept, len(pairs)
+
+
+def read_zorder_box(
+    spark: SparkSession, path: str, box: dict[str, tuple[int, int]]
+) -> DataFrame:
+    """Box-predicate scan of a z-ordered layout with every pruning
+    layer engaged: on a manifest-backed layout, segments are excluded
+    driver-side from the manifest's stats (:func:`prune_segments`),
+    then the box filter is pushed into the scan of the kept segments
+    (footer min/max skip files inside them). Plain layouts get the
+    filtered directory read (footer pruning only). Results are
+    EXACTLY the unpruned filter's — pinned by parity tests."""
+    filt = None
+    for c, (lo, hi) in box.items():
+        cond = F.col(c).between(lo, hi)
+        filt = cond if filt is None else (filt & cond)
+    if filt is None:
+        raise ValueError("read_zorder_box: empty box")
+    if mf.is_transactional(path):
+        kept, _total = prune_segments(path, box)
+        if not kept:
+            # every segment excluded: scan nothing — one segment with
+            # an always-false filter keeps the schema without a
+            # hand-written DDL (footers of one segment, no row reads)
+            segs = mf.dataset_segments(path, _LAYOUT_DS)
+            return mf.read_segments(spark, segs[:1]).filter(F.lit(False))
+        return mf.read_segments(spark, kept).filter(filt)
+    return spark.read.parquet(path).filter(filt)
+
+
 def zorder_write(
     df: DataFrame,
     cols: list[str],
@@ -264,7 +319,14 @@ def zorder_write(
         seg = mf.new_segment_path(path)
         _cluster_write(df, meta, seg, num_files, "overwrite")
         mf.commit(
-            path, replace={_LAYOUT_DS: [seg]}, dataset_meta={_LAYOUT_DS: meta}
+            path,
+            replace={_LAYOUT_DS: [seg]},
+            dataset_meta={_LAYOUT_DS: meta},
+            # manifest-level stats: this segment holds the whole frame,
+            # so its min/max ARE the frozen bounds
+            segment_stats={
+                _LAYOUT_DS: {seg: {c: list(v) for c, v in bounds.items()}}
+            },
         )
     else:
         _cluster_write(df, meta, path, num_files, "overwrite")
@@ -303,9 +365,22 @@ def zorder_append(
     Returns appended row count."""
     meta = zorder_bounds(path)
     if mf.is_transactional(path):
+        # the batch's ACTUAL min/max (not the clamped curve bounds) —
+        # one tiny agg; raises on an all-NULL/empty batch, which could
+        # not be placed on the curve anyway
+        batch_bounds = _freeze_bounds(df, meta["cols"], "zorder_append")
         seg = mf.new_segment_path(path)
         _cluster_write(df, meta, seg, num_files, "overwrite")
-        mf.commit(path, add={_LAYOUT_DS: [seg]}, file_keys=file_keys)
+        mf.commit(
+            path,
+            add={_LAYOUT_DS: [seg]},
+            file_keys=file_keys,
+            segment_stats={
+                _LAYOUT_DS: {
+                    seg: {c: list(v) for c, v in batch_bounds.items()}
+                }
+            },
+        )
     else:
         if file_keys:
             raise ValueError(
@@ -343,9 +418,9 @@ def zorder_compact(
     old_segs = mf.dataset_segments(path, _LAYOUT_DS)
     meta = zorder_bounds(path)
     cur = mf.read_segments(spark, old_segs)
+    actual = _freeze_bounds(cur, meta["cols"], "zorder_compact")
     if refresh_bounds:
-        bounds = _freeze_bounds(cur, meta["cols"], "zorder_compact")
-        meta = {"cols": meta["cols"], "bits": meta["bits"], "bounds": bounds}
+        meta = {"cols": meta["cols"], "bits": meta["bits"], "bounds": actual}
     seg = mf.new_segment_path(path)
     _cluster_write(cur, meta, seg, num_files, "overwrite")
     mf.commit(
@@ -353,6 +428,10 @@ def zorder_compact(
         remove={_LAYOUT_DS: old_segs},
         add={_LAYOUT_DS: [seg]},
         dataset_meta={_LAYOUT_DS: meta},
+        # stats are the data's actual min/max even under keep-bounds
+        segment_stats={
+            _LAYOUT_DS: {seg: {c: list(v) for c, v in actual.items()}}
+        },
     )
     return spark.read.parquet(seg).count()
 

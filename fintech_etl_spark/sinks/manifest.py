@@ -407,6 +407,7 @@ def commit(
     file_keys: list[str] | None = None,
     reset_ingested: bool = False,
     dataset_meta: dict[str, dict] | None = None,
+    segment_stats: dict[str, dict[str, dict]] | None = None,
     lock: FileLockProvider | None = None,
 ) -> dict:
     """Write the next manifest version and atomically swap the pointer.
@@ -438,6 +439,18 @@ def commit(
     segments they cluster. Meta for datasets not named is carried
     forward unchanged; naming a dataset overwrites its whole dict.
 
+    ``segment_stats`` attaches per-SEGMENT column min/max —
+    ``{dataset: {segment_path: {col: [lo, hi]}}}`` — the Iceberg
+    manifest-file-stats shape: a planner can exclude whole segments
+    driver-side from the manifest alone, before any footer (or even
+    any file listing) is touched; at 10⁴ ingest segments between
+    compactions that is the difference between one small JSON read
+    and 10⁴ object-store LISTs. Stats follow their segment's
+    lifecycle: carried forward, dropped on ``remove``, reset by
+    ``replace`` (to whatever the replace provides), merged on ``add``.
+    Segments WITHOUT stats are always kept by any pruner (missing
+    stats must mean must-scan, never may-skip).
+
     ``lock`` injects the mutual-exclusion provider (default
     :data:`DEFAULT_LOCK_PROVIDER`, a :class:`FileLockProvider`); the
     whole read-modify-write runs under it, so concurrent committers
@@ -463,9 +476,14 @@ def commit(
             meta_by_ds = {
                 k: dict(v) for k, v in (cur.get("dataset_meta") or {}).items()
             }
+            stats_by_ds = {
+                k: dict(v)
+                for k, v in (cur.get("segment_stats") or {}).items()
+            }
             buckets, cp_count, n_buckets, tail = _ingest_state(cur)
         else:
             version, datasets, meta_by_ds = 0, {}, {}
+            stats_by_ds = {}
             buckets, cp_count, n_buckets, tail = {}, 0, _INGEST_BUCKETS, []
         for ds, dm in (dataset_meta or {}).items():
             meta_by_ds[ds] = dm
@@ -474,6 +492,7 @@ def commit(
 
         for ds, segs in (replace or {}).items():
             datasets[ds] = [_rel(s) for s in segs]
+            stats_by_ds[ds] = {}  # stats follow the segment list
         for ds, segs in (remove or {}).items():
             have = datasets.get(ds, [])
             for s in segs:
@@ -487,10 +506,22 @@ def commit(
                         "vacuum will collect)"
                     )
                 have = [x for x in have if x != r]
+                stats_by_ds.get(ds, {}).pop(r, None)
             datasets[ds] = have
         for ds, segs in (add or {}).items():
             datasets.setdefault(ds, [])
             datasets[ds] = datasets[ds] + [_rel(s) for s in segs]
+        for ds, per_seg in (segment_stats or {}).items():
+            stats_by_ds.setdefault(ds, {}).update(
+                {_rel(p): st for p, st in per_seg.items()}
+            )
+        # drop stats for segments no manifest names (defensive: a stat
+        # for an unnamed segment could only mislead a pruner)
+        for ds in list(stats_by_ds):
+            live = set(datasets.get(ds, []))
+            stats_by_ds[ds] = {
+                r: st for r, st in stats_by_ds[ds].items() if r in live
+            }
 
         tail_set = set(tail)
         cache: dict[str, set] = {}
@@ -520,6 +551,7 @@ def commit(
             "version": version,
             "datasets": datasets,
             "dataset_meta": meta_by_ds,
+            "segment_stats": stats_by_ds,
             "ingested_tail": tail,
             "ingested_checkpoint": (
                 {
@@ -562,6 +594,20 @@ def get_dataset_meta(root: str, dataset: str) -> dict | None:
     list, so callers can never pair fresh segments with stale meta."""
     m = current(root)
     return (m.get("dataset_meta") or {}).get(dataset)
+
+
+def dataset_segments_with_stats(
+    root: str, dataset: str
+) -> list[tuple[str, dict | None]]:
+    """``(absolute segment path, column min/max stats or None)`` per
+    live segment, from ONE pointer read — the planner input for
+    manifest-level pruning. ``None`` stats = must-scan."""
+    m = current(root)
+    stats = (m.get("segment_stats") or {}).get(dataset, {})
+    return [
+        (os.path.join(root, s), stats.get(s))
+        for s in m["datasets"].get(dataset, [])
+    ]
 
 
 def read_segments(spark: SparkSession, segs: list[str]) -> DataFrame:

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from fintech_etl_spark.operators.layout import zorder_append
+from fintech_etl_spark.operators.layout import zorder_append, zorder_bounds
 from fintech_etl_spark.sinks import manifest as mf
 
 
@@ -102,8 +102,26 @@ def start_zorder_ingest(
                 # mixed replay: keep only rows from unprocessed files
                 b = tagged.filter(F.col("_src").isin(todo))
             b = b.drop("_src")
-            if b.isEmpty():
+            # NULL z-order keys fail the stream loudly BEFORE any
+            # append (the vector ingest's fail-stop posture): a NULL
+            # key row would land un-clusterable in some file forever —
+            # silently worse than a halted ingest. zcols come from the
+            # layout's own frozen meta, so the check tracks the curve.
+            zcols = zorder_bounds(layout_path)["cols"]
+            chk = b.agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.count(c).alias(f"n_{c}") for c in zcols],
+            ).first()
+            if chk["n"] == 0:
                 return
+            bad = {c: chk["n"] - chk[f"n_{c}"] for c in zcols}
+            if any(bad.values()):
+                raise ValueError(
+                    f"zorder ingest batch {batch_id}: NULL z-order "
+                    f"key(s) {dict((c, v) for c, v in bad.items() if v)} "
+                    "(malformed JSONL line / schema drift?) — a NULL "
+                    "key cannot be placed on the curve; fix the feed"
+                )
             n = zorder_append(
                 b, layout_path, num_files=num_files, file_keys=todo
             )

@@ -187,12 +187,23 @@ def test_pruning_through_manifest_read(spark, tmp_path):
     predicate through read_zorder admits a minority of the segment's
     files, same as the plain-layout pruning test."""
     root = str(tmp_path / "lay")
-    zorder_write(_frame(spark, 20000), ["x", "y"], root, num_files=16,
+    # hash-scattered keys: the arithmetic-lattice frame used elsewhere
+    # puts points on a line pattern whose per-file boxes are wide and
+    # whose admitted count wobbles with repartitionByRange sampling;
+    # pruning quality is about SCATTERED data, so test that
+    def scattered(n):
+        return spark.range(n).select(
+            F.col("id").alias("rowid"),
+            (F.abs(F.xxhash64("id")) % 997).cast("long").alias("x"),
+            (F.abs(F.xxhash64("id", F.lit(1))) % 983).cast("long").alias("y"),
+        )
+
+    zorder_write(scattered(20000), ["x", "y"], root, num_files=16,
                  transactional=True)
     box = read_zorder(spark, root).filter(
         F.col("x").between(450, 550) & F.col("y").between(400, 500)
     )
-    want = _frame(spark, 20000).filter(
+    want = scattered(20000).filter(
         F.col("x").between(450, 550) & F.col("y").between(400, 500)
     )
     assert _rows(box) == _rows(want)
@@ -249,3 +260,99 @@ def test_generic_compaction_rejects_layouts(spark, tmp_path):
                  transactional=True)
     with pytest.raises(ValueError, match="zorder_compact"):
         compact_transactional(spark, root, {_LAYOUT_DS: []})
+
+
+def test_three_key_curve_round_trip(spark, tmp_path):
+    """with_zvalue/zorder_write support k>2 keys: a 3-key transactional
+    layout round-trips bit-intact and a 3-dim box answered through the
+    manifest equals the raw-frame answer."""
+    df = spark.range(5000).select(
+        F.col("id").alias("rowid"),
+        (F.col("id") * 37 % 997).cast("long").alias("x"),
+        (F.col("id") * 91 % 983).cast("long").alias("y"),
+        (F.col("id") * 53 % 769).cast("long").alias("w"),
+    )
+    root = str(tmp_path / "lay3")
+    assert zorder_write(df, ["x", "y", "w"], root, num_files=8,
+                        transactional=True) == 5000
+    box = (
+        F.col("x").between(200, 400)
+        & F.col("y").between(200, 400)
+        & F.col("w").between(100, 300)
+    )
+    got = read_zorder(spark, root).filter(box)
+    want = df.filter(box)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+
+def test_manifest_segment_stats_prune(spark, tmp_path):
+    """Iceberg-style manifest pruning: appends with disjoint key
+    ranges are excluded driver-side from the manifest's stats alone,
+    and the pruned read returns exactly the unpruned filter's rows."""
+    from fintech_etl_spark.operators.layout import (
+        prune_segments,
+        read_zorder_box,
+    )
+
+    root = str(tmp_path / "lay")
+    base = spark.range(1000).select(
+        F.col("id").alias("rowid"),
+        (F.col("id") % 500).cast("long").alias("x"),
+        (F.col("id") % 400).cast("long").alias("y"),
+    )
+    zorder_write(base, ["x", "y"], root, num_files=2, transactional=True)
+    # three appends in disjoint x-bands (keys clamp on the curve but
+    # stats record ACTUAL values, so pruning sees the real ranges)
+    for i, (lo_x, n) in enumerate([(1000, 200), (2000, 200), (3000, 200)]):
+        b = spark.range(n).select(
+            (F.col("id") + 10_000 * (i + 1)).alias("rowid"),
+            (F.col("id") + lo_x).cast("long").alias("x"),
+            (F.col("id") % 400).cast("long").alias("y"),
+        )
+        zorder_append(b, root, num_files=1)
+
+    # a box inside the second append's band keeps base? no — base is
+    # x<500; kept must be exactly the 2000-band segment
+    kept, total = prune_segments(root, {"x": (2050, 2100)})
+    assert total == 4 and len(kept) == 1
+    got = read_zorder_box(spark, root, {"x": (2050, 2100)})
+    want = read_zorder(spark, root).filter(F.col("x").between(2050, 2100))
+    assert _rows(got) == _rows(want) and got.count() == 51
+
+    # a box spanning base+first band keeps exactly those two
+    kept, _ = prune_segments(root, {"x": (400, 1100)})
+    assert len(kept) == 2
+    # a box beyond every range keeps nothing and returns empty w/ schema
+    kept, _ = prune_segments(root, {"x": (90_000, 99_000)})
+    assert kept == []
+    empty = read_zorder_box(spark, root, {"x": (90_000, 99_000)})
+    assert empty.count() == 0 and set(empty.columns) == {"rowid", "x", "y"}
+
+
+def test_segment_stats_follow_lifecycle(spark, tmp_path):
+    """Stats are carried forward, dropped with removed segments, and
+    reset by a rebuild; segments without stats are always kept."""
+    from fintech_etl_spark.operators.layout import prune_segments
+
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 500), ["x", "y"], root, num_files=1,
+                 transactional=True)
+    zorder_append(_frame(spark, 100, offset=500), root, num_files=1)
+    m = mf.current(root)
+    assert len(m["segment_stats"][_LAYOUT_DS]) == 2
+    # compaction: removed segments' stats drop, the rewrite's appear
+    zorder_compact(spark, root, num_files=1)
+    m = mf.current(root)
+    assert list(m["segment_stats"][_LAYOUT_DS]) == m["datasets"][_LAYOUT_DS]
+    # a stats-less add (foreign committer) is always kept by pruning
+    seg = mf.new_segment_path(root)
+    _frame(spark, 10, offset=600).write.parquet(seg)
+    mf.commit(root, add={_LAYOUT_DS: [seg]})
+    kept, total = prune_segments(root, {"x": (10**9, 10**9 + 1)})
+    assert total == 2 and [s for s in kept] == [seg]
+    # rebuild resets the stats map to the new segment only
+    zorder_write(_frame(spark, 300), ["x", "y"], root, num_files=1)
+    m = mf.current(root)
+    assert len(m["segment_stats"][_LAYOUT_DS]) == 1

@@ -185,3 +185,19 @@ def test_cli_layout_lifecycle(spark, tmp_path, capsys, monkeypatch):
     assert out["rows"] == 1100
     assert "vacuum" in out
     assert read_zorder(spark, root).count() == 1100
+
+
+def test_null_zorder_key_fails_stream_loudly(spark, tmp_path, layout):
+    """A NULL z-order key cannot be placed on the curve — the ingest
+    fail-stops before any append, same posture as the vector ingest."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import StreamingQueryException
+
+    root, land = layout
+    rows = _batch_rows(spark, 1000, 1010)
+    rows[3]["x"] = None
+    _write_jsonl(rows, land / "bad.jsonl")
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as ei:
+        _drain(spark, land, tmp_path / "ck", root)
+    assert "NULL z-order key" in str(ei.value)
+    assert read_zorder(spark, root).count() == 1000  # nothing appended
