@@ -572,6 +572,7 @@ class ManifestMachine(RuleBasedStateMachine):
 
         self.root = tempfile.mkdtemp(prefix="mf_prop_")
         self.datasets: dict[str, list[str]] = {}
+        self.stats: dict[str, dict[str, dict]] = {}
         self.ingested: list[str] = []
         self.version = -1
         self.key_no = 0
@@ -596,19 +597,48 @@ class ManifestMachine(RuleBasedStateMachine):
         self.datasets = {"d0": []}
         self.version = 0
 
-    @rule(ds=st.sampled_from(["d0", "d1"]), n=st.integers(1, 2))
-    def commit_add(self, ds, n):
+    @rule(
+        ds=st.sampled_from(["d0", "d1"]),
+        n=st.integers(1, 2),
+        with_stats=st.booleans(),
+    )
+    def commit_add(self, ds, n, with_stats):
         segs = [self._new_segment() for _ in range(n)]
-        mf.commit(self.root, add={ds: segs})
+        stats = (
+            {ds: {sg: {"x": [i, i + 10]} for i, sg in enumerate(segs)}}
+            if with_stats
+            else None
+        )
+        mf.commit(self.root, add={ds: segs}, segment_stats=stats)
         self.datasets.setdefault(ds, [])
         self.datasets[ds] += [self._rel(s) for s in segs]
+        if with_stats:
+            self.stats.setdefault(ds, {}).update(
+                {self._rel(sg): {"x": [i, i + 10]} for i, sg in enumerate(segs)}
+            )
+        self.version += 1
+
+    @rule(ds=st.sampled_from(["d0", "d1"]), with_stats=st.booleans())
+    def commit_replace(self, ds, with_stats):
+        seg = self._new_segment()
+        stats = {ds: {seg: {"x": [0, 1]}}} if with_stats else None
+        mf.commit(self.root, replace={ds: [seg]}, segment_stats=stats)
+        self.datasets[ds] = [self._rel(seg)]
+        # replace resets the dataset's stats to exactly what it provides
+        self.stats[ds] = (
+            {self._rel(seg): {"x": [0, 1]}} if with_stats else {}
+        )
         self.version += 1
 
     @rule(ds=st.sampled_from(["d0", "d1"]))
-    def commit_replace(self, ds):
-        seg = self._new_segment()
-        mf.commit(self.root, replace={ds: [seg]})
-        self.datasets[ds] = [self._rel(seg)]
+    def commit_remove_one(self, ds):
+        have = self.datasets.get(ds, [])
+        if not have:
+            return
+        victim = have[0]
+        mf.commit(self.root, remove={ds: [os.path.join(self.root, victim)]})
+        self.datasets[ds] = have[1:]
+        self.stats.get(ds, {}).pop(victim, None)
         self.version += 1
 
     @rule(n=st.integers(1, 3))
@@ -647,6 +677,15 @@ class ManifestMachine(RuleBasedStateMachine):
         } == self.datasets
         assert mf.ingested_keys(self.root) == set(self.ingested)
         assert mf.ingested_count(self.root) == len(self.ingested)
+        # stats algebra: exactly the model's, and never for a segment
+        # no dataset names (the must-scan defensive restriction)
+        got_stats = {
+            k: v for k, v in (cur.get("segment_stats") or {}).items() if v
+        }
+        want_stats = {k: v for k, v in self.stats.items() if v}
+        assert got_stats == want_stats
+        for ds, per_seg in got_stats.items():
+            assert set(per_seg) <= set(cur["datasets"].get(ds, []))
         for segs in cur["datasets"].values():
             for s in segs:
                 assert os.path.isdir(os.path.join(self.root, s)), (
