@@ -257,6 +257,22 @@ def main(argv: list[str] | None = None) -> int:
         "manifests (keep >= 2 while any scan may be in flight)",
     )
 
+    lq = sub.add_parser(
+        "layout-query",
+        help="box query against a z-order layout with every pruning "
+        "layer engaged (manifest segment stats, then parquet footer "
+        "stats); prints the kept-segment count and the matching rows",
+    )
+    lq.add_argument("--path", required=True)
+    lq.add_argument(
+        "--box",
+        required=True,
+        help='comma-separated col=lo:hi predicates, e.g. '
+        '"l_partkey=100:200,l_suppkey=10:20"',
+    )
+    lq.add_argument("--limit", type=int, default=20, help="rows to print")
+    lq.add_argument("--out", help="write full result as parquet instead")
+
     lr = sub.add_parser(
         "ingest-rows",
         help="checkpointed streaming z-order ingest: watch a JSONL "
@@ -455,6 +471,32 @@ def main(argv: list[str] | None = None) -> int:
 
             stats["vacuum"] = mfst.vacuum(args.path, keep_last=args.vacuum_keep)
         print(json.dumps(stats))
+    elif args.cmd == "layout-query":
+        from fintech_etl_spark.operators.layout import (
+            prune_segments,
+            read_zorder_box,
+        )
+        from fintech_etl_spark.sinks import manifest as mfst
+
+        box: dict[str, tuple[int, int]] = {}
+        for part in args.box.split(","):
+            col, _, rng = part.strip().partition("=")
+            lo, _, hi = rng.partition(":")
+            box[col] = (int(lo), int(hi))
+        if mfst.is_transactional(args.path):
+            kept, total = prune_segments(args.path, box)
+            print(
+                json.dumps(
+                    {"segments_total": total, "segments_kept": len(kept)}
+                )
+            )
+        df = read_zorder_box(spark, args.path, box)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+        else:
+            for r in df.limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "ingest-rows":
         from fintech_etl_spark.streaming.layout import start_zorder_ingest
 

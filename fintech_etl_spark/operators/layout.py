@@ -585,12 +585,16 @@ def layout_zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment, committed with the frozen curve bounds in one atomic "
         "pointer swap, sinks/manifest.py), an incremental "
         "zorder_append lands a second segment via an add commit, and "
-        "the box is answered through read_zorder's manifest-resolved "
-        "scan. The oracle runs the same box on the raw table, so this "
-        "row proves END-TO-END that the transactional lifecycle — "
-        "replace commit, staged append, pointer-resolved multi-segment "
-        "read — is lossless AND the pruned scan over manifest-named "
-        "segments is correct. Race/crash atomicity is pinned by "
+        "the box is answered through read_zorder_box — manifest-level "
+        "segment-stats pruning first (the Iceberg manifest-file-stats "
+        "shape: whole segments excluded from one pointer read, "
+        "receipted at 43x on a 101-segment fragmented layout in "
+        "SCALE_RECEIPT_r11_manifest_prune.json), then footer pruning "
+        "inside kept segments. The oracle runs the same box on the "
+        "raw table, so this row proves END-TO-END that the "
+        "transactional lifecycle — replace commit, staged append, "
+        "pointer-resolved pruned scan — is lossless AND every pruning "
+        "layer is correct. Race/crash atomicity is pinned by "
         "tests/test_layout_manifest.py (a reader never sees a partial "
         "batch; a crashed commit leaves the old snapshot)."
     ),
@@ -630,11 +634,14 @@ def layout_zorder_box_query_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed, ["l_partkey", "l_suppkey"], path, num_files=28, transactional=True
     )
     zorder_append(batch, path, num_files=4)
-    z = read_zorder(spark, path)
-    return z.filter(
-        F.col("l_partkey").between(p_lo, p_hi)
-        & F.col("l_suppkey").between(s_lo, s_hi)
-    ).agg(
+    # the box goes through read_zorder_box, so the driver's oracle gate
+    # exercises ALL pruning layers every round: manifest segment stats
+    # (committed with the build and the append above) → parquet footer
+    # stats inside kept segments → the curve's box-compactness
+    z = read_zorder_box(
+        spark, path, {"l_partkey": (p_lo, p_hi), "l_suppkey": (s_lo, s_hi)}
+    )
+    return z.agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),

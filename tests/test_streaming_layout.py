@@ -201,3 +201,34 @@ def test_null_zorder_key_fails_stream_loudly(spark, tmp_path, layout):
         _drain(spark, land, tmp_path / "ck", root)
     assert "NULL z-order key" in str(ei.value)
     assert read_zorder(spark, root).count() == 1000  # nothing appended
+
+
+def test_cli_layout_query_prunes(spark, tmp_path, capsys, monkeypatch):
+    import json as _json
+
+    from fintech_etl_spark import cli
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 500), ["x", "y"], root, num_files=2,
+                 transactional=True)
+    # disjoint-band append: the box below hits only this segment
+    import pyspark.sql.functions as _F
+
+    band = spark.range(50).select(
+        (_F.col("id") + 90_000).alias("rowid"),
+        (_F.col("id") + 5000).cast("long").alias("x"),
+        (_F.col("id") % 400).cast("long").alias("y"),
+    )
+    from fintech_etl_spark.operators.layout import zorder_append as _za
+
+    _za(band, root, num_files=1)
+    rc = cli.main([
+        "layout-query", "--path", root, "--box", "x=5010:5020",
+        "--limit", "100",
+    ])
+    assert rc in (0, None)
+    lines = capsys.readouterr().out.strip().splitlines()
+    head = _json.loads(lines[0])
+    assert head == {"segments_total": 2, "segments_kept": 1}
+    assert len(lines) - 1 == 11  # 5010..5020 inclusive
