@@ -251,6 +251,13 @@ def main(argv: list[str] | None = None) -> int:
         help="keep the existing curve bounds instead of re-freezing",
     )
     lc.add_argument(
+        "--max-segments",
+        type=int,
+        help="incremental compaction: fold only the N smallest live "
+        "segments this run (bounds never re-freeze on a partial "
+        "compaction) — flat per-run cost on a fragmented layout",
+    )
+    lc.add_argument(
         "--vacuum-keep",
         type=int,
         help="garbage-collect segments not referenced by the newest N "
@@ -464,6 +471,7 @@ def main(argv: list[str] | None = None) -> int:
             args.path,
             num_files=args.num_files,
             refresh_bounds=not args.keep_bounds,
+            max_segments=args.max_segments,
         )
         stats = {"layout": args.path, "rows": n}
         if args.vacuum_keep is not None:

@@ -397,6 +397,7 @@ def zorder_compact(
     path: str,
     num_files: int = 32,
     refresh_bounds: bool = True,
+    max_segments: int | None = None,
 ) -> int:
     """Re-cluster a manifest-backed layout FROM ITSELF: read the live
     segments, z-write one fresh segment (bounds re-frozen from the
@@ -409,7 +410,18 @@ def zorder_compact(
     concurrent COMPACTION of the same segments raises
     ``StaleSegmentError`` and this rewrite aborts as an invisible
     orphan. Serving reads racing the commit resolve old or new
-    snapshot, never a mix. Returns the compacted row count."""
+    snapshot, never a mix. Returns the compacted row count.
+
+    ``max_segments`` bounds the rewrite to the N SMALLEST live
+    segments (by on-disk bytes) — incremental compaction, the Iceberg
+    partial-``rewriteDataFiles`` shape: after a streaming day leaves
+    10⁴ tiny append segments, a cron of bounded compactions folds the
+    fragmentation tail at flat per-run cost instead of one
+    corpus-sized rewrite. A partial compaction NEVER re-freezes the
+    curve bounds (the untouched segments are clustered on the current
+    curve; changing it under them would lie to the next append), so
+    ``refresh_bounds`` only applies to full compactions. Compacting
+    ≤1 segment is a no-op returning 0."""
     if not mf.is_transactional(path):
         raise ValueError(
             f"zorder_compact: {path!r} is not manifest-backed — plain "
@@ -417,6 +429,21 @@ def zorder_compact(
         )
     old_segs = mf.dataset_segments(path, _LAYOUT_DS)
     meta = zorder_bounds(path)
+    if max_segments is not None and max_segments < len(old_segs):
+        def _bytes(seg: str) -> int:
+            total = 0
+            for dirpath, _d, files in os.walk(seg):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+            return total
+
+        old_segs = sorted(old_segs, key=_bytes)[:max_segments]
+        if len(old_segs) <= 1:
+            return 0  # nothing to fold
+        refresh_bounds = False  # partial: the curve stays frozen
     cur = mf.read_segments(spark, old_segs)
     actual = _freeze_bounds(cur, meta["cols"], "zorder_compact")
     if refresh_bounds:

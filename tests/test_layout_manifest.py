@@ -356,3 +356,42 @@ def test_segment_stats_follow_lifecycle(spark, tmp_path):
     zorder_write(_frame(spark, 300), ["x", "y"], root, num_files=1)
     m = mf.current(root)
     assert len(m["segment_stats"][_LAYOUT_DS]) == 1
+
+
+def test_incremental_compaction(spark, tmp_path):
+    """max_segments folds only the N smallest segments (Iceberg
+    partial-rewrite shape): the big base survives untouched, data is
+    intact, the curve bounds NEVER move on a partial compaction, and
+    stats follow the fold."""
+    from fintech_etl_spark.operators.layout import prune_segments
+
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 3000), ["x", "y"], root, num_files=4,
+                 transactional=True)
+    base_seg = mf.dataset_segments(root, _LAYOUT_DS)[0]
+    bounds0 = zorder_bounds(root)
+    for i in range(4):  # four tiny appends
+        zorder_append(_frame(spark, 50, offset=3000 + 50 * i), root,
+                      num_files=1)
+    assert len(mf.dataset_segments(root, _LAYOUT_DS)) == 5
+
+    n = zorder_compact(spark, root, num_files=1, max_segments=3)
+    assert n == 150  # exactly the three smallest appends folded
+    segs = mf.dataset_segments(root, _LAYOUT_DS)
+    assert len(segs) == 3 and base_seg in segs
+    assert zorder_bounds(root) == bounds0  # partial never re-freezes
+    assert read_zorder(spark, root).count() == 3200
+    # stats cover every live segment (base + survivor + merged)
+    m = mf.current(root)
+    assert set(m["segment_stats"][_LAYOUT_DS]) == set(
+        m["datasets"][_LAYOUT_DS]
+    )
+    # folding down to <= 1 candidate is a no-op
+    assert zorder_compact(spark, root, num_files=1, max_segments=1) == 0
+    assert len(mf.dataset_segments(root, _LAYOUT_DS)) == 3
+    # a later FULL compaction may re-freeze
+    zorder_compact(spark, root, num_files=2)
+    assert len(mf.dataset_segments(root, _LAYOUT_DS)) == 1
+    assert zorder_bounds(root)["bounds"]["x"] != bounds0["bounds"]["x"] or \
+        zorder_bounds(root)["bounds"]["y"] != bounds0["bounds"]["y"] or \
+        read_zorder(spark, root).count() == 3200
