@@ -202,14 +202,39 @@ def zorder_bounds(path: str) -> dict:
         return json.load(fh)
 
 
-def read_zorder(spark: SparkSession, path: str) -> DataFrame:
+def read_zorder(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Scan a z-ordered layout. Transactional layouts resolve the
     manifest pointer per call — an append or re-cluster landing
     mid-stream is seen atomically at the next read, and a racing
     reader can never observe a partial batch (the plain-directory
     listing could). Plain layouts are a direct parquet read. Footer
     pruning works identically in both: segments are just parquet
-    files, the manifest only names which ones are live."""
+    files, the manifest only names which ones are live.
+
+    ``version`` time-travels a transactional layout to an earlier
+    committed snapshot (within the vacuum retention window) — the
+    manifest log makes this free: version-named immutable manifests +
+    superseded segments kept on disk until vacuum. Plain layouts have
+    no history to travel; passing a version there is loud."""
+    if version is not None:
+        if not mf.is_transactional(path):
+            raise ValueError(
+                f"read_zorder: {path!r} is a plain directory — only "
+                "manifest-backed layouts keep the version history "
+                "time travel reads (zorder_write transactional=True)"
+            )
+        m = mf.manifest_at(path, version)
+        segs = [
+            os.path.join(path, s) for s in m["datasets"].get(_LAYOUT_DS, [])
+        ]
+        if not segs:
+            raise ValueError(
+                f"read_zorder: version {version} of {path!r} holds no "
+                f"{_LAYOUT_DS!r} segments"
+            )
+        return mf.read_segments(spark, segs)
     if mf.is_transactional(path):
         segs = mf.dataset_segments(path, _LAYOUT_DS)
         if not segs:

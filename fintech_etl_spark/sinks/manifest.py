@@ -146,6 +146,35 @@ def current(root: str) -> dict:
     return m
 
 
+def manifest_at(root: str, version: int) -> dict:
+    """Load the manifest for a SPECIFIC version — time travel, within
+    the vacuum retention window. Manifests are immutable and
+    version-named, so a historical read needs no lock and no pointer:
+    any version a ``vacuum(keep_last=N)`` has kept resolves to the
+    exact snapshot (segments + dataset meta + stats) that was live
+    when it committed; superseded segments stay on disk until vacuum,
+    which is precisely what makes the snapshot readable. A vacuumed
+    version fails loudly with the retention contract."""
+    mdir = manifests_dir(root)
+    prefix = f"manifest-{version:010d}-"
+    names = [n for n in os.listdir(mdir) if n.startswith(prefix)]
+    if not names:
+        have = sorted(
+            int(n.split("-")[1])
+            for n in os.listdir(mdir)
+            if n.startswith("manifest-")
+        )
+        raise ValueError(
+            f"manifest_at: version {version} of {root!r} is not on "
+            f"disk (kept versions: {have}) — it was vacuumed; raise "
+            "vacuum keep_last to retain a longer time-travel window"
+        )
+    with open(os.path.join(mdir, names[0])) as fh:
+        m = json.load(fh)
+    m["_file"] = names[0]
+    return m
+
+
 def new_segment_path(root: str) -> str:
     """A fresh segment directory path for the caller to write into.
     Staged data is invisible until a commit names it."""

@@ -395,3 +395,35 @@ def test_incremental_compaction(spark, tmp_path):
     assert zorder_bounds(root)["bounds"]["x"] != bounds0["bounds"]["x"] or \
         zorder_bounds(root)["bounds"]["y"] != bounds0["bounds"]["y"] or \
         read_zorder(spark, root).count() == 3200
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """Version-named immutable manifests + retained superseded
+    segments = free time travel: every kept version reads as the
+    exact snapshot that was live at its commit; vacuumed versions and
+    plain layouts fail loudly."""
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 400), ["x", "y"], root, num_files=1,
+                 transactional=True)  # v0: 400 rows
+    zorder_append(_frame(spark, 100, offset=400), root, num_files=1)  # v1
+    zorder_compact(spark, root, num_files=1)  # v2: rewritten
+
+    assert read_zorder(spark, root, version=0).count() == 400
+    assert read_zorder(spark, root, version=1).count() == 500
+    assert read_zorder(spark, root, version=2).count() == 500
+    assert read_zorder(spark, root).count() == 500
+    # v0's snapshot is the PRE-append state even though later versions
+    # rewrote everything
+    assert _rows(read_zorder(spark, root, version=0)) == _rows(
+        _frame(spark, 400)
+    )
+    # retention: keep the last 2 versions -> v0 is gone, loudly
+    mf.vacuum(root, keep_last=2, orphan_grace_sec=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_zorder(spark, root, version=0)
+    assert read_zorder(spark, root, version=1).count() == 500
+    # plain layouts have no history
+    plain = str(tmp_path / "plain")
+    zorder_write(_frame(spark, 10), ["x", "y"], plain, num_files=1)
+    with pytest.raises(ValueError, match="plain directory"):
+        read_zorder(spark, plain, version=0)
