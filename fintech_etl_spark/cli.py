@@ -297,6 +297,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     lr.add_argument("--num-files", type=int, default=4)
 
+    fk = sub.add_parser(
+        "manifest-fsck",
+        help="read-only consistency check of a manifest-backed dataset "
+        "(ANN index or z-order layout): pointer resolves, live "
+        "segments exist, stats name only live segments, ingest "
+        "checkpoint buckets present; counts superseded/orphan "
+        "segments (vacuum debt, not errors). Exit 1 on errors.",
+    )
+    fk.add_argument("--path", required=True)
+
     q = sub.add_parser("query", help="run a registered analytics query")
     q.add_argument("name", nargs="?", help="query name (omit to list all)")
     q.add_argument(
@@ -479,6 +489,12 @@ def main(argv: list[str] | None = None) -> int:
 
             stats["vacuum"] = mfst.vacuum(args.path, keep_last=args.vacuum_keep)
         print(json.dumps(stats))
+    elif args.cmd == "manifest-fsck":
+        from fintech_etl_spark.sinks import manifest as mfst
+
+        report = mfst.fsck(args.path)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
     elif args.cmd == "layout-query":
         from fintech_etl_spark.operators.layout import (
             prune_segments,

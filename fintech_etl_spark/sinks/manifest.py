@@ -787,6 +787,100 @@ def vacuum(
     }
 
 
+def fsck(root: str) -> dict:
+    """Consistency check of a manifest log — the read-only ops tool a
+    table format owes its operators. Verifies, without any lock (all
+    inputs are immutable or atomically swapped):
+
+    - the pointer resolves to a loadable manifest;
+    - every segment the live manifest names exists on disk;
+    - every segment-stats entry names a live segment (the must-scan
+      restriction commit() enforces — drift here means a foreign
+      writer bypassed commit());
+    - every ingested-checkpoint bucket file the live manifest
+      references exists;
+    - on-disk segments the LIVE manifest doesn't name are counted,
+      split into ``superseded_segments`` (named by a retained older
+      manifest — time-travel capital, vacuum reclaims past retention)
+      and ``orphan_segments`` (named by NO manifest — crashed
+      stagings or in-flight writers; vacuum's grace window decides).
+      Neither is an error: both are invisible by design.
+
+    Returns ``{ok, errors, superseded_segments, orphan_segments,
+    versions_on_disk}``; ``ok`` is False iff errors is non-empty.
+    Raises only if ``root`` has no manifest log at all."""
+    if not is_transactional(root):
+        raise ValueError(
+            f"fsck: {root!r} is not a manifest-backed dataset "
+            "(no _manifests/_current pointer)"
+        )
+    errors: list[str] = []
+    mdir = manifests_dir(root)
+    try:
+        m = current(root)
+    except (OSError, json.JSONDecodeError) as e:
+        return {
+            "ok": False,
+            "errors": [f"pointer does not resolve: {e}"],
+            "orphan_segments": None,
+            "versions_on_disk": sorted(
+                int(n.split("-")[1])
+                for n in os.listdir(mdir)
+                if n.startswith("manifest-")
+            ),
+        }
+    live: set[str] = set()
+    for ds, segs in m["datasets"].items():
+        for s in segs:
+            live.add(s)
+            if not os.path.isdir(os.path.join(root, s)):
+                errors.append(f"dataset {ds!r}: missing segment {s!r}")
+    for ds, per_seg in (m.get("segment_stats") or {}).items():
+        for s in per_seg:
+            if s not in set(m["datasets"].get(ds, [])):
+                errors.append(
+                    f"dataset {ds!r}: stats for unnamed segment {s!r} "
+                    "(a pruner could mis-skip live data)"
+                )
+    buckets, _, _, _ = _ingest_state(m)
+    for fname in set(buckets.values()):
+        if not os.path.exists(os.path.join(mdir, fname)):
+            errors.append(f"missing ingested-checkpoint bucket {fname!r}")
+    known: set[str] = set()  # named by ANY retained manifest
+    for n in os.listdir(mdir):
+        if not n.startswith("manifest-"):
+            continue
+        try:
+            with open(os.path.join(mdir, n)) as fh:
+                old = json.load(fh)
+            for segs in old["datasets"].values():
+                known.update(segs)
+        except (OSError, json.JSONDecodeError):
+            errors.append(f"unreadable manifest {n!r}")
+    superseded = orphans = 0
+    seg_root = os.path.join(root, _SEGMENTS)
+    if os.path.isdir(seg_root):
+        for entry in os.listdir(seg_root):
+            rel = os.path.join(_SEGMENTS, entry)
+            if rel in live:
+                continue
+            if rel in known:
+                superseded += 1
+            else:
+                orphans += 1
+    return {
+        "ok": not errors,
+        "errors": errors,
+        "superseded_segments": superseded,
+        "orphan_segments": orphans,
+        "versions_on_disk": sorted(
+            int(n.split("-")[1])
+            for n in os.listdir(mdir)
+            if n.startswith("manifest-")
+        ),
+    }
+
+
 def _tree_newest_mtime(path: str) -> float:
     """Newest mtime of any entry under ``path`` (including itself) —
     the honest 'is anything still writing here' signal for a

@@ -427,3 +427,52 @@ def test_time_travel_reads(spark, tmp_path):
     zorder_write(_frame(spark, 10), ["x", "y"], plain, num_files=1)
     with pytest.raises(ValueError, match="plain directory"):
         read_zorder(spark, plain, version=0)
+
+
+def test_fsck(spark, tmp_path, capsys, monkeypatch):
+    """The read-only consistency checker: healthy log passes with the
+    vacuum-debt counters; a missing live segment, a stats entry for an
+    unnamed segment, and a missing ingest bucket are each reported."""
+    import shutil
+
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 300), ["x", "y"], root, num_files=1,
+                 transactional=True)
+    zorder_append(_frame(spark, 50, offset=300), root, num_files=1)
+    zorder_compact(spark, root, num_files=1)  # leaves superseded segs
+    # a crashed staging: the path handed out, the dir created, no commit
+    os.makedirs(mf.new_segment_path(root), exist_ok=True)
+
+    rep = mf.fsck(root)
+    assert rep["ok"] and rep["errors"] == []
+    assert rep["superseded_segments"] == 2  # pre-compaction base+append
+    assert rep["orphan_segments"] == 1
+    assert rep["versions_on_disk"] == [0, 1, 2]
+
+    # CLI: healthy -> exit 0 + JSON report
+    from fintech_etl_spark import cli
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    assert cli.main(["manifest-fsck", "--path", root]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is True
+
+    # break it three ways
+    live = mf.dataset_segments(root, _LAYOUT_DS)[0]
+    shutil.rmtree(live)  # 1: live segment gone
+    m = mf.current(root)
+    mpath = os.path.join(mf.manifests_dir(root), m["_file"])
+    m.pop("_file")
+    m["segment_stats"][_LAYOUT_DS]["segments/deadbeef"] = {"x": [0, 1]}  # 2
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    rep = mf.fsck(root)
+    assert not rep["ok"]
+    assert any("missing segment" in e for e in rep["errors"])
+    assert any("unnamed segment" in e for e in rep["errors"])
+    assert cli.main(["manifest-fsck", "--path", root]) == 1
+    capsys.readouterr()
+
+    # 3: a plain dir is loud
+    with pytest.raises(ValueError, match="not a manifest-backed"):
+        mf.fsck(str(tmp_path))
