@@ -297,6 +297,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     lr.add_argument("--num-files", type=int, default=4)
 
+    mr = sub.add_parser(
+        "manifest-restore",
+        help="roll a manifest-backed dataset back to a retained "
+        "version (Delta RESTORE shape): a new commit re-references "
+        "the target's segments, meta, stats, and ingest history — "
+        "history stays linear; the undone versions stay readable "
+        "until vacuum",
+    )
+    mr.add_argument("--path", required=True)
+    mr.add_argument("--version", type=int, required=True)
+
     fk = sub.add_parser(
         "manifest-fsck",
         help="read-only consistency check of a manifest-backed dataset "
@@ -489,6 +500,21 @@ def main(argv: list[str] | None = None) -> int:
 
             stats["vacuum"] = mfst.vacuum(args.path, keep_last=args.vacuum_keep)
         print(json.dumps(stats))
+    elif args.cmd == "manifest-restore":
+        from fintech_etl_spark.sinks import manifest as mfst
+
+        m = mfst.restore(args.path, args.version)
+        print(
+            json.dumps(
+                {
+                    "restored_from": args.version,
+                    "new_version": m["version"],
+                    "datasets": {
+                        k: len(v) for k, v in m["datasets"].items()
+                    },
+                }
+            )
+        )
     elif args.cmd == "manifest-fsck":
         from fintech_etl_spark.sinks import manifest as mfst
 

@@ -787,6 +787,77 @@ def vacuum(
     }
 
 
+def restore(
+    root: str, version: int, lock: FileLockProvider | None = None
+) -> dict:
+    """Roll the dataset back to a retained ``version`` — the Delta
+    ``RESTORE TABLE`` shape: a NEW commit whose datasets, dataset
+    meta, segment stats, AND ingested-file history all equal the
+    target version's, so history stays linear (the bad versions
+    remain readable via time travel until vacuum) and crash recovery
+    stays "do nothing".
+
+    Restoring the INGEST HISTORY with the data is the load-bearing
+    part: the rolled-back versions' file keys describe rows the
+    restore just discarded — keeping them would make a replay (or a
+    corrected re-drop of the bad file) silently skip those files
+    forever, the same loss class ``reset_ingested`` closes for
+    rebuilds. The target's checkpoint bucket files are immutable and
+    still on disk for any retained version, so the restored manifest
+    re-references them; vacuum keeps every bucket a kept manifest
+    names.
+
+    Requires the target version to still be on disk (within the
+    vacuum retention window) — :func:`manifest_at` is loud otherwise.
+    Returns the new manifest."""
+    target = manifest_at(root, version)
+    mdir = manifests_dir(root)
+    provider = lock if lock is not None else DEFAULT_LOCK_PROVIDER
+    handle = provider.acquire(mdir)
+    try:
+        cur = current(root)
+        for ds, segs in target["datasets"].items():
+            for s in segs:
+                if not os.path.isdir(os.path.join(root, s)):
+                    raise ValueError(
+                        f"restore: version {version} names segment "
+                        f"{s!r} which is no longer on disk (vacuumed) "
+                        "— raise vacuum keep_last to retain a longer "
+                        "restore window"
+                    )
+        new_version = cur["version"] + 1
+        name = f"manifest-{new_version:010d}-{uuid.uuid4().hex[:8]}.json"
+        m = {
+            "version": new_version,
+            "datasets": {k: list(v) for k, v in target["datasets"].items()},
+            "dataset_meta": dict(target.get("dataset_meta") or {}),
+            "segment_stats": {
+                k: dict(v)
+                for k, v in (target.get("segment_stats") or {}).items()
+            },
+            "ingested_tail": list(target.get("ingested_tail") or []),
+            "ingested_checkpoint": target.get("ingested_checkpoint"),
+            "restored_from": version,
+        }
+        # r10-era manifests carried the inline list; restore it as the
+        # tail so the migration path in _ingest_state keeps working
+        if "ingested_tail" not in target and "ingested_files" in target:
+            m["ingested_tail"] = list(target["ingested_files"])
+        _fsync_write(os.path.join(mdir, name), json.dumps(m, indent=1))
+        tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
+        _fsync_write(tmp, name)
+        os.replace(tmp, os.path.join(mdir, _CURRENT))
+        dfd = os.open(mdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    finally:
+        provider.release(handle)
+    m["_file"] = name
+    return m
+
+
 def fsck(root: str) -> dict:
     """Consistency check of a manifest log — the read-only ops tool a
     table format owes its operators. Verifies, without any lock (all

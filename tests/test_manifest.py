@@ -574,6 +574,9 @@ class ManifestMachine(RuleBasedStateMachine):
         self.datasets: dict[str, list[str]] = {}
         self.stats: dict[str, dict[str, dict]] = {}
         self.ingested: list[str] = []
+        #: version -> deep snapshot of (datasets, stats, ingested),
+        #: for the restore rule's model
+        self.history: dict[int, tuple] = {}
         self.version = -1
         self.key_no = 0
         # shrink the rollup threshold so random runs actually fold the
@@ -591,11 +594,22 @@ class ManifestMachine(RuleBasedStateMachine):
     def _rel(self, seg: str) -> str:
         return os.path.relpath(seg, self.root)
 
+    def _snap(self):
+        self.history[self.version] = (
+            {k: list(v) for k, v in self.datasets.items()},
+            {
+                k: {r: dict(st_) for r, st_ in v.items()}
+                for k, v in self.stats.items()
+            },
+            list(self.ingested),
+        )
+
     @initialize()
     def init_commit(self):
         mf.commit(self.root, replace={"d0": []})
         self.datasets = {"d0": []}
         self.version = 0
+        self._snap()
 
     @rule(
         ds=st.sampled_from(["d0", "d1"]),
@@ -617,6 +631,7 @@ class ManifestMachine(RuleBasedStateMachine):
                 {self._rel(sg): {"x": [i, i + 10]} for i, sg in enumerate(segs)}
             )
         self.version += 1
+        self._snap()
 
     @rule(ds=st.sampled_from(["d0", "d1"]), with_stats=st.booleans())
     def commit_replace(self, ds, with_stats):
@@ -629,6 +644,7 @@ class ManifestMachine(RuleBasedStateMachine):
             {self._rel(seg): {"x": [0, 1]}} if with_stats else {}
         )
         self.version += 1
+        self._snap()
 
     @rule(ds=st.sampled_from(["d0", "d1"]))
     def commit_remove_one(self, ds):
@@ -640,6 +656,7 @@ class ManifestMachine(RuleBasedStateMachine):
         self.datasets[ds] = have[1:]
         self.stats.get(ds, {}).pop(victim, None)
         self.version += 1
+        self._snap()
 
     @rule(n=st.integers(1, 3))
     def commit_file_keys(self, n):
@@ -648,6 +665,7 @@ class ManifestMachine(RuleBasedStateMachine):
         mf.commit(self.root, file_keys=keys)
         self.ingested += keys
         self.version += 1
+        self._snap()
 
     @rule()
     def duplicate_file_key_rejected(self):
@@ -665,6 +683,33 @@ class ManifestMachine(RuleBasedStateMachine):
     @rule(keep=st.integers(1, 3))
     def vacuum(self, keep):
         mf.vacuum(self.root, keep_last=keep)
+
+    @rule(back=st.integers(1, 4))
+    def restore_rule(self, back):
+        """Roll back ``back`` versions if that version is still
+        restorable; a vacuumed manifest or vacuumed segment must be a
+        LOUD ValueError, never a partial restore. On success the
+        model adopts the target's snapshot — datasets, stats, AND
+        ingested history (the silent-loss contract)."""
+        v = self.version - back
+        if v < 0:
+            return
+        before = mf.current(self.root)["version"]
+        try:
+            mf.restore(self.root, v)
+        except ValueError:
+            # vacuumed: the pointer must not have moved
+            assert mf.current(self.root)["version"] == before
+            return
+        snap = self.history[v]
+        self.datasets = {k: list(x) for k, x in snap[0].items()}
+        self.stats = {
+            k: {r: dict(st_) for r, st_ in x.items()}
+            for k, x in snap[1].items()
+        }
+        self.ingested = list(snap[2])
+        self.version += 1
+        self._snap()
 
     @invariant()
     def pointer_matches_model(self):
@@ -702,6 +747,7 @@ class ManifestMachine(RuleBasedStateMachine):
         mf.commit(self.root, file_keys=keys)
         self.ingested += keys
         self.version += 1
+        self._snap()
         cur = mf.current(self.root)
         if cur.get("ingested_checkpoint"):
             assert len(cur["ingested_tail"]) <= mf._INGEST_TAIL_MAX
@@ -711,6 +757,7 @@ class ManifestMachine(RuleBasedStateMachine):
         mf.commit(self.root, reset_ingested=True)
         self.ingested = []
         self.version += 1
+        self._snap()
 
     def teardown(self):
         import shutil

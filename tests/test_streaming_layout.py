@@ -232,3 +232,46 @@ def test_cli_layout_query_prunes(spark, tmp_path, capsys, monkeypatch):
     head = _json.loads(lines[0])
     assert head == {"segments_total": 2, "segments_kept": 1}
     assert len(lines) - 1 == 11  # 5010..5020 inclusive
+
+
+def test_restore_undoes_a_bad_ingest(spark, tmp_path, layout, capsys,
+                                     monkeypatch):
+    """Delta-RESTORE shape end-to-end: a bad streamed file lands (v1),
+    restore to v0 discards its rows AND its ingest key — so the
+    corrected re-drop of the same file path re-ingests instead of
+    being silently skipped — history stays linear and readable, and
+    fsck stays clean."""
+    import json as _json
+
+    from fintech_etl_spark import cli
+
+    root, land = layout  # v0: 1000 rows
+    bad = _batch_rows(spark, 1000, 1100)
+    bad[0]["rowid"] = -999  # the "corruption"
+    _write_jsonl(bad, land / "a.jsonl")
+    _drain(spark, land, tmp_path / "ck1", root)  # v1
+    assert read_zorder(spark, root).count() == 1100
+    assert mf.ingested_count(root) == 1
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    assert cli.main(["manifest-restore", "--path", root, "--version", "0"]) in (0, None)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["restored_from"] == 0 and out["new_version"] == 2
+    assert read_zorder(spark, root).count() == 1000  # bad batch gone
+    assert mf.ingested_count(root) == 0  # its file key too
+    # the bad version stays readable until vacuum (linear history)
+    assert read_zorder(spark, root, version=1).count() == 1100
+    assert mf.fsck(root)["ok"]
+
+    # corrected re-drop of the SAME file path re-ingests (fresh
+    # checkpoint = the replay shape; the restored history must not
+    # remember the discarded file)
+    _write_jsonl(_batch_rows(spark, 1000, 1100), land / "a.jsonl")
+    _drain(spark, land, tmp_path / "ck2", root)
+    assert read_zorder(spark, root).count() == 1100
+    assert read_zorder(spark, root).filter("rowid = -999").count() == 0
+
+    # restoring a vacuumed version is loud
+    mf.vacuum(root, keep_last=1, orphan_grace_sec=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        mf.restore(root, 0)
