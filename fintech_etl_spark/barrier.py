@@ -31,6 +31,18 @@ Strategies (the ``barrier=`` argument on public helpers):
   especially preemptible/spot fleets, where executor loss is the
   dominant failure mode — and every barrier-using operator becomes
   fault-tolerant with no call-site change.
+
+Checkpoint retention: Spark never deletes reliable checkpoint files by
+default, so iterative operators routed through ``"reliable"`` (one
+barrier per iteration in pagerank / connected_components / kmeans_fit /
+pq_fit) would accrete one permanent materialized copy per iteration
+per job. ``build_session`` therefore sets
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — the
+context cleaner removes a checkpoint's files once its DataFrame is
+garbage-collected. Sessions built elsewhere should set the same flag,
+or pair the checkpoint dir with a retention sweep (e.g. a TTL'd
+bucket prefix); without either, plan for checkpoint-dir growth
+proportional to total iterations run.
 """
 
 from __future__ import annotations

@@ -297,6 +297,13 @@ def read_zorder_box(
             # an always-false filter keeps the schema without a
             # hand-written DDL (footers of one segment, no row reads)
             segs = mf.dataset_segments(path, _LAYOUT_DS)
+            if not segs:
+                raise ValueError(
+                    f"read_zorder_box: {path!r} is manifest-backed but "
+                    f"its live manifest names no {_LAYOUT_DS!r} segments "
+                    "— not a zorder_write layout (or every segment was "
+                    "removed)"
+                )
             return mf.read_segments(spark, segs[:1]).filter(F.lit(False))
         return mf.read_segments(spark, kept).filter(filt)
     return spark.read.parquet(path).filter(filt)
@@ -445,8 +452,12 @@ def zorder_compact(
     corpus-sized rewrite. A partial compaction NEVER re-freezes the
     curve bounds (the untouched segments are clustered on the current
     curve; changing it under them would lie to the next append), so
-    ``refresh_bounds`` only applies to full compactions. Compacting
-    ≤1 segment is a no-op returning 0."""
+    ``refresh_bounds`` only applies to full compactions. A PARTIAL
+    compaction whose ``max_segments`` selection lands on ≤1 segment is
+    a no-op returning 0 (folding one segment into itself changes
+    nothing); a FULL compaction always rewrites, even of a
+    single-segment layout — that is exactly how a drift-degraded
+    layout re-freezes its curve bounds from the live data."""
     if not mf.is_transactional(path):
         raise ValueError(
             f"zorder_compact: {path!r} is not manifest-backed — plain "

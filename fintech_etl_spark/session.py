@@ -73,6 +73,14 @@ def build_session(
         # see NANOS_AS_LONG_KEY: session-wide so behavior doesn't
         # depend on which table was loaded first.
         .config(NANOS_AS_LONG_KEY, "true")
+        # Reliable checkpoints (the barrier module's "reliable"/"auto"
+        # strategy on checkpoint-dir clusters) are never deleted by
+        # Spark by default — iterative operators (pagerank, connected
+        # components, k-means/PQ fits) would leave one materialized
+        # copy per iteration per job in the checkpoint dir forever.
+        # With the context cleaner tracking them, checkpoint files are
+        # removed once the DataFrame is garbage-collected.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # planner-level filter pushdown into Python DataSources
         # (sources/inbox.py implements pushFilters)
         .config("spark.sql.python.filterPushdown.enabled", "true")

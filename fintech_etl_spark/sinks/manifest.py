@@ -891,8 +891,14 @@ def fsck(root: str) -> dict:
         m = current(root)
     except (OSError, json.JSONDecodeError) as e:
         return {
+            # same key set as the success path — callers indexing the
+            # documented shape must not KeyError exactly on the
+            # corrupted datasets fsck exists to diagnose; the segment
+            # counts are None (unknown) because without a resolvable
+            # pointer there is no live set to classify against
             "ok": False,
             "errors": [f"pointer does not resolve: {e}"],
+            "superseded_segments": None,
             "orphan_segments": None,
             "versions_on_disk": sorted(
                 int(n.split("-")[1])
