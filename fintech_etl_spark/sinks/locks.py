@@ -1,0 +1,202 @@
+"""CAS-lease commit-lock provider — the object-store posture.
+
+:class:`~fintech_etl_spark.sinks.manifest.FileLockProvider` needs an
+atomic create-exclusive (``O_CREAT|O_EXCL``), which POSIX, NFSv4 and
+HDFS give but S3-class object stores historically did not — the same
+gap that makes Delta-on-S3 require the DynamoDB LogStore and Iceberg
+ship a ``DynamoDbLockManager``. What those services DO give is a tiny
+conditional-write vocabulary, and that is the entire surface this
+module builds on:
+
+===========================  =======================================
+primitive here               real-service mapping
+===========================  =======================================
+``put_if_absent(k, v)``      S3 ``PutObject`` + ``If-None-Match: *``
+                             (atomic since 2024) / GCS
+                             ``x-goog-if-generation-match: 0`` /
+                             DynamoDB ``PutItem`` with
+                             ``attribute_not_exists(key)``
+``get(k)``                   plain GET
+``delete_if_match(k, v)``    DynamoDB conditional ``DeleteItem`` /
+                             GCS delete ``if-generation-match`` /
+                             S3 ``DeleteObject`` + ``If-Match`` (etag)
+===========================  =======================================
+
+:class:`CASLockProvider` composes them into a LEASE (the
+Delta/Iceberg DynamoDB-lock shape): ``acquire`` is a
+``put_if_absent`` of ``{owner, expires_at}``; a conflicting acquire
+GETs the lease and, once it is past expiry, issues a
+``delete_if_match`` of the EXACT stale value before retrying the put
+— conditional delete is what makes the steal single-winner (two
+stealers cannot both match; the loser re-observes). ``release`` is a
+``delete_if_match`` on the holder's own lease value, so a holder
+paused past its expiry whose lease was stolen can never delete the
+thief's lease. Commit critical sections are microsecond metadata
+steps (the data is staged outside the lock), so leases are not
+renewed — ``lease_sec`` plays the same role as the file provider's
+staleness bound: crash recovery, not liveness negotiation.
+
+:class:`CASStore` is the in-process emulation used in tests: one
+JSON file per key under a scratch directory, mutated via
+``os.replace`` under an internal mutex that stands in for the
+service's server-side serialization. Its fault injection models the
+classic at-least-once client window — ``lose_ack_every=N`` makes
+every Nth successful ``put_if_absent`` APPLY server-side but raise
+``TimeoutError`` to the caller (the ack is lost). A correct client
+must then re-inspect: if the stored owner is its own token, its put
+actually won — :meth:`CASLockProvider.acquire` does exactly that, so
+a lost-then-won race converges instead of deadlocking on its own
+lease.
+
+No part of :mod:`fintech_etl_spark.sinks.manifest` changes to use
+this: ``commit(..., lock=CASLockProvider(store))`` plugs it into the
+same injection point the race-test matrix drives for both providers
+(``tests/test_manifest.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+
+__all__ = ["CASStore", "CASLockProvider"]
+
+
+class CASStore:
+    """Conditional-put KV emulation over a scratch directory.
+
+    Only the three primitives a real CAS service exposes (see module
+    docstring) — deliberately NO rename-steal, hard links, inodes or
+    mtimes, so a lock built on it is honest about what an object
+    store can do. An internal mutex emulates server-side atomicity;
+    values persist as one JSON file per key (``os.replace`` keeps
+    each visible state complete).
+
+    ``lose_ack_every=N``: every Nth SUCCESSFUL ``put_if_absent``
+    applies its write, then raises ``TimeoutError`` — the lost-ack
+    fault every at-least-once client must tolerate.
+    """
+
+    def __init__(self, root: str, lose_ack_every: int = 0) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.lose_ack_every = lose_ack_every
+        self._mutex = threading.Lock()
+        self._puts_applied = 0
+
+    def _path(self, key: str) -> str:
+        # keys are service-namespace strings; flatten to one file name
+        safe = key.replace(os.sep, "_").replace(":", "_")
+        return os.path.join(self.root, f"{safe}.json")
+
+    def put_if_absent(self, key: str, value: dict) -> bool:
+        """Atomic create-exclusive. True = this call created the key."""
+        with self._mutex:
+            path = self._path(key)
+            if os.path.exists(path):
+                return False
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(value, fh)
+            os.replace(tmp, path)
+            self._puts_applied += 1
+            if (
+                self.lose_ack_every
+                and self._puts_applied % self.lose_ack_every == 0
+            ):
+                raise TimeoutError(
+                    "CASStore: put applied but ack lost (injected)"
+                )
+            return True
+
+    def get(self, key: str) -> dict | None:
+        with self._mutex:
+            try:
+                with open(self._path(key)) as fh:
+                    return json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                return None
+
+    def delete_if_match(self, key: str, expected: dict) -> bool:
+        """Conditional delete: removes the key only if its current
+        value equals ``expected``. True = this call deleted it. The
+        single-winner guarantee every steal and release builds on."""
+        with self._mutex:
+            path = self._path(key)
+            try:
+                with open(path) as fh:
+                    cur = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                return False
+            if cur != expected:
+                return False
+            os.unlink(path)
+            return True
+
+
+class CASLockProvider:
+    """Lease-based mutual exclusion over a :class:`CASStore` (or any
+    object with the same three primitives). Drop-in for the
+    ``lock=`` parameter of manifest ``commit``/``vacuum``/``restore``:
+    ``acquire(mdir)`` blocks until it holds the lease scoped to
+    ``mdir`` (RuntimeError on timeout), ``release(handle)`` drops
+    only a lease the caller still owns.
+    """
+
+    def __init__(
+        self,
+        store: CASStore,
+        lease_sec: float = 60.0,
+        timeout_sec: float = 120.0,
+        poll_sec: float = 0.02,
+    ) -> None:
+        self.store = store
+        self.lease_sec = lease_sec
+        self.timeout_sec = timeout_sec
+        self.poll_sec = poll_sec
+
+    def _lease_key(self, mdir: str) -> str:
+        return f"lease:{os.path.abspath(mdir)}"
+
+    def acquire(self, mdir: str) -> tuple[str, dict]:
+        key = self._lease_key(mdir)
+        owner = uuid.uuid4().hex
+        deadline = time.monotonic() + self.timeout_sec
+        while True:
+            lease = {"owner": owner, "expires_at": time.time() + self.lease_sec}
+            try:
+                if self.store.put_if_absent(key, lease):
+                    return (key, lease)
+            except TimeoutError:
+                # ack lost — the put may still have WON server-side;
+                # re-inspect before treating it as a conflict
+                cur = self.store.get(key)
+                if cur is not None and cur.get("owner") == owner:
+                    return (key, cur)
+            cur = self.store.get(key)
+            if cur is None:
+                continue  # holder released between put and get — retry now
+            if cur.get("owner") == owner:
+                return (key, cur)  # our own lost-ack put won
+            if time.time() > float(cur.get("expires_at", 0)):
+                # expired lease: conditional-delete the EXACT value we
+                # judged stale — exactly one stealer's delete matches,
+                # losers re-observe whatever lease exists next
+                self.store.delete_if_match(key, cur)
+                continue
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"manifest commit: CAS lease {key!r} held for "
+                    f">{self.timeout_sec}s — a committer is stuck inside "
+                    "what should be a microsecond metadata step"
+                )
+            time.sleep(self.poll_sec)
+
+    def release(self, handle: tuple[str, dict]) -> None:
+        key, lease = handle
+        # delete only OUR lease value: if it expired and was stolen,
+        # the thief's lease differs and this is a no-op
+        self.store.delete_if_match(key, lease)

@@ -1,0 +1,179 @@
+"""CAS lease lock provider (sinks/locks.py) — the object-store
+mutual-exclusion posture. Pinned here:
+
+- mutual exclusion: N threads hammering manifest commits through a
+  CASLockProvider lose no update (the same invariant the file lock
+  carries; the full two-provider race matrix lives in
+  tests/test_manifest.py via the ``lock_matrix`` fixture);
+- lease expiry steal is single-winner: many stealers observing the
+  SAME expired lease — exactly one conditional-delete matches, and
+  no two committers are ever inside the critical section at once;
+- lost-then-won acks: a put_if_absent that APPLIES server-side but
+  whose ack is lost (the injected at-least-once fault) converges —
+  the client re-inspects, recognizes its own token, and proceeds
+  instead of deadlocking on its own lease;
+- an expired holder whose lease was stolen cannot release the
+  thief's lease (conditional delete on the OLD value is a no-op);
+- acquire times out loudly on a live (unexpired) foreign lease.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+
+from fintech_etl_spark.sinks import manifest as mf
+from fintech_etl_spark.sinks.locks import CASLockProvider, CASStore
+
+
+def test_cas_store_primitives(tmp_path):
+    st = CASStore(str(tmp_path / "cas"))
+    assert st.get("k") is None
+    assert st.put_if_absent("k", {"v": 1}) is True
+    assert st.put_if_absent("k", {"v": 2}) is False  # create-exclusive
+    assert st.get("k") == {"v": 1}
+    assert st.delete_if_match("k", {"v": 2}) is False  # wrong expected
+    assert st.get("k") == {"v": 1}
+    assert st.delete_if_match("k", {"v": 1}) is True
+    assert st.get("k") is None
+    assert st.delete_if_match("k", {"v": 1}) is False  # already gone
+
+
+def test_cas_commit_serializes_metadata_threads(tmp_path):
+    """The lost-update test, CAS edition: every commit survives, the
+    version counter counts every one, no segment reference is lost."""
+    provider = CASLockProvider(CASStore(str(tmp_path / "cas")))
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []}, lock=provider)
+    errors: list[str] = []
+
+    def adder(tid):
+        try:
+            for i in range(8):
+                seg = mf.new_segment_path(root)
+                os.makedirs(seg)
+                mf.commit(
+                    root,
+                    add={"d": [seg]},
+                    file_keys=[f"t{tid}-{i}"],
+                    lock=provider,
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=adder, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    cur = mf.current(root)
+    assert cur["version"] == 32
+    assert len(cur["datasets"]["d"]) == 32
+    assert len(mf.ingested_keys(root)) == 32
+    # the file provider was never involved
+    assert not os.path.exists(
+        os.path.join(mf.manifests_dir(root), "_commit.lock")
+    )
+
+
+def test_cas_expired_lease_steal_is_single_winner(tmp_path):
+    """N waiters all observing the SAME expired lease: delete_if_match
+    admits exactly one stealer per observation, and the critical
+    sections never overlap."""
+    store = CASStore(str(tmp_path / "cas"))
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    # a crashed holder's lease, expired long ago
+    dead = CASLockProvider(store, lease_sec=-10.0)
+    dead.acquire(mdir)  # expires_at is already in the past
+
+    provider = CASLockProvider(store, lease_sec=60.0, timeout_sec=30.0)
+    inside: list[tuple[float, float]] = []
+    guard = threading.Lock()
+
+    def committer():
+        h = provider.acquire(mdir)
+        t0 = time.monotonic()
+        time.sleep(0.01)  # widen any overlap window
+        t1 = time.monotonic()
+        with guard:
+            inside.append((t0, t1))
+        provider.release(h)
+
+    threads = [threading.Thread(target=committer) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert len(inside) == 8
+    spans = sorted(inside)
+    overlaps = [
+        (a, b)
+        for a, b in zip(spans, spans[1:])
+        if b[0] < a[1]
+    ]
+    assert not overlaps, "two committers were inside the lease at once"
+
+
+def test_cas_lost_ack_acquire_converges(tmp_path):
+    """Every 2nd successful put applies but raises TimeoutError. The
+    provider must recognize its own winning token and proceed — and
+    under that fault, threaded commits still lose nothing."""
+    store = CASStore(str(tmp_path / "cas"), lose_ack_every=2)
+    provider = CASLockProvider(store, timeout_sec=30.0)
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []}, lock=provider)
+    errors: list[str] = []
+
+    def adder(tid):
+        try:
+            for i in range(6):
+                mf.commit(root, file_keys=[f"t{tid}-{i}"], lock=provider)
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=adder, args=(t,)) for t in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert mf.current(root)["version"] == 18
+    assert len(mf.ingested_keys(root)) == 18
+
+
+def test_cas_expired_holder_cannot_release_thiefs_lease(tmp_path):
+    """The stolen-lock victim scenario: a holder paused past expiry
+    releases AFTER a thief took over — the thief's lease survives."""
+    store = CASStore(str(tmp_path / "cas"))
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    victim = CASLockProvider(store, lease_sec=0.05)
+    h_victim = victim.acquire(mdir)
+    time.sleep(0.1)  # victim 'pauses' past its own expiry
+    thief = CASLockProvider(store, lease_sec=60.0)
+    h_thief = thief.acquire(mdir)  # steals the expired lease
+    victim.release(h_victim)  # must be a no-op
+    cur = store.get(h_thief[0])
+    assert cur is not None and cur["owner"] == h_thief[1]["owner"]
+    thief.release(h_thief)
+    assert store.get(h_thief[0]) is None
+
+
+def test_cas_acquire_times_out_on_live_lease(tmp_path):
+    store = CASStore(str(tmp_path / "cas"))
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    holder = CASLockProvider(store, lease_sec=60.0)
+    h = holder.acquire(mdir)
+    waiter = CASLockProvider(store, lease_sec=60.0, timeout_sec=0.2)
+    with pytest.raises(RuntimeError, match="CAS lease"):
+        waiter.acquire(mdir)
+    holder.release(h)
+    # released: the next acquire is immediate
+    h2 = waiter.acquire(mdir)
+    waiter.release(h2)

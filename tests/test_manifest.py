@@ -33,6 +33,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from fintech_etl_spark.sinks import manifest as mf
+from fintech_etl_spark.sinks.locks import CASLockProvider, CASStore
 from fintech_etl_spark.sinks.maintenance import (
     compact_ivf_pq_index,
     compact_lsh_index,
@@ -49,6 +50,20 @@ from fintech_etl_spark.streaming.ann import (
 from tests.conftest import SF_SMOKE
 
 _CUT = 400
+
+
+@pytest.fixture(params=["file", "cas"])
+def lock_matrix(request, tmp_path, monkeypatch):
+    """Route EVERY commit in the test (including those issued deep
+    inside build/append/compact/streaming helpers) through one of the
+    two lock providers — the POSIX O_EXCL file lock and the
+    conditional-put CAS lease (the object-store posture). The race
+    tests below take this fixture so the whole concurrency matrix
+    runs under both mutual-exclusion mechanisms."""
+    if request.param == "cas":
+        provider = CASLockProvider(CASStore(str(tmp_path / "_cas_store")))
+        monkeypatch.setattr(mf, "DEFAULT_LOCK_PROVIDER", provider)
+    return request.param
 
 
 def _split(spark, tmp_path):
@@ -177,7 +192,7 @@ def test_transactional_compaction_bit_preserving(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_serving_races_compaction_without_half_states(spark, tmp_path):
+def test_serving_races_compaction_without_half_states(spark, tmp_path, lock_matrix):
     from fintech_etl_spark.operators.similarity import (
         _N_QUERIES,
         ann_lsh_bucketed,
@@ -791,7 +806,7 @@ def test_zorder_append_without_sidecar_is_loud(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_concurrent_ingest_and_compaction_lose_nothing(spark, tmp_path):
+def test_concurrent_ingest_and_compaction_lose_nothing(spark, tmp_path, lock_matrix):
     """THE two-writer scenario a real deployment runs: a streaming
     ingest appends batches WHILE a cron compactor rewrites. Commits
     serialize on the lock and compaction removes exactly what it read
@@ -858,7 +873,7 @@ def test_concurrent_ingest_and_compaction_lose_nothing(spark, tmp_path):
     assert replays == [] and _lsh_rows(spark, idx) == _lsh_rows(spark, full)
 
 
-def test_commit_lock_serializes_metadata_threads(tmp_path):
+def test_commit_lock_serializes_metadata_threads(tmp_path, lock_matrix):
     """N threads hammering add-commits: every commit survives, the
     version counter counts every one, and no segment reference is
     lost — the lost-update the lock exists to prevent."""
@@ -887,7 +902,7 @@ def test_commit_lock_serializes_metadata_threads(tmp_path):
     assert len(mf.ingested_keys(root)) == 32
 
 
-def test_stale_segment_error_on_racing_compactors(tmp_path):
+def test_stale_segment_error_on_racing_compactors(tmp_path, lock_matrix):
     """A compactor whose read was superseded must get a loud
     StaleSegmentError, not silently resurrect compacted-away data."""
     root = str(tmp_path / "ds")
@@ -908,7 +923,7 @@ def test_stale_segment_error_on_racing_compactors(tmp_path):
     ]
 
 
-def test_ivfpq_serving_races_compaction(spark, tmp_path):
+def test_ivfpq_serving_races_compaction(spark, tmp_path, lock_matrix):
     """The IVF-PQ twin of the LSH race test: probes drain while a
     compaction churn thread swaps codes+vectors snapshots — every
     batch sees a consistent index (rank-1 self-match at dist 0 for
