@@ -1,14 +1,33 @@
-"""Processed-receipt parquet sink.
+"""Processed-receipt parquet lake — the manifest layer's third client.
 
 The reference *claims* a processed-receipt GCS store (PROCESSED_BUCKET,
 /root/reference/README.md:65,80,184) but no code writes it (SURVEY S7).
-Here it's real: partitioned parquet, idempotent per batch.
+Here it's real: month-partitioned parquet with an optional
+transactional mode sharing ``sinks/manifest.py`` with the ANN indexes
+and the z-order layouts — each batch is staged as an immutable
+partitioned segment and published by one atomic pointer swap, so a
+reader listing mid-write can never see a partial batch (the window
+the plain directory append leaves open, and exactly the one r10/r11
+closed for the other two manifest clients). ``batch_key`` rides the
+manifest's ingested-file dedup history for exactly-once per batch
+across checkpoint-loss replays.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from fintech_etl_spark.sinks import manifest as mf
+
+#: manifest dataset name for the receipt lake
+_RECEIPTS_DS = "receipts"
+
+
+def _with_month(receipts: DataFrame) -> DataFrame:
+    return receipts.withColumn(
+        "transaction_month", F.date_format("transaction_date", "yyyy-MM")
+    )
 
 
 def write_receipts_parquet(
@@ -17,6 +36,8 @@ def write_receipts_parquet(
     *,
     mode: str = "append",
     partition_by_month: bool = True,
+    transactional: bool | None = None,
+    batch_key: str | None = None,
 ) -> None:
     """Write receipts, partitioned by transaction month.
 
@@ -25,12 +46,62 @@ def write_receipts_parquet(
     parquet instead of thousands of tiny daily ones. Readers filtering
     on transaction_date still prune via the month directory plus
     parquet row-group stats inside it.
+
+    ``transactional=True`` makes the lake a manifest-backed dataset:
+    the batch is staged under ``path/segments/<uuid>/`` (still
+    month-partitioned INSIDE the segment — ``read_segments`` unions
+    partition-pruned scans, so directory pruning survives) and
+    published with one atomic pointer swap; ``mode="append"`` is an
+    add-commit, ``mode="overwrite"`` a replace-commit. The default
+    ``transactional=None`` auto-detects: an already manifest-backed
+    ``path`` stays transactional, a plain directory stays plain —
+    existing callers (cli, service) are untouched until they opt a
+    lake in with one ``transactional=True`` build.
+
+    ``batch_key`` (transactional only) makes the write exactly-once
+    per key: a batch whose key is already in the manifest's ingested
+    history (``ingested_contains`` — flat-cost bucketed probe) is
+    skipped entirely, which is what lets a streaming ``foreachBatch``
+    replay after checkpoint loss without double-writing receipts.
     """
+    tx = mf.is_transactional(path) if transactional is None else transactional
+    if not tx:
+        out = receipts
+        writer = out.write.mode(mode)
+        if partition_by_month:
+            out = _with_month(receipts)
+            writer = out.write.mode(mode).partitionBy("transaction_month")
+        writer.parquet(path)
+        return
+    if batch_key is not None and mf.is_transactional(path):
+        if mf.ingested_contains(path, [batch_key]):
+            return  # replayed batch — already published, exactly-once
+    seg = mf.new_segment_path(path)
     out = receipts
-    writer = out.write.mode(mode)
+    writer = out.write.mode("overwrite")
     if partition_by_month:
-        out = receipts.withColumn(
-            "transaction_month", F.date_format("transaction_date", "yyyy-MM")
-        )
-        writer = out.write.mode(mode).partitionBy("transaction_month")
-    writer.parquet(path)
+        out = _with_month(receipts)
+        writer = out.write.mode("overwrite").partitionBy("transaction_month")
+    writer.parquet(seg)
+    kwargs: dict = {"file_keys": [batch_key]} if batch_key is not None else {}
+    if mode == "overwrite":
+        mf.commit(path, replace={_RECEIPTS_DS: [seg]}, **kwargs)
+    else:
+        mf.commit(path, add={_RECEIPTS_DS: [seg]}, **kwargs)
+
+
+def read_receipts(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the receipt lake. A transactional lake resolves the
+    manifest pointer per call — atomic snapshots, no partial batches —
+    and the per-segment partition-pruned scans keep
+    ``transaction_month`` directory pruning intact (pinned by
+    tests/test_plan_quality.py). A plain lake is a direct read."""
+    if mf.is_transactional(path):
+        segs = mf.dataset_segments(path, _RECEIPTS_DS)
+        if not segs:
+            raise ValueError(
+                f"read_receipts: {path!r} is manifest-backed but its "
+                f"live manifest names no {_RECEIPTS_DS!r} segments"
+            )
+        return mf.read_segments(spark, segs)
+    return spark.read.parquet(path)

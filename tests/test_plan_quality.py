@@ -170,14 +170,17 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
-def test_partition_pruning_on_receipt_lake(spark, tmp_path):
+@pytest.mark.parametrize("transactional", [False, True])
+def test_partition_pruning_on_receipt_lake(spark, tmp_path, transactional):
     """The month-partitioned receipt sink supports partition pruning:
     a transaction_month filter turns into a directory-level prune, not
-    a full scan."""
+    a full scan — in BOTH lake modes. The transactional lake resolves
+    segments through the manifest (read_receipts), and each
+    per-segment scan still carries the PartitionFilters prune."""
     import datetime as dt
 
     from fintech_etl_spark.operators.receipts import build_receipts
-    from fintech_etl_spark.sinks import write_receipts_parquet
+    from fintech_etl_spark.sinks import read_receipts, write_receipts_parquet
     from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
     from tests.test_receipts_pipeline import HEADER, ROWS
 
@@ -187,15 +190,25 @@ def test_partition_pruning_on_receipt_lake(spark, tmp_path):
         read_invoice_csv(spark, str(fixture)), run_date=dt.date(2024, 6, 1)
     )
     lake = str(tmp_path / "lake")
-    write_receipts_parquet(receipts, lake)
-
-    df = spark.read.parquet(lake).filter(F.col("transaction_month") == "2024-06")
+    write_receipts_parquet(receipts, lake, transactional=transactional)
+    if transactional:
+        # a second committed batch: the union path must prune per segment
+        write_receipts_parquet(receipts, lake)
+        df = read_receipts(spark, lake).filter(
+            F.col("transaction_month") == "2024-06"
+        )
+        expected = 4
+    else:
+        df = spark.read.parquet(lake).filter(
+            F.col("transaction_month") == "2024-06"
+        )
+        expected = 2
     plan = plan_of(df)
     assert "PartitionFilters" in plan
-    assert "transaction_month" in next(
-        l for l in plan.splitlines() if "PartitionFilters" in l
-    )
-    assert df.count() == 2
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            assert "transaction_month" in line, plan
+    assert df.count() == expected
 
 
 def test_partition_pruning_on_webhook_ledger(spark, tmp_path):

@@ -150,3 +150,92 @@ def test_permissive_csv_garbage_rows(spark, tmp_path):
     assert invx.subtotal == 0.0           # 'not-a-price' degrades
     qtys = [i.qty for i in invx.line_items]
     assert qtys == [0, 0]                 # garbage quantities → 0
+
+
+# ---------------------------------------------------------------------------
+# transactional receipt lake — the manifest layer's third client
+# ---------------------------------------------------------------------------
+
+
+def _golden_receipts(spark, tmp_path):
+    return build_receipts(
+        read_invoice_csv(spark, _write_fixture(tmp_path)), run_date=RUN_DATE
+    )
+
+
+def test_receipt_lake_exactly_once_per_batch_key(spark, tmp_path):
+    """A replayed batch (same batch_key — the foreachBatch checkpoint-
+    loss scenario) publishes nothing: count and manifest version are
+    unchanged. A NEW key appends."""
+    from fintech_etl_spark.sinks import manifest as mf
+    from fintech_etl_spark.sinks import read_receipts, write_receipts_parquet
+
+    receipts = _golden_receipts(spark, tmp_path)
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(receipts, lake, transactional=True, batch_key="b0")
+    assert mf.is_transactional(lake)
+    n = read_receipts(spark, lake).count()
+    v = mf.current(lake)["version"]
+    write_receipts_parquet(receipts, lake, batch_key="b0")  # replay
+    assert read_receipts(spark, lake).count() == n
+    assert mf.current(lake)["version"] == v
+    write_receipts_parquet(receipts, lake, batch_key="b1")  # new batch
+    assert read_receipts(spark, lake).count() == 2 * n
+    assert mf.current(lake)["version"] == v + 1
+
+
+def test_receipt_lake_overwrite_is_replace_commit(spark, tmp_path):
+    from fintech_etl_spark.sinks import manifest as mf
+    from fintech_etl_spark.sinks import read_receipts, write_receipts_parquet
+
+    receipts = _golden_receipts(spark, tmp_path)
+    lake = str(tmp_path / "lake")
+    for key in ("b0", "b1", "b2"):
+        write_receipts_parquet(
+            receipts, lake, transactional=True, batch_key=key
+        )
+    n = read_receipts(spark, lake).count()
+    write_receipts_parquet(receipts, lake, mode="overwrite")
+    assert len(mf.dataset_segments(lake, "receipts")) == 1
+    assert read_receipts(spark, lake).count() == n // 3
+
+
+def test_receipt_lake_readers_never_see_partial_batches(spark, tmp_path):
+    """THE window this client closes: a reader racing the writer sees
+    only committed snapshots — every observed count is an exact
+    multiple of the batch size, never a partially-listed batch (the
+    plain directory append can expose one part file of a
+    month-partitioned batch mid-write)."""
+    import threading
+
+    from fintech_etl_spark.sinks import read_receipts, write_receipts_parquet
+
+    receipts = _golden_receipts(spark, tmp_path)
+    batch_n = receipts.count()
+    assert batch_n > 0
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(receipts, lake, transactional=True, batch_key="b0")
+
+    done = threading.Event()
+    bad: list[int] = []
+
+    def writer():
+        try:
+            for i in range(1, 7):
+                write_receipts_parquet(receipts, lake, batch_key=f"b{i}")
+        finally:
+            done.set()
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    observed = set()
+    while not done.is_set():
+        c = read_receipts(spark, lake).count()
+        observed.add(c)
+        if c % batch_n != 0:
+            bad.append(c)
+            break
+    t.join(timeout=120)
+    assert not bad, f"partial batch visible: {bad} (batch size {batch_n})"
+    assert read_receipts(spark, lake).count() == 7 * batch_n
+    assert len(observed) >= 1
