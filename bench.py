@@ -144,6 +144,12 @@ HEADLINE = (
     # materializes the clustered layout and the box query is answered
     # FROM it (write + pruned read in one measured operation)
     "layout_zorder_box_query",
+    # appended r12: the bound-drift lifecycle — manifest-backed build,
+    # worst-case drifted append (every key past the frozen box), the
+    # manifest-only zorder_drift metric, full re-freezing compact, and
+    # the post-compact drift=0 + losslessness check, all in one
+    # measured operation (the compaction-cron decision path)
+    "layout_zorder_drift_lifecycle",
 )
 
 # headline entries whose warm cost is dominated by per-invocation index

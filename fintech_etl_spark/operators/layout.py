@@ -202,6 +202,77 @@ def zorder_bounds(path: str) -> dict:
         return json.load(fh)
 
 
+def zorder_drift(path: str) -> dict:
+    """How far the layout's LIVE data has drifted outside its frozen
+    curve bounds — the operator signal for WHEN to run a full
+    ``zorder_compact`` (which re-freezes the bounds from the data).
+
+    Appends cluster against bounds frozen at write time; keys past
+    them clamp to the curve's edge cells, so a drifted batch's files
+    are not clustered by actual key at all and box queries over the
+    drifted region admit essentially every file of that batch
+    (quantified in SCALE_RECEIPT_r12_zorder_drift.json). This metric
+    is computed from the manifest alone — one pointer read, the
+    committed per-segment min/max stats, zero data scanned — so a
+    cron can poll it for free at any fragmentation level.
+
+    Returns ``{cols: {col: {frozen, actual, out_of_bounds_fraction}},
+    drift, segments, segments_without_stats}`` where each column's
+    ``out_of_bounds_fraction`` is the share of its live value range
+    lying outside the frozen box and ``drift`` is the worst column's.
+    0.0 = every committed value inside the frozen curve; climbing
+    toward 1.0 = the curve covers a shrinking sliver of the data.
+    Segments without stats can't be assessed and are only counted.
+    Transactional layouts only — a plain directory keeps no
+    per-batch stats to assess without scanning."""
+    if not mf.is_transactional(path):
+        raise ValueError(
+            f"zorder_drift: {path!r} is not manifest-backed — drift is "
+            "computed from committed segment stats (zorder_write "
+            "transactional=True); scan-and-compare a plain layout "
+            "manually if you must"
+        )
+    meta = zorder_bounds(path)
+    pairs = mf.dataset_segments_with_stats(path, _LAYOUT_DS)
+    actual: dict[str, tuple[int, int]] = {}
+    no_stats = 0
+    for _p, st in pairs:
+        if st is None:
+            no_stats += 1
+            continue
+        for c in meta["cols"]:
+            if c in st:
+                lo, hi = int(st[c][0]), int(st[c][1])
+                cur = actual.get(c)
+                actual[c] = (
+                    (lo, hi)
+                    if cur is None
+                    else (min(cur[0], lo), max(cur[1], hi))
+                )
+    per_col: dict[str, dict] = {}
+    worst = 0.0
+    for c in meta["cols"]:
+        flo, fhi = (int(v) for v in meta["bounds"][c])
+        if c not in actual:
+            continue  # no assessable segment carries this column
+        alo, ahi = actual[c]
+        span = max(ahi - alo, 1)
+        out = max(0, flo - alo) + max(0, ahi - fhi)
+        frac = out / span
+        per_col[c] = {
+            "frozen": [flo, fhi],
+            "actual": [alo, ahi],
+            "out_of_bounds_fraction": frac,
+        }
+        worst = max(worst, frac)
+    return {
+        "cols": per_col,
+        "drift": worst,
+        "segments": len(pairs),
+        "segments_without_stats": no_stats,
+    }
+
+
 def read_zorder(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -710,4 +781,120 @@ def layout_zorder_box_query_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
         F.min("l_orderkey").cast("long").alias("first_order"),
         F.max("l_orderkey").cast("long").alias("last_order"),
+    )
+
+
+# shared integer arithmetic: frozen bounds = seed (l_orderkey % 8 <> 0)
+# min/max; the drifted batch shifts each key by ITS frozen span; actual
+# bounds = least/greatest over both; out-of-bounds fraction = clipped
+# overhang / live span (Python float div ≡ DuckDB * 1.0 /)
+_ZDRIFT_ORACLE = """
+    WITH fb AS (SELECT min(l_partkey) AS fplo, max(l_partkey) AS fphi,
+                       min(l_suppkey) AS fslo, max(l_suppkey) AS fshi
+                FROM lineitem WHERE l_orderkey % 8 <> 0),
+    bb AS (SELECT min(l_partkey) AS bplo, max(l_partkey) AS bphi,
+                  min(l_suppkey) AS bslo, max(l_suppkey) AS bshi
+           FROM lineitem WHERE l_orderkey % 8 = 0),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS rows_total FROM lineitem),
+    m AS (
+      SELECT 'l_partkey' AS key_col,
+             CAST(fplo AS BIGINT) AS frozen_lo,
+             CAST(fphi AS BIGINT) AS frozen_hi,
+             CAST(least(fplo, bplo + (fphi - fplo)) AS BIGINT) AS actual_lo,
+             CAST(greatest(fphi, bphi + (fphi - fplo)) AS BIGINT) AS actual_hi
+      FROM fb CROSS JOIN bb
+      UNION ALL
+      SELECT 'l_suppkey',
+             CAST(fslo AS BIGINT), CAST(fshi AS BIGINT),
+             CAST(least(fslo, bslo + (fshi - fslo)) AS BIGINT),
+             CAST(greatest(fshi, bshi + (fshi - fslo)) AS BIGINT)
+      FROM fb CROSS JOIN bb
+    )
+    SELECT key_col, frozen_lo, frozen_hi, actual_lo, actual_hi,
+           round((CASE WHEN frozen_lo > actual_lo
+                       THEN frozen_lo - actual_lo ELSE 0 END
+                + CASE WHEN actual_hi > frozen_hi
+                       THEN actual_hi - frozen_hi ELSE 0 END)
+                * 1.0 / greatest(actual_hi - actual_lo, 1), 4) AS oob_frac,
+           0.0 AS drift_after_compact,
+           rows_total
+    FROM m CROSS JOIN tot
+"""
+
+
+@register(
+    "layout_zorder_drift_lifecycle",
+    _ZDRIFT_ORACLE,
+    doc=(
+        "The bound-drift lifecycle, driver-checked end-to-end: build a "
+        "manifest-backed z-layout from 7/8 of lineitem (bounds frozen "
+        "at the seed's min/max), append the held-out 1/8 with every "
+        "key shifted past the frozen box by its own span (the "
+        "worst-case drifted batch — its keys all clamp to the curve's "
+        "edge cells), then read the NEW zorder_drift metric straight "
+        "off the manifest: per-column frozen vs actual bounds and the "
+        "out-of-bounds fraction, computed from one pointer read and "
+        "the committed per-segment stats with ZERO data scanned. A "
+        "full zorder_compact re-freezes the curve from the live data; "
+        "the row carries the post-compact drift (must be exactly 0) "
+        "and the post-compact row count (losslessness). The oracle "
+        "reproduces every number from raw lineitem with the shared "
+        "exact integer arithmetic — so the driver gate re-proves each "
+        "round that the drift metric an operator's compaction cron "
+        "polls is ARITHMETICALLY correct, not just plausible. Decay "
+        "and restore receipted at sf1/sf10 in "
+        "SCALE_RECEIPT_r12_zorder_drift{,_sf10}.json."
+    ),
+    tags=("layout", "scale", "transactional"),
+)
+def layout_zorder_drift_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "fintech_etl_zdrift_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    seed = li.filter(F.col("l_orderkey") % 8 != 0)
+    zorder_write(
+        seed, ["l_partkey", "l_suppkey"], path, num_files=8,
+        transactional=True,
+    )
+    fb = zorder_bounds(path)["bounds"]
+    shift_p = fb["l_partkey"][1] - fb["l_partkey"][0]
+    shift_s = fb["l_suppkey"][1] - fb["l_suppkey"][0]
+    batch = li.filter(F.col("l_orderkey") % 8 == 0).select(
+        "l_orderkey",
+        (F.col("l_partkey") + shift_p).alias("l_partkey"),
+        (F.col("l_suppkey") + shift_s).alias("l_suppkey"),
+    )
+    zorder_append(batch, path, num_files=2)
+    drifted = zorder_drift(path)
+    zorder_compact(spark, path, num_files=8)  # full: re-freezes bounds
+    after = zorder_drift(path)["drift"]
+    rows_total = read_zorder(spark, path).count()
+    out = [
+        (
+            c,
+            int(st["frozen"][0]),
+            int(st["frozen"][1]),
+            int(st["actual"][0]),
+            int(st["actual"][1]),
+            round(st["out_of_bounds_fraction"], 4),
+            float(after),
+            rows_total,
+        )
+        for c, st in sorted(drifted["cols"].items())
+    ]
+    return spark.createDataFrame(
+        out,
+        "key_col string, frozen_lo bigint, frozen_hi bigint, "
+        "actual_lo bigint, actual_hi bigint, oob_frac double, "
+        "drift_after_compact double, rows_total bigint",
     )

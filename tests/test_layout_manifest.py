@@ -476,3 +476,53 @@ def test_fsck(spark, tmp_path, capsys, monkeypatch):
     # 3: a plain dir is loud
     with pytest.raises(ValueError, match="not a manifest-backed"):
         mf.fsck(str(tmp_path))
+
+
+def test_zorder_drift_metric_and_compact_restore(spark, tmp_path):
+    """Drift is 0 on a fresh layout, stays 0 for in-range appends,
+    quantifies out-of-bounds appends exactly from manifest stats
+    (zero data scanned), and a FULL compact (bounds re-frozen) takes
+    it back to 0."""
+    from fintech_etl_spark.operators.layout import zorder_drift
+
+    root = str(tmp_path / "lay")
+    # x spans [0, 996], y [0, 982] (mod arithmetic over 4000 ids)
+    zorder_write(_frame(spark, 4000), ["x", "y"], root, num_files=8,
+                 transactional=True)
+    d0 = zorder_drift(root)
+    assert d0["drift"] == 0.0 and d0["segments"] == 1
+    assert d0["segments_without_stats"] == 0
+
+    # in-range append: same key space, drift stays 0
+    zorder_append(_frame(spark, 1000, offset=4000), root, num_files=2)
+    assert zorder_drift(root)["drift"] == 0.0
+
+    # drifted append: shift x/y up by 2000 — entirely past the frozen box
+    drifted = _frame(spark, 1000, offset=5000).select(
+        "rowid", (F.col("x") + 2000).alias("x"), (F.col("y") + 2000).alias("y")
+    )
+    zorder_append(drifted, root, num_files=2)
+    d1 = zorder_drift(root)
+    assert d1["drift"] > 0.5, d1  # >half the live x-range is outside
+    fx = d1["cols"]["x"]
+    # exact arithmetic: out = actual_hi - frozen_hi over the live span
+    assert fx["out_of_bounds_fraction"] == pytest.approx(
+        (fx["actual"][1] - fx["frozen"][1])
+        / (fx["actual"][1] - fx["actual"][0])
+    )
+
+    # FULL compact re-freezes the bounds from the live data → drift 0
+    zorder_compact(spark, root, num_files=8)
+    d2 = zorder_drift(root)
+    assert d2["drift"] == 0.0 and d2["segments"] == 1
+    # and the data survived intact
+    assert read_zorder(spark, root).count() == 6000
+
+
+def test_zorder_drift_requires_manifest(spark, tmp_path):
+    from fintech_etl_spark.operators.layout import zorder_drift
+
+    plain = str(tmp_path / "plain")
+    zorder_write(_frame(spark, 1000), ["x", "y"], plain, num_files=2)
+    with pytest.raises(ValueError, match="not manifest-backed"):
+        zorder_drift(plain)
