@@ -297,6 +297,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     lr.add_argument("--num-files", type=int, default=4)
 
+    ld = sub.add_parser(
+        "layout-drift",
+        help="bound-drift report for a manifest-backed z-order layout "
+        "(per-column frozen vs actual bounds and the out-of-bounds "
+        "fraction, from ONE pointer read — zero data scanned): the "
+        "signal a compaction cron polls; a rising drift means appends "
+        "are clamping to the curve's edge cells and a full "
+        "layout-compact (bounds re-frozen) is due. Exit 1 when drift "
+        "exceeds --max-drift (default: report only).",
+    )
+    ld.add_argument("--path", required=True)
+    ld.add_argument(
+        "--max-drift",
+        type=float,
+        help="exit 1 if the worst column's out-of-bounds fraction "
+        "exceeds this (cron alert threshold)",
+    )
+
     mr = sub.add_parser(
         "manifest-restore",
         help="roll a manifest-backed dataset back to a retained "
@@ -500,6 +518,13 @@ def main(argv: list[str] | None = None) -> int:
 
             stats["vacuum"] = mfst.vacuum(args.path, keep_last=args.vacuum_keep)
         print(json.dumps(stats))
+    elif args.cmd == "layout-drift":
+        from fintech_etl_spark.operators.layout import zorder_drift
+
+        report = zorder_drift(args.path)
+        print(json.dumps(report))
+        if args.max_drift is not None and report["drift"] > args.max_drift:
+            return 1
     elif args.cmd == "manifest-restore":
         from fintech_etl_spark.sinks import manifest as mfst
 

@@ -526,3 +526,32 @@ def test_zorder_drift_requires_manifest(spark, tmp_path):
     zorder_write(_frame(spark, 1000), ["x", "y"], plain, num_files=2)
     with pytest.raises(ValueError, match="not manifest-backed"):
         zorder_drift(plain)
+
+
+def test_cli_layout_drift_report_and_threshold(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """`layout-drift` prints the manifest-only drift report and its
+    --max-drift threshold turns a drifted layout into exit 1 — the
+    cron-alert contract."""
+    from fintech_etl_spark import cli
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 2000), ["x", "y"], root, num_files=4,
+                 transactional=True)
+    rc = cli.main(["layout-drift", "--path", root, "--max-drift", "0.25"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["drift"] == 0.0
+
+    drifted = _frame(spark, 500, offset=2000).select(
+        "rowid", (F.col("x") + 5000).alias("x"), (F.col("y") + 5000).alias("y")
+    )
+    zorder_append(drifted, root, num_files=1)
+    rc = cli.main(["layout-drift", "--path", root, "--max-drift", "0.25"])
+    assert rc == 1
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["drift"] > 0.25
+    # report-only mode never alerts
+    assert cli.main(["layout-drift", "--path", root]) == 0
