@@ -204,6 +204,41 @@ def main(argv: list[str] | None = None) -> int:
     sa.add_argument(
         "--out", help="append results as parquet here instead of JSONL stdout"
     )
+    sa.add_argument(
+        "--n-probe",
+        type=int,
+        help="IVF cells probed per query (ivf-pq only; default: the "
+        "library serving default — calibrate with index-calibrate)",
+    )
+
+    ical = sub.add_parser(
+        "index-calibrate",
+        help="sweep n_probe over a built IVF-PQ index and report the "
+        "recall@k vs probe fan-out curve on a query sample (exact "
+        "ground truth by the serving metric); with --target-recall, "
+        "also print the minimal n_probe reaching it (auto_n_probe)",
+    )
+    ical.add_argument("--index", required=True)
+    ical.add_argument(
+        "--sf-dir",
+        required=True,
+        help="table dir whose embeddings supply the query sample",
+    )
+    ical.add_argument(
+        "--queries",
+        type=int,
+        default=50,
+        help="query-sample size (lowest vec_ids; the sweep is "
+        "O(sample x corpus) for the exact ground truth)",
+    )
+    ical.add_argument(
+        "--n-probes", default="1,2,3,4,6,8",
+        help="comma-separated probe widths to sweep",
+    )
+    ical.add_argument("--target-recall", type=float)
+    ical.add_argument(
+        "--at-k", type=int, default=5, help="recall@k the target applies to"
+    )
 
     lb = sub.add_parser(
         "layout-build",
@@ -610,6 +645,11 @@ def main(argv: list[str] | None = None) -> int:
             start_ivf_pq_queries if args.kind == "ivf-pq" else start_ann_queries
         )
         kw = {} if args.top_k is None else {"top_k": args.top_k}
+        if args.n_probe is not None:
+            if args.kind != "ivf-pq":
+                print("--n-probe applies to ivf-pq serving only")
+                return 2
+            kw["n_probe"] = args.n_probe
         stream = starter(
             spark,
             args.queries,
@@ -620,6 +660,33 @@ def main(argv: list[str] | None = None) -> int:
         )
         stream.awaitTermination()
         print("queries drained")
+    elif args.cmd == "index-calibrate":
+        from pyspark.sql import functions as F
+
+        from fintech_etl_spark.sources.tables import load_table
+        from fintech_etl_spark.streaming.ann import (
+            auto_n_probe,
+            calibrate_n_probe,
+        )
+
+        sample = (
+            load_table(spark, args.sf_dir, "embeddings")
+            .filter(F.col("vec_id") < args.queries)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        n_probes = tuple(int(x) for x in args.n_probes.split(","))
+        at_k = tuple(sorted({1, args.at_k}))
+        curve = calibrate_n_probe(
+            spark, args.index, sample, n_probes=n_probes, at_k=at_k
+        )
+        out = {"curve": curve}
+        if args.target_recall is not None:
+            out["picked_n_probe"] = auto_n_probe(
+                curve, args.target_recall, at_k=args.at_k
+            )
+            out["target_recall"] = args.target_recall
+            out["at_k"] = args.at_k
+        print(json.dumps(out))
     elif args.cmd == "query":
         from fintech_etl_spark.registry import all_specs
 

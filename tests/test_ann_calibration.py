@@ -17,6 +17,8 @@ minimal probe width for a recall target. Pinned here:
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -82,3 +84,27 @@ def test_auto_n_probe_picks_minimal(calibrated):
         auto_n_probe(curve, 0.99, at_k=5, strict=True)
     with pytest.raises(ValueError, match="no recall@7"):
         auto_n_probe(curve, 0.5, at_k=7)
+
+
+def test_cli_index_calibrate(spark, tmp_path, capsys, monkeypatch):
+    """`index-calibrate` sweeps a built index and reports the curve +
+    the auto-picked n_probe for a target."""
+    from fintech_etl_spark import cli
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(spark, SF_SMOKE, idx, k=4)
+    rc = cli.main(
+        [
+            "index-calibrate",
+            "--index", idx,
+            "--sf-dir", SF_SMOKE,
+            "--queries", "10",
+            "--n-probes", "1,4",
+            "--target-recall", "0.0",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [p["n_probe"] for p in out["curve"]] == [1, 4]
+    assert out["picked_n_probe"] == 1  # trivial target -> minimal width
