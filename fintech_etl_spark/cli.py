@@ -37,12 +37,29 @@ from fintech_etl_spark.sinks import WebhookSink, land_raw_files, write_receipts_
 from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
 
 
+def _receipts_batch_key(receipts) -> str:
+    """Content-derived exactly-once key for a receipts batch: md5 over
+    the SORTED distinct source files it was built from. Robust where a
+    streaming batch_id is not — after checkpoint loss the replayed
+    batch re-derives the SAME key (skipped), while genuinely new files
+    under a reused batch_id derive a new one (appended); md5 for a
+    stable cross-run digest, non-cryptographic use."""
+    import hashlib
+
+    files = sorted(
+        r.source_file
+        for r in receipts.select("source_file").distinct().collect()
+    )
+    return "files-" + hashlib.md5("\n".join(files).encode()).hexdigest()
+
+
 def _process(
     spark: SparkSession,
     csv_path: str | list[str],
     lake: str | None,
     webhook: str | None,
     gmail_id: str | None = None,
+    transactional_lake: bool = False,
 ) -> int:
     receipts = build_receipts(
         read_invoice_csv(spark, csv_path),
@@ -56,7 +73,18 @@ def _process(
     receipts.persist()
     n = receipts.count()
     if lake:
-        write_receipts_parquet(receipts, lake)
+        if transactional_lake:
+            # first write creates the manifest log; every later write
+            # auto-detects and stays transactional (exactly-once per
+            # source-file set via the content-derived batch key)
+            write_receipts_parquet(
+                receipts,
+                lake,
+                transactional=True,
+                batch_key=_receipts_batch_key(receipts),
+            )
+        else:
+            write_receipts_parquet(receipts, lake)
     if webhook:
         WebhookSink(url=webhook).send_batch(to_webhook_payloads(receipts))
     receipts.unpersist()
@@ -74,16 +102,40 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--lake")
     ing.add_argument("--webhook")
     ing.add_argument("--gmail-id", default=None)
+    ing.add_argument(
+        "--transactional-lake",
+        action="store_true",
+        help="publish each receipts batch as an atomic manifest commit "
+        "(exactly-once per source-file set; readers never see a "
+        "partial batch). First write creates the manifest log; later "
+        "writes auto-detect",
+    )
 
     pc = sub.add_parser("process-csv", help="process one CSV (no landing)")
     pc.add_argument("csv")
     pc.add_argument("--lake")
     pc.add_argument("--webhook")
+    pc.add_argument(
+        "--transactional-lake",
+        action="store_true",
+        help="publish each receipts batch as an atomic manifest commit "
+        "(exactly-once per source-file set; readers never see a "
+        "partial batch). First write creates the manifest log; later "
+        "writes auto-detect",
+    )
 
     bf = sub.add_parser("backfill", help="process every CSV under a directory")
     bf.add_argument("--landing", required=True)
     bf.add_argument("--lake")
     bf.add_argument("--webhook")
+    bf.add_argument(
+        "--transactional-lake",
+        action="store_true",
+        help="publish each receipts batch as an atomic manifest commit "
+        "(exactly-once per source-file set; readers never see a "
+        "partial batch). First write creates the manifest log; later "
+        "writes auto-detect",
+    )
 
     lp = sub.add_parser("list-pending", help="list CSV objects in the landing dir")
     lp.add_argument("--landing", required=True)
@@ -92,6 +144,14 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--landing", required=True)
     st.add_argument("--lake", required=True)
     st.add_argument("--checkpoint", required=True)
+    st.add_argument(
+        "--transactional-lake",
+        action="store_true",
+        help="publish each receipts batch as an atomic manifest commit "
+        "(exactly-once per source-file set; readers never see a "
+        "partial batch). First write creates the manifest log; later "
+        "writes auto-detect",
+    )
     st.add_argument(
         "--pubsub-topic",
         help="also publish receipt events to this Pub/Sub topic "
@@ -397,14 +457,23 @@ def main(argv: list[str] | None = None) -> int:
             ],
             os.path.join(args.landing, "_manifest"),
         )
-        n = _process(spark, args.csv, args.lake, args.webhook, args.gmail_id)
+        n = _process(
+            spark, args.csv, args.lake, args.webhook, args.gmail_id,
+            transactional_lake=args.transactional_lake,
+        )
         print(f"ingested 1 file, {n} receipts")
     elif args.cmd == "process-csv":
-        n = _process(spark, args.csv, args.lake, args.webhook)
+        n = _process(
+            spark, args.csv, args.lake, args.webhook,
+            transactional_lake=args.transactional_lake,
+        )
         print(f"{n} receipts")
     elif args.cmd == "backfill":
         csvs = os.path.join(args.landing, "*.csv")
-        n = _process(spark, csvs, args.lake, args.webhook)
+        n = _process(
+            spark, csvs, args.lake, args.webhook,
+            transactional_lake=args.transactional_lake,
+        )
         print(f"backfilled {n} receipts")
     elif args.cmd == "list-pending":
         from fintech_etl_spark.sources.tables import list_objects
@@ -437,7 +506,17 @@ def main(argv: list[str] | None = None) -> int:
             ledger = args.pubsub_ledger or args.checkpoint + "_pubsub_ledger"
 
         def on_receipts(receipts, batch_id):
-            write_receipts_parquet(receipts, args.lake)
+            if args.transactional_lake:
+                # content-derived key: a checkpoint-loss replay of the
+                # same source files is a no-op, new files always land
+                write_receipts_parquet(
+                    receipts,
+                    args.lake,
+                    transactional=True,
+                    batch_key=_receipts_batch_key(receipts),
+                )
+            else:
+                write_receipts_parquet(receipts, args.lake)
             if sink is not None:
                 from fintech_etl_spark.operators.receipts import to_pubsub_events
 

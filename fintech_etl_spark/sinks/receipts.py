@@ -24,6 +24,22 @@ from fintech_etl_spark.sinks import manifest as mf
 _RECEIPTS_DS = "receipts"
 
 
+def _has_parquet(path: str) -> bool:
+    """True if ``path`` holds any parquet data OUTSIDE a manifest's
+    segments — i.e. a plain directory lake a tx write would orphan."""
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [
+            d for d in dirnames if d not in ("segments", "_manifests")
+        ]
+        if any(f.endswith(".parquet") for f in filenames):
+            return True
+    return False
+
+
 def _with_month(receipts: DataFrame) -> DataFrame:
     return receipts.withColumn(
         "transaction_month", F.date_format("transaction_date", "yyyy-MM")
@@ -65,6 +81,15 @@ def write_receipts_parquet(
     replay after checkpoint loss without double-writing receipts.
     """
     tx = mf.is_transactional(path) if transactional is None else transactional
+    if tx and not mf.is_transactional(path) and _has_parquet(path):
+        raise ValueError(
+            f"write_receipts_parquet: {path!r} already holds a PLAIN "
+            "parquet lake — making it transactional now would leave the "
+            "existing files invisible to read_receipts (the manifest "
+            "names only committed segments). Migrate explicitly: write "
+            "the old lake's rows as the first transactional batch into "
+            "a fresh path (mode='overwrite'), then retire the plain dir"
+        )
     if not tx:
         out = receipts
         writer = out.write.mode(mode)

@@ -10,6 +10,8 @@ from __future__ import annotations
 import datetime as dt
 import json
 
+import pytest
+
 from fintech_etl_spark.operators.receipts import build_receipts, to_webhook_payloads
 from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
 
@@ -239,3 +241,46 @@ def test_receipt_lake_readers_never_see_partial_batches(spark, tmp_path):
     assert not bad, f"partial batch visible: {bad} (batch size {batch_n})"
     assert read_receipts(spark, lake).count() == 7 * batch_n
     assert len(observed) >= 1
+
+
+def test_cli_transactional_lake_exactly_once(spark, tmp_path, capsys, monkeypatch):
+    """`process-csv --transactional-lake` twice on the SAME csv: the
+    second run's content-derived batch key matches and publishes
+    nothing (exactly-once per source-file set); a different csv
+    appends. The guard refuses to force tx mode onto an existing
+    plain lake."""
+    from fintech_etl_spark import cli
+    from fintech_etl_spark.sinks import manifest as mf
+    from fintech_etl_spark.sinks import read_receipts, write_receipts_parquet
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    csv = _write_fixture(tmp_path)
+    lake = str(tmp_path / "lake")
+    assert cli.main(
+        ["process-csv", csv, "--lake", lake, "--transactional-lake"]
+    ) == 0
+    assert mf.is_transactional(lake)
+    n = read_receipts(spark, lake).count()
+    v = mf.current(lake)["version"]
+    # same file again — flag not even needed, the lake auto-detects,
+    # but the CLI passes the same content key so nothing publishes
+    assert cli.main(
+        ["process-csv", csv, "--lake", lake, "--transactional-lake"]
+    ) == 0
+    assert read_receipts(spark, lake).count() == n
+    assert mf.current(lake)["version"] == v
+    # a different file appends
+    other = tmp_path / "other.csv"
+    other.write_text(HEADER + "\n" + ROWS[0] + "\n")
+    assert cli.main(
+        ["process-csv", str(other), "--lake", lake, "--transactional-lake"]
+    ) == 0
+    assert read_receipts(spark, lake).count() > n
+    assert mf.current(lake)["version"] == v + 1
+
+    # migration guard: tx mode onto an existing plain lake is loud
+    plain = str(tmp_path / "plain_lake")
+    receipts = _golden_receipts(spark, tmp_path)
+    write_receipts_parquet(receipts, plain)
+    with pytest.raises(ValueError, match="PLAIN parquet lake"):
+        write_receipts_parquet(receipts, plain, transactional=True)
