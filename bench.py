@@ -144,6 +144,10 @@ HEADLINE = (
     # materializes the clustered layout and the box query is answered
     # FROM it (write + pruned read in one measured operation)
     "layout_zorder_box_query",
+    # appended r12: the transactional receipt lake lifecycle — two
+    # atomic month-partitioned commits + an exactly-once replay +
+    # pointer-resolved pruned read, value-checked against raw orders
+    "receipts_lake_tx_roundtrip",
     # appended r12: the bound-drift lifecycle — manifest-backed build,
     # worst-case drifted append (every key past the frozen box), the
     # manifest-only zorder_drift metric, full re-freezing compact, and

@@ -150,3 +150,79 @@ def receipt_documents_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("item_count"),
         F.array_sort(F.collect_list(item)).alias("line_items"),
     )
+
+
+_LAKE_TX_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT)        AS n,
+           round(sum(o_totalprice), 4)     AS sum_total,
+           CAST(min(o_orderkey) AS BIGINT) AS first_receipt,
+           CAST(max(o_orderkey) AS BIGINT) AS last_receipt,
+           CAST(1 AS BIGINT)               AS lake_version
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+"""
+
+
+@register(
+    "receipts_lake_tx_roundtrip",
+    _LAKE_TX_ORACLE,
+    doc=(
+        "The transactional receipt lake (the manifest layer's THIRD "
+        "client, sinks/receipts.py) driven end-to-end by the driver "
+        "gate every round: orders become receipt rows, half land as "
+        "one atomic month-partitioned commit, the other half as a "
+        "second, the second batch is REPLAYED under its original "
+        "batch_key (the foreachBatch checkpoint-loss scenario) and "
+        "must publish nothing — the row carries the final manifest "
+        "version (exactly 1: two commits, zero for the replay) so the "
+        "exactly-once arithmetic is value-checked, not just asserted "
+        "in pytest. The read goes through read_receipts (pointer-"
+        "resolved segments) with a transaction_month filter, so "
+        "partition pruning through the manifest-union scan is proven "
+        "lossless against the raw table (the oracle computes the same "
+        "month aggregate from orders directly). Race atomicity "
+        "(readers see whole batches only) is pinned by "
+        "tests/test_receipts_pipeline.py."
+    ),
+    tags=("receipts", "transactional", "scale"),
+)
+def receipts_lake_tx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fintech_etl_spark.sinks import manifest as mf
+    from fintech_etl_spark.sinks.receipts import (
+        read_receipts,
+        write_receipts_parquet,
+    )
+
+    receipts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("receipt_id"),
+        F.col("o_orderdate").cast("date").alias("transaction_date"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    lake = os.path.join(
+        tempfile.gettempdir(),
+        "fintech_etl_rlake_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(lake, ignore_errors=True)
+    a = receipts.filter(F.col("receipt_id") % 2 == 0)
+    b = receipts.filter(F.col("receipt_id") % 2 == 1)
+    write_receipts_parquet(a, lake, transactional=True, batch_key="batch-a")
+    write_receipts_parquet(b, lake, batch_key="batch-b")
+    write_receipts_parquet(b, lake, batch_key="batch-b")  # replay: no-op
+    version = mf.current(lake)["version"]
+    return (
+        read_receipts(spark, lake)
+        .filter(F.col("transaction_month") == "1995-03")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("total_amount"), 4).alias("sum_total"),
+            F.min("receipt_id").cast("long").alias("first_receipt"),
+            F.max("receipt_id").cast("long").alias("last_receipt"),
+            F.lit(version).cast("long").alias("lake_version"),
+        )
+    )
