@@ -109,24 +109,71 @@ def write_receipts_parquet(
         writer = out.write.mode("overwrite").partitionBy("transaction_month")
     writer.parquet(seg)
     kwargs: dict = {"file_keys": [batch_key]} if batch_key is not None else {}
+    if partition_by_month:
+        # per-segment month min/max ride the same commit (lexicographic
+        # on 'yyyy-MM' ≡ chronological): a month-ranged read excludes
+        # whole segments from ONE pointer read, before any listing —
+        # at 10^4 streaming batches between compactions, the same
+        # manifest-stats win the z-order layout receipted at 43x
+        mm = out.agg(
+            F.min("transaction_month").alias("lo"),
+            F.max("transaction_month").alias("hi"),
+        ).first()
+        if mm.lo is not None:
+            kwargs["segment_stats"] = {
+                _RECEIPTS_DS: {seg: {"transaction_month": [mm.lo, mm.hi]}}
+            }
     if mode == "overwrite":
         mf.commit(path, replace={_RECEIPTS_DS: [seg]}, **kwargs)
     else:
         mf.commit(path, add={_RECEIPTS_DS: [seg]}, **kwargs)
 
 
-def read_receipts(spark: SparkSession, path: str) -> DataFrame:
+def read_receipts(
+    spark: SparkSession,
+    path: str,
+    months: tuple[str, str] | None = None,
+) -> DataFrame:
     """Scan the receipt lake. A transactional lake resolves the
     manifest pointer per call — atomic snapshots, no partial batches —
     and the per-segment partition-pruned scans keep
     ``transaction_month`` directory pruning intact (pinned by
-    tests/test_plan_quality.py). A plain lake is a direct read."""
+    tests/test_plan_quality.py). A plain lake is a direct read.
+
+    ``months=("2024-01", "2024-06")`` (inclusive, 'yyyy-MM') applies
+    the month filter AND, on a transactional lake, first excludes
+    whole segments whose committed month stats miss the range — one
+    pointer read instead of 10⁴ directory listings on a fragmented
+    streaming lake (segments without stats are always kept:
+    must-scan, never may-skip). The result is EXACTLY the unpruned
+    filter's; the equivalence is pinned by tests."""
+    lo = hi = None
+    if months is not None:
+        lo, hi = months
     if mf.is_transactional(path):
-        segs = mf.dataset_segments(path, _RECEIPTS_DS)
-        if not segs:
+        pairs = mf.dataset_segments_with_stats(path, _RECEIPTS_DS)
+        if not pairs:
             raise ValueError(
                 f"read_receipts: {path!r} is manifest-backed but its "
                 f"live manifest names no {_RECEIPTS_DS!r} segments"
             )
-        return mf.read_segments(spark, segs)
-    return spark.read.parquet(path)
+        segs = [p for p, _ in pairs]
+        if months is not None:
+            kept = [
+                p
+                for p, st in pairs
+                if st is None
+                or "transaction_month" not in st
+                or (st["transaction_month"][0] <= hi
+                    and st["transaction_month"][1] >= lo)
+            ]
+            if not kept:
+                # schema-only scan of one segment, always-false filter
+                return mf.read_segments(spark, segs[:1]).filter(F.lit(False))
+            segs = kept
+        df = mf.read_segments(spark, segs)
+    else:
+        df = spark.read.parquet(path)
+    if months is not None:
+        df = df.filter(F.col("transaction_month").between(lo, hi))
+    return df

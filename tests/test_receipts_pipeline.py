@@ -12,6 +12,8 @@ import json
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from fintech_etl_spark.operators.receipts import build_receipts, to_webhook_payloads
 from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
 
@@ -284,3 +286,47 @@ def test_cli_transactional_lake_exactly_once(spark, tmp_path, capsys, monkeypatc
     write_receipts_parquet(receipts, plain)
     with pytest.raises(ValueError, match="PLAIN parquet lake"):
         write_receipts_parquet(receipts, plain, transactional=True)
+
+
+def test_receipt_lake_month_range_manifest_pruning(spark, tmp_path):
+    """months= excludes whole segments from the committed month stats
+    (one pointer read, zero listings) and the pruned result equals the
+    unpruned filter's exactly; a stats-less segment is always kept."""
+    import datetime as dt2
+
+    from fintech_etl_spark.sinks import manifest as mf
+    from fintech_etl_spark.sinks import read_receipts, write_receipts_parquet
+
+    lake = str(tmp_path / "lake")
+    base = _golden_receipts(spark, tmp_path)  # months 2024-06 only
+    write_receipts_parquet(base, lake, transactional=True, batch_key="b0")
+    shifted = base.withColumn(
+        "transaction_date", F.add_months(F.col("transaction_date"), 6)
+    )
+    write_receipts_parquet(shifted, lake, batch_key="b1")  # 2024-12
+
+    pairs = mf.dataset_segments_with_stats(lake, "receipts")
+    assert len(pairs) == 2 and all(
+        st and "transaction_month" in st for _, st in pairs
+    )
+    # range covering only the shifted batch: one segment admitted
+    pruned = read_receipts(spark, lake, months=("2024-10", "2024-12"))
+    unpruned = read_receipts(spark, lake).filter(
+        F.col("transaction_month").between("2024-10", "2024-12")
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, unpruned.collect())
+    )
+    assert pruned.count() == base.count()
+    # range hitting nothing: schema-only, zero rows, no error
+    assert read_receipts(spark, lake, months=("1990-01", "1990-02")).count() == 0
+    # a foreign segment without stats is must-scan, never may-skip
+    seg = mf.new_segment_path(lake)
+    base.withColumn(
+        "transaction_month", F.date_format("transaction_date", "yyyy-MM")
+    ).write.parquet(seg)
+    mf.commit(lake, add={"receipts": [seg]})
+    with_foreign = read_receipts(spark, lake, months=("2024-10", "2024-12"))
+    # the stats-less segment is scanned (its rows are 2024-06 → filtered
+    # out), and the committed-range rows still all arrive
+    assert with_foreign.count() == base.count()
