@@ -410,6 +410,34 @@ def main(argv: list[str] | None = None) -> int:
         "exceeds this (cron alert threshold)",
     )
 
+    lkc = sub.add_parser(
+        "lake-compact",
+        help="fold a fragmented transactional receipt lake into one "
+        "month-partitioned segment (rewrite commit: a concurrent "
+        "ingest is carried forward); month stats re-ride the commit "
+        "so manifest pruning survives",
+    )
+    lkc.add_argument("--path", required=True)
+    lkc.add_argument("--files-per-partition", type=int, default=1)
+    lkc.add_argument(
+        "--vacuum-keep",
+        type=int,
+        help="afterwards, garbage-collect segments not referenced by "
+        "the newest N manifests (keep >= 2 while scans may be in "
+        "flight)",
+    )
+
+    mv = sub.add_parser(
+        "manifest-vacuum",
+        help="garbage-collect any manifest-backed dataset (ANN index, "
+        "z-order layout, receipt lake): drop segments only the "
+        "manifests OLDER than the newest N reference, plus staged "
+        "orphans past the grace window — bounds the time-travel "
+        "window, reclaims disk",
+    )
+    mv.add_argument("--path", required=True)
+    mv.add_argument("--keep", type=int, required=True)
+
     mr = sub.add_parser(
         "manifest-restore",
         help="roll a manifest-backed dataset back to a retained "
@@ -639,6 +667,22 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(report))
         if args.max_drift is not None and report["drift"] > args.max_drift:
             return 1
+    elif args.cmd == "lake-compact":
+        from fintech_etl_spark.sinks.receipts import compact_receipts_lake
+
+        stats = compact_receipts_lake(
+            spark, args.path, files_per_partition=args.files_per_partition
+        )
+        out = {"lake": args.path, **stats}
+        if args.vacuum_keep is not None:
+            from fintech_etl_spark.sinks import manifest as mfst
+
+            out["vacuum"] = mfst.vacuum(args.path, keep_last=args.vacuum_keep)
+        print(json.dumps(out))
+    elif args.cmd == "manifest-vacuum":
+        from fintech_etl_spark.sinks import manifest as mfst
+
+        print(json.dumps(mfst.vacuum(args.path, keep_last=args.keep)))
     elif args.cmd == "manifest-restore":
         from fintech_etl_spark.sinks import manifest as mfst
 

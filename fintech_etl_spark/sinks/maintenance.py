@@ -219,6 +219,7 @@ def compact_transactional(
     root: str,
     datasets: dict[str, list[str]],
     files_per_partition: int = 1,
+    stats_cols: dict[str, list[str]] | None = None,
 ) -> dict:
     """Manifest-mode compaction (sinks/manifest.py): rewrite each
     dataset's committed segments into ONE fresh segment with the same
@@ -231,13 +232,21 @@ def compact_transactional(
     CONCURRENTLY with serving (pinned by the race test in
     tests/test_manifest.py), closing the directory-swap caveat
     :func:`compact_partitioned` documents. The manifest's ingest
-    dedup history is carried by the commit itself. Returns per-dataset
-    {files_before, files_after, rows}."""
+    dedup history is carried by the commit itself.
+
+    ``stats_cols`` ({dataset: [col, ...]}) re-derives per-segment
+    min/max manifest stats for the rewritten segment in the SAME
+    commit — without it a compaction silently downgrades a
+    stats-pruned dataset (the receipt lake's month range, any future
+    client's key bounds) to must-scan: correct, but every ranged read
+    loses its manifest-level skip until the next stats-bearing
+    commit. Returns per-dataset {files_before, files_after, rows}."""
     from fintech_etl_spark.sinks import manifest as mfst
 
     stats: dict = {}
     add: dict[str, list[str]] = {}
     remove: dict[str, list[str]] = {}
+    seg_stats: dict[str, dict] = {}
     for name, pcols in datasets.items():
         meta = mfst.get_dataset_meta(root, name)
         if meta is not None and {"cols", "bits", "bounds"} <= set(meta):
@@ -264,6 +273,21 @@ def compact_transactional(
         out.write.mode("overwrite").partitionBy(*pcols).parquet(seg)
         add[name] = [seg]
         remove[name] = segs
+        cols = (stats_cols or {}).get(name)
+        if cols:
+            from pyspark.sql import functions as F
+
+            agg = out.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in cols],
+                *[F.max(c).alias(f"hi_{c}") for c in cols],
+            ).first()
+            per = {
+                c: [agg[f"lo_{c}"], agg[f"hi_{c}"]]
+                for c in cols
+                if agg[f"lo_{c}"] is not None
+            }
+            if per:
+                seg_stats[name] = {seg: per}
         stats[name] = {
             "files_before": files_before,
             "files_after": _parquet_file_count(seg),
@@ -275,7 +299,12 @@ def compact_transactional(
         # manifest's read-modify-write, never lost (Iceberg's
         # rewrite-commit shape; a StaleSegmentError means another
         # compactor won — retry from a fresh read)
-        mfst.commit(root, remove=remove, add=add)
+        mfst.commit(
+            root,
+            remove=remove,
+            add=add,
+            segment_stats=seg_stats or None,
+        )
     return stats
 
 

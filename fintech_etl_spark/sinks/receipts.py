@@ -129,10 +129,35 @@ def write_receipts_parquet(
         mf.commit(path, add={_RECEIPTS_DS: [seg]}, **kwargs)
 
 
+def compact_receipts_lake(
+    spark: SparkSession,
+    path: str,
+    files_per_partition: int = 1,
+) -> dict:
+    """Fold a fragmented transactional receipt lake (one segment per
+    committed batch — 10⁴ after a streaming day) back into ONE
+    month-partitioned segment via the generic manifest rewrite commit
+    (``compact_transactional``: remove what was read + add the
+    rewrite, so an ingest landing mid-compaction is carried forward,
+    never lost). The rewritten segment's ``transaction_month`` min/max
+    stats ride the same commit, so month-ranged manifest pruning
+    survives compaction. Returns {files_before, files_after, rows}."""
+    from fintech_etl_spark.sinks.maintenance import compact_transactional
+
+    return compact_transactional(
+        spark,
+        path,
+        {_RECEIPTS_DS: ["transaction_month"]},
+        files_per_partition=files_per_partition,
+        stats_cols={_RECEIPTS_DS: ["transaction_month"]},
+    )[_RECEIPTS_DS]
+
+
 def read_receipts(
     spark: SparkSession,
     path: str,
     months: tuple[str, str] | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Scan the receipt lake. A transactional lake resolves the
     manifest pointer per call — atomic snapshots, no partial batches —
@@ -146,34 +171,59 @@ def read_receipts(
     pointer read instead of 10⁴ directory listings on a fragmented
     streaming lake (segments without stats are always kept:
     must-scan, never may-skip). The result is EXACTLY the unpruned
-    filter's; the equivalence is pinned by tests."""
+    filter's; the equivalence is pinned by tests.
+
+    ``version`` time-travels a transactional lake to an earlier
+    committed snapshot (within the vacuum retention window — the same
+    immutable-manifest mechanics as ``read_zorder(version=)``);
+    month pruning then uses THAT version's segment stats."""
     lo = hi = None
     if months is not None:
         lo, hi = months
-    if mf.is_transactional(path):
+    if version is not None:
+        if not mf.is_transactional(path):
+            raise ValueError(
+                f"read_receipts: {path!r} is a plain directory — only "
+                "manifest-backed lakes keep version history"
+            )
+        m = mf.manifest_at(path, version)
+        st_by_seg = (m.get("segment_stats") or {}).get(_RECEIPTS_DS, {})
+        rels = m["datasets"].get(_RECEIPTS_DS, [])
+        if not rels:
+            raise ValueError(
+                f"read_receipts: version {version} of {path!r} holds "
+                f"no {_RECEIPTS_DS!r} segments"
+            )
+        import os
+
+        pairs = [(os.path.join(path, r), st_by_seg.get(r)) for r in rels]
+    elif mf.is_transactional(path):
         pairs = mf.dataset_segments_with_stats(path, _RECEIPTS_DS)
         if not pairs:
             raise ValueError(
                 f"read_receipts: {path!r} is manifest-backed but its "
                 f"live manifest names no {_RECEIPTS_DS!r} segments"
             )
-        segs = [p for p, _ in pairs]
-        if months is not None:
-            kept = [
-                p
-                for p, st in pairs
-                if st is None
-                or "transaction_month" not in st
-                or (st["transaction_month"][0] <= hi
-                    and st["transaction_month"][1] >= lo)
-            ]
-            if not kept:
-                # schema-only scan of one segment, always-false filter
-                return mf.read_segments(spark, segs[:1]).filter(F.lit(False))
-            segs = kept
-        df = mf.read_segments(spark, segs)
     else:
         df = spark.read.parquet(path)
+        if months is not None:
+            df = df.filter(F.col("transaction_month").between(lo, hi))
+        return df
+    segs = [p for p, _ in pairs]
+    if months is not None:
+        kept = [
+            p
+            for p, st in pairs
+            if st is None
+            or "transaction_month" not in st
+            or (st["transaction_month"][0] <= hi
+                and st["transaction_month"][1] >= lo)
+        ]
+        if not kept:
+            # schema-only scan of one segment, always-false filter
+            return mf.read_segments(spark, segs[:1]).filter(F.lit(False))
+        segs = kept
+    df = mf.read_segments(spark, segs)
     if months is not None:
         df = df.filter(F.col("transaction_month").between(lo, hi))
     return df

@@ -330,3 +330,53 @@ def test_receipt_lake_month_range_manifest_pruning(spark, tmp_path):
     # the stats-less segment is scanned (its rows are 2024-06 → filtered
     # out), and the committed-range rows still all arrive
     assert with_foreign.count() == base.count()
+
+
+def test_receipt_lake_compaction_time_travel_vacuum(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """The full table-format story for the lake: compaction folds the
+    fragments into one segment WITH month stats re-committed (ranged
+    pruning survives), time travel reads the pre-compact snapshot,
+    and vacuum bounds the window — all through the CLI where it has
+    one."""
+    from fintech_etl_spark import cli
+    from fintech_etl_spark.sinks import manifest as mf
+    from fintech_etl_spark.sinks import read_receipts, write_receipts_parquet
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    lake = str(tmp_path / "lake")
+    base = _golden_receipts(spark, tmp_path)
+    shifted = base.withColumn(
+        "transaction_date", F.add_months(F.col("transaction_date"), 6)
+    )
+    write_receipts_parquet(base, lake, transactional=True, batch_key="b0")
+    write_receipts_parquet(shifted, lake, batch_key="b1")
+    write_receipts_parquet(base, lake, batch_key="b2")
+    total = read_receipts(spark, lake).count()
+    v_pre = mf.current(lake)["version"]
+    assert len(mf.dataset_segments(lake, "receipts")) == 3
+
+    rc = cli.main(["lake-compact", "--path", lake])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_after"] <= out["files_before"]
+    assert out["rows"] == total
+    segs = mf.dataset_segments_with_stats(lake, "receipts")
+    assert len(segs) == 1
+    _, st = segs[0]
+    assert st["transaction_month"] == ["2024-06", "2024-12"]
+    # ranged manifest pruning still exact after compaction
+    pruned = read_receipts(spark, lake, months=("2024-10", "2024-12"))
+    assert pruned.count() == shifted.count()
+    # time travel: the pre-compact snapshot is intact
+    old = read_receipts(spark, lake, version=v_pre)
+    assert old.count() == total
+    # vacuum through the generic CLI bounds the window
+    rc = cli.main(["manifest-vacuum", "--path", lake, "--keep", "1"])
+    assert rc == 0
+    vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vac["removed_segments"]
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_receipts(spark, lake, version=v_pre).count()
+    assert read_receipts(spark, lake).count() == total
