@@ -787,6 +787,33 @@ TestManifestProtocol.settings = settings(
 )
 
 
+class CASManifestMachine(ManifestMachine):
+    """The identical random commit/vacuum/restore algebra, but every
+    metadata operation acquires the CAS LEASE provider (object-store
+    posture) with a lost ack injected on every 3rd successful put —
+    the model must hold bit-for-bit; a lost-then-won acquire that
+    deadlocked or double-entered would break an invariant here."""
+
+    def __init__(self):
+        super().__init__()
+        self._orig_provider = mf.DEFAULT_LOCK_PROVIDER
+        mf.DEFAULT_LOCK_PROVIDER = CASLockProvider(
+            CASStore(
+                os.path.join(self.root, "_cas_store"), lose_ack_every=3
+            )
+        )
+
+    def teardown(self):
+        mf.DEFAULT_LOCK_PROVIDER = self._orig_provider
+        super().teardown()
+
+
+TestCASManifestProtocol = CASManifestMachine.TestCase
+TestCASManifestProtocol.settings = settings(
+    max_examples=10, stateful_step_count=30, deadline=None
+)
+
+
 def test_vacuum_on_plain_directory_is_loud(tmp_path):
     with pytest.raises(ValueError, match="not a manifest-backed"):
         mf.vacuum(str(tmp_path))
