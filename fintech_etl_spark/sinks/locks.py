@@ -166,6 +166,15 @@ class CASLockProvider:
         owner = uuid.uuid4().hex
         deadline = time.monotonic() + self.timeout_sec
         while True:
+            # checked at the TOP so every path — steal retries and
+            # released-between-put-and-get loops included — is bounded,
+            # not just the patient live-lease wait below
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"manifest commit: CAS lease {key!r} not acquired "
+                    f"within {self.timeout_sec}s — a committer is stuck "
+                    "or the store is thrashing"
+                )
             lease = {"owner": owner, "expires_at": time.time() + self.lease_sec}
             try:
                 if self.store.put_if_absent(key, lease):
