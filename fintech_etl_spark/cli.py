@@ -391,6 +391,14 @@ def main(argv: list[str] | None = None) -> int:
         help='DDL schema of the JSONL rows, e.g. "rowid long, x long"',
     )
     lr.add_argument("--num-files", type=int, default=4)
+    lr.add_argument(
+        "--compact-when-drift-above",
+        type=float,
+        help="after each commit, poll the manifest-only drift metric "
+        "and run the full re-freezing compaction when the live keys "
+        "have outgrown the frozen curve by this fraction (the "
+        "compaction cron, inlined; e.g. 0.5)",
+    )
 
     ld = sub.add_parser(
         "layout-drift",
@@ -744,6 +752,7 @@ def main(argv: list[str] | None = None) -> int:
             args.schema,
             num_files=args.num_files,
             on_batch=on_rows_batch,
+            compact_when_drift_above=args.compact_when_drift_above,
         ).awaitTermination()
         print("ingest drained")
     elif args.cmd == "serve-ann":

@@ -20,8 +20,11 @@ the same exactly-once machinery:
   file → clustered segment → pruned box scans with no rebuild and no
   restart anywhere; each appended segment clusters against the
   layout's FROZEN curve bounds (batch-proportional cost, clamp at the
-  curve edge for drifting keys — re-cluster with ``zorder_compact``
-  on the usual maintenance rhythm).
+  curve edge for drifting keys); drift maintenance is built in:
+  ``compact_when_drift_above=0.5`` polls ``zorder_drift`` after each
+  commit (one pointer read, zero data scanned) and runs the full
+  re-freezing ``zorder_compact`` when the live keys have outgrown
+  the frozen curve — the compaction cron, inlined.
 
 The reference engine's intake loop re-reads its whole inbox every
 cycle and has no processed-marker at all
@@ -37,7 +40,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from fintech_etl_spark.operators.layout import zorder_append, zorder_bounds
+from fintech_etl_spark.operators.layout import (
+    zorder_append,
+    zorder_bounds,
+    zorder_compact,
+    zorder_drift,
+)
 from fintech_etl_spark.sinks import manifest as mf
 
 
@@ -51,6 +59,8 @@ def start_zorder_ingest(
     num_files: int = 4,
     max_files_per_trigger: int = 32,
     on_batch: Callable[[int, int], None] | None = None,
+    compact_when_drift_above: float | None = None,
+    compact_num_files: int = 32,
 ) -> StreamingQuery:
     """Stream JSONL row files matching ``rows_glob`` (fields per
     ``schema``, which must include the layout's z-order key columns)
@@ -69,6 +79,13 @@ def start_zorder_ingest(
             "manifest-backed layout — build it with "
             "zorder_write(transactional=True); the plain directory "
             "mode cannot provide exactly-once file ingest"
+        )
+    if compact_when_drift_above is not None and not (
+        0 < compact_when_drift_above <= 1
+    ):
+        raise ValueError(
+            "start_zorder_ingest: compact_when_drift_above must be in "
+            f"(0, 1], got {compact_when_drift_above!r}"
         )
 
     incoming = (
@@ -125,6 +142,22 @@ def start_zorder_ingest(
             n = zorder_append(
                 b, layout_path, num_files=num_files, file_keys=todo
             )
+            if compact_when_drift_above is not None:
+                # the drift poll is one pointer read (zero data) —
+                # free per batch; the triggered compaction is the FULL
+                # re-freezing rewrite, run inline so it serializes
+                # with this stream's own appends (a concurrent foreign
+                # append is still carried forward by the remove+add
+                # commit; a lost compactor race raises
+                # StaleSegmentError and the next batch re-polls)
+                d = zorder_drift(layout_path)["drift"]
+                if d > compact_when_drift_above:
+                    try:
+                        zorder_compact(
+                            spark, layout_path, num_files=compact_num_files
+                        )
+                    except mf.StaleSegmentError:
+                        pass  # a foreign compactor won; drift re-polls
             if on_batch is not None:
                 on_batch(batch_id, n)
         finally:

@@ -275,3 +275,53 @@ def test_restore_undoes_a_bad_ingest(spark, tmp_path, layout, capsys,
     mf.vacuum(root, keep_last=1, orphan_grace_sec=0.0)
     with pytest.raises(ValueError, match="vacuumed"):
         mf.restore(root, 0)
+
+
+def test_drift_triggered_auto_compaction(spark, tmp_path, layout):
+    """compact_when_drift_above: an in-range file leaves the layout
+    untouched; a file drifted far past the frozen bounds trips the
+    poll and the stream runs the full re-freezing compact itself —
+    post-drain drift is 0, the layout is folded, no row is lost."""
+    from fintech_etl_spark.operators.layout import zorder_drift
+
+    root, land = layout
+    _write_jsonl(_batch_rows(spark, 1000, 1200), land / "a.jsonl")
+    drifted = [
+        {"rowid": r["rowid"], "x": r["x"] + 5000, "y": r["y"] + 5000}
+        for r in _batch_rows(spark, 1200, 1400)
+    ]
+    _write_jsonl(drifted, land / "b.jsonl")
+
+    q = start_zorder_ingest(
+        spark,
+        str(land / "*.jsonl"),
+        str(tmp_path / "ck"),
+        root,
+        _SCHEMA,
+        num_files=1,
+        max_files_per_trigger=1,  # one file per batch: poll sees each
+        compact_when_drift_above=0.3,
+    )
+    q.awaitTermination()
+    d = zorder_drift(root)
+    assert d["drift"] == 0.0, d  # the stream compacted itself
+    assert len(mf.dataset_segments(root, _LAYOUT_DS)) == 1
+    out = read_zorder(spark, root)
+    assert out.count() == 1400
+    # every drifted row survived the rewrite
+    assert out.filter(F.col("x") > 4000).count() == len(drifted)
+    # exactly-once history survived the compaction
+    assert mf.ingested_count(root) == 2
+
+
+def test_auto_compaction_threshold_validation(spark, tmp_path, layout):
+    root, land = layout
+    with pytest.raises(ValueError, match="compact_when_drift_above"):
+        start_zorder_ingest(
+            spark,
+            str(land / "*.jsonl"),
+            str(tmp_path / "ck"),
+            root,
+            _SCHEMA,
+            compact_when_drift_above=1.5,
+        )
