@@ -418,6 +418,31 @@ def main(argv: list[str] | None = None) -> int:
         "exceeds this (cron alert threshold)",
     )
 
+    lm = sub.add_parser(
+        "layout-maintain",
+        help="the maintenance half of the drift handoff: if the layout "
+        "carries a compaction-due marker (committed by a streaming "
+        "ingest whose drift poll tripped), run the full re-freezing "
+        "layout compaction — the marker clears atomically with the "
+        "rewrite commit. Nothing due = no-op; safe to cron at any "
+        "frequency. With --when-drift-above it also polls drift "
+        "itself (for layouts written by non-marking clients).",
+    )
+    lm.add_argument("--path", required=True)
+    lm.add_argument("--num-files", type=int, default=32)
+    lm.add_argument(
+        "--when-drift-above",
+        type=float,
+        help="also compact when the live drift exceeds this, even "
+        "without a marker",
+    )
+    lm.add_argument(
+        "--vacuum-keep",
+        type=int,
+        help="afterwards, garbage-collect superseded segments past "
+        "the newest N manifests",
+    )
+
     lkc = sub.add_parser(
         "lake-compact",
         help="fold a fragmented transactional receipt lake into one "
@@ -675,6 +700,33 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(report))
         if args.max_drift is not None and report["drift"] > args.max_drift:
             return 1
+    elif args.cmd == "layout-maintain":
+        from fintech_etl_spark.operators.layout import (
+            run_due_compaction,
+            zorder_compact,
+            zorder_drift,
+        )
+
+        res = run_due_compaction(spark, args.path, num_files=args.num_files)
+        out = {"layout": args.path, "compacted": res is not None}
+        if res is not None:
+            out.update(res)
+        elif args.when_drift_above is not None:
+            d = zorder_drift(args.path)["drift"]
+            if d > args.when_drift_above:
+                out["compacted"] = True
+                out["rows"] = zorder_compact(
+                    spark, args.path, num_files=args.num_files
+                )
+                out["marker"] = {
+                    "drift": d,
+                    "threshold": args.when_drift_above,
+                }
+        if out["compacted"] and args.vacuum_keep is not None:
+            from fintech_etl_spark.sinks import manifest as mfst
+
+            out["vacuum"] = mfst.vacuum(args.path, keep_last=args.vacuum_keep)
+        print(json.dumps(out))
     elif args.cmd == "lake-compact":
         from fintech_etl_spark.sinks.receipts import compact_receipts_lake
 

@@ -217,12 +217,23 @@ def zorder_drift(path: str) -> dict:
     cron can poll it for free at any fragmentation level.
 
     Returns ``{cols: {col: {frozen, actual, out_of_bounds_fraction}},
-    drift, segments, segments_without_stats}`` where each column's
-    ``out_of_bounds_fraction`` is the share of its live value range
-    lying outside the frozen box and ``drift`` is the worst column's.
-    0.0 = every committed value inside the frozen curve; climbing
-    toward 1.0 = the curve covers a shrinking sliver of the data.
-    Segments without stats can't be assessed and are only counted.
+    drift, segments, segments_without_stats, unassessed_conservative}``
+    where each column's ``out_of_bounds_fraction`` is the share of its
+    live value range lying OUTSIDE the frozen box — ``1 -
+    overlap/span``, always in [0, 1] even when the live range no
+    longer intersects the frozen box at all — and ``drift`` is the
+    worst column's. 0.0 = every committed value inside the frozen
+    curve; 1.0 = the curve covers none of the data.
+
+    Segments WITHOUT stats cannot be assessed, and they are exactly
+    the ones most likely to have drifted (appends predating
+    segment-stats support, foreign commits). Silence there would be
+    the failure mode: a fully-drifted layout reporting 0.0 and the
+    cron never compacting (the r12 ADVICE finding). So any
+    unassessable segment forces the CONSERVATIVE verdict — ``drift``
+    is pinned to 1.0 and ``unassessed_conservative`` is True. The
+    state converges: a compaction rewrite commits stats for
+    everything it writes, after which drift is measured again.
     Transactional layouts only — a plain directory keeps no
     per-batch stats to assess without scanning."""
     if not mf.is_transactional(path):
@@ -256,21 +267,106 @@ def zorder_drift(path: str) -> dict:
         if c not in actual:
             continue  # no assessable segment carries this column
         alo, ahi = actual[c]
-        span = max(ahi - alo, 1)
-        out = max(0, flo - alo) + max(0, ahi - fhi)
-        frac = out / span
+        span = ahi - alo
+        if span <= 0:
+            # degenerate live range (single value): inside or not
+            frac = 0.0 if flo <= alo and ahi <= fhi else 1.0
+        else:
+            # 1 - overlap/span ≡ the old out/span when the ranges
+            # intersect, but stays ≤ 1.0 when the live range has left
+            # the frozen box entirely (out/span could exceed 1)
+            overlap = max(0, min(ahi, fhi) - max(alo, flo))
+            frac = 1.0 - overlap / span
         per_col[c] = {
             "frozen": [flo, fhi],
             "actual": [alo, ahi],
             "out_of_bounds_fraction": frac,
         }
         worst = max(worst, frac)
+    if no_stats:
+        worst = 1.0  # unassessable ⇒ must-compact, never silent 0.0
     return {
         "cols": per_col,
         "drift": worst,
         "segments": len(pairs),
         "segments_without_stats": no_stats,
+        "unassessed_conservative": no_stats > 0,
     }
+
+
+#: meta-only manifest namespace for maintenance markers — no segments
+#: ever live under it; it exists so signal commits don't overwrite the
+#: layout dataset's own meta (the frozen curve bounds)
+_MAINT_DS = "_maintenance"
+
+
+def mark_compaction_due(path: str, *, drift: float, threshold: float) -> None:
+    """Publish the COMPACTION-DUE marker — one CAS metadata commit, no
+    data touched. This is the writer half of the signal-and-handoff
+    split (the Iceberg "maintenance is not the writer's job" shape):
+    an ingest stream that measures drift past its threshold commits
+    this marker and KEEPS APPENDING against the old bounds, while a
+    maintenance entry point (``cli.py layout-maintain``, a cron) owns
+    the actual corpus rewrite. At 100 TB the full re-freezing
+    ``zorder_compact`` is minutes-to-hours; running it inline in
+    ``foreachBatch`` (the r12 shape) stalls ingest for exactly that
+    long the moment drift trips — the marker costs microseconds
+    instead. The marker rides the same atomic pointer swap as
+    everything else and is cleared by the commit of the next FULL
+    bounds-refreshing compaction, so signal and resolution are both
+    transactional."""
+    mf.commit(
+        path,
+        dataset_meta={
+            _MAINT_DS: {
+                "compaction_due": {
+                    "drift": float(drift),
+                    "threshold": float(threshold),
+                }
+            }
+        },
+    )
+
+
+def compaction_due(path: str) -> dict | None:
+    """The live compaction-due marker, or None — one pointer read."""
+    if not mf.is_transactional(path):
+        return None
+    m = mf.current(path)
+    return ((m.get("dataset_meta") or {}).get(_MAINT_DS) or {}).get(
+        "compaction_due"
+    )
+
+
+def run_due_compaction(
+    spark: SparkSession,
+    path: str,
+    num_files: int = 32,
+    max_retries: int = 3,
+) -> dict | None:
+    """The maintenance half of the handoff: if the layout carries a
+    compaction-due marker, run the full re-freezing
+    :func:`zorder_compact` (whose commit also clears the marker) and
+    return ``{rows, marker}``; return None when nothing is due — safe
+    to cron at any frequency. A :class:`~fintech_etl_spark.sinks.
+    manifest.StaleSegmentError` means a concurrent committer
+    (a racing compactor, or an ingest append landing mid-rewrite in a
+    pathological interleaving) superseded our read — re-poll the
+    marker and retry from a fresh read, up to ``max_retries``."""
+    for _ in range(max_retries):
+        marker = compaction_due(path)
+        if marker is None:
+            return None  # nothing due (or a racing compactor resolved it)
+        try:
+            rows = zorder_compact(spark, path, num_files=num_files)
+            return {"rows": rows, "marker": marker}
+        except mf.StaleSegmentError:
+            continue
+    raise RuntimeError(
+        f"run_due_compaction: {path!r} still due after {max_retries} "
+        "attempts, each losing the rewrite race to another committer — "
+        "a foreign compactor is thrashing; back off and re-run"
+    )
 
 
 def read_zorder(
@@ -557,11 +653,19 @@ def zorder_compact(
         meta = {"cols": meta["cols"], "bits": meta["bits"], "bounds": actual}
     seg = mf.new_segment_path(path)
     _cluster_write(cur, meta, seg, num_files, "overwrite")
+    dm: dict[str, dict] = {_LAYOUT_DS: meta}
+    if refresh_bounds:
+        # a full bounds-refreshing compaction RESOLVES any pending
+        # compaction-due marker — clearing it rides the same atomic
+        # commit as the rewrite (signal and resolution can never be
+        # observed out of sync); a partial compaction leaves both the
+        # curve and the marker alone
+        dm[_MAINT_DS] = {}
     mf.commit(
         path,
         remove={_LAYOUT_DS: old_segs},
         add={_LAYOUT_DS: [seg]},
-        dataset_meta={_LAYOUT_DS: meta},
+        dataset_meta=dm,
         # stats are the data's actual min/max even under keep-bounds
         segment_stats={
             _LAYOUT_DS: {seg: {c: list(v) for c, v in actual.items()}}

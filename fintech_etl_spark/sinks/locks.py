@@ -62,7 +62,7 @@ import threading
 import time
 import uuid
 
-__all__ = ["CASStore", "CASLockProvider"]
+__all__ = ["CASStore", "CASLockProvider", "GCSCASStore"]
 
 
 class CASStore:
@@ -137,6 +137,108 @@ class CASStore:
             return True
 
 
+class GCSCASStore:
+    """The three CAS primitives over a REAL object store — Google
+    Cloud Storage's generation-match preconditions (public service
+    semantics: one JSON object per key, ``x-goog-if-generation-match``
+    headers; see the module table). Drop-in for the ``store``
+    parameter of :class:`CASLockProvider`, making the manifest commit
+    lock real on GCS the same way Delta-on-S3 goes through DynamoDB.
+
+    - ``put_if_absent`` → upload with ``if_generation_match=0``: the
+      service accepts exactly one creator; a racing creator gets HTTP
+      412 (PreconditionFailed) and this returns False.
+    - ``get`` → plain object read (404 → None).
+    - ``delete_if_match`` → read the object's VALUE AND GENERATION,
+      compare the value, then delete with ``if_generation_match=<that
+      generation>``: two stealers that both observed the same expired
+      lease race their deletes, the service admits exactly one (the
+      loser's 412 → False) — the single-winner guarantee every steal
+      and release builds on. A value that changed between read and
+      delete also 412s, so a just-renewed foreign lease can never be
+      deleted by a stale observer.
+
+    Gated exactly like the real Pub/Sub transport
+    (``sinks/pubsub.py``): constructing without ``google-cloud-
+    storage`` installed (this container) raises a LOUD
+    ``NotImplementedError`` naming the dependency. ``client`` is
+    injectable for contract tests — anything exposing
+    ``bucket(name).blob(path)`` with ``download_as_bytes`` /
+    ``upload_from_string(if_generation_match=)`` /
+    ``delete(if_generation_match=)`` / ``reload()``+``.generation``
+    and raising the google-api-core ``NotFound`` / ``PreconditionFailed``
+    shapes (any exception type carrying ``.code`` 404/412 works).
+    """
+
+    def __init__(self, bucket: str, prefix: str = "", client=None) -> None:
+        if client is None:
+            try:
+                from google.cloud import storage  # absent in this container
+            except ImportError as ex:
+                raise NotImplementedError(
+                    "GCSCASStore requires google-cloud-storage (not "
+                    "installed) and application-default credentials; "
+                    "inject a client, or use the CASStore emulation for "
+                    "local runs"
+                ) from ex
+            client = storage.Client()
+        self._bucket = client.bucket(bucket)
+        self.prefix = prefix.strip("/")
+
+    def _blob(self, key: str):
+        safe = key.replace(os.sep, "_").replace(":", "_")
+        name = f"{self.prefix}/{safe}.json" if self.prefix else f"{safe}.json"
+        return self._bucket.blob(name)
+
+    @staticmethod
+    def _code(ex: Exception) -> int | None:
+        return getattr(ex, "code", None) or getattr(ex, "status_code", None)
+
+    def put_if_absent(self, key: str, value: dict) -> bool:
+        blob = self._blob(key)
+        try:
+            blob.upload_from_string(
+                json.dumps(value),
+                content_type="application/json",
+                if_generation_match=0,
+            )
+            return True
+        except Exception as ex:  # noqa: BLE001 — typed by HTTP code
+            if self._code(ex) == 412:  # somebody else created it
+                return False
+            raise
+
+    def get(self, key: str) -> dict | None:
+        blob = self._blob(key)
+        try:
+            return json.loads(blob.download_as_bytes())
+        except Exception as ex:  # noqa: BLE001
+            if self._code(ex) == 404:
+                return None
+            raise
+
+    def delete_if_match(self, key: str, expected: dict) -> bool:
+        blob = self._blob(key)
+        try:
+            blob.reload()  # pins .generation to the observed value
+            cur = json.loads(blob.download_as_bytes(
+                if_generation_match=blob.generation
+            ))
+        except Exception as ex:  # noqa: BLE001
+            if self._code(ex) in (404, 412):
+                return False  # gone, or mutated mid-read — not a match
+            raise
+        if cur != expected:
+            return False
+        try:
+            blob.delete(if_generation_match=blob.generation)
+            return True
+        except Exception as ex:  # noqa: BLE001
+            if self._code(ex) in (404, 412):
+                return False  # another stealer's delete won the race
+            raise
+
+
 class CASLockProvider:
     """Lease-based mutual exclusion over a :class:`CASStore` (or any
     object with the same three primitives). Drop-in for the
@@ -203,6 +305,26 @@ class CASLockProvider:
                     "what should be a microsecond metadata step"
                 )
             time.sleep(self.poll_sec)
+
+    def verify(self, handle: tuple[str, dict]) -> bool:
+        """True iff the lease is still OURS and still LIVE. Called by
+        the manifest layer immediately before every pointer swap, so a
+        holder paused past ``lease_sec`` (GC stall, slow FS) fails
+        loudly instead of last-writer-winning over a thief's commit —
+        the Delta DynamoDB-LogStore / Iceberg lock-manager posture.
+
+        An EXPIRED-but-not-yet-stolen lease also fails: expiry means
+        any acquirer may steal at any instant, so the lease confers no
+        ownership beyond ``expires_at`` — treating it as held would
+        reopen the race this check closes, just with worse timing.
+        """
+        key, lease = handle
+        cur = self.store.get(key)
+        return (
+            cur is not None
+            and cur.get("owner") == lease.get("owner")
+            and time.time() <= float(cur.get("expires_at", 0))
+        )
 
     def release(self, handle: tuple[str, dict]) -> None:
         key, lease = handle

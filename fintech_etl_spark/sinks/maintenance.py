@@ -273,25 +273,30 @@ def compact_transactional(
         out.write.mode("overwrite").partitionBy(*pcols).parquet(seg)
         add[name] = [seg]
         remove[name] = segs
-        cols = (stats_cols or {}).get(name)
-        if cols:
-            from pyspark.sql import functions as F
+        # ONE pass over the freshly written segment yields both the
+        # row count and the min/max stats — aggregating `out` here
+        # would lazily re-scan every OLD fragmented segment a second
+        # time just to recompute bounds the rewrite already touched
+        # (the r12 ADVICE finding); partition-column min/max resolves
+        # from directory values, not data
+        from pyspark.sql import functions as F
 
-            agg = out.agg(
-                *[F.min(c).alias(f"lo_{c}") for c in cols],
-                *[F.max(c).alias(f"hi_{c}") for c in cols],
-            ).first()
-            per = {
-                c: [agg[f"lo_{c}"], agg[f"hi_{c}"]]
-                for c in cols
-                if agg[f"lo_{c}"] is not None
-            }
-            if per:
-                seg_stats[name] = {seg: per}
+        cols = (stats_cols or {}).get(name) or []
+        aggs = [F.count(F.lit(1)).alias("_rows_")]
+        aggs += [F.min(c).alias(f"lo_{c}") for c in cols]
+        aggs += [F.max(c).alias(f"hi_{c}") for c in cols]
+        agg = spark.read.parquet(seg).agg(*aggs).first()
+        per = {
+            c: [agg[f"lo_{c}"], agg[f"hi_{c}"]]
+            for c in cols
+            if agg[f"lo_{c}"] is not None
+        }
+        if per:
+            seg_stats[name] = {seg: per}
         stats[name] = {
             "files_before": files_before,
             "files_after": _parquet_file_count(seg),
-            "rows": spark.read.parquet(seg).count(),
+            "rows": agg["_rows_"],
         }
     if add:
         # remove exactly what was read + add the rewrite — a CONCURRENT

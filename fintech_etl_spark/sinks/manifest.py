@@ -123,6 +123,51 @@ class StaleSegmentError(RuntimeError):
     fresh read."""
 
 
+class CommitLockLostError(RuntimeError):
+    """The committer's lock/lease was lost mid-critical-section, or the
+    manifest pointer moved underneath it: a holder paused past the
+    staleness/lease bound (GC stall, slow FS) had its lock stolen and
+    a concurrent committer may have advanced the log. The pointer swap
+    is last-writer-wins, so proceeding would silently discard the
+    other committer's manifest — the exact lost-commit the lock exists
+    to prevent. Fail loudly instead (the Delta-on-S3 DynamoDB LogStore
+    / Iceberg lock-manager posture: a conditional commit point turns
+    an expired-lock race into an error, never into data loss). The
+    staged data is untouched; retry the whole commit from a fresh
+    read."""
+
+
+def _verify_still_held(provider, handle, mdir: str, basis: str | None) -> None:
+    """Guard the commit point: re-check (a) the lock/lease is still
+    ours via the provider's ``verify`` hook, and (b) the pointer still
+    names the manifest this read-modify-write was based on (``basis``;
+    ``None`` = first commit, pointer must not exist yet). (b) catches
+    a lost commit even under a provider without ``verify``: a thief
+    that committed advanced the pointer, so the basis mismatch is loud
+    regardless of how mutual exclusion failed."""
+    verify = getattr(provider, "verify", None)
+    if verify is not None and not verify(handle):
+        raise CommitLockLostError(
+            f"manifest commit: lock/lease for {mdir!r} is no longer "
+            "held (stolen after a pause past the staleness bound, or "
+            "expired) — aborting before the pointer swap; retry from "
+            "a fresh read"
+        )
+    ptr = os.path.join(mdir, _CURRENT)
+    try:
+        with open(ptr) as fh:
+            now_names = fh.read().strip()
+    except OSError:
+        now_names = None
+    if now_names != basis:
+        raise CommitLockLostError(
+            f"manifest commit: pointer for {mdir!r} moved during the "
+            f"critical section (based on {basis!r}, now {now_names!r}) "
+            "— a concurrent committer won a stolen lock; aborting "
+            "instead of overwriting its commit; retry from a fresh read"
+        )
+
+
 def manifests_dir(root: str) -> str:
     return os.path.join(root, _MANIFESTS)
 
@@ -305,6 +350,19 @@ class FileLockProvider:
             os.unlink(grave)
         except OSError:
             pass
+
+    def verify(self, handle: tuple[str, str]) -> bool:
+        """True iff the lock file still exists and carries OUR owner
+        token — called by :func:`_verify_still_held` immediately before
+        every pointer swap / destructive phase, so a holder paused past
+        the staleness bound fails loudly instead of overwriting the
+        thief's commit."""
+        path, owner = handle
+        try:
+            with open(path) as fh:
+                return fh.read() == owner
+        except OSError:
+            return False
 
     def release(self, handle: tuple[str, str]) -> None:
         path, owner = handle
@@ -500,6 +558,7 @@ def commit(
     try:
         if is_transactional(root):
             cur = current(root)
+            basis = cur["_file"]
             version = cur["version"] + 1
             datasets = {k: list(v) for k, v in cur["datasets"].items()}
             meta_by_ds = {
@@ -511,7 +570,7 @@ def commit(
             }
             buckets, cp_count, n_buckets, tail = _ingest_state(cur)
         else:
-            version, datasets, meta_by_ds = 0, {}, {}
+            version, datasets, meta_by_ds, basis = 0, {}, {}, None
             stats_by_ds = {}
             buckets, cp_count, n_buckets, tail = {}, 0, _INGEST_BUCKETS, []
         for ds, dm in (dataset_meta or {}).items():
@@ -595,6 +654,9 @@ def commit(
         _fsync_write(os.path.join(mdir, name), json.dumps(m, indent=1))
         tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
         _fsync_write(tmp, name)
+        # a stalled holder whose lease was stolen must fail HERE, not
+        # last-writer-win over the thief's committed manifest
+        _verify_still_held(provider, handle, mdir, basis)
         os.replace(tmp, os.path.join(mdir, _CURRENT))  # THE commit point
         # fsync the DIRECTORY too: rename atomicity is immediate, but
         # its durability is not — an OS crash could otherwise revert
@@ -751,6 +813,10 @@ def vacuum(
                 buckets, _, _, _ = _ingest_state(m)
                 live_buckets.update(buckets.values())
         removed_segments = []
+        # destructive phase begins — a stalled vacuum whose lock was
+        # stolen could otherwise rmtree segments a concurrent commit
+        # just added; re-verify before the first delete
+        _verify_still_held(provider, handle, mdir, cur["_file"])
         seg_root = os.path.join(root, _SEGMENTS)
         if os.path.isdir(seg_root):
             now = time.time()
@@ -846,6 +912,7 @@ def restore(
         _fsync_write(os.path.join(mdir, name), json.dumps(m, indent=1))
         tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
         _fsync_write(tmp, name)
+        _verify_still_held(provider, handle, mdir, cur["_file"])
         os.replace(tmp, os.path.join(mdir, _CURRENT))
         dfd = os.open(mdir, os.O_RDONLY)
         try:

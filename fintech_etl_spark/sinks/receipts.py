@@ -153,6 +153,27 @@ def compact_receipts_lake(
     )[_RECEIPTS_DS]
 
 
+def _apply_month_filter(df: DataFrame, lo: str, hi: str) -> DataFrame:
+    """Inclusive 'yyyy-MM' range filter that works on BOTH lake
+    shapes. A month-partitioned lake filters the partition column
+    (directory pruning). A lake written with
+    ``partition_by_month=False`` has no ``transaction_month`` column
+    at all — filtering it would raise an unresolved-column
+    AnalysisException (the r12 ADVICE finding) — so the range is
+    translated to HALF-OPEN ``transaction_date`` bounds instead:
+    plain comparisons against the raw column, which parquet row-group
+    min/max stats can prune (a ``date_format()`` wrapper would defeat
+    pushdown)."""
+    if "transaction_month" in df.columns:
+        return df.filter(F.col("transaction_month").between(lo, hi))
+    y, m = int(hi[:4]), int(hi[5:7])
+    nxt = f"{y + (m == 12)}-{(m % 12) + 1:02d}-01"
+    return df.filter(
+        (F.col("transaction_date") >= F.lit(f"{lo}-01").cast("date"))
+        & (F.col("transaction_date") < F.lit(nxt).cast("date"))
+    )
+
+
 def read_receipts(
     spark: SparkSession,
     path: str,
@@ -207,7 +228,7 @@ def read_receipts(
     else:
         df = spark.read.parquet(path)
         if months is not None:
-            df = df.filter(F.col("transaction_month").between(lo, hi))
+            df = _apply_month_filter(df, lo, hi)
         return df
     segs = [p for p, _ in pairs]
     if months is not None:
@@ -225,5 +246,5 @@ def read_receipts(
         segs = kept
     df = mf.read_segments(spark, segs)
     if months is not None:
-        df = df.filter(F.col("transaction_month").between(lo, hi))
+        df = _apply_month_filter(df, lo, hi)
     return df

@@ -780,6 +780,7 @@ def ivf_pq_query_batch(
     top_k: int = _TOP_K,
     coarse: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    pq_cand: int | None = None,
 ) -> DataFrame:
     """One batch of IVF-PQ queries against a built index layout —
     the scoring core the streaming server runs per micro-batch,
@@ -799,7 +800,18 @@ def ivf_pq_query_batch(
     (``_N_PROBE``); pick a value for a recall target with
     ``calibrate_n_probe`` + ``auto_n_probe``. ``coarse``/``codebooks``
     take preloaded quantizer frames (frozen by the append contract) so
-    a server loads them once across batches."""
+    a server loads them once across batches.
+
+    ``pq_cand`` sizes the ADC shortlist the exact re-rank refines
+    (default: the batch tier's ``_PQ_CAND`` = 50, bit-parity with the
+    registry row). This is the OTHER serving lever, and on noisy
+    corpora the binding one: the r12 calibration receipt measured
+    recall DECREASING in n_probe because a fixed 50-deep shortlist of
+    an ADC ranking dilutes as wider probes add candidates — the r13
+    attribution (``calibrate_n_probe``'s ``ceiling`` field) pins the
+    gap to this cut, not to cell assignment. Cost scales with the
+    exact-refine row count (pq_cand raw-vector rows per query), still
+    bounded by the probed cells."""
     from pyspark.sql.window import Window as W
 
     from fintech_etl_spark.operators.similarity import (
@@ -813,6 +825,8 @@ def ivf_pq_query_batch(
 
     if n_probe is None:
         n_probe = _N_PROBE
+    if pq_cand is None:
+        pq_cand = _PQ_CAND
     if coarse is None:
         coarse = spark.read.parquet(index_path + "/coarse")
     if codebooks is None:
@@ -884,7 +898,7 @@ def ivf_pq_query_batch(
         F.row_number().over(
             w.orderBy(F.col("approx_dist").asc(), "neighbor_id")
         ),
-    ).filter(F.col("crank") <= _PQ_CAND)
+    ).filter(F.col("crank") <= pq_cand)
 
     nv = vectors.filter(F.col("cell").isin(probed_cells)).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
@@ -1004,6 +1018,13 @@ def calibrate_n_probe(
         "query_id", F.col("embedding").cast("array<double>").alias("qv")
     )
     n_queries = q.count()
+    if n_queries == 0:
+        raise ValueError(
+            "calibrate_n_probe: the query sample is EMPTY — recall@k "
+            "would divide by zero and the curve would be meaningless; "
+            "pass a non-empty (query_id, embedding) sample (hundreds "
+            "of rows is the intended scale)"
+        )
     vectors = _read_ivf_dataset(spark, index_path, "vectors")
     coarse = spark.read.parquet(index_path + "/coarse")
     codebooks = spark.read.parquet(index_path + "/codebooks")
@@ -1102,6 +1123,11 @@ def auto_n_probe(
     not by probe width): ``strict=True`` raises with the best
     achieved value, the default returns the largest swept n_probe —
     the best this index can do; fix the codebook, not the probe."""
+    if not curve:
+        raise ValueError(
+            "auto_n_probe: the calibration curve is EMPTY — run "
+            "calibrate_n_probe with at least one n_probe point first"
+        )
     best = None
     for point in sorted(curve, key=lambda p: p["n_probe"]):
         r = point["recall"].get(at_k, point["recall"].get(str(at_k)))

@@ -20,11 +20,20 @@ the same exactly-once machinery:
   file → clustered segment → pruned box scans with no rebuild and no
   restart anywhere; each appended segment clusters against the
   layout's FROZEN curve bounds (batch-proportional cost, clamp at the
-  curve edge for drifting keys); drift maintenance is built in:
-  ``compact_when_drift_above=0.5`` polls ``zorder_drift`` after each
-  commit (one pointer read, zero data scanned) and runs the full
-  re-freezing ``zorder_compact`` when the live keys have outgrown
-  the frozen curve — the compaction cron, inlined.
+  curve edge for drifting keys); drift maintenance is SIGNAL-AND-
+  HANDOFF: ``compact_when_drift_above=0.5`` polls ``zorder_drift``
+  after each commit (one pointer read, zero data scanned) and, when
+  the live keys have outgrown the frozen curve, commits a
+  ``compaction_due`` marker (one more metadata commit, microseconds)
+  — the ingest keeps appending against the old bounds while a
+  maintenance entry point (``cli.py layout-maintain`` on a cron, or
+  any ``run_due_compaction`` caller) owns the full re-freezing
+  rewrite. The r12 shape ran ``zorder_compact`` INLINE here; at
+  100 TB that stalls ``foreachBatch`` for the whole corpus rewrite
+  the moment drift trips — the Iceberg posture is that maintenance
+  is not the writer's job. Appends landing DURING the handed-off
+  compaction are carried forward by its remove+add commit (pinned by
+  tests/test_streaming_layout.py).
 
 The reference engine's intake loop re-reads its whole inbox every
 cycle and has no processed-marker at all
@@ -41,9 +50,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from fintech_etl_spark.operators.layout import (
+    compaction_due,
+    mark_compaction_due,
     zorder_append,
     zorder_bounds,
-    zorder_compact,
     zorder_drift,
 )
 from fintech_etl_spark.sinks import manifest as mf
@@ -60,7 +70,6 @@ def start_zorder_ingest(
     max_files_per_trigger: int = 32,
     on_batch: Callable[[int, int], None] | None = None,
     compact_when_drift_above: float | None = None,
-    compact_num_files: int = 32,
 ) -> StreamingQuery:
     """Stream JSONL row files matching ``rows_glob`` (fields per
     ``schema``, which must include the layout's z-order key columns)
@@ -144,20 +153,23 @@ def start_zorder_ingest(
             )
             if compact_when_drift_above is not None:
                 # the drift poll is one pointer read (zero data) —
-                # free per batch; the triggered compaction is the FULL
-                # re-freezing rewrite, run inline so it serializes
-                # with this stream's own appends (a concurrent foreign
-                # append is still carried forward by the remove+add
-                # commit; a lost compactor race raises
-                # StaleSegmentError and the next batch re-polls)
+                # free per batch; when it trips, SIGNAL, don't rewrite:
+                # one compaction-due metadata commit, then keep
+                # ingesting. The rewrite belongs to the maintenance
+                # cron (run_due_compaction / `layout-maintain`), whose
+                # remove+add commit carries any appends this stream
+                # lands meanwhile. Marker already up? Nothing to do —
+                # re-signaling every batch would just churn versions.
                 d = zorder_drift(layout_path)["drift"]
-                if d > compact_when_drift_above:
-                    try:
-                        zorder_compact(
-                            spark, layout_path, num_files=compact_num_files
-                        )
-                    except mf.StaleSegmentError:
-                        pass  # a foreign compactor won; drift re-polls
+                if (
+                    d > compact_when_drift_above
+                    and compaction_due(layout_path) is None
+                ):
+                    mark_compaction_due(
+                        layout_path,
+                        drift=d,
+                        threshold=compact_when_drift_above,
+                    )
             if on_batch is not None:
                 on_batch(batch_id, n)
         finally:

@@ -86,6 +86,24 @@ def test_auto_n_probe_picks_minimal(calibrated):
         auto_n_probe(curve, 0.5, at_k=7)
 
 
+def test_calibration_empty_inputs_fail_fast(spark, tmp_path):
+    """r12 ADVICE: an empty query sample used to die in
+    ZeroDivisionError deep in the recall math, and auto_n_probe on an
+    empty curve in an unhelpful TypeError — both must be loud, typed,
+    and immediate."""
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(spark, SF_SMOKE, idx, k=2)
+    empty = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.lit(False))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    with pytest.raises(ValueError, match="query sample is EMPTY"):
+        calibrate_n_probe(spark, idx, empty, n_probes=(1,), at_k=(1,))
+    with pytest.raises(ValueError, match="curve is EMPTY"):
+        auto_n_probe([], 0.5)
+
+
 def test_cli_index_calibrate(spark, tmp_path, capsys, monkeypatch):
     """`index-calibrate` sweeps a built index and reports the curve +
     the auto-picked n_probe for a target."""

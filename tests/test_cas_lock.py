@@ -177,3 +177,165 @@ def test_cas_acquire_times_out_on_live_lease(tmp_path):
     # released: the next acquire is immediate
     h2 = waiter.acquire(mdir)
     waiter.release(h2)
+
+
+# ---------------------------------------------------------------------------
+# GCSCASStore: the real-service client, contract-tested against a fake
+# that implements GCS generation-match semantics (404/412 by code)
+# ---------------------------------------------------------------------------
+
+
+class _GCSError(Exception):
+    def __init__(self, code):
+        super().__init__(f"http {code}")
+        self.code = code
+
+
+class _FakeBlob:
+    def __init__(self, state, lock, name):
+        self._state, self._lock, self._name = state, lock, name
+        self.generation = None
+
+    def reload(self):
+        with self._lock:
+            if self._name not in self._state:
+                raise _GCSError(404)
+            self.generation = self._state[self._name][1]
+
+    def download_as_bytes(self, if_generation_match=None):
+        with self._lock:
+            if self._name not in self._state:
+                raise _GCSError(404)
+            data, gen = self._state[self._name]
+            if if_generation_match is not None and gen != if_generation_match:
+                raise _GCSError(412)
+            return data
+
+    def upload_from_string(self, data, content_type=None,
+                           if_generation_match=None):
+        with self._lock:
+            exists = self._name in self._state
+            if if_generation_match == 0 and exists:
+                raise _GCSError(412)
+            if (
+                if_generation_match not in (None, 0)
+                and (not exists or self._state[self._name][1] != if_generation_match)
+            ):
+                raise _GCSError(412)
+            gen = (self._state[self._name][1] + 1) if exists else 1
+            self._state[self._name] = (data.encode(), gen)
+
+    def delete(self, if_generation_match=None):
+        with self._lock:
+            if self._name not in self._state:
+                raise _GCSError(404)
+            if (
+                if_generation_match is not None
+                and self._state[self._name][1] != if_generation_match
+            ):
+                raise _GCSError(412)
+            del self._state[self._name]
+
+
+class _FakeBucket:
+    def __init__(self, state, lock):
+        self._state, self._lock = state, lock
+
+    def blob(self, name):
+        return _FakeBlob(self._state, self._lock, name)
+
+
+class _FakeGCSClient:
+    """GCS generation-match semantics, in memory: each object carries
+    a generation bumped on write; if_generation_match=0 means
+    create-exclusive; delete/read preconditions 412 on mismatch."""
+
+    def __init__(self):
+        self._state: dict = {}
+        self._lock = threading.Lock()
+
+    def bucket(self, name):
+        return _FakeBucket(self._state, self._lock)
+
+
+def _gcs_store(tmp_path):
+    from fintech_etl_spark.sinks.locks import GCSCASStore
+
+    return GCSCASStore("b", prefix="locks", client=_FakeGCSClient())
+
+
+@pytest.mark.parametrize("mk", [
+    lambda tp: CASStore(str(tp / "cas")),
+    _gcs_store,
+], ids=["emulator", "gcs"])
+def test_cas_store_contract(tmp_path, mk):
+    """The three-primitive contract BOTH stores must satisfy — the
+    emulation the race matrix drives and the real-service client
+    (over the generation-semantics fake) must be indistinguishable to
+    CASLockProvider."""
+    st = mk(tmp_path)
+    assert st.get("k") is None
+    assert st.put_if_absent("k", {"v": 1}) is True
+    assert st.put_if_absent("k", {"v": 2}) is False  # create-exclusive
+    assert st.get("k") == {"v": 1}
+    assert st.delete_if_match("k", {"v": 2}) is False  # wrong expected
+    assert st.get("k") == {"v": 1}
+    assert st.delete_if_match("k", {"v": 1}) is True
+    assert st.get("k") is None
+    assert st.delete_if_match("k", {"v": 1}) is False  # already gone
+    # re-creation after delete works (generation history is no bar)
+    assert st.put_if_absent("k", {"v": 3}) is True
+    assert st.get("k") == {"v": 3}
+
+
+def test_gcs_store_steal_race_is_single_winner(tmp_path):
+    """Two stealers observing the SAME expired lease both attempt the
+    conditional delete — the generation precondition admits exactly
+    one (the loser's 412 → False), never both."""
+    st = _gcs_store(tmp_path)
+    stale = {"owner": "dead", "expires_at": 0}
+    assert st.put_if_absent("lease", stale)
+    wins = [st.delete_if_match("lease", stale) for _ in range(2)]
+    assert wins == [True, False]
+
+
+def test_gcs_lock_provider_threads_lose_no_commit(tmp_path):
+    """The manifest lost-update test through GCSCASStore(fake): the
+    same invariant the emulator passes, over the real client's code
+    path (412 handling included)."""
+    provider = CASLockProvider(_gcs_store(tmp_path))
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []}, lock=provider)
+    errors: list[str] = []
+
+    def adder(tid):
+        try:
+            for i in range(6):
+                mf.commit(root, file_keys=[f"t{tid}-{i}"], lock=provider)
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=adder, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert mf.current(root)["version"] == 24
+    assert len(mf.ingested_keys(root)) == 24
+
+
+def test_gcs_store_without_library_is_loud():
+    """No google-cloud-storage in this container: constructing the
+    real client without an injected one must raise the LOUD
+    NotImplementedError naming the dependency (the Pub/Sub gating
+    shape), never a bare ImportError from deep inside."""
+    from fintech_etl_spark.sinks.locks import GCSCASStore
+
+    try:
+        import google.cloud.storage  # noqa: F401
+        pytest.skip("google-cloud-storage installed here; gate untestable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="google-cloud-storage"):
+        GCSCASStore("some-bucket")

@@ -533,6 +533,79 @@ def test_zorder_drift_requires_manifest(spark, tmp_path):
         zorder_drift(plain)
 
 
+def test_zorder_drift_fraction_clamped_when_live_range_left_the_box(
+    spark, tmp_path
+):
+    """A live range DISJOINT from the frozen box is 100% outside it —
+    the r12 ADVICE caught out/span exceeding 1.0 there (e.g. 2.0),
+    violating the documented 0..1 scale. The overlap form pins it."""
+    from fintech_etl_spark.operators.layout import zorder_drift
+
+    root = str(tmp_path / "lay")
+    zorder_write(
+        _frame(spark, 1000), ["x", "y"], root, num_files=2, transactional=True
+    )
+    orig = mf.dataset_segments(root, _LAYOUT_DS)
+    seg = mf.new_segment_path(root)
+    _frame(spark, 500).select(
+        "rowid",
+        (F.col("x") + 10_000).alias("x"),
+        (F.col("y") + 10_000).alias("y"),
+    ).write.parquet(seg)
+    # stats came only from shifted batches: live range fully past frozen
+    mf.commit(
+        root,
+        remove={_LAYOUT_DS: orig},
+        add={_LAYOUT_DS: [seg]},
+        segment_stats={
+            _LAYOUT_DS: {seg: {"x": [10_000, 10_996], "y": [10_000, 10_982]}}
+        },
+    )
+    d = zorder_drift(root)
+    assert d["drift"] == 1.0
+    for c in ("x", "y"):
+        assert 0.0 <= d["cols"][c]["out_of_bounds_fraction"] <= 1.0
+    assert d["unassessed_conservative"] is False
+
+
+def test_zorder_drift_no_stats_segment_is_conservative_not_silent(
+    spark, tmp_path
+):
+    """THE r12 ADVICE silent-0.0 scenario: the only drifted segments
+    carry no stats (appends predating segment-stats support / foreign
+    commits). Counting them while reporting drift 0.0 means the cron
+    never compacts a fully-drifted layout — any unassessable segment
+    must force the must-compact verdict instead. Compaction then
+    commits stats for its rewrite, so the state converges to a real
+    measurement."""
+    from fintech_etl_spark.operators.layout import zorder_drift
+
+    root = str(tmp_path / "lay")
+    zorder_write(
+        _frame(spark, 1000), ["x", "y"], root, num_files=2, transactional=True
+    )
+    assert zorder_drift(root)["drift"] == 0.0
+    # a (massively drifted) segment committed WITHOUT stats
+    seg = mf.new_segment_path(root)
+    _frame(spark, 500).select(
+        "rowid",
+        (F.col("x") + 10_000).alias("x"),
+        (F.col("y") + 10_000).alias("y"),
+    ).write.parquet(seg)
+    mf.commit(root, add={_LAYOUT_DS: [seg]})
+    d = zorder_drift(root)
+    assert d["segments_without_stats"] == 1
+    assert d["unassessed_conservative"] is True
+    assert d["drift"] == 1.0  # never the silent 0.0
+    # full compact re-freezes bounds AND commits stats → assessable again
+    zorder_compact(spark, root, num_files=4)
+    d2 = zorder_drift(root)
+    assert d2["segments_without_stats"] == 0
+    assert d2["unassessed_conservative"] is False
+    assert d2["drift"] == 0.0
+    assert read_zorder(spark, root).count() == 1500
+
+
 def test_cli_layout_drift_report_and_threshold(
     spark, tmp_path, capsys, monkeypatch
 ):
@@ -560,3 +633,54 @@ def test_cli_layout_drift_report_and_threshold(
     assert report["drift"] > 0.25
     # report-only mode never alerts
     assert cli.main(["layout-drift", "--path", root]) == 0
+
+def test_cli_layout_maintain_handoff(spark, tmp_path, capsys, monkeypatch):
+    """`layout-maintain` is the cron half of the drift handoff: a
+    marked layout is compacted (marker cleared in the same commit), an
+    unmarked one is a no-op, and --when-drift-above lets the cron poll
+    drift itself for layouts written by non-marking clients."""
+    from fintech_etl_spark import cli
+    from fintech_etl_spark.operators.layout import (
+        compaction_due,
+        mark_compaction_due,
+        zorder_drift,
+    )
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 2000), ["x", "y"], root, num_files=4,
+                 transactional=True)
+    # nothing due: no-op, safe at any cron frequency
+    assert cli.main(["layout-maintain", "--path", root]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is False
+
+    drifted = _frame(spark, 500, offset=2000).select(
+        "rowid", (F.col("x") + 5000).alias("x"), (F.col("y") + 5000).alias("y")
+    )
+    zorder_append(drifted, root, num_files=1)
+    d = zorder_drift(root)["drift"]
+    mark_compaction_due(root, drift=d, threshold=0.25)
+    assert cli.main(
+        ["layout-maintain", "--path", root, "--num-files", "4",
+         "--vacuum-keep", "2"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is True and out["rows"] == 2500
+    assert out["marker"]["threshold"] == 0.25
+    assert "vacuum" in out
+    assert compaction_due(root) is None
+    assert zorder_drift(root)["drift"] == 0.0
+    assert read_zorder(spark, root).count() == 2500
+
+    # unmarked but drifted + --when-drift-above: the cron polls itself
+    zorder_append(drifted.select(
+        "rowid", (F.col("x") + 9000).alias("x"), (F.col("y") + 9000).alias("y")
+    ), root, num_files=1)
+    assert compaction_due(root) is None
+    assert cli.main(
+        ["layout-maintain", "--path", root, "--when-drift-above", "0.25"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is True and out["rows"] == 3000
+    assert zorder_drift(root)["drift"] == 0.0

@@ -1361,3 +1361,96 @@ def test_commit_times_out_on_held_lock(tmp_path, monkeypatch):
         mf.commit(root, file_keys=["k0"])
     os.unlink(lock)
     assert mf.commit(root, file_keys=["k0"])["version"] == 1
+
+
+# ---------------------------------------------------------------------------
+# stalled committer: lost lock/lease must fail LOUDLY, never lost-commit
+# ---------------------------------------------------------------------------
+
+
+def test_lock_provider_verify_semantics(tmp_path):
+    """verify() ground truth for both providers: True while held, False
+    once the lock file / lease is stolen, replaced, or expired."""
+    # file provider
+    mdir = str(tmp_path / "m1")
+    os.makedirs(mdir)
+    fp = mf.FileLockProvider()
+    h = fp.acquire(mdir)
+    assert fp.verify(h) is True
+    with open(h[0], "w") as fh:  # a thief's token replaces ours
+        fh.write("someone-else")
+    assert fp.verify(h) is False
+    os.unlink(h[0])
+    assert fp.verify(h) is False  # gone entirely
+
+    # CAS provider: ownership AND liveness
+    store = CASStore(str(tmp_path / "cas"))
+    mdir2 = str(tmp_path / "m2")
+    os.makedirs(mdir2)
+    cp = CASLockProvider(store, lease_sec=0.15)
+    h2 = cp.acquire(mdir2)
+    assert cp.verify(h2) is True
+    time.sleep(0.2)  # expired but not yet stolen: confers NO ownership
+    assert cp.verify(h2) is False
+    thief = CASLockProvider(store, lease_sec=60.0)
+    h3 = thief.acquire(mdir2)  # steals the expired lease
+    assert cp.verify(h2) is False
+    assert thief.verify(h3) is True
+    thief.release(h3)
+
+
+@pytest.mark.parametrize("provider_kind", ["file", "cas"])
+def test_stalled_committer_cannot_overwrite_thiefs_commit(
+    tmp_path, monkeypatch, provider_kind
+):
+    """THE lost-commit scenario the r12 ADVICE flagged: a committer
+    pauses past the staleness/lease bound AFTER reading the manifest
+    but BEFORE the pointer swap; a thief steals the lock and commits.
+    The stalled holder's swap must raise CommitLockLostError — its
+    last-writer-wins os.replace would otherwise silently discard the
+    thief's committed segments. Asserted: victim raises, thief's
+    segment is in the live manifest, victim's is not, and the version
+    chain has no gap."""
+    root = str(tmp_path / "ds")
+    if provider_kind == "cas":
+        store = CASStore(str(tmp_path / "cas"))
+        victim = CASLockProvider(store, lease_sec=0.05)
+        thief = CASLockProvider(store, lease_sec=60.0)
+    else:
+        victim = mf.FileLockProvider(stale_sec=0.05)
+        thief = mf.FileLockProvider(stale_sec=60.0)
+    mf.commit(root, replace={"d": []}, lock=thief)
+
+    thief_seg = mf.new_segment_path(root)
+    os.makedirs(thief_seg)
+    victim_seg = mf.new_segment_path(root)
+    os.makedirs(victim_seg)
+
+    real_fsync = mf._fsync_write
+    state = {"armed": True}
+
+    def stall_then_thief_commits(path, body):
+        # fires on the VICTIM's manifest-file write: after its
+        # read-modify (basis captured), before its pointer swap
+        if state["armed"] and os.path.basename(path).startswith("manifest-"):
+            state["armed"] = False
+            time.sleep(0.15)  # pause past the victim's staleness bound
+            mf.commit(root, add={"d": [thief_seg]}, lock=thief)
+        real_fsync(path, body)
+
+    monkeypatch.setattr(mf, "_fsync_write", stall_then_thief_commits)
+    with pytest.raises(mf.CommitLockLostError):
+        mf.commit(root, add={"d": [victim_seg]}, lock=victim)
+    monkeypatch.setattr(mf, "_fsync_write", real_fsync)
+
+    cur = mf.current(root)
+    rel_thief = os.path.relpath(thief_seg, root)
+    rel_victim = os.path.relpath(victim_seg, root)
+    assert rel_thief in cur["datasets"]["d"]
+    assert rel_victim not in cur["datasets"]["d"]
+    assert cur["version"] == 1  # thief's commit; no gap, no overwrite
+    # the victim's staged segment is an orphan; a later commit retried
+    # from a fresh read proceeds normally
+    m2 = mf.commit(root, add={"d": [victim_seg]}, lock=thief)
+    assert m2["version"] == 2
+    assert rel_victim in m2["datasets"]["d"]

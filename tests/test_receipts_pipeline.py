@@ -332,6 +332,40 @@ def test_receipt_lake_month_range_manifest_pruning(spark, tmp_path):
     assert with_foreign.count() == base.count()
 
 
+def test_months_filter_on_non_month_partitioned_lake(spark, tmp_path):
+    """A lake written with partition_by_month=False has NO
+    transaction_month column; months= used to raise an
+    unresolved-column AnalysisException (r12 ADVICE). It must instead
+    translate to half-open transaction_date bounds — in BOTH the plain
+    and the transactional shapes — and return exactly the rows a
+    month-partitioned lake's filter would."""
+    from fintech_etl_spark.sinks import read_receipts, write_receipts_parquet
+
+    base = _golden_receipts(spark, tmp_path)  # 2024-06
+    shifted = base.withColumn(
+        "transaction_date", F.add_months(F.col("transaction_date"), 6)
+    )  # 2024-12
+    both = base.unionByName(shifted)
+    plain = str(tmp_path / "plain_nm")
+    tx = str(tmp_path / "tx_nm")
+    write_receipts_parquet(both, plain, partition_by_month=False)
+    write_receipts_parquet(
+        both, tx, partition_by_month=False, transactional=True, batch_key="b0"
+    )
+    want = sorted(r.receipt_id for r in shifted.collect())
+    for lake in (plain, tx):
+        got = read_receipts(spark, lake, months=("2024-10", "2024-12"))
+        assert "transaction_month" not in got.columns
+        assert sorted(r.receipt_id for r in got.collect()) == want
+    # December edge: the hi month's last day is INSIDE the range
+    # (half-open translation must not clip it) and January is outside
+    assert (
+        read_receipts(spark, plain, months=("2024-12", "2024-12")).count()
+        == shifted.count()
+    )
+    assert read_receipts(spark, plain, months=("2025-01", "2025-02")).count() == 0
+
+
 def test_receipt_lake_compaction_time_travel_vacuum(
     spark, tmp_path, capsys, monkeypatch
 ):
