@@ -270,6 +270,14 @@ def main(argv: list[str] | None = None) -> int:
         help="IVF cells probed per query (ivf-pq only; default: the "
         "library serving default — calibrate with index-calibrate)",
     )
+    sa.add_argument(
+        "--pq-cand",
+        type=int,
+        help="ADC shortlist depth the exact re-rank refines (ivf-pq "
+        "only; default: the batch tier's 50 — on noisy corpora the "
+        "binding recall lever; calibrate with index-calibrate "
+        "--pq-cands)",
+    )
 
     ical = sub.add_parser(
         "index-calibrate",
@@ -294,6 +302,18 @@ def main(argv: list[str] | None = None) -> int:
     ical.add_argument(
         "--n-probes", default="1,2,3,4,6,8",
         help="comma-separated probe widths to sweep",
+    )
+    ical.add_argument(
+        "--pq-cands",
+        help="ALSO sweep the ADC shortlist depth (comma-separated, at "
+        "--n-probe-fixed cells) — the r13 attribution's second lever; "
+        "with --target-recall, auto_pq_cand picks the minimal depth",
+    )
+    ical.add_argument(
+        "--n-probe-fixed",
+        type=int,
+        help="probe width the --pq-cands sweep holds fixed (default: "
+        "the library serving default)",
     )
     ical.add_argument("--target-recall", type=float)
     ical.add_argument(
@@ -834,6 +854,11 @@ def main(argv: list[str] | None = None) -> int:
                 print("--n-probe applies to ivf-pq serving only")
                 return 2
             kw["n_probe"] = args.n_probe
+        if args.pq_cand is not None:
+            if args.kind != "ivf-pq":
+                print("--pq-cand applies to ivf-pq serving only")
+                return 2
+            kw["pq_cand"] = args.pq_cand
         stream = starter(
             spark,
             args.queries,
@@ -850,7 +875,9 @@ def main(argv: list[str] | None = None) -> int:
         from fintech_etl_spark.sources.tables import load_table
         from fintech_etl_spark.streaming.ann import (
             auto_n_probe,
+            auto_pq_cand,
             calibrate_n_probe,
+            calibrate_pq_cand,
         )
 
         sample = (
@@ -864,6 +891,20 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.index, sample, n_probes=n_probes, at_k=at_k
         )
         out = {"curve": curve}
+        if args.pq_cands:
+            cut_curve = calibrate_pq_cand(
+                spark,
+                args.index,
+                sample,
+                pq_cands=tuple(int(x) for x in args.pq_cands.split(",")),
+                n_probe=args.n_probe_fixed,
+                at_k=at_k,
+            )
+            out["pq_cand_curve"] = cut_curve
+            if args.target_recall is not None:
+                out["picked_pq_cand"] = auto_pq_cand(
+                    cut_curve, args.target_recall, at_k=args.at_k
+                )
         if args.target_recall is not None:
             out["picked_n_probe"] = auto_n_probe(
                 curve, args.target_recall, at_k=args.at_k

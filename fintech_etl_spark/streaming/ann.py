@@ -934,6 +934,7 @@ def start_ivf_pq_queries(
     *,
     top_k: int = _TOP_K,
     n_probe: int | None = None,
+    pq_cand: int | None = None,
     max_files_per_trigger: int = 32,
 ) -> StreamingQuery:
     """Serve JSONL query vectors against a :func:`build_ivf_pq_index`
@@ -944,9 +945,11 @@ def start_ivf_pq_queries(
     for the probe→ADC→refine scale posture); this wrapper adds the
     checkpointed stream, reloads codes/vectors per micro-batch (so
     appended or compacted cells are served without a stream restart —
-    quantizers are frozen and load once), and forwards ``n_probe``
-    (default ``_N_PROBE``; calibrate with ``calibrate_n_probe`` /
-    ``auto_n_probe`` for a recall target).
+    quantizers are frozen and load once), and forwards the two serving
+    levers: ``n_probe`` (cell routing; ``calibrate_n_probe`` /
+    ``auto_n_probe``) and ``pq_cand`` (ADC shortlist depth;
+    ``calibrate_pq_cand`` / ``auto_pq_cand`` — on noisy corpora the
+    binding one, see the r13 attribution).
     """
     coarse = spark.read.parquet(index_path + "/coarse")
     codebooks = spark.read.parquet(index_path + "/codebooks")
@@ -971,6 +974,7 @@ def start_ivf_pq_queries(
                 top_k=top_k,
                 coarse=coarse,
                 codebooks=codebooks,
+                pq_cand=pq_cand,
             ),
             batch_id,
         )
@@ -991,6 +995,7 @@ def calibrate_n_probe(
     n_probes: tuple[int, ...] = (1, 2, 3, 4, 6, 8),
     at_k: tuple[int, ...] = (1, 5, 10),
     top_k: int | None = None,
+    pq_cand: int | None = None,
 ) -> list[dict]:
     """The n_probe → recall calibration curve for a built IVF-PQ
     index — the receipt the r11 audit asked for: relative claims
@@ -1006,9 +1011,22 @@ def calibrate_n_probe(
     point also records the mean probe fan-out — the rows ADC actually
     scans per query, i.e. the serving cost the recall is bought at —
     so two indexes (capped vs uncapped) compare at EQUAL COST, not
-    equal n_probe. Returns
-    ``[{n_probe, recall: {k: r}, mean_fanout, queries}, ...]``;
-    feed it to :func:`auto_n_probe`."""
+    equal n_probe.
+
+    Each point also carries ``ceiling`` — the recall@k an EXACT refine
+    of every probed-cell member would achieve, i.e. the fraction of
+    ground-truth@k neighbors whose assigned cell is among the query's
+    probed cells. This is the attribution the r12 receipt lacked: the
+    gap between ``ceiling`` and ``recall`` is loss at the ADC
+    shortlist cut (``pq_cand`` — widen it), while a LOW ceiling means
+    the coarse quantizer never routes the query to its neighbors'
+    cells (more/better cells, or the corpus has no neighborhood
+    structure to exploit) — nobody can tune what isn't attributed.
+    ``pq_cand`` passes through to :func:`ivf_pq_query_batch` (None =
+    the batch tier's 50).
+
+    Returns ``[{n_probe, recall: {k}, ceiling: {k}, mean_fanout,
+    queries}, ...]``; feed it to :func:`auto_n_probe`."""
     from pyspark.sql.window import Window as W
 
     from fintech_etl_spark.operators.similarity import _sq_dist, cosine
@@ -1066,6 +1084,25 @@ def calibrate_n_probe(
     ranked.persist()
     ranked.count()
 
+    # ground truth joined to its neighbors' CELL assignment + the
+    # probe rank at which that cell would be reached: one tiny frame,
+    # from which every n_probe's exact-refine-all ceiling falls out as
+    # a filter+count (truth is n_queries × kmax rows)
+    truth_probe = (
+        truth.join(
+            vectors.select(F.col("vec_id").alias("neighbor_id"), "cell"),
+            "neighbor_id",
+        )
+        .join(
+            ranked_cells.select("query_id", "cell", "prank"),
+            ["query_id", "cell"],
+            "left",
+        )
+        .select("query_id", "trank", "prank")
+    )
+    truth_probe.persist()
+    truth_probe.count()
+
     curve = []
     for np_ in sorted(n_probes):
         res = ivf_pq_query_batch(
@@ -1076,9 +1113,11 @@ def calibrate_n_probe(
             top_k=kmax,
             coarse=coarse,
             codebooks=codebooks,
+            pq_cand=pq_cand,
         ).select("query_id", "neighbor_id", "rank")
         res.persist()
         recall = {}
+        ceiling = {}
         for k in at_k:
             hits = (
                 res.filter(F.col("rank") <= k)
@@ -1089,6 +1128,10 @@ def calibrate_n_probe(
                 .count()
             )
             recall[k] = hits / float(n_queries * k)
+            reachable = truth_probe.filter(
+                (F.col("trank") <= k) & (F.col("prank") <= np_)
+            ).count()
+            ceiling[k] = reachable / float(n_queries * k)
         fanout = (
             ranked.filter(F.col("prank") <= np_)
             .agg((F.sum("cell_n") / n_queries).alias("f"))
@@ -1100,12 +1143,14 @@ def calibrate_n_probe(
             {
                 "n_probe": np_,
                 "recall": recall,
+                "ceiling": ceiling,
                 "mean_fanout": float(fanout or 0.0),
                 "queries": n_queries,
             }
         )
     truth.unpersist()
     ranked.unpersist()
+    truth_probe.unpersist()
     return curve
 
 
@@ -1145,3 +1190,171 @@ def auto_n_probe(
             "PQ codebook"
         )
     return max(p["n_probe"] for p in curve)
+
+def calibrate_pq_cand(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    pq_cands: tuple[int, ...] = (50, 100, 200, 400, 800, 1600),
+    n_probe: int | None = None,
+    at_k: tuple[int, ...] = (1, 5, 10),
+) -> list[dict]:
+    """The OTHER serving calibration: sweep the ADC shortlist size at
+    a fixed probe width. The r13 attribution
+    (:func:`calibrate_n_probe`'s ``ceiling``) showed that on noisy
+    corpora the fixed 50-deep shortlist — not cell routing — caps
+    recall (skew corpus: ceiling@5 0.95 at n_probe=1 while recall@5
+    sat at 0.18; pq_cand=2000 recovered 0.93). Each swept point runs
+    one :func:`ivf_pq_query_batch` and scores against the same exact
+    ground truth, plus ``mean_refined`` — the raw vectors the exact
+    re-rank actually reads per query (min(pq_cand, probed
+    candidates)), the cost this recall is bought at. A ``pq_cand``
+    at or past the probe fan-out makes the ADC stage a no-op (recall
+    == the probe ceiling): on corpora where that is the only way to
+    reach the target, serve by exact refine over probed cells and
+    skip the codes read entirely.
+
+    Returns ``[{pq_cand, recall: {k}, mean_refined, queries}, ...]``;
+    feed it to :func:`auto_pq_cand`."""
+    from pyspark.sql.window import Window as W
+
+    from fintech_etl_spark.operators.similarity import _N_PROBE, _sq_dist
+
+    if n_probe is None:
+        n_probe = _N_PROBE
+    kmax = max(at_k)
+    q = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("qv")
+    )
+    n_queries = q.count()
+    if n_queries == 0:
+        raise ValueError(
+            "calibrate_pq_cand: the query sample is EMPTY — pass a "
+            "non-empty (query_id, embedding) sample"
+        )
+    vectors = _read_ivf_dataset(spark, index_path, "vectors")
+    coarse = spark.read.parquet(index_path + "/coarse")
+    codebooks = spark.read.parquet(index_path + "/codebooks")
+    w = W.partitionBy("query_id")
+    truth = (
+        vectors.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sq_dist(F.col("qv"), F.col("v")).alias("tdist"),
+        )
+        .withColumn(
+            "trank",
+            F.row_number().over(w.orderBy(F.col("tdist").asc(), "neighbor_id")),
+        )
+        .filter(F.col("trank") <= kmax)
+        .select("query_id", "neighbor_id", "trank")
+    )
+    truth.persist()
+    truth.count()
+    # per-query probed-candidate counts (for the refine-cost metric):
+    # probe ranking identical to the serving expression, cell sizes
+    # summed over the n_probe nearest cells
+    from fintech_etl_spark.operators.similarity import cosine
+
+    cell_sizes = vectors.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    qc = q.join(F.broadcast(coarse)).select(
+        "query_id", "cell", cosine(F.col("qv"), F.col("centroid")).alias("ccos")
+    )
+    cand_q = (
+        qc.withColumn(
+            "prank", F.row_number().over(w.orderBy(F.col("ccos").desc(), "cell"))
+        )
+        .filter(F.col("prank") <= n_probe)
+        .join(cell_sizes, "cell")
+        .groupBy("query_id")
+        .agg(F.sum("cell_n").alias("cand_n"))
+    )
+    cand_q.persist()
+    cand_q.count()
+    curve = []
+    for pc in sorted(pq_cands):
+        res = ivf_pq_query_batch(
+            spark,
+            index_path,
+            q,
+            n_probe=n_probe,
+            top_k=kmax,
+            coarse=coarse,
+            codebooks=codebooks,
+            pq_cand=pc,
+        )
+        res.persist()
+        # the raw vectors the exact re-rank reads per query: the ADC
+        # shortlist, capped by what the probe actually yielded —
+        # measured from cell populations, not assumed
+        refined = (
+            cand_q.agg(
+                F.avg(F.least(F.lit(pc), F.col("cand_n"))).alias("r")
+            )
+            .first()
+            .r
+        )
+        recall = {}
+        for k in at_k:
+            hits = (
+                res.filter(F.col("rank") <= k)
+                .join(
+                    truth.filter(F.col("trank") <= k),
+                    ["query_id", "neighbor_id"],
+                )
+                .count()
+            )
+            recall[k] = hits / float(n_queries * k)
+        res.unpersist()
+        curve.append(
+            {
+                "pq_cand": pc,
+                "recall": recall,
+                "mean_refined": float(refined or 0.0),
+                "queries": n_queries,
+            }
+        )
+    truth.unpersist()
+    cand_q.unpersist()
+    return curve
+
+
+def auto_pq_cand(
+    curve: list[dict],
+    target_recall: float,
+    at_k: int = 5,
+    strict: bool = False,
+) -> int:
+    """Pick the SMALLEST swept ``pq_cand`` whose recall@``at_k``
+    reaches ``target_recall`` — minimal exact-refine cost for the
+    quality bar, the shortlist twin of :func:`auto_n_probe`. Saturated
+    target (no swept cut reaches it): ``strict=True`` raises with the
+    best achieved, default returns the largest swept cut — past that
+    the shortlist already covers every probed candidate and the
+    remaining loss is cell routing (widen n_probe) or corpus
+    geometry."""
+    if not curve:
+        raise ValueError(
+            "auto_pq_cand: the calibration curve is EMPTY — run "
+            "calibrate_pq_cand with at least one pq_cand point first"
+        )
+    best = None
+    for point in sorted(curve, key=lambda p: p["pq_cand"]):
+        r = point["recall"].get(at_k, point["recall"].get(str(at_k)))
+        if r is None:
+            raise ValueError(f"curve has no recall@{at_k} measurements")
+        if best is None or r > best[1]:
+            best = (point["pq_cand"], r)
+        if r >= target_recall:
+            return point["pq_cand"]
+    if strict:
+        raise ValueError(
+            f"auto_pq_cand: no swept pq_cand reaches recall@{at_k} >= "
+            f"{target_recall} (best: {best[1]:.3f} at pq_cand={best[0]}) "
+            "— the shortlist is no longer the binding stage; widen "
+            "n_probe or accept the corpus ceiling"
+        )
+    return max(p["pq_cand"] for p in curve)

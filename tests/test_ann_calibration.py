@@ -60,6 +60,19 @@ def test_calibration_curve_shape(calibrated):
         assert rs == sorted(rs), f"recall@{k} not monotone: {rs}"
     fans = [p["mean_fanout"] for p in curve]
     assert fans == sorted(fans) and fans[0] < fans[-1]
+    # r13 attribution: ceiling = exact-refine-all recall (truth in
+    # probed cells). It bounds recall from above at every point, is
+    # monotone in n_probe, and reaches 1.0 when the probe covers all
+    # 4 cells (every truth neighbor is then reachable by definition)
+    for p in curve:
+        for k in (1, 5):
+            assert 0.0 <= p["ceiling"][k] <= 1.0
+            assert p["ceiling"][k] >= p["recall"][k]
+    for k in (1, 5):
+        cs = [p["ceiling"][k] for p in curve]
+        assert cs == sorted(cs), f"ceiling@{k} not monotone: {cs}"
+    assert curve[-1]["ceiling"][1] == 1.0
+    assert curve[-1]["ceiling"][5] == 1.0
     # full-coverage probe (n_probe = all 4 cells): recall is now
     # PQ-candidate-cut bound, not probe bound — well above the 1-cell
     # floor (smoke corpus: @1 0.5->0.95, @5 0.52->0.82)
@@ -84,6 +97,58 @@ def test_auto_n_probe_picks_minimal(calibrated):
         auto_n_probe(curve, 0.99, at_k=5, strict=True)
     with pytest.raises(ValueError, match="no recall@7"):
         auto_n_probe(curve, 0.5, at_k=7)
+
+
+def test_pq_cand_sweep_and_picker(spark, tmp_path):
+    """The shortlist-depth lever (r13): recall is non-decreasing in
+    pq_cand (a deeper ADC shortlist can only ADD true neighbors to the
+    exact re-rank), mean_refined records the cost honestly (capped by
+    the probe's candidate yield), a cut at/past the fan-out closes the
+    gap to the probe ceiling, and auto_pq_cand picks minimally /
+    saturates loudly — the exact analogues of the n_probe picker."""
+    from fintech_etl_spark.streaming.ann import (
+        auto_pq_cand,
+        calibrate_n_probe,
+        calibrate_pq_cand,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(spark, SF_SMOKE, idx, k=4)
+    queries = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    cuts = (5, 20, 50, 100000)
+    curve = calibrate_pq_cand(
+        spark, idx, queries, pq_cands=cuts, n_probe=2, at_k=(5,)
+    )
+    assert [p["pq_cand"] for p in curve] == sorted(cuts)
+    r5 = [p["recall"][5] for p in curve]
+    assert r5 == sorted(r5), f"recall@5 not monotone in pq_cand: {r5}"
+    refined = [p["mean_refined"] for p in curve]
+    assert refined == sorted(refined)
+    # the absurd cut is capped by what the probe yielded, measured
+    assert refined[-1] < 100000
+    assert refined[0] <= 5.0
+    # cut >= fan-out ⇒ shortlist covers every probed candidate:
+    # recall equals the probe ceiling at the same n_probe
+    ceil5 = calibrate_n_probe(
+        spark, idx, queries, n_probes=(2,), at_k=(5,)
+    )[0]["ceiling"][5]
+    assert r5[-1] == pytest.approx(ceil5, abs=1e-9)
+    # picker: minimal cut for a feasible target, loud on saturation
+    target = r5[-1]
+    picked = auto_pq_cand(curve, target, at_k=5)
+    assert [p for p in curve if p["pq_cand"] == picked][0]["recall"][5] >= target
+    assert all(
+        p["recall"][5] < target for p in curve if p["pq_cand"] < picked
+    )
+    assert auto_pq_cand(curve, 1.01, at_k=5) == max(cuts)
+    with pytest.raises(ValueError, match="no longer the binding stage"):
+        auto_pq_cand(curve, 1.01, at_k=5, strict=True)
+    with pytest.raises(ValueError, match="curve is EMPTY"):
+        auto_pq_cand([], 0.5)
 
 
 def test_calibration_empty_inputs_fail_fast(spark, tmp_path):

@@ -1,32 +1,38 @@
-"""n_probe → recall calibration receipt (the r11 audit's open item
-#3): SCALE_RECEIPT_r11_ann_skew.json proved the IVF cell cap bounds
-hot-cell fan-out without hurting recall *relative to uncapped*, but
-absolute recall at a fixed n_probe says nothing about serving
-quality. This receipt sweeps ``calibrate_n_probe`` over the SAME
-skew-adversarial corpus (10% one tight content cluster on the highest
-vec_ids, so no deterministic k-means seed starts inside it) for the
-capped and uncapped indexes, and exercises ``auto_n_probe`` — the
-target-recall picker an operator calls instead of hard-coding
-n_probe=3.
+"""ANN recall ATTRIBUTION receipt (closes the r12 judge's #2): the
+r12 sweep measured recall@5 ≤ 0.19 DECREASING in n_probe and could
+not say why. This receipt attributes it and demonstrates the fix, on
+the same skew-adversarial corpus (10% one tight content cluster on
+the highest vec_ids) for capped and uncapped indexes.
+
+Attribution mechanics: ``calibrate_n_probe`` now reports ``ceiling``
+per point — the recall an exact refine of EVERY probed-cell member
+would achieve (= the ground-truth-in-probed-cells rate). High ceiling
++ low recall ⇒ the loss is the fixed 50-deep ADC shortlist
+(_PQ_CAND), not cell routing; ``calibrate_pq_cand`` then sweeps that
+cut at fixed n_probe and ``auto_pq_cand`` picks the minimal depth for
+a target.
 
 CLAIMS (exit 1 if violated):
-1. the COST curve is real: mean fan-out strictly increasing in
-   n_probe for both indexes. (Recall itself is NOT asserted monotone:
-   on this random-gaussian corpus the exact-rerank shortlist is a
-   fixed _PQ_CAND cut of a noisy ADC ranking, so widening the probe
-   dilutes the shortlist and measured recall can DECLINE — the curve
-   records it instead of assuming it away, and the per-curve
-   ``probe_bound`` field says whether more probes buy recall at all:
-   False here means the index is PQ-resolution-bound and the fix is
-   the codebook, not n_probe — the r11 adjudication, now quantified);
-2. the capped index reaches recall parity AT EQUAL FAN-OUT: for every
-   uncapped sweep point there is a capped point with mean_fanout ≤
-   (uncapped fanout × 1.05) whose recall@5 ≥ uncapped recall@5 − 0.03
-   — capping redistributes the hot cell, it does not trade recall for
-   the fan-out bound;
-3. auto_n_probe picks the MINIMAL n_probe reaching a feasible target
-   (the capped curve's own max recall@5 − 0.05) and saturates loudly
-   (strict=True raises) on an infeasible one.
+1. mean fan-out strictly increasing in n_probe for both indexes (the
+   cost curve is real);
+2. ATTRIBUTION: on the UNCAPPED index ceiling@5 ≥ 0.85 at EVERY
+   swept n_probe (even n_probe=1) — the coarse quantizer routes
+   queries to their neighbors' cells, so the r12 recall floor was
+   never assignment-bound and never corpus-intrinsic. On the CAPPED
+   index the ceiling curve EXPOSES the cap's real cost: the split
+   hot cell spreads a hot query's neighbors over sub-cells, so the
+   ceiling starts lower and must be bought back with probes —
+   asserted monotone in n_probe and ≥ 0.85 by the widest sweep
+   point. Neither index is PQ-codebook-bound;
+3. THE FIX: sweeping pq_cand on the capped index at n_probe=6
+   (where its ceiling has recovered) lifts recall@5 from the
+   r12-floor ~0.16 to ≥ 0.8 (the r12 verdict's done-criterion) and
+   to within 0.05 of that probe's ceiling — the fixed 50-deep
+   shortlist cut was the whole remaining gap; recall is
+   non-decreasing in pq_cand; mean_refined records the cost honestly;
+4. capped-index recall parity at equal fan-out (r12 claim, kept);
+5. auto_n_probe picks minimally and saturates loudly (r12 claim,
+   kept); auto_pq_cand picks the minimal cut reaching 0.8.
 
 Usage: python tools/ann_recall_receipt.py [N] [out.json]
 """
@@ -61,8 +67,10 @@ def main() -> int:
     from fintech_etl_spark.sources.tables import load_table
     from fintech_etl_spark.streaming.ann import (
         auto_n_probe,
+        auto_pq_cand,
         build_ivf_pq_index,
         calibrate_n_probe,
+        calibrate_pq_cand,
     )
 
     spark = build_session("ann_recall_receipt")
@@ -80,8 +88,10 @@ def main() -> int:
         ).select(F.col("vec_id").alias("query_id"), "embedding")
 
         curves = {}
+        idx_paths = {}
         for tag, cap in (("uncapped", None), ("capped", CELL_CAP)):
             idx = os.path.join(work, f"idx_{tag}")
+            idx_paths[tag] = idx
             build_ivf_pq_index(spark, sf, idx, k=None, cell_cap=cap)
             curves[tag] = calibrate_n_probe(
                 spark, idx, queries, n_probes=N_PROBES, at_k=(1, 5, 10)
@@ -95,8 +105,46 @@ def main() -> int:
             for c in curves.values()
             for i in range(1, len(c))
         )
+        # ATTRIBUTION: the exact-refine-all ceiling. Uncapped must be
+        # high EVERYWHERE (routing was never the problem). Capped
+        # starts lower BY CONSTRUCTION — the split hot cell spreads a
+        # hot query's neighbors over sub-cells — and must climb back
+        # with probes: that is the cap's real price, now quantified.
+        ceilings = {
+            tag: [p["ceiling"][5] for p in c] for tag, c in curves.items()
+        }
+        assignment_ok = all(v >= 0.85 for v in ceilings["uncapped"])
+        capped_recovers = (
+            ceilings["capped"] == sorted(ceilings["capped"])
+            and ceilings["capped"][-1] >= 0.85
+        )
+        # THE FIX: sweep the shortlist depth on the capped index at a
+        # probe width where its ceiling has recovered (n_probe=6)
+        fix_probe = 6
+        # widest cut covers the full probe yield even for hot queries
+        # (fix_probe cells x cell_cap members) — recall then equals
+        # the probe ceiling by construction, measured not assumed
+        cut_curve = calibrate_pq_cand(
+            spark,
+            idx_paths["capped"],
+            queries,
+            pq_cands=(50, 200, 800, 3200, fix_probe * CELL_CAP),
+            n_probe=fix_probe,
+            at_k=(1, 5, 10),
+        )
+        cut_r5 = [p["recall"][5] for p in cut_curve]
+        fix_ceiling = next(
+            p["ceiling"][5]
+            for p in curves["capped"]
+            if p["n_probe"] == fix_probe
+        )
+        fix_reaches_target = cut_r5[-1] >= 0.8
+        fix_closes_gap = cut_r5[-1] >= fix_ceiling - 0.05
+        cut_monotone = cut_r5 == sorted(cut_r5)
+        picked_cut = auto_pq_cand(cut_curve, 0.8, at_k=5)
         # does widening the probe buy recall on THIS corpus? (informational:
-        # False = PQ-resolution-bound — improve the codebook, not n_probe)
+        # False = shortlist-bound at the default cut — the attribution above
+        # names the lever)
         probe_bound = {
             tag: max(r5(p) for p in c) - min(r5(p) for p in c) > 0.02
             and r5(c[-1]) > r5(c[0])
@@ -128,20 +176,48 @@ def main() -> int:
         except ValueError:
             saturates_loudly = True
 
-        ok = fanout_monotone and parity and minimal and saturates_loudly
+        ok = (
+            fanout_monotone
+            and parity
+            and minimal
+            and saturates_loudly
+            and assignment_ok
+            and capped_recovers
+            and fix_reaches_target
+            and fix_closes_gap
+            and cut_monotone
+        )
         receipt = {
-            "claim": "fan-out strictly increases with n_probe; the "
-            "capped index reaches recall parity at equal fan-out; "
-            "auto_n_probe picks the minimal probe width for a "
-            "feasible target and raises on a saturated one; "
-            "probe_bound records whether wider probes buy recall at "
-            "all on this corpus (False = PQ-resolution-bound)",
+            "claim": "ATTRIBUTION of the r12 recall floor: on the "
+            "uncapped index ceiling@5 (= ground-truth-in-probed-cells "
+            "rate) >= 0.85 at EVERY n_probe, so the loss was never "
+            "cell assignment or corpus geometry; the capped index's "
+            "ceiling exposes the hot-cell split's probe cost "
+            "(monotone, recovered by the widest sweep); sweeping the "
+            "ADC shortlist depth (pq_cand) at n_probe=6 lifts capped "
+            "recall@5 from the r12 ~0.16 floor to >= 0.8 and to "
+            "within 0.05 of that probe's exact-refine ceiling — the "
+            "fixed 50-deep cut was the whole remaining gap; plus the "
+            "r12 claims: fan-out monotone, capped parity at equal "
+            "fan-out, auto pickers minimal and loudly saturating",
             "n": N,
             "dim": skew.DIM,
             "hot_frac": skew.HOT_FRAC,
             "cell_cap": CELL_CAP,
             "n_probes": list(N_PROBES),
             "curves": curves,
+            "attribution": {
+                "ceiling_at_5_by_index": ceilings,
+                "uncapped_never_assignment_bound": assignment_ok,
+                "capped_ceiling_recovers_with_probes": capped_recovers,
+                "fix_n_probe": fix_probe,
+                "pq_cand_curve": cut_curve,
+                "fix_probe_ceiling_at_5": round(fix_ceiling, 4),
+                "fix_reaches_target_0.8": fix_reaches_target,
+                "fix_closes_gap_to_ceiling": fix_closes_gap,
+                "cut_monotone": cut_monotone,
+                "auto_pq_cand_picked_for_0.8": picked_cut,
+            },
             "auto_n_probe": {
                 "target_recall_at_5": round(target, 4),
                 "picked": picked,
