@@ -82,16 +82,30 @@ def main() -> int:
     args = sys.argv[1:]
     receipt_path = None
     want_receipt = False
+    subset_receipt_path = None
     for a in list(args):
         if a == "--receipt" or a.startswith("--receipt="):
             want_receipt = True
             if "=" in a:
                 receipt_path = a.split("=", 1)[1]
             args.remove(a)
+        elif a.startswith("--subset-receipt="):
+            # the sf0.1 lifecycle receipt (r12 verdict #5): a committed
+            # artifact for a NAMED slice of the registry at a second
+            # scale factor, so scale-dependent regressions in the
+            # transactional/lifecycle rows are caught at round close
+            # instead of only in a judge's ad-hoc spot-sweep. Unlike
+            # --receipt it REQUIRES filters (the point is the slice)
+            # and records the sf_dir it ran against.
+            subset_receipt_path = a.split("=", 1)[1]
+            args.remove(a)
     filters = [a for a in args if not a.startswith("-")]
     excludes = [a[1:] for a in args if a.startswith("-")]
     if want_receipt and (filters or excludes):
         print("--receipt requires a FULL run (no filters/excludes)")
+        return 2
+    if subset_receipt_path and not filters:
+        print("--subset-receipt requires include filters (it records a slice)")
         return 2
     if want_receipt and receipt_path is None:
         import glob
@@ -211,6 +225,21 @@ def main() -> int:
         with open(receipt_path, "w") as f:
             json.dump(receipt, f, indent=1)
         print(f"receipt -> {receipt_path}")
+    if subset_receipt_path:
+        receipt = {
+            "sf_dir": SF_DIR,
+            "filters": filters,
+            "queries_total": len(results),
+            "oracle_pass": n_pass,
+            "rows_only": sum(
+                1 for r in results.values() if r["status"] == "ROWS_ONLY"
+            ),
+            "fail": n_fail,
+            "results": results,
+        }
+        with open(subset_receipt_path, "w") as f:
+            json.dump(receipt, f, indent=1)
+        print(f"subset receipt -> {subset_receipt_path}")
     return 1 if n_fail else 0
 
 
