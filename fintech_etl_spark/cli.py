@@ -415,9 +415,11 @@ def main(argv: list[str] | None = None) -> int:
         "--compact-when-drift-above",
         type=float,
         help="after each commit, poll the manifest-only drift metric "
-        "and run the full re-freezing compaction when the live keys "
-        "have outgrown the frozen curve by this fraction (the "
-        "compaction cron, inlined; e.g. 0.5)",
+        "and, when the live keys have outgrown the frozen curve by "
+        "this fraction (e.g. 0.5), commit a compaction-due marker — "
+        "the ingest keeps appending; run the rewrite from a "
+        "`layout-maintain` cron (signal-and-handoff: maintenance is "
+        "not the writer's job)",
     )
 
     ld = sub.add_parser(

@@ -1358,3 +1358,187 @@ def auto_pq_cand(
             "n_probe or accept the corpus ceiling"
         )
     return max(p["pq_cand"] for p in curve)
+
+def calibrate_serving_grid(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    n_probes: tuple[int, ...] = (1, 2, 4, 8),
+    pq_cands: tuple[int, ...] = (50, 200, 800),
+    at_k: tuple[int, ...] = (5,),
+) -> list[dict]:
+    """Joint sweep of the TWO serving levers. The r13 attribution
+    proved they interact: wider probes raise the routing ceiling but
+    dilute a fixed ADC shortlist (r12's decreasing-recall artifact),
+    so calibrating them independently can land on a config neither
+    sweep would pick. One grid point = one :func:`ivf_pq_query_batch`
+    over the sample, scored against the exact ground truth computed
+    once; each point carries both cost metrics — ``mean_fanout`` (ADC
+    rows scanned per query, monotone in n_probe) and ``mean_refined``
+    (raw vectors exact-re-ranked per query, min(pq_cand, fan-out)).
+
+    Returns ``[{n_probe, pq_cand, recall: {k}, mean_fanout,
+    mean_refined, queries}, ...]`` (n_probe-major order); feed it to
+    :func:`pick_serving_config`."""
+    from pyspark.sql.window import Window as W
+
+    from fintech_etl_spark.operators.similarity import _sq_dist, cosine
+
+    kmax = max(at_k)
+    q = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("qv")
+    )
+    n_queries = q.count()
+    if n_queries == 0:
+        raise ValueError(
+            "calibrate_serving_grid: the query sample is EMPTY — pass "
+            "a non-empty (query_id, embedding) sample"
+        )
+    vectors = _read_ivf_dataset(spark, index_path, "vectors")
+    coarse = spark.read.parquet(index_path + "/coarse")
+    codebooks = spark.read.parquet(index_path + "/codebooks")
+    w = W.partitionBy("query_id")
+    truth = (
+        vectors.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sq_dist(F.col("qv"), F.col("v")).alias("tdist"),
+        )
+        .withColumn(
+            "trank",
+            F.row_number().over(w.orderBy(F.col("tdist").asc(), "neighbor_id")),
+        )
+        .filter(F.col("trank") <= kmax)
+        .select("query_id", "neighbor_id", "trank")
+    )
+    truth.persist()
+    truth.count()
+    cell_sizes = vectors.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    qc = q.join(F.broadcast(coarse)).select(
+        "query_id", "cell", cosine(F.col("qv"), F.col("centroid")).alias("ccos")
+    )
+    ranked = (
+        qc.withColumn(
+            "prank", F.row_number().over(w.orderBy(F.col("ccos").desc(), "cell"))
+        )
+        .filter(F.col("prank") <= max(n_probes))
+        .join(cell_sizes, "cell")
+        .select("query_id", "prank", "cell_n")
+    )
+    ranked.persist()
+    ranked.count()
+
+    grid = []
+    for np_ in sorted(n_probes):
+        costs = (
+            ranked.filter(F.col("prank") <= np_)
+            .groupBy("query_id")
+            .agg(F.sum("cell_n").alias("cand_n"))
+        )
+        costs.persist()
+        fanout = costs.agg(F.avg("cand_n").alias("f")).first().f
+        for pc in sorted(pq_cands):
+            res = ivf_pq_query_batch(
+                spark,
+                index_path,
+                q,
+                n_probe=np_,
+                top_k=kmax,
+                coarse=coarse,
+                codebooks=codebooks,
+                pq_cand=pc,
+            ).select("query_id", "neighbor_id", "rank")
+            res.persist()
+            recall = {}
+            for k in at_k:
+                hits = (
+                    res.filter(F.col("rank") <= k)
+                    .join(
+                        truth.filter(F.col("trank") <= k),
+                        ["query_id", "neighbor_id"],
+                    )
+                    .count()
+                )
+                recall[k] = hits / float(n_queries * k)
+            refined = (
+                costs.agg(
+                    F.avg(F.least(F.lit(pc), F.col("cand_n"))).alias("r")
+                )
+                .first()
+                .r
+            )
+            res.unpersist()
+            grid.append(
+                {
+                    "n_probe": np_,
+                    "pq_cand": pc,
+                    "recall": recall,
+                    "mean_fanout": float(fanout or 0.0),
+                    "mean_refined": float(refined or 0.0),
+                    "queries": n_queries,
+                }
+            )
+        costs.unpersist()
+    truth.unpersist()
+    ranked.unpersist()
+    return grid
+
+
+def _default_serving_cost(point: dict) -> float:
+    """Per-query work in ADC-candidate equivalents: scanning one ADC
+    candidate costs ~subs(=8) table-lookup adds; exact-refining one
+    shortlist row costs a full 64-dim distance (~64 mul-adds ≈ 8× an
+    ADC candidate). So cost ≈ fanout + 8 × refined — a documented
+    default, injectable where the deployment's real constants differ
+    (e.g. refine reads hitting cold storage weigh far more)."""
+    return point["mean_fanout"] + 8.0 * point["mean_refined"]
+
+
+def pick_serving_config(
+    grid: list[dict],
+    target_recall: float,
+    at_k: int = 5,
+    cost_fn=None,
+    strict: bool = False,
+) -> dict:
+    """The joint picker over a :func:`calibrate_serving_grid`: the
+    CHEAPEST grid point whose recall@``at_k`` reaches
+    ``target_recall``, under ``cost_fn`` (default
+    :func:`_default_serving_cost`; ties broken by smaller n_probe
+    then smaller pq_cand for operational simplicity). Saturated
+    target: ``strict=True`` raises with the best achieved; default
+    returns the highest-recall point (cheapest among equals) — the
+    best this index can serve."""
+    if not grid:
+        raise ValueError(
+            "pick_serving_config: the grid is EMPTY — run "
+            "calibrate_serving_grid first"
+        )
+    cost = cost_fn or _default_serving_cost
+
+    def r(p):
+        return p["recall"].get(at_k, p["recall"].get(str(at_k)))
+
+    if any(r(p) is None for p in grid):
+        raise ValueError(f"grid has no recall@{at_k} measurements")
+    feasible = [p for p in grid if r(p) >= target_recall]
+    if feasible:
+        return min(
+            feasible, key=lambda p: (cost(p), p["n_probe"], p["pq_cand"])
+        )
+    if strict:
+        best = max(grid, key=r)
+        raise ValueError(
+            f"pick_serving_config: no grid point reaches recall@{at_k} "
+            f">= {target_recall} (best: {r(best):.3f} at "
+            f"n_probe={best['n_probe']}, pq_cand={best['pq_cand']}) — "
+            "widen the sweep, or the corpus/quantizer caps out here"
+        )
+    top = max(r(p) for p in grid)
+    return min(
+        (p for p in grid if r(p) == top),
+        key=lambda p: (cost(p), p["n_probe"], p["pq_cand"]),
+    )

@@ -191,3 +191,89 @@ def test_cli_index_calibrate(spark, tmp_path, capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [p["n_probe"] for p in out["curve"]] == [1, 4]
     assert out["picked_n_probe"] == 1  # trivial target -> minimal width
+    # the r13 shortlist sweep rides the same command
+    rc = cli.main(
+        [
+            "index-calibrate",
+            "--index", idx,
+            "--sf-dir", SF_SMOKE,
+            "--queries", "10",
+            "--n-probes", "1,4",
+            "--pq-cands", "5,100000",
+            "--n-probe-fixed", "2",
+            "--target-recall", "0.0",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [p["pq_cand"] for p in out["pq_cand_curve"]] == [5, 100000]
+    assert out["picked_pq_cand"] == 5  # trivial target -> minimal cut
+
+
+def test_serving_grid_and_joint_picker(spark, tmp_path):
+    """The joint (n_probe, pq_cand) calibration (r13): the two levers
+    interact (wider probes dilute a fixed shortlist), so the grid must
+    be consistent along both axes — recall non-decreasing in pq_cand
+    at fixed n_probe, and non-decreasing in n_probe once the shortlist
+    covers the probe yield — and pick_serving_config must return the
+    CHEAPEST feasible point under the documented cost model."""
+    from fintech_etl_spark.streaming.ann import (
+        _default_serving_cost,
+        calibrate_serving_grid,
+        pick_serving_config,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(spark, SF_SMOKE, idx, k=4)
+    queries = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    grid = calibrate_serving_grid(
+        spark, idx, queries, n_probes=(1, 4), pq_cands=(5, 100000), at_k=(5,)
+    )
+    assert len(grid) == 4
+    by = {(p["n_probe"], p["pq_cand"]): p for p in grid}
+
+    def r5(np_, pc):
+        return by[(np_, pc)]["recall"][5]
+
+    # axis consistency
+    for np_ in (1, 4):
+        assert r5(np_, 100000) >= r5(np_, 5)
+    assert r5(4, 100000) >= r5(1, 100000)  # covered shortlist: probes help
+    assert r5(4, 100000) >= 0.8  # full coverage + full refine
+    # cost metrics behave
+    assert by[(4, 5)]["mean_fanout"] > by[(1, 5)]["mean_fanout"]
+    assert by[(1, 100000)]["mean_refined"] <= by[(1, 100000)]["mean_fanout"]
+    assert by[(1, 5)]["mean_refined"] <= 5.0
+
+    # picker: cheapest feasible under the documented cost
+    target = r5(4, 100000)
+    picked = pick_serving_config(grid, target, at_k=5)
+    assert picked["recall"][5] >= target
+    feasible = [p for p in grid if p["recall"][5] >= target]
+    assert _default_serving_cost(picked) == min(
+        _default_serving_cost(p) for p in feasible
+    )
+    # trivial target: the globally cheapest point wins
+    floor = min(p["recall"][5] for p in grid)
+    cheap = pick_serving_config(grid, floor, at_k=5)
+    assert _default_serving_cost(cheap) == min(
+        _default_serving_cost(p) for p in grid
+    )
+    # saturation: default falls back to the highest-recall point,
+    # strict is loud, empty grid is loud
+    assert pick_serving_config(grid, 1.01, at_k=5)["recall"][5] == max(
+        p["recall"][5] for p in grid
+    )
+    with pytest.raises(ValueError, match="widen the sweep"):
+        pick_serving_config(grid, 1.01, at_k=5, strict=True)
+    with pytest.raises(ValueError, match="grid is EMPTY"):
+        pick_serving_config([], 0.5)
+    with pytest.raises(ValueError, match="EMPTY"):
+        calibrate_serving_grid(
+            spark, idx, queries.filter(F.lit(False)), n_probes=(1,),
+            pq_cands=(5,), at_k=(5,),
+        )

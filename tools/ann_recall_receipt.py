@@ -32,7 +32,12 @@ CLAIMS (exit 1 if violated):
    non-decreasing in pq_cand; mean_refined records the cost honestly;
 4. capped-index recall parity at equal fan-out (r12 claim, kept);
 5. auto_n_probe picks minimally and saturates loudly (r12 claim,
-   kept); auto_pq_cand picks the minimal cut reaching 0.8.
+   kept); auto_pq_cand picks the minimal cut reaching 0.8;
+6. the JOINT picker closes the serving question: over an
+   (n_probe × pq_cand) grid, pick_serving_config returns the
+   cheapest config reaching recall@5 ≥ 0.8 under the documented
+   cost model (fanout + 8×refined) — the receipt records the
+   config an operator should actually serve this corpus with.
 
 Usage: python tools/ann_recall_receipt.py [N] [out.json]
 """
@@ -66,11 +71,14 @@ def main() -> int:
     from fintech_etl_spark.session import build_session
     from fintech_etl_spark.sources.tables import load_table
     from fintech_etl_spark.streaming.ann import (
+        _default_serving_cost,
         auto_n_probe,
         auto_pq_cand,
         build_ivf_pq_index,
         calibrate_n_probe,
         calibrate_pq_cand,
+        calibrate_serving_grid,
+        pick_serving_config,
     )
 
     spark = build_session("ann_recall_receipt")
@@ -142,6 +150,22 @@ def main() -> int:
         fix_closes_gap = cut_r5[-1] >= fix_ceiling - 0.05
         cut_monotone = cut_r5 == sorted(cut_r5)
         picked_cut = auto_pq_cand(cut_curve, 0.8, at_k=5)
+        # THE ANSWER: the joint grid + cheapest-feasible pick — what
+        # an operator should actually serve this corpus with
+        grid = calibrate_serving_grid(
+            spark,
+            idx_paths["capped"],
+            queries,
+            n_probes=(2, 4, 6, 8),
+            pq_cands=(50, 800, 3200, 8 * CELL_CAP),
+            at_k=(5,),
+        )
+        served = pick_serving_config(grid, 0.8, at_k=5)
+        served_ok = served["recall"][5] >= 0.8 and all(
+            _default_serving_cost(served) <= _default_serving_cost(p)
+            for p in grid
+            if p["recall"][5] >= 0.8
+        )
         # does widening the probe buy recall on THIS corpus? (informational:
         # False = shortlist-bound at the default cut — the attribution above
         # names the lever)
@@ -186,6 +210,7 @@ def main() -> int:
             and fix_reaches_target
             and fix_closes_gap
             and cut_monotone
+            and served_ok
         )
         receipt = {
             "claim": "ATTRIBUTION of the r12 recall floor: on the "
@@ -217,6 +242,13 @@ def main() -> int:
                 "fix_closes_gap_to_ceiling": fix_closes_gap,
                 "cut_monotone": cut_monotone,
                 "auto_pq_cand_picked_for_0.8": picked_cut,
+            },
+            "serving_config": {
+                "grid": grid,
+                "picked": served,
+                "picked_cost": round(_default_serving_cost(served), 1),
+                "target_recall_at_5": 0.8,
+                "cheapest_feasible": served_ok,
             },
             "auto_n_probe": {
                 "target_recall_at_5": round(target, 4),
