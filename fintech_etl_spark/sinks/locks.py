@@ -62,7 +62,7 @@ import threading
 import time
 import uuid
 
-__all__ = ["CASStore", "CASLockProvider", "GCSCASStore"]
+__all__ = ["CASStore", "CASLockProvider", "GCSCASStore", "S3CASStore"]
 
 
 class CASStore:
@@ -236,6 +236,110 @@ class GCSCASStore:
         except Exception as ex:  # noqa: BLE001
             if self._code(ex) in (404, 412):
                 return False  # another stealer's delete won the race
+            raise
+
+
+class S3CASStore:
+    """The S3 twin of :class:`GCSCASStore` — the three CAS primitives
+    over Amazon S3's conditional requests (public semantics: atomic
+    ``If-None-Match: *`` on PutObject since 2024, ``If-Match``-
+    conditioned DeleteObject on the object's ETag):
+
+    - ``put_if_absent`` → ``PutObject(IfNoneMatch="*")``: exactly one
+      creator wins; a racing creator's HTTP 412 → False.
+    - ``get`` → plain GetObject (``NoSuchKey`` → None).
+    - ``delete_if_match`` → GetObject (value + ETag), compare the
+      value, then ``DeleteObject(IfMatch=<that etag>)``: two stealers
+      race their conditional deletes and S3 admits exactly one — the
+      loser's 412 → False, same single-winner shape as the GCS
+      generation match.
+
+    Gated like the Pub/Sub transport and :class:`GCSCASStore`:
+    constructing without ``boto3`` (this container) raises a LOUD
+    ``NotImplementedError``. ``client`` injects any object exposing
+    ``put_object`` / ``get_object`` / ``delete_object`` with those
+    preconditions and botocore-shaped ``ClientError``s (an exception
+    whose ``response["Error"]["Code"]`` is ``PreconditionFailed`` /
+    ``NoSuchKey`` / a 412 status) — the contract tests drive a fake
+    with exactly those semantics.
+    """
+
+    def __init__(self, bucket: str, prefix: str = "", client=None) -> None:
+        if client is None:
+            try:
+                import boto3  # absent in this container
+            except ImportError as ex:
+                raise NotImplementedError(
+                    "S3CASStore requires boto3 (not installed) and AWS "
+                    "credentials; inject a client, or use the CASStore "
+                    "emulation for local runs"
+                ) from ex
+            client = boto3.client("s3")
+        self._client = client
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+
+    def _key(self, key: str) -> str:
+        safe = key.replace(os.sep, "_").replace(":", "_")
+        return f"{self.prefix}/{safe}.json" if self.prefix else f"{safe}.json"
+
+    @staticmethod
+    def _err(ex: Exception) -> tuple[str | None, int | None]:
+        resp = getattr(ex, "response", None) or {}
+        err = resp.get("Error") or {}
+        meta = resp.get("ResponseMetadata") or {}
+        return err.get("Code"), meta.get("HTTPStatusCode")
+
+    def put_if_absent(self, key: str, value: dict) -> bool:
+        try:
+            self._client.put_object(
+                Bucket=self.bucket,
+                Key=self._key(key),
+                Body=json.dumps(value).encode(),
+                IfNoneMatch="*",
+            )
+            return True
+        except Exception as ex:  # noqa: BLE001 — typed by error code
+            code, status = self._err(ex)
+            if code == "PreconditionFailed" or status == 412:
+                return False
+            raise
+
+    def get(self, key: str) -> dict | None:
+        try:
+            resp = self._client.get_object(
+                Bucket=self.bucket, Key=self._key(key)
+            )
+            return json.loads(resp["Body"].read())
+        except Exception as ex:  # noqa: BLE001
+            code, status = self._err(ex)
+            if code in ("NoSuchKey", "404") or status == 404:
+                return None
+            raise
+
+    def delete_if_match(self, key: str, expected: dict) -> bool:
+        k = self._key(key)
+        try:
+            resp = self._client.get_object(Bucket=self.bucket, Key=k)
+            cur = json.loads(resp["Body"].read())
+            etag = resp["ETag"]
+        except Exception as ex:  # noqa: BLE001
+            code, status = self._err(ex)
+            if code in ("NoSuchKey", "404") or status == 404:
+                return False
+            raise
+        if cur != expected:
+            return False
+        try:
+            self._client.delete_object(Bucket=self.bucket, Key=k, IfMatch=etag)
+            return True
+        except Exception as ex:  # noqa: BLE001
+            code, status = self._err(ex)
+            if code in ("PreconditionFailed", "NoSuchKey", "404") or status in (
+                404,
+                412,
+            ):
+                return False  # another stealer won, or it mutated mid-read
             raise
 
 

@@ -339,3 +339,117 @@ def test_gcs_store_without_library_is_loud():
         pass
     with pytest.raises(NotImplementedError, match="google-cloud-storage"):
         GCSCASStore("some-bucket")
+
+
+# ---------------------------------------------------------------------------
+# S3CASStore: same contract over botocore-shaped conditional requests
+# ---------------------------------------------------------------------------
+
+
+class _S3Error(Exception):
+    def __init__(self, code, status):
+        super().__init__(code)
+        self.response = {
+            "Error": {"Code": code},
+            "ResponseMetadata": {"HTTPStatusCode": status},
+        }
+
+
+class _FakeS3Client:
+    """S3 conditional-request semantics, in memory: per-key (bytes,
+    etag) with If-None-Match:* create-exclusive on put and
+    If-Match-etag single-winner delete."""
+
+    def __init__(self):
+        self._state: dict = {}
+        self._lock = threading.Lock()
+        self._etag_seq = 0
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        with self._lock:
+            if IfNoneMatch == "*" and Key in self._state:
+                raise _S3Error("PreconditionFailed", 412)
+            self._etag_seq += 1
+            self._state[Key] = (Body, f'"{self._etag_seq:08x}"')
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        with self._lock:
+            if Key not in self._state:
+                raise _S3Error("NoSuchKey", 404)
+            body, etag = self._state[Key]
+            return {"Body": io.BytesIO(body), "ETag": etag}
+
+    def delete_object(self, Bucket, Key, IfMatch=None):
+        with self._lock:
+            if Key not in self._state:
+                raise _S3Error("NoSuchKey", 404)
+            if IfMatch is not None and self._state[Key][1] != IfMatch:
+                raise _S3Error("PreconditionFailed", 412)
+            del self._state[Key]
+
+
+def _s3_store(tmp_path):
+    from fintech_etl_spark.sinks.locks import S3CASStore
+
+    return S3CASStore("b", prefix="locks", client=_FakeS3Client())
+
+
+@pytest.mark.parametrize("mk", [_s3_store], ids=["s3"])
+def test_s3_store_contract(tmp_path, mk):
+    """Identical three-primitive contract as the emulator and GCS —
+    the lock provider must not be able to tell the stores apart."""
+    st = mk(tmp_path)
+    assert st.get("k") is None
+    assert st.put_if_absent("k", {"v": 1}) is True
+    assert st.put_if_absent("k", {"v": 2}) is False
+    assert st.get("k") == {"v": 1}
+    assert st.delete_if_match("k", {"v": 2}) is False
+    assert st.delete_if_match("k", {"v": 1}) is True
+    assert st.get("k") is None
+    assert st.delete_if_match("k", {"v": 1}) is False
+    assert st.put_if_absent("k", {"v": 3}) is True
+
+
+def test_s3_store_steal_race_is_single_winner(tmp_path):
+    st = _s3_store(tmp_path)
+    stale = {"owner": "dead", "expires_at": 0}
+    assert st.put_if_absent("lease", stale)
+    wins = [st.delete_if_match("lease", stale) for _ in range(2)]
+    assert wins == [True, False]
+
+
+def test_s3_lock_provider_threads_lose_no_commit(tmp_path):
+    provider = CASLockProvider(_s3_store(tmp_path))
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []}, lock=provider)
+    errors: list[str] = []
+
+    def adder(tid):
+        try:
+            for i in range(6):
+                mf.commit(root, file_keys=[f"t{tid}-{i}"], lock=provider)
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=adder, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert mf.current(root)["version"] == 24
+    assert len(mf.ingested_keys(root)) == 24
+
+
+def test_s3_store_without_library_is_loud():
+    from fintech_etl_spark.sinks.locks import S3CASStore
+
+    try:
+        import boto3  # noqa: F401
+        pytest.skip("boto3 installed here; gate untestable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="boto3"):
+        S3CASStore("some-bucket")
