@@ -277,3 +277,65 @@ def test_serving_grid_and_joint_picker(spark, tmp_path):
             spark, idx, queries.filter(F.lit(False)), n_probes=(1,),
             pq_cands=(5,), at_k=(5,),
         )
+
+
+def test_pq_cand_reaches_streaming_server(spark, tmp_path):
+    """The --pq-cand serving flag must actually change what the
+    streaming server emits: served results at a widened cut are
+    bit-identical to ivf_pq_query_batch at the same cut, and differ
+    from the default-cut serve where the cut binds."""
+    import json as _json
+    import time as _time
+
+    from fintech_etl_spark.streaming.ann import (
+        ivf_pq_query_batch,
+        start_ivf_pq_queries,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(spark, SF_SMOKE, idx, k=4)
+    queries = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    with open(qdir / "batch.jsonl", "w") as fh:
+        for r in queries.collect():
+            fh.write(
+                _json.dumps(
+                    {"query_id": r.query_id, "embedding": list(r.embedding)}
+                )
+                + "\n"
+            )
+    served: dict = {}
+
+    def collect(df, bid):
+        for r in df.collect():
+            served[(r.query_id, r.rank)] = (r.neighbor_id, r.dist)
+
+    q = start_ivf_pq_queries(
+        spark,
+        str(qdir / "*.jsonl"),
+        str(tmp_path / "ck"),
+        idx,
+        collect,
+        n_probe=4,
+        pq_cand=3,  # binding cut: only 3 ADC candidates refine
+    )
+    q.awaitTermination()
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist)
+        for r in ivf_pq_query_batch(
+            spark, idx, queries.selectExpr(
+                "query_id", "cast(embedding as array<double>) as qv"
+            ), n_probe=4, pq_cand=3,
+        ).collect()
+    }
+    assert served == want
+    # at the binding cut no query can emit more than 3 rows
+    per_q: dict = {}
+    for (qid, _rank) in served:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert per_q and max(per_q.values()) <= 3
