@@ -315,6 +315,14 @@ def main(argv: list[str] | None = None) -> int:
         help="probe width the --pq-cands sweep holds fixed (default: "
         "the library serving default)",
     )
+    ical.add_argument(
+        "--grid",
+        action="store_true",
+        help="jointly sweep --n-probes x --pq-cands (the levers "
+        "interact: wider probes dilute a fixed shortlist) and, with "
+        "--target-recall, print the CHEAPEST config reaching it "
+        "under the documented cost model (pick_serving_config)",
+    )
     ical.add_argument("--target-recall", type=float)
     ical.add_argument(
         "--at-k", type=int, default=5, help="recall@k the target applies to"
@@ -889,6 +897,31 @@ def main(argv: list[str] | None = None) -> int:
         )
         n_probes = tuple(int(x) for x in args.n_probes.split(","))
         at_k = tuple(sorted({1, args.at_k}))
+        if args.grid:
+            from fintech_etl_spark.streaming.ann import (
+                calibrate_serving_grid,
+                pick_serving_config,
+            )
+
+            if not args.pq_cands:
+                print("--grid requires --pq-cands")
+                return 2
+            grid = calibrate_serving_grid(
+                spark,
+                args.index,
+                sample,
+                n_probes=n_probes,
+                pq_cands=tuple(int(x) for x in args.pq_cands.split(",")),
+                at_k=at_k,
+            )
+            out = {"grid": grid}
+            if args.target_recall is not None:
+                out["picked_config"] = pick_serving_config(
+                    grid, args.target_recall, at_k=args.at_k
+                )
+                out["target_recall"] = args.target_recall
+            print(json.dumps(out))
+            return 0
         curve = calibrate_n_probe(
             spark, args.index, sample, n_probes=n_probes, at_k=at_k
         )

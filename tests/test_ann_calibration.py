@@ -208,6 +208,28 @@ def test_cli_index_calibrate(spark, tmp_path, capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [p["pq_cand"] for p in out["pq_cand_curve"]] == [5, 100000]
     assert out["picked_pq_cand"] == 5  # trivial target -> minimal cut
+    # --grid: joint sweep + cheapest-feasible pick through the CLI
+    rc = cli.main(
+        [
+            "index-calibrate",
+            "--index", idx,
+            "--sf-dir", SF_SMOKE,
+            "--queries", "10",
+            "--n-probes", "1,4",
+            "--pq-cands", "5,100000",
+            "--grid",
+            "--target-recall", "0.0",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["grid"]) == 4
+    assert out["picked_config"]["recall"]["5"] >= 0.0
+    # --grid without --pq-cands is loud
+    assert cli.main(
+        ["index-calibrate", "--index", idx, "--sf-dir", SF_SMOKE, "--grid"]
+    ) == 2
+    capsys.readouterr()
 
 
 def test_serving_grid_and_joint_picker(spark, tmp_path):
