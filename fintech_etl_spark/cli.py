@@ -483,6 +483,14 @@ def main(argv: list[str] | None = None) -> int:
     lkc.add_argument("--path", required=True)
     lkc.add_argument("--files-per-partition", type=int, default=1)
     lkc.add_argument(
+        "--when-segments-above",
+        type=int,
+        help="cron mode: compact only when the live manifest names "
+        "more than N segments (one pointer read decides — the lake "
+        "twin of layout-maintain's drift trigger); otherwise no-op, "
+        "safe at any frequency",
+    )
+    lkc.add_argument(
         "--vacuum-keep",
         type=int,
         help="afterwards, garbage-collect segments not referenced by "
@@ -760,6 +768,22 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "lake-compact":
         from fintech_etl_spark.sinks.receipts import compact_receipts_lake
 
+        if args.when_segments_above is not None:
+            from fintech_etl_spark.sinks import manifest as mfst
+
+            n_segs = len(mfst.dataset_segments(args.path, "receipts"))
+            if n_segs <= args.when_segments_above:
+                print(
+                    json.dumps(
+                        {
+                            "lake": args.path,
+                            "compacted": False,
+                            "segments": n_segs,
+                            "threshold": args.when_segments_above,
+                        }
+                    )
+                )
+                return 0
         stats = compact_receipts_lake(
             spark, args.path, files_per_partition=args.files_per_partition
         )

@@ -391,7 +391,18 @@ def test_receipt_lake_compaction_time_travel_vacuum(
     v_pre = mf.current(lake)["version"]
     assert len(mf.dataset_segments(lake, "receipts")) == 3
 
-    rc = cli.main(["lake-compact", "--path", lake])
+    # cron mode: below the fragmentation threshold it is a no-op
+    rc = cli.main(
+        ["lake-compact", "--path", lake, "--when-segments-above", "10"]
+    )
+    assert rc == 0
+    noop = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert noop["compacted"] is False and noop["segments"] == 3
+    assert len(mf.dataset_segments(lake, "receipts")) == 3
+    # above it (3 > 2) the same invocation compacts
+    rc = cli.main(
+        ["lake-compact", "--path", lake, "--when-segments-above", "2"]
+    )
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["files_after"] <= out["files_before"]
