@@ -766,11 +766,19 @@ def main(argv: list[str] | None = None) -> int:
             out["vacuum"] = mfst.vacuum(args.path, keep_last=args.vacuum_keep)
         print(json.dumps(out))
     elif args.cmd == "lake-compact":
+        from fintech_etl_spark.sinks import manifest as mfst
         from fintech_etl_spark.sinks.receipts import compact_receipts_lake
 
+        if not mfst.is_transactional(args.path):
+            print(
+                f"lake-compact: {args.path!r} is not a manifest-backed "
+                "lake (no _manifests/_current pointer) — build it with "
+                "write_receipts_parquet(transactional=True) / "
+                "--transactional-lake; plain directories have no "
+                "segment list to fold"
+            )
+            return 2
         if args.when_segments_above is not None:
-            from fintech_etl_spark.sinks import manifest as mfst
-
             n_segs = len(mfst.dataset_segments(args.path, "receipts"))
             if n_segs <= args.when_segments_above:
                 print(

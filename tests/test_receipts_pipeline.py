@@ -391,6 +391,12 @@ def test_receipt_lake_compaction_time_travel_vacuum(
     v_pre = mf.current(lake)["version"]
     assert len(mf.dataset_segments(lake, "receipts")) == 3
 
+    # a plain (non-manifest) lake is loud, not a FileNotFoundError
+    plain = str(tmp_path / "plain_for_compact")
+    write_receipts_parquet(base, plain)
+    assert cli.main(["lake-compact", "--path", plain]) == 2
+    capsys.readouterr()
+
     # cron mode: below the fragmentation threshold it is a no-op
     rc = cli.main(
         ["lake-compact", "--path", lake, "--when-segments-above", "10"]
