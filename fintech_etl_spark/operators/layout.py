@@ -352,16 +352,32 @@ def run_due_compaction(
     manifest.StaleSegmentError` means a concurrent committer
     (a racing compactor, or an ingest append landing mid-rewrite in a
     pathological interleaving) superseded our read — re-poll the
-    marker and retry from a fresh read, up to ``max_retries``."""
+    marker and retry from a fresh read, up to ``max_retries``.
+
+    After the rewrite commits, drift is RE-MEASURED from the fresh
+    manifest (one pointer read): a drifted append landing mid-rewrite
+    is carried forward clustered on the OLD curve, so the compact's
+    bounds — frozen from what it read — can still miss it while its
+    commit cleared the marker. If the re-measured drift exceeds the
+    marker's threshold, the marker is re-committed and the rewrite
+    runs again, so a maintenance invocation never returns with the
+    signal swallowed but the condition live (the race the
+    three-client concurrency receipt caught)."""
     for _ in range(max_retries):
         marker = compaction_due(path)
         if marker is None:
             return None  # nothing due (or a racing compactor resolved it)
         try:
             rows = zorder_compact(spark, path, num_files=num_files)
-            return {"rows": rows, "marker": marker}
         except mf.StaleSegmentError:
             continue
+        d = zorder_drift(path)["drift"]
+        if d > marker["threshold"]:
+            # concurrent drifted append carried forward past our
+            # re-frozen bounds: re-signal and rewrite again
+            mark_compaction_due(path, drift=d, threshold=marker["threshold"])
+            continue
+        return {"rows": rows, "marker": marker}
     raise RuntimeError(
         f"run_due_compaction: {path!r} still due after {max_retries} "
         "attempts, each losing the rewrite race to another committer — "
@@ -659,7 +675,12 @@ def zorder_compact(
         # compaction-due marker — clearing it rides the same atomic
         # commit as the rewrite (signal and resolution can never be
         # observed out of sync); a partial compaction leaves both the
-        # curve and the marker alone
+        # curve and the marker alone. Caveat: a drifted append landing
+        # BETWEEN this rewrite's read and its commit is carried
+        # forward past the re-frozen bounds — the clear then swallows
+        # a live signal until the next ingest poll re-marks. Bare
+        # callers must re-check drift afterwards if that matters;
+        # run_due_compaction (the maintenance entry point) does.
         dm[_MAINT_DS] = {}
     mf.commit(
         path,

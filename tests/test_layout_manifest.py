@@ -684,3 +684,56 @@ def test_cli_layout_maintain_handoff(spark, tmp_path, capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["compacted"] is True and out["rows"] == 3000
     assert zorder_drift(root)["drift"] == 0.0
+
+def test_run_due_compaction_remarks_when_drift_survives_the_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """The race the three-client receipt caught: a drifted append
+    landing mid-rewrite is carried forward past the re-frozen bounds
+    while the rewrite's commit clears the marker — the signal would be
+    swallowed with the condition live. run_due_compaction must
+    re-measure drift after each rewrite (one pointer read), re-mark,
+    and rewrite again until the bounds actually cover the data."""
+    from fintech_etl_spark.operators import layout as lay
+
+    root = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 1000), ["x", "y"], root, num_files=2,
+                 transactional=True)
+    zorder_append(
+        _frame(spark, 300, offset=1000).select(
+            "rowid", (F.col("x") + 5000).alias("x"),
+            (F.col("y") + 5000).alias("y"),
+        ),
+        root, num_files=1,
+    )
+    d = lay.zorder_drift(root)["drift"]
+    lay.mark_compaction_due(root, drift=d, threshold=0.3)
+
+    real = lay.zorder_compact
+    state = {"raced": False}
+
+    def racing_compact(spark_, path, num_files=32, **kw):
+        rows = real(spark_, path, num_files=num_files, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent drifted append lands just after the commit
+            # (equivalent to landing mid-rewrite: carried forward,
+            # clustered on the freshly frozen curve's OLD bounds)
+            zorder_append(
+                _frame(spark_, 200, offset=1300).select(
+                    "rowid", (F.col("x") + 20_000).alias("x"),
+                    (F.col("y") + 20_000).alias("y"),
+                ),
+                path, num_files=1,
+            )
+        return rows
+
+    monkeypatch.setattr(lay, "zorder_compact", racing_compact)
+    res = lay.run_due_compaction(spark, root, num_files=2)
+    assert res is not None
+    assert state["raced"]
+    # the second rewrite covered the racing append: marker resolved,
+    # drift truly 0, nothing lost
+    assert lay.compaction_due(root) is None
+    assert lay.zorder_drift(root)["drift"] == 0.0
+    assert read_zorder(spark, root).count() == 1500
