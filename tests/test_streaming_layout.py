@@ -446,3 +446,60 @@ def test_auto_compaction_threshold_validation(spark, tmp_path, layout):
             _SCHEMA,
             compact_when_drift_above=1.5,
         )
+
+
+def test_commit_lock_lost_mid_stream_is_loud_then_exactly_once(
+    spark, tmp_path, layout, monkeypatch
+):
+    """The r13 lost-lock guard composed with streaming exactly-once: a
+    commit whose lock verification fails mid-batch must FAIL the
+    stream (never last-writer-win), leave only an invisible orphan,
+    and a plain restart must land the batch exactly once."""
+    from fintech_etl_spark.operators.layout import _LAYOUT_DS
+
+    root, land = layout
+    _write_jsonl(_batch_rows(spark, 1000, 1100), land / "a.jsonl")
+
+    class LosesVerifyOnce(mf.FileLockProvider):
+        def __init__(self):
+            super().__init__()
+            self.tripped = False
+
+        def verify(self, handle):
+            if not self.tripped:
+                self.tripped = True
+                return False  # simulate: paused past staleness, stolen
+            return super().verify(handle)
+
+    provider = LosesVerifyOnce()
+    monkeypatch.setattr(mf, "DEFAULT_LOCK_PROVIDER", provider)
+    q = start_zorder_ingest(
+        spark,
+        str(land / "*.jsonl"),
+        str(tmp_path / "ck"),
+        root,
+        _SCHEMA,
+        num_files=1,
+    )
+    with pytest.raises(Exception, match="CommitLockLost|lock/lease"):
+        q.awaitTermination()
+    # the failed batch committed NOTHING: no segment, no file key
+    assert read_zorder(spark, root).count() == 1000
+    assert mf.ingested_count(root) == 0
+    assert len(mf.dataset_segments(root, _LAYOUT_DS)) == 1
+
+    # plain restart (same checkpoint): the batch replays and lands once
+    start_zorder_ingest(
+        spark,
+        str(land / "*.jsonl"),
+        str(tmp_path / "ck"),
+        root,
+        _SCHEMA,
+        num_files=1,
+    ).awaitTermination()
+    assert read_zorder(spark, root).count() == 1100
+    assert mf.ingested_count(root) == 1
+    assert mf.fsck(root)["ok"]
+    # the orphaned staging from the failed attempt is vacuumable
+    rep = mf.fsck(root)
+    assert rep["orphan_segments"] is not None
