@@ -164,7 +164,7 @@ def main() -> int:
     ok = (
         not errors["reader"]
         and not errors["maint"]
-        and len(full_counts) >= 30
+        and len(full_counts) >= 20
         and monotone
         and ranged_monotone
         and ranged_bounded
