@@ -37,22 +37,6 @@ from fintech_etl_spark.sinks import WebhookSink, land_raw_files, write_receipts_
 from fintech_etl_spark.sources.invoice_csv import read_invoice_csv
 
 
-def _receipts_batch_key(receipts) -> str:
-    """Content-derived exactly-once key for a receipts batch: md5 over
-    the SORTED distinct source files it was built from. Robust where a
-    streaming batch_id is not — after checkpoint loss the replayed
-    batch re-derives the SAME key (skipped), while genuinely new files
-    under a reused batch_id derive a new one (appended); md5 for a
-    stable cross-run digest, non-cryptographic use."""
-    import hashlib
-
-    files = sorted(
-        r.source_file
-        for r in receipts.select("source_file").distinct().collect()
-    )
-    return "files-" + hashlib.md5("\n".join(files).encode()).hexdigest()
-
-
 def _process(
     spark: SparkSession,
     csv_path: str | list[str],
@@ -72,21 +56,34 @@ def _process(
     )
     receipts.persist()
     n = receipts.count()
+    to_notify = receipts
     if lake:
         if transactional_lake:
             # first write creates the manifest log; every later write
-            # auto-detects and stays transactional (exactly-once per
-            # source-file set via the content-derived batch key)
-            write_receipts_parquet(
+            # auto-detects and stays transactional. Exactly-once is
+            # PER SOURCE FILE (file_key_col), not per batch digest: a
+            # re-run over a grown glob or a re-batched replay appends
+            # only the genuinely new files' rows — and the webhook
+            # below fires only for what was actually published, so a
+            # replay re-sends nothing
+            res = write_receipts_parquet(
                 receipts,
                 lake,
                 transactional=True,
-                batch_key=_receipts_batch_key(receipts),
+                file_key_col="source_file",
             )
+            if not res["published"]:
+                to_notify = None  # full replay: nothing new to notify
+            elif res.get("files_skipped"):
+                from pyspark.sql import functions as F
+
+                to_notify = receipts.filter(
+                    F.col("source_file").isin(res["files_published"])
+                )
         else:
             write_receipts_parquet(receipts, lake)
-    if webhook:
-        WebhookSink(url=webhook).send_batch(to_webhook_payloads(receipts))
+    if webhook and to_notify is not None:
+        WebhookSink(url=webhook).send_batch(to_webhook_payloads(to_notify))
     receipts.unpersist()
     return n
 
@@ -106,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         "--transactional-lake",
         action="store_true",
         help="publish each receipts batch as an atomic manifest commit "
-        "(exactly-once per source-file set; readers never see a "
+        "(exactly-once per SOURCE FILE; readers never see a "
         "partial batch). First write creates the manifest log; later "
         "writes auto-detect",
     )
@@ -119,7 +116,7 @@ def main(argv: list[str] | None = None) -> int:
         "--transactional-lake",
         action="store_true",
         help="publish each receipts batch as an atomic manifest commit "
-        "(exactly-once per source-file set; readers never see a "
+        "(exactly-once per SOURCE FILE; readers never see a "
         "partial batch). First write creates the manifest log; later "
         "writes auto-detect",
     )
@@ -132,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
         "--transactional-lake",
         action="store_true",
         help="publish each receipts batch as an atomic manifest commit "
-        "(exactly-once per source-file set; readers never see a "
+        "(exactly-once per SOURCE FILE; readers never see a "
         "partial batch). First write creates the manifest log; later "
         "writes auto-detect",
     )
@@ -148,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
         "--transactional-lake",
         action="store_true",
         help="publish each receipts batch as an atomic manifest commit "
-        "(exactly-once per source-file set; readers never see a "
+        "(exactly-once per SOURCE FILE; readers never see a "
         "partial batch). First write creates the manifest log; later "
         "writes auto-detect",
     )
@@ -606,13 +603,16 @@ def main(argv: list[str] | None = None) -> int:
 
         def on_receipts(receipts, batch_id):
             if args.transactional_lake:
-                # content-derived key: a checkpoint-loss replay of the
-                # same source files is a no-op, new files always land
+                # exactly-once PER SOURCE FILE: a checkpoint-loss
+                # replay that re-lists and RE-GROUPS the same files
+                # into different micro-batches still skips every
+                # processed file (a whole-batch set digest would hash
+                # differently and double-write — the r13 review catch)
                 write_receipts_parquet(
                     receipts,
                     args.lake,
                     transactional=True,
-                    batch_key=_receipts_batch_key(receipts),
+                    file_key_col="source_file",
                 )
             else:
                 write_receipts_parquet(receipts, args.lake)
@@ -740,8 +740,8 @@ def main(argv: list[str] | None = None) -> int:
             return 1
     elif args.cmd == "layout-maintain":
         from fintech_etl_spark.operators.layout import (
+            mark_compaction_due,
             run_due_compaction,
-            zorder_compact,
             zorder_drift,
         )
 
@@ -752,14 +752,21 @@ def main(argv: list[str] | None = None) -> int:
         elif args.when_drift_above is not None:
             d = zorder_drift(args.path)["drift"]
             if d > args.when_drift_above:
-                out["compacted"] = True
-                out["rows"] = zorder_compact(
+                # mark + run the SAME loop the marker path uses: it
+                # retries StaleSegmentError (a concurrent append/
+                # compactor racing this cron) and re-measures drift
+                # after the rewrite instead of assuming it resolved —
+                # a bare zorder_compact here would crash the "safe to
+                # cron" command on the first race (r13 review catch)
+                mark_compaction_due(
+                    args.path, drift=d, threshold=args.when_drift_above
+                )
+                res = run_due_compaction(
                     spark, args.path, num_files=args.num_files
                 )
-                out["marker"] = {
-                    "drift": d,
-                    "threshold": args.when_drift_above,
-                }
+                if res is not None:
+                    out["compacted"] = True
+                    out.update(res)
         if out["compacted"] and args.vacuum_keep is not None:
             from fintech_etl_spark.sinks import manifest as mfst
 

@@ -19,7 +19,9 @@ primitive here               real-service mapping
 ``get(k)``                   plain GET
 ``delete_if_match(k, v)``    DynamoDB conditional ``DeleteItem`` /
                              GCS delete ``if-generation-match`` /
-                             S3 ``DeleteObject`` + ``If-Match`` (etag)
+                             S3 ``DeleteObject`` + ``If-Match`` (etag;
+                             directory buckets only — see
+                             :class:`S3CASStore`)
 ===========================  =======================================
 
 :class:`CASLockProvider` composes them into a LEASE (the
@@ -254,6 +256,16 @@ class S3CASStore:
       loser's 412 → False, same single-winner shape as the GCS
       generation match.
 
+    BUCKET REQUIREMENT, stated honestly: conditional WRITES
+    (``If-None-Match: *``) are supported on general-purpose buckets,
+    but ``DeleteObject`` with ``If-Match`` is a DIRECTORY-bucket
+    (S3 Express One Zone) feature — on a general-purpose bucket the
+    service answers 501 NotImplemented, which this class surfaces as
+    a loud ``NotImplementedError`` naming the requirement rather than
+    a mid-release stack trace. Point the lock namespace at a
+    directory bucket, use :class:`GCSCASStore` (generation match
+    works on every GCS bucket), or a DynamoDB-backed provider.
+
     Gated like the Pub/Sub transport and :class:`GCSCASStore`:
     constructing without ``boto3`` (this container) raises a LOUD
     ``NotImplementedError``. ``client`` injects any object exposing
@@ -340,6 +352,16 @@ class S3CASStore:
                 412,
             ):
                 return False  # another stealer won, or it mutated mid-read
+            if code == "NotImplemented" or status == 501:
+                raise NotImplementedError(
+                    f"S3CASStore: bucket {self.bucket!r} rejected the "
+                    "conditional DeleteObject (If-Match) — that "
+                    "precondition is a DIRECTORY-bucket (S3 Express) "
+                    "feature; general-purpose buckets support only "
+                    "conditional writes. Point the lock namespace at a "
+                    "directory bucket, or use GCSCASStore / a DynamoDB "
+                    "provider"
+                ) from ex
             raise
 
 

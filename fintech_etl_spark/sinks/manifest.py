@@ -203,6 +203,28 @@ def manifest_at(root: str, version: int) -> dict:
     mdir = manifests_dir(root)
     prefix = f"manifest-{version:010d}-"
     names = [n for n in os.listdir(mdir) if n.startswith(prefix)]
+    if len(names) > 1:
+        # two files claim the same version: a committer crashed inside
+        # the lost-lock abort window (normally the abort unlinks its
+        # phantom) — resolving either would be a guess, and a guess
+        # here is silent wrong data. The LIVE version is always safe
+        # to disambiguate via the pointer; historical ones need the
+        # operator to remove the phantom (vacuum collects manifests
+        # past retention anyway).
+        try:
+            live = current(root)["_file"]
+        except OSError:
+            live = None
+        if live in names:
+            names = [live]
+        else:
+            raise ValueError(
+                f"manifest_at: version {version} of {root!r} is "
+                f"AMBIGUOUS — {sorted(names)} all claim it (a crashed "
+                "committer's phantom from a lost-lock abort). Run fsck, "
+                "identify the committed one from the next version's "
+                "lineage, and remove the phantom before time travel"
+            )
     if not names:
         have = sorted(
             int(n.split("-")[1])
@@ -655,8 +677,21 @@ def commit(
         tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
         _fsync_write(tmp, name)
         # a stalled holder whose lease was stolen must fail HERE, not
-        # last-writer-win over the thief's committed manifest
-        _verify_still_held(provider, handle, mdir, basis)
+        # last-writer-win over the thief's committed manifest. The
+        # abort must also REMOVE the just-written manifest file: the
+        # thief committed the SAME version number, and manifest_at()
+        # resolves versions by name prefix — a leftover phantom with
+        # that prefix would make time travel / restore to this version
+        # nondeterministic (the r13 review catch)
+        try:
+            _verify_still_held(provider, handle, mdir, basis)
+        except CommitLockLostError:
+            for orphan in (os.path.join(mdir, name), tmp):
+                try:
+                    os.unlink(orphan)
+                except OSError:
+                    pass
+            raise
         os.replace(tmp, os.path.join(mdir, _CURRENT))  # THE commit point
         # fsync the DIRECTORY too: rename atomicity is immediate, but
         # its durability is not — an OS crash could otherwise revert
@@ -912,7 +947,16 @@ def restore(
         _fsync_write(os.path.join(mdir, name), json.dumps(m, indent=1))
         tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
         _fsync_write(tmp, name)
-        _verify_still_held(provider, handle, mdir, cur["_file"])
+        try:
+            _verify_still_held(provider, handle, mdir, cur["_file"])
+        except CommitLockLostError:
+            # remove the same-version phantom (see commit()'s abort)
+            for orphan in (os.path.join(mdir, name), tmp):
+                try:
+                    os.unlink(orphan)
+                except OSError:
+                    pass
+            raise
         os.replace(tmp, os.path.join(mdir, _CURRENT))
         dfd = os.open(mdir, os.O_RDONLY)
         try:

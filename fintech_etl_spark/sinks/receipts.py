@@ -54,7 +54,8 @@ def write_receipts_parquet(
     partition_by_month: bool = True,
     transactional: bool | None = None,
     batch_key: str | None = None,
-) -> None:
+    file_key_col: str | None = None,
+) -> dict:
     """Write receipts, partitioned by transaction month.
 
     Month (not day) keeps partition counts sane at scale: a 100 TB /
@@ -68,17 +69,40 @@ def write_receipts_parquet(
     month-partitioned INSIDE the segment — ``read_segments`` unions
     partition-pruned scans, so directory pruning survives) and
     published with one atomic pointer swap; ``mode="append"`` is an
-    add-commit, ``mode="overwrite"`` a replace-commit. The default
+    add-commit, ``mode="overwrite"`` a replace-commit that ALSO resets
+    the ingested-key history (a rebuild discards the rows the old keys
+    describe — keeping them would make a later replay/re-drop of those
+    sources silently skipped forever, the same loss class the ANN and
+    layout rebuilds close with ``reset_ingested``). The default
     ``transactional=None`` auto-detects: an already manifest-backed
-    ``path`` stays transactional, a plain directory stays plain —
-    existing callers (cli, service) are untouched until they opt a
-    lake in with one ``transactional=True`` build.
+    ``path`` stays transactional, a plain directory stays plain.
+    Passing an EXPLICIT ``transactional=False`` against a
+    manifest-backed lake is refused loudly — an append there would
+    write rows the manifest-resolved reader never returns, and an
+    overwrite would destroy the commit log itself.
 
-    ``batch_key`` (transactional only) makes the write exactly-once
-    per key: a batch whose key is already in the manifest's ingested
-    history (``ingested_contains`` — flat-cost bucketed probe) is
-    skipped entirely, which is what lets a streaming ``foreachBatch``
-    replay after checkpoint loss without double-writing receipts.
+    Exactly-once, two granularities (transactional only):
+
+    - ``batch_key``: one key for the whole frame — for callers that
+      control batch identity (one commit per calendar month, a
+      replayed known batch). A batch whose key is already in the
+      manifest's ingested history (``ingested_contains`` — flat-cost
+      bucketed probe) is skipped entirely.
+    - ``file_key_col``: the name of a column carrying each row's
+      source-file identity (``source_file`` in the CLI pipeline) —
+      the granularity streaming replay actually needs. A set-digest
+      batch key breaks the moment a replay RE-BATCHES the same files
+      (checkpoint loss re-lists and regroups by maxFilesPerTrigger)
+      or a backfill glob GROWS ({a,b} vs {a,b,c} hash differently —
+      a and b would be appended twice). Here already-ingested files'
+      rows are filtered out, only unprocessed files' rows are staged,
+      and their keys ride the same atomic commit — a mixed batch
+      appends exactly the new files, like the z-order/ANN ingests.
+
+    Returns ``{"published": bool, "files_published": [...],
+    "files_skipped": [...]}`` (the file lists only under
+    ``file_key_col``) so callers can gate side effects — e.g. skip
+    webhook re-sends for a replayed batch.
     """
     tx = mf.is_transactional(path) if transactional is None else transactional
     if tx and not mf.is_transactional(path) and _has_parquet(path):
@@ -90,6 +114,21 @@ def write_receipts_parquet(
             "the old lake's rows as the first transactional batch into "
             "a fresh path (mode='overwrite'), then retire the plain dir"
         )
+    if not tx and mf.is_transactional(path):
+        raise ValueError(
+            f"write_receipts_parquet: {path!r} is a manifest-backed "
+            "lake but transactional=False was passed — a plain append "
+            "would write rows read_receipts (which resolves the "
+            "manifest) never returns, and a plain overwrite would "
+            "destroy the commit log. Drop the explicit flag (the "
+            "default auto-detects) or migrate to a fresh plain path"
+        )
+    if batch_key is not None and file_key_col is not None:
+        raise ValueError(
+            "write_receipts_parquet: pass batch_key OR file_key_col, "
+            "not both — they are two granularities of the same "
+            "exactly-once mechanism"
+        )
     if not tx:
         out = receipts
         writer = out.write.mode(mode)
@@ -97,10 +136,38 @@ def write_receipts_parquet(
             out = _with_month(receipts)
             writer = out.write.mode(mode).partitionBy("transaction_month")
         writer.parquet(path)
-        return
+        return {"published": True}
+    file_keys: list[str] | None = [batch_key] if batch_key is not None else None
+    skipped: list[str] = []
     if batch_key is not None and mf.is_transactional(path):
         if mf.ingested_contains(path, [batch_key]):
-            return  # replayed batch — already published, exactly-once
+            # replayed batch — already published, exactly-once
+            return {"published": False}
+    if file_key_col is not None:
+        # per-FILE granularity: probe the history, keep only rows from
+        # unprocessed files (bounded driver pull: one row per source
+        # file in the batch, Spark's own unit of file-stream work)
+        files = sorted(
+            r[0]
+            for r in receipts.select(file_key_col).distinct().collect()
+            if r[0] is not None
+        )
+        done = (
+            mf.ingested_contains(path, files)
+            if mf.is_transactional(path)
+            else set()
+        )
+        todo = [f for f in files if f not in done]
+        skipped = [f for f in files if f in done]
+        if not todo:
+            return {
+                "published": False,
+                "files_published": [],
+                "files_skipped": skipped,
+            }
+        if skipped:
+            receipts = receipts.filter(F.col(file_key_col).isin(todo))
+        file_keys = todo
     seg = mf.new_segment_path(path)
     out = receipts
     writer = out.write.mode("overwrite")
@@ -108,17 +175,28 @@ def write_receipts_parquet(
         out = _with_month(receipts)
         writer = out.write.mode("overwrite").partitionBy("transaction_month")
     writer.parquet(seg)
-    kwargs: dict = {"file_keys": [batch_key]} if batch_key is not None else {}
+    kwargs: dict = {"file_keys": file_keys} if file_keys is not None else {}
+    if mode == "overwrite":
+        kwargs["reset_ingested"] = True
     if partition_by_month:
         # per-segment month min/max ride the same commit (lexicographic
         # on 'yyyy-MM' ≡ chronological): a month-ranged read excludes
         # whole segments from ONE pointer read, before any listing —
         # at 10^4 streaming batches between compactions, the same
-        # manifest-stats win the z-order layout receipted at 43x
-        mm = out.agg(
-            F.min("transaction_month").alias("lo"),
-            F.max("transaction_month").alias("hi"),
-        ).first()
+        # manifest-stats win the z-order layout receipted at 43x.
+        # Aggregate the FRESHLY WRITTEN segment, not the input frame:
+        # the input's lineage (CSV parse → build_receipts) would be
+        # re-evaluated end-to-end just to recompute bounds the write
+        # already touched (the same double-scan compact_transactional
+        # fixed this round)
+        mm = (
+            receipts.sparkSession.read.parquet(seg)
+            .agg(
+                F.min("transaction_month").alias("lo"),
+                F.max("transaction_month").alias("hi"),
+            )
+            .first()
+        )
         if mm.lo is not None:
             kwargs["segment_stats"] = {
                 _RECEIPTS_DS: {seg: {"transaction_month": [mm.lo, mm.hi]}}
@@ -127,6 +205,11 @@ def write_receipts_parquet(
         mf.commit(path, replace={_RECEIPTS_DS: [seg]}, **kwargs)
     else:
         mf.commit(path, add={_RECEIPTS_DS: [seg]}, **kwargs)
+    result: dict = {"published": True}
+    if file_key_col is not None:
+        result["files_published"] = file_keys
+        result["files_skipped"] = skipped
+    return result
 
 
 def compact_receipts_lake(

@@ -994,7 +994,6 @@ def calibrate_n_probe(
     *,
     n_probes: tuple[int, ...] = (1, 2, 3, 4, 6, 8),
     at_k: tuple[int, ...] = (1, 5, 10),
-    top_k: int | None = None,
     pq_cand: int | None = None,
 ) -> list[dict]:
     """The n_probe → recall calibration curve for a built IVF-PQ
@@ -1164,10 +1163,14 @@ def auto_n_probe(
     curve: the SMALLEST swept n_probe whose measured recall@``at_k``
     reaches ``target_recall`` — minimal serving fan-out for the
     quality bar. If no swept point reaches the target the curve is
-    saturated (recall is bound by PQ resolution or corpus geometry,
-    not by probe width): ``strict=True`` raises with the best
-    achieved value, the default returns the largest swept n_probe —
-    the best this index can do; fix the codebook, not the probe."""
+    saturated (recall is bound by the shortlist cut or corpus
+    geometry, not by probe width): ``strict=True`` raises with the
+    best achieved value, the default returns the HIGHEST-RECALL swept
+    point (smallest n_probe among ties) — NOT the widest probe: at a
+    fixed shortlist cut recall can DECREASE in n_probe (the r12
+    dilution artifact this round attributed), so "widest" can be the
+    worst recall at the highest cost. Fix the pq_cand cut, not the
+    probe."""
     if not curve:
         raise ValueError(
             "auto_n_probe: the calibration curve is EMPTY — run "
@@ -1189,7 +1192,7 @@ def auto_n_probe(
             "— the curve is saturated; widen the sweep or improve the "
             "PQ codebook"
         )
-    return max(p["n_probe"] for p in curve)
+    return best[0]  # highest measured recall, smallest probe among ties
 
 def calibrate_pq_cand(
     spark: SparkSession,
@@ -1332,10 +1335,11 @@ def auto_pq_cand(
     reaches ``target_recall`` — minimal exact-refine cost for the
     quality bar, the shortlist twin of :func:`auto_n_probe`. Saturated
     target (no swept cut reaches it): ``strict=True`` raises with the
-    best achieved, default returns the largest swept cut — past that
-    the shortlist already covers every probed candidate and the
-    remaining loss is cell routing (widen n_probe) or corpus
-    geometry."""
+    best achieved, default returns the SMALLEST cut achieving the best
+    measured recall (recall is non-decreasing in the cut, so that is
+    the cheapest point on the frontier) — past it the shortlist
+    already covers every probed candidate and the remaining loss is
+    cell routing (widen n_probe) or corpus geometry."""
     if not curve:
         raise ValueError(
             "auto_pq_cand: the calibration curve is EMPTY — run "
@@ -1357,7 +1361,7 @@ def auto_pq_cand(
             "— the shortlist is no longer the binding stage; widen "
             "n_probe or accept the corpus ceiling"
         )
-    return max(p["pq_cand"] for p in curve)
+    return best[0]  # best measured recall at the smallest (cheapest) cut
 
 def calibrate_serving_grid(
     spark: SparkSession,

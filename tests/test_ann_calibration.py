@@ -90,13 +90,32 @@ def test_auto_n_probe_picks_minimal(calibrated):
     # ...a trivial target is met by the smallest sweep point...
     floor = curve[0]["recall"][5]
     assert auto_n_probe(curve, floor, at_k=5) == 1
-    # ...an unreachable target saturates: default returns the widest
-    # sweep, strict raises with diagnostics
-    assert auto_n_probe(curve, 0.99, at_k=5) == 4
+    # ...an unreachable target saturates: default returns the
+    # HIGHEST-RECALL point (here recall is monotone, so the widest),
+    # never blindly the widest probe — strict raises with diagnostics
+    best5 = max(p["recall"][5] for p in curve)
+    picked = auto_n_probe(curve, 0.99, at_k=5)
+    assert next(
+        p["recall"][5] for p in curve if p["n_probe"] == picked
+    ) == best5
+    assert picked == 4  # monotone smoke curve: best IS the widest
     with pytest.raises(ValueError, match="saturated"):
         auto_n_probe(curve, 0.99, at_k=5, strict=True)
     with pytest.raises(ValueError, match="no recall@7"):
         auto_n_probe(curve, 0.5, at_k=7)
+
+
+def test_auto_n_probe_saturated_fallback_is_best_not_widest():
+    """The r13 review catch: at a fixed shortlist cut, recall can
+    DECREASE in n_probe (the r12 dilution artifact), so the saturated
+    fallback must return the best MEASURED point, never blindly the
+    widest probe — which here would be the worst recall at 8x the
+    cost."""
+    curve = [
+        {"n_probe": n, "recall": {5: r}}
+        for n, r in [(1, 0.18), (2, 0.15), (4, 0.12), (8, 0.10)]
+    ]
+    assert auto_n_probe(curve, 0.9, at_k=5) == 1
 
 
 def test_pq_cand_sweep_and_picker(spark, tmp_path):
@@ -144,7 +163,16 @@ def test_pq_cand_sweep_and_picker(spark, tmp_path):
     assert all(
         p["recall"][5] < target for p in curve if p["pq_cand"] < picked
     )
-    assert auto_pq_cand(curve, 1.01, at_k=5) == max(cuts)
+    # saturated: the SMALLEST cut achieving the best measured recall
+    # (cheapest point on the frontier; ties collapse downward)
+    sat = auto_pq_cand(curve, 1.01, at_k=5)
+    best_r = max(r5)
+    assert next(
+        p["recall"][5] for p in curve if p["pq_cand"] == sat
+    ) == best_r
+    assert all(
+        p["recall"][5] < best_r for p in curve if p["pq_cand"] < sat
+    )
     with pytest.raises(ValueError, match="no longer the binding stage"):
         auto_pq_cand(curve, 1.01, at_k=5, strict=True)
     with pytest.raises(ValueError, match="curve is EMPTY"):

@@ -453,3 +453,22 @@ def test_s3_store_without_library_is_loud():
         pass
     with pytest.raises(NotImplementedError, match="boto3"):
         S3CASStore("some-bucket")
+
+
+def test_s3_conditional_delete_unsupported_bucket_is_loud(tmp_path):
+    """General-purpose S3 buckets reject DeleteObject+If-Match with
+    501 NotImplemented (a directory-bucket feature): the store must
+    surface that as a NotImplementedError naming the requirement, not
+    a mid-release botocore stack trace mapped to neither 404 nor 412."""
+    from fintech_etl_spark.sinks.locks import S3CASStore
+
+    class GeneralPurposeFake(_FakeS3Client):
+        def delete_object(self, Bucket, Key, IfMatch=None):
+            if IfMatch is not None:
+                raise _S3Error("NotImplemented", 501)
+            return super().delete_object(Bucket, Key)
+
+    st = S3CASStore("gp-bucket", client=GeneralPurposeFake())
+    assert st.put_if_absent("k", {"v": 1})
+    with pytest.raises(NotImplementedError, match="DIRECTORY-bucket"):
+        st.delete_if_match("k", {"v": 1})

@@ -1449,6 +1449,15 @@ def test_stalled_committer_cannot_overwrite_thiefs_commit(
     assert rel_thief in cur["datasets"]["d"]
     assert rel_victim not in cur["datasets"]["d"]
     assert cur["version"] == 1  # thief's commit; no gap, no overwrite
+    # the abort removed its SAME-VERSION phantom manifest: exactly one
+    # file claims version 1, so time travel to it is deterministic
+    mdir = mf.manifests_dir(root)
+    claimants = [
+        f for f in os.listdir(mdir) if f.startswith("manifest-0000000001-")
+    ]
+    assert len(claimants) == 1, claimants
+    assert rel_thief in mf.manifest_at(root, 1)["datasets"]["d"]
+    assert not [f for f in os.listdir(mdir) if ".tmp-" in f]
     # the victim's staged segment is an orphan; a later commit retried
     # from a fresh read proceeds normally
     m2 = mf.commit(root, add={"d": [victim_seg]}, lock=thief)

@@ -431,3 +431,62 @@ def test_receipt_lake_compaction_time_travel_vacuum(
     with pytest.raises(ValueError, match="vacuumed"):
         read_receipts(spark, lake, version=v_pre).count()
     assert read_receipts(spark, lake).count() == total
+
+
+def test_file_key_exactly_once_survives_rebatching_and_glob_growth(
+    spark, tmp_path
+):
+    """The r13 review catch: a whole-batch set digest breaks when a
+    replay RE-BATCHES the same files or a backfill glob GROWS. The
+    per-file granularity (file_key_col) must: append only the new
+    files' rows from a mixed batch, skip a re-batched full replay
+    entirely, report what it did (for side-effect gating), and refuse
+    the reverse plain-write on a manifest-backed lake."""
+    from fintech_etl_spark.sinks import read_receipts, write_receipts_parquet
+
+    base = _golden_receipts(spark, tmp_path)
+    fa = base.withColumn("source_file", F.lit("gs://b/a.csv"))
+    fb = base.withColumn(
+        "source_file", F.lit("gs://b/b.csv")
+    ).withColumn("receipt_id", F.concat(F.col("receipt_id"), F.lit("-b")))
+    lake = str(tmp_path / "lake_fk")
+    n = base.count()
+
+    # batch 1: {a}
+    res = write_receipts_parquet(
+        fa, lake, transactional=True, file_key_col="source_file"
+    )
+    assert res["published"] and res["files_published"] == ["gs://b/a.csv"]
+    assert read_receipts(spark, lake).count() == n
+
+    # the glob grew: batch {a, b} — only b's rows land, a is reported
+    res = write_receipts_parquet(
+        fa.unionByName(fb), lake, file_key_col="source_file"
+    )
+    assert res["published"]
+    assert res["files_published"] == ["gs://b/b.csv"]
+    assert res["files_skipped"] == ["gs://b/a.csv"]
+    assert read_receipts(spark, lake).count() == 2 * n
+
+    # checkpoint-loss replay RE-BATCHED as {b} alone: full no-op
+    res = write_receipts_parquet(fb, lake, file_key_col="source_file")
+    assert res == {
+        "published": False,
+        "files_published": [],
+        "files_skipped": ["gs://b/b.csv"],
+    }
+    assert read_receipts(spark, lake).count() == 2 * n
+    from fintech_etl_spark.sinks import manifest as mf2
+
+    assert mf2.ingested_count(lake) == 2
+
+    # reverse-migration guard: an explicit plain write on a
+    # manifest-backed lake is refused (append would hide rows,
+    # overwrite would destroy the commit log)
+    with pytest.raises(ValueError, match="manifest-backed"):
+        write_receipts_parquet(fa, lake, transactional=False)
+    # and the two exactly-once granularities are mutually exclusive
+    with pytest.raises(ValueError, match="not both"):
+        write_receipts_parquet(
+            fa, lake, batch_key="x", file_key_col="source_file"
+        )
