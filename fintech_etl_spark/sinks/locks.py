@@ -64,7 +64,13 @@ import threading
 import time
 import uuid
 
-__all__ = ["CASStore", "CASLockProvider", "GCSCASStore", "S3CASStore"]
+__all__ = [
+    "CASStore",
+    "CASLockProvider",
+    "GCSCASStore",
+    "S3CASStore",
+    "DynamoDBCASStore",
+]
 
 
 class CASStore:
@@ -362,6 +368,97 @@ class S3CASStore:
                     "directory bucket, or use GCSCASStore / a DynamoDB "
                     "provider"
                 ) from ex
+            raise
+
+
+class DynamoDBCASStore:
+    """The DynamoDB member of the triad — the CANONICAL shape (this is
+    literally what Delta-on-S3's DynamoDB LogStore and Iceberg's
+    DynamoDbLockManager do, and the posture this module's table cites):
+
+    - ``put_if_absent`` → ``PutItem`` with
+      ``ConditionExpression=attribute_not_exists(lock_key)``: exactly
+      one creator; the loser's ``ConditionalCheckFailedException`` →
+      False.
+    - ``get`` → ``GetItem`` with ``ConsistentRead=True`` (an eventually
+      consistent read could miss a just-won lease and double-admit).
+    - ``delete_if_match`` → conditional ``DeleteItem`` on the FULL
+      stored value: two stealers race, DynamoDB admits exactly one
+      (the second's condition fails on the now-absent item). Unlike
+      S3, conditional deletes work on every table — no bucket-type
+      caveat.
+
+    The item schema is one partition key (``lock_key``, S) plus the
+    JSON-rendered lease (``value_json``, S). Gated like the other real
+    clients: constructing without ``boto3`` raises a loud
+    ``NotImplementedError``; ``client`` injects anything speaking the
+    ``put_item`` / ``get_item`` / ``delete_item`` low-level API with
+    botocore-shaped errors (``response["Error"]["Code"] ==
+    "ConditionalCheckFailedException"``).
+    """
+
+    def __init__(self, table: str, client=None) -> None:
+        if client is None:
+            try:
+                import boto3
+            except ImportError as ex:
+                raise NotImplementedError(
+                    "DynamoDBCASStore requires boto3 (not installed) and "
+                    "AWS credentials; inject a client, or use the "
+                    "CASStore emulation for local runs"
+                ) from ex
+            client = boto3.client("dynamodb")
+        self._client = client
+        self.table = table
+
+    @staticmethod
+    def _cond_failed(ex: Exception) -> bool:
+        resp = getattr(ex, "response", None) or {}
+        return (resp.get("Error") or {}).get(
+            "Code"
+        ) == "ConditionalCheckFailedException"
+
+    def put_if_absent(self, key: str, value: dict) -> bool:
+        try:
+            self._client.put_item(
+                TableName=self.table,
+                Item={
+                    "lock_key": {"S": key},
+                    "value_json": {"S": json.dumps(value, sort_keys=True)},
+                },
+                ConditionExpression="attribute_not_exists(lock_key)",
+            )
+            return True
+        except Exception as ex:  # noqa: BLE001 — typed by error code
+            if self._cond_failed(ex):
+                return False
+            raise
+
+    def get(self, key: str) -> dict | None:
+        resp = self._client.get_item(
+            TableName=self.table,
+            Key={"lock_key": {"S": key}},
+            ConsistentRead=True,
+        )
+        item = resp.get("Item")
+        if not item:
+            return None
+        return json.loads(item["value_json"]["S"])
+
+    def delete_if_match(self, key: str, expected: dict) -> bool:
+        try:
+            self._client.delete_item(
+                TableName=self.table,
+                Key={"lock_key": {"S": key}},
+                ConditionExpression="value_json = :v",
+                ExpressionAttributeValues={
+                    ":v": {"S": json.dumps(expected, sort_keys=True)}
+                },
+            )
+            return True
+        except Exception as ex:  # noqa: BLE001
+            if self._cond_failed(ex):
+                return False  # absent, or another stealer/renewal won
             raise
 
 

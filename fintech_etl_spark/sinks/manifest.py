@@ -1035,9 +1035,14 @@ def fsck(root: str) -> dict:
         if not os.path.exists(os.path.join(mdir, fname)):
             errors.append(f"missing ingested-checkpoint bucket {fname!r}")
     known: set[str] = set()  # named by ANY retained manifest
+    by_version: dict[int, list[str]] = {}
     for n in os.listdir(mdir):
         if not n.startswith("manifest-"):
             continue
+        try:
+            by_version.setdefault(int(n.split("-")[1]), []).append(n)
+        except (IndexError, ValueError):
+            errors.append(f"malformed manifest name {n!r}")
         try:
             with open(os.path.join(mdir, n)) as fh:
                 old = json.load(fh)
@@ -1045,6 +1050,19 @@ def fsck(root: str) -> dict:
                 known.update(segs)
         except (OSError, json.JSONDecodeError):
             errors.append(f"unreadable manifest {n!r}")
+    for v, names in sorted(by_version.items()):
+        if len(names) > 1:
+            # two files claim one version: a committer crashed inside
+            # the lost-lock abort window before unlinking its phantom —
+            # time travel to this version is ambiguous until the
+            # operator removes the one the next version's lineage
+            # does not descend from (the live version disambiguates
+            # via the pointer; manifest_at is loud on the rest)
+            errors.append(
+                f"version {v} is claimed by {len(names)} manifests "
+                f"({sorted(names)}) — a crashed lost-lock abort left a "
+                "phantom; remove the uncommitted one before time travel"
+            )
     superseded = orphans = 0
     seg_root = os.path.join(root, _SEGMENTS)
     if os.path.isdir(seg_root):

@@ -472,3 +472,104 @@ def test_s3_conditional_delete_unsupported_bucket_is_loud(tmp_path):
     assert st.put_if_absent("k", {"v": 1})
     with pytest.raises(NotImplementedError, match="DIRECTORY-bucket"):
         st.delete_if_match("k", {"v": 1})
+
+
+# ---------------------------------------------------------------------------
+# DynamoDBCASStore: the canonical Delta/Iceberg lock-table shape
+# ---------------------------------------------------------------------------
+
+
+class _DDBError(Exception):
+    def __init__(self, code):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+class _FakeDynamoClient:
+    """Low-level DynamoDB conditional-write semantics, in memory:
+    attribute_not_exists create-exclusive on put, full-value
+    conditional delete (fails on absence or mismatch)."""
+
+    def __init__(self):
+        self._state: dict = {}
+        self._lock = threading.Lock()
+
+    def put_item(self, TableName, Item, ConditionExpression=None):
+        key = Item["lock_key"]["S"]
+        with self._lock:
+            if (
+                ConditionExpression == "attribute_not_exists(lock_key)"
+                and key in self._state
+            ):
+                raise _DDBError("ConditionalCheckFailedException")
+            self._state[key] = Item["value_json"]["S"]
+
+    def get_item(self, TableName, Key, ConsistentRead=False):
+        key = Key["lock_key"]["S"]
+        with self._lock:
+            if key not in self._state:
+                return {}
+            return {"Item": {"value_json": {"S": self._state[key]}}}
+
+    def delete_item(
+        self, TableName, Key, ConditionExpression=None,
+        ExpressionAttributeValues=None,
+    ):
+        key = Key["lock_key"]["S"]
+        with self._lock:
+            if ConditionExpression == "value_json = :v":
+                want = ExpressionAttributeValues[":v"]["S"]
+                if self._state.get(key) != want:
+                    raise _DDBError("ConditionalCheckFailedException")
+            self._state.pop(key, None)
+
+
+def _ddb_store(tmp_path):
+    from fintech_etl_spark.sinks.locks import DynamoDBCASStore
+
+    return DynamoDBCASStore("locks", client=_FakeDynamoClient())
+
+
+def test_ddb_store_contract(tmp_path):
+    """Identical three-primitive contract as the emulator / GCS / S3."""
+    st = _ddb_store(tmp_path)
+    assert st.get("k") is None
+    assert st.put_if_absent("k", {"v": 1}) is True
+    assert st.put_if_absent("k", {"v": 2}) is False
+    assert st.get("k") == {"v": 1}
+    assert st.delete_if_match("k", {"v": 2}) is False
+    assert st.delete_if_match("k", {"v": 1}) is True
+    assert st.get("k") is None
+    assert st.delete_if_match("k", {"v": 1}) is False
+    assert st.put_if_absent("k", {"v": 3}) is True
+
+
+def test_ddb_store_steal_race_is_single_winner(tmp_path):
+    st = _ddb_store(tmp_path)
+    stale = {"owner": "dead", "expires_at": 0}
+    assert st.put_if_absent("lease", stale)
+    wins = [st.delete_if_match("lease", stale) for _ in range(2)]
+    assert wins == [True, False]
+
+
+def test_ddb_lock_provider_threads_lose_no_commit(tmp_path):
+    provider = CASLockProvider(_ddb_store(tmp_path))
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []}, lock=provider)
+    errors: list[str] = []
+
+    def adder(tid):
+        try:
+            for i in range(6):
+                mf.commit(root, file_keys=[f"t{tid}-{i}"], lock=provider)
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=adder, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert mf.current(root)["version"] == 24
+    assert len(mf.ingested_keys(root)) == 24

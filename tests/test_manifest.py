@@ -1463,3 +1463,34 @@ def test_stalled_committer_cannot_overwrite_thiefs_commit(
     m2 = mf.commit(root, add={"d": [victim_seg]}, lock=thief)
     assert m2["version"] == 2
     assert rel_victim in m2["datasets"]["d"]
+
+
+def test_fsck_flags_same_version_phantom_and_manifest_at_is_loud(tmp_path):
+    """A crash inside the lost-lock abort window (before the phantom
+    unlink) leaves two files claiming one version. fsck must flag it,
+    manifest_at on a NON-live ambiguous version must refuse to guess,
+    and the LIVE version stays resolvable via the pointer."""
+    import shutil as _sh
+
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []})         # v0
+    m1 = mf.commit(root, file_keys=["k1"])     # v1
+    m2 = mf.commit(root, file_keys=["k2"])     # v2 (live)
+    mdir = mf.manifests_dir(root)
+    assert mf.fsck(root)["ok"]
+    # phantom claiming v1 (a crashed committer's leftover)
+    _sh.copy(
+        os.path.join(mdir, m1["_file"]),
+        os.path.join(mdir, "manifest-0000000001-deadbeef.json"),
+    )
+    rep = mf.fsck(root)
+    assert not rep["ok"]
+    assert any("claimed by 2 manifests" in e for e in rep["errors"])
+    with pytest.raises(ValueError, match="AMBIGUOUS"):
+        mf.manifest_at(root, 1)
+    # phantom on the LIVE version: the pointer disambiguates
+    _sh.copy(
+        os.path.join(mdir, m2["_file"]),
+        os.path.join(mdir, "manifest-0000000002-deadbeef.json"),
+    )
+    assert mf.manifest_at(root, 2)["_file"] == m2["_file"]
