@@ -56,34 +56,51 @@ def _process(
     )
     receipts.persist()
     n = receipts.count()
-    to_notify = receipts
     if lake:
         if transactional_lake:
             # first write creates the manifest log; every later write
             # auto-detects and stays transactional. Exactly-once is
             # PER SOURCE FILE (file_key_col), not per batch digest: a
             # re-run over a grown glob or a re-batched replay appends
-            # only the genuinely new files' rows — and the webhook
-            # below fires only for what was actually published, so a
-            # replay re-sends nothing
-            res = write_receipts_parquet(
+            # only the genuinely new files' rows. With a webhook, the
+            # notification intent rides the SAME commit as the data
+            # (the transactional OUTBOX): payloads — original
+            # document_ids pinned — are staged atomically, then
+            # drained below through the delivery ledger, so a network
+            # blip or a crash between commit and send is retried by
+            # the next run's drain instead of silently lost (the r13
+            # ADVICE at-most-once finding), while a full replay
+            # stages nothing new and re-sends nothing
+            write_receipts_parquet(
                 receipts,
                 lake,
                 transactional=True,
                 file_key_col="source_file",
+                outbox=to_webhook_payloads if webhook else None,
             )
-            if not res["published"]:
-                to_notify = None  # full replay: nothing new to notify
-            elif res.get("files_skipped"):
-                from pyspark.sql import functions as F
-
-                to_notify = receipts.filter(
-                    F.col("source_file").isin(res["files_published"])
+            if webhook:
+                from fintech_etl_spark.sinks.receipts import (
+                    drain_webhook_outbox,
                 )
+
+                sink = WebhookSink(
+                    url=webhook,
+                    ledger_path=os.path.join(lake, "_webhook_ledger"),
+                )
+                stats = drain_webhook_outbox(spark, lake, sink)
+                if stats["failed"]:
+                    print(json.dumps({"webhook_outbox_pending": stats}))
         else:
             write_receipts_parquet(receipts, lake)
-    if webhook and to_notify is not None:
-        WebhookSink(url=webhook).send_batch(to_webhook_payloads(to_notify))
+            if webhook:
+                # plain-lake path: always-send (recoverable by re-run;
+                # receivers dedupe on document_id within one run_ts)
+                WebhookSink(url=webhook).send_batch(
+                    to_webhook_payloads(receipts)
+                )
+    elif webhook:
+        # no lake: nothing to anchor an outbox to — direct send
+        WebhookSink(url=webhook).send_batch(to_webhook_payloads(receipts))
     receipts.unpersist()
     return n
 

@@ -232,6 +232,12 @@ def zorder_drift(path: str) -> dict:
     cron never compacting (the r12 ADVICE finding). So any
     unassessable segment forces the CONSERVATIVE verdict — ``drift``
     is pinned to 1.0 and ``unassessed_conservative`` is True. The
+    same rule applies PER COLUMN (the r13 audit's latent edge): a
+    stats dict that exists but lacks one of the layout's z-columns —
+    a foreign writer, an older stats schema — leaves that column
+    unassessable in that segment, and a drifted append could hide
+    exactly there; any such column is listed in
+    ``unassessed_columns`` and pins drift to 1.0 the same way. The
     state converges: a compaction rewrite commits stats for
     everything it writes, after which drift is measured again.
     Transactional layouts only — a plain directory keeps no
@@ -247,6 +253,10 @@ def zorder_drift(path: str) -> dict:
     pairs = mf.dataset_segments_with_stats(path, _LAYOUT_DS)
     actual: dict[str, tuple[int, int]] = {}
     no_stats = 0
+    # per-column blind spots: a segment whose stats exist but miss a
+    # z-column is as unassessable FOR THAT COLUMN as a stat-less
+    # segment is for all of them — count it the same way
+    col_unassessed: dict[str, int] = {c: 0 for c in meta["cols"]}
     for _p, st in pairs:
         if st is None:
             no_stats += 1
@@ -260,6 +270,8 @@ def zorder_drift(path: str) -> dict:
                     if cur is None
                     else (min(cur[0], lo), max(cur[1], hi))
                 )
+            else:
+                col_unassessed[c] += 1
     per_col: dict[str, dict] = {}
     worst = 0.0
     for c in meta["cols"]:
@@ -283,14 +295,16 @@ def zorder_drift(path: str) -> dict:
             "out_of_bounds_fraction": frac,
         }
         worst = max(worst, frac)
-    if no_stats:
+    unassessed_cols = sorted(c for c, n in col_unassessed.items() if n > 0)
+    if no_stats or unassessed_cols:
         worst = 1.0  # unassessable ⇒ must-compact, never silent 0.0
     return {
         "cols": per_col,
         "drift": worst,
         "segments": len(pairs),
         "segments_without_stats": no_stats,
-        "unassessed_conservative": no_stats > 0,
+        "unassessed_columns": unassessed_cols,
+        "unassessed_conservative": bool(no_stats or unassessed_cols),
     }
 
 

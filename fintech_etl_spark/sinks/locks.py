@@ -8,21 +8,30 @@ ship a ``DynamoDbLockManager``. What those services DO give is a tiny
 conditional-write vocabulary, and that is the entire surface this
 module builds on:
 
-===========================  =======================================
-primitive here               real-service mapping
-===========================  =======================================
-``put_if_absent(k, v)``      S3 ``PutObject`` + ``If-None-Match: *``
-                             (atomic since 2024) / GCS
-                             ``x-goog-if-generation-match: 0`` /
-                             DynamoDB ``PutItem`` with
-                             ``attribute_not_exists(key)``
-``get(k)``                   plain GET
-``delete_if_match(k, v)``    DynamoDB conditional ``DeleteItem`` /
-                             GCS delete ``if-generation-match`` /
-                             S3 ``DeleteObject`` + ``If-Match`` (etag;
-                             directory buckets only — see
-                             :class:`S3CASStore`)
-===========================  =======================================
+===============================  ===================================
+primitive here                   real-service mapping
+===============================  ===================================
+``put_if_absent(k, v)``          S3 ``PutObject`` + ``If-None-Match:
+                                 *`` (atomic since 2024) / GCS
+                                 ``x-goog-if-generation-match: 0`` /
+                                 DynamoDB ``PutItem`` with
+                                 ``attribute_not_exists(key)``
+``get(k)``                       plain GET
+``delete_if_match(k, v)``        DynamoDB conditional ``DeleteItem``
+                                 / GCS delete ``if-generation-match``
+                                 / S3 ``DeleteObject`` + ``If-Match``
+                                 (etag; directory buckets only — see
+                                 :class:`S3CASStore`)
+``put_if_match(k, old, new)``    DynamoDB ``PutItem`` with
+                                 ``value = :old`` condition / GCS
+                                 upload ``if-generation-match=<gen>``
+                                 / S3 ``PutObject`` + ``If-Match``
+                                 (etag; general-purpose buckets OK —
+                                 conditional WRITES are universal).
+                                 The lease-RENEWAL primitive: extend
+                                 your own lease atomically, losing
+                                 cleanly to a concurrent steal
+===============================  ===================================
 
 :class:`CASLockProvider` composes them into a LEASE (the
 Delta/Iceberg DynamoDB-lock shape): ``acquire`` is a
@@ -33,10 +42,19 @@ GETs the lease and, once it is past expiry, issues a
 stealers cannot both match; the loser re-observes). ``release`` is a
 ``delete_if_match`` on the holder's own lease value, so a holder
 paused past its expiry whose lease was stolen can never delete the
-thief's lease. Commit critical sections are microsecond metadata
-steps (the data is staged outside the lock), so leases are not
-renewed — ``lease_sec`` plays the same role as the file provider's
-staleness bound: crash recovery, not liveness negotiation.
+thief's lease. Commit critical sections are usually microsecond
+metadata steps (the data is staged outside the lock), so
+``lease_sec`` plays the same role as the file provider's staleness
+bound: crash recovery, not liveness negotiation. The exception is
+maintenance work that legitimately holds the lock across destructive
+I/O (``vacuum``'s segment deletes, a large ingest-history rollup) —
+those paths call :meth:`CASLockProvider.renew`, a ``put_if_match`` of
+the holder's own lease with an extended deadline: atomic against a
+concurrent steal (the steal's conditional delete and the renewal's
+conditional replace race at the service; exactly one wins), so a
+legitimately-slow commit survives past the original lease width
+instead of converting into an abort + orphan + full retry, while a
+STOLEN lease still renews to a loud failure.
 
 :class:`CASStore` is the in-process emulation used in tests: one
 JSON file per key under a scratch directory, mutated via
@@ -144,6 +162,27 @@ class CASStore:
             os.unlink(path)
             return True
 
+    def put_if_match(self, key: str, expected: dict, value: dict) -> bool:
+        """Conditional replace: overwrites the key only if its current
+        value equals ``expected`` (absent key = no match). True = this
+        call replaced it. The renewal primitive: atomic against a
+        concurrent ``delete_if_match`` steal — one mutex here, one
+        server-side serialization at a real service."""
+        with self._mutex:
+            path = self._path(key)
+            try:
+                with open(path) as fh:
+                    cur = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                return False
+            if cur != expected:
+                return False
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(value, fh)
+            os.replace(tmp, path)
+            return True
+
 
 class GCSCASStore:
     """The three CAS primitives over a REAL object store — Google
@@ -246,6 +285,36 @@ class GCSCASStore:
                 return False  # another stealer's delete won the race
             raise
 
+    def put_if_match(self, key: str, expected: dict, value: dict) -> bool:
+        """Conditional replace (lease renewal): read value+generation,
+        compare, then upload with ``if_generation_match=<that
+        generation>`` — a steal's conditional delete landing in
+        between changes the generation, so the service admits exactly
+        one of the pair (the loser's 412 → False)."""
+        blob = self._blob(key)
+        try:
+            blob.reload()
+            cur = json.loads(blob.download_as_bytes(
+                if_generation_match=blob.generation
+            ))
+        except Exception as ex:  # noqa: BLE001
+            if self._code(ex) in (404, 412):
+                return False  # gone, or mutated mid-read — not a match
+            raise
+        if cur != expected:
+            return False
+        try:
+            blob.upload_from_string(
+                json.dumps(value),
+                content_type="application/json",
+                if_generation_match=blob.generation,
+            )
+            return True
+        except Exception as ex:  # noqa: BLE001
+            if self._code(ex) in (404, 412):
+                return False  # a concurrent steal/renewal won
+            raise
+
 
 class S3CASStore:
     """The S3 twin of :class:`GCSCASStore` — the three CAS primitives
@@ -308,6 +377,19 @@ class S3CASStore:
         meta = resp.get("ResponseMetadata") or {}
         return err.get("Code"), meta.get("HTTPStatusCode")
 
+    @staticmethod
+    def _lost_race(code: str | None, status: int | None) -> bool:
+        """The two shapes real S3 uses to say 'a concurrent conditional
+        request beat you': 412 PreconditionFailed (the precondition
+        observed a different state) AND 409 ConditionalRequestConflict
+        (two conditional writes raced on the same key mid-evaluation —
+        exactly the contention a lock store exists for, so it must be
+        a retryable lost race, not a crash out of the acquire loop)."""
+        return (
+            code in ("PreconditionFailed", "ConditionalRequestConflict")
+            or status in (409, 412)
+        )
+
     def put_if_absent(self, key: str, value: dict) -> bool:
         try:
             self._client.put_object(
@@ -319,7 +401,7 @@ class S3CASStore:
             return True
         except Exception as ex:  # noqa: BLE001 — typed by error code
             code, status = self._err(ex)
-            if code == "PreconditionFailed" or status == 412:
+            if self._lost_race(code, status):
                 return False
             raise
 
@@ -353,9 +435,10 @@ class S3CASStore:
             return True
         except Exception as ex:  # noqa: BLE001
             code, status = self._err(ex)
-            if code in ("PreconditionFailed", "NoSuchKey", "404") or status in (
-                404,
-                412,
+            if (
+                self._lost_race(code, status)
+                or code in ("NoSuchKey", "404")
+                or status == 404
             ):
                 return False  # another stealer won, or it mutated mid-read
             if code == "NotImplemented" or status == 501:
@@ -368,6 +451,44 @@ class S3CASStore:
                     "directory bucket, or use GCSCASStore / a DynamoDB "
                     "provider"
                 ) from ex
+            raise
+
+    def put_if_match(self, key: str, expected: dict, value: dict) -> bool:
+        """Conditional replace (lease renewal): GetObject for value +
+        ETag, compare, then ``PutObject(IfMatch=<that etag>)``.
+        Conditional WRITES — unlike the steal's conditional delete —
+        work on general-purpose buckets, so renewal has no
+        directory-bucket caveat. A steal or concurrent renewal landing
+        between read and put changes the ETag → the loser's 412/409 →
+        False."""
+        k = self._key(key)
+        try:
+            resp = self._client.get_object(Bucket=self.bucket, Key=k)
+            cur = json.loads(resp["Body"].read())
+            etag = resp["ETag"]
+        except Exception as ex:  # noqa: BLE001
+            code, status = self._err(ex)
+            if code in ("NoSuchKey", "404") or status == 404:
+                return False
+            raise
+        if cur != expected:
+            return False
+        try:
+            self._client.put_object(
+                Bucket=self.bucket,
+                Key=k,
+                Body=json.dumps(value).encode(),
+                IfMatch=etag,
+            )
+            return True
+        except Exception as ex:  # noqa: BLE001
+            code, status = self._err(ex)
+            if (
+                self._lost_race(code, status)
+                or code in ("NoSuchKey", "404")
+                or status == 404
+            ):
+                return False  # a concurrent steal/renewal won
             raise
 
 
@@ -461,6 +582,30 @@ class DynamoDBCASStore:
                 return False  # absent, or another stealer/renewal won
             raise
 
+    def put_if_match(self, key: str, expected: dict, value: dict) -> bool:
+        """Conditional replace (lease renewal): one ``PutItem`` whose
+        condition pins the FULL stored value — no read-then-write
+        window at all; DynamoDB serializes it against a concurrent
+        steal's conditional delete (exactly one succeeds). The same
+        shape Iceberg's DynamoDbLockManager uses for its heartbeat."""
+        try:
+            self._client.put_item(
+                TableName=self.table,
+                Item={
+                    "lock_key": {"S": key},
+                    "value_json": {"S": json.dumps(value, sort_keys=True)},
+                },
+                ConditionExpression="value_json = :v",
+                ExpressionAttributeValues={
+                    ":v": {"S": json.dumps(expected, sort_keys=True)}
+                },
+            )
+            return True
+        except Exception as ex:  # noqa: BLE001
+            if self._cond_failed(ex):
+                return False  # absent, or a concurrent steal/renewal won
+            raise
+
 
 class CASLockProvider:
     """Lease-based mutual exclusion over a :class:`CASStore` (or any
@@ -548,6 +693,75 @@ class CASLockProvider:
             and cur.get("owner") == lease.get("owner")
             and time.time() <= float(cur.get("expires_at", 0))
         )
+
+    def renew(
+        self, handle: tuple[str, dict], min_remaining_frac: float = 0.5
+    ) -> tuple[str, dict] | None:
+        """Extend our own lease — the opt-in heartbeat for maintenance
+        commits that legitimately outlive ``lease_sec`` (vacuum's
+        destructive phase, a large ingest-history rollup). One atomic
+        ``put_if_match`` of the EXACT lease we hold with an extended
+        ``expires_at``: a concurrent steal's conditional delete and
+        this conditional replace race at the store and exactly one
+        wins — a renewed lease cannot be the one a stealer deleted,
+        and a stolen lease cannot be renewed (value differs → False →
+        the caller aborts loudly via CommitLockLostError instead of
+        continuing on a lock it no longer holds).
+
+        Cheap-when-early: with more than ``min_remaining_frac`` of the
+        lease width still ahead, returns the handle unchanged without
+        touching the store, so hot loops can call it per iteration.
+        Returns the NEW handle (callers must thread it through to
+        verify/release) or ``None`` when the lease is no longer ours.
+        An EXPIRED-but-not-yet-stolen lease may still renew — that is
+        the point: the store atomically arbitrates renewal vs steal,
+        so a slow-but-alive holder wins or loses cleanly, never
+        silently."""
+        key, lease = handle
+        if time.time() < (
+            float(lease.get("expires_at", 0))
+            - self.lease_sec * min_remaining_frac
+        ):
+            return handle
+        new = {
+            "owner": lease["owner"],
+            "expires_at": time.time() + self.lease_sec,
+        }
+        if self.store.put_if_match(key, lease, new):
+            return (key, new)
+        return None
+
+    def _claim_key(self, mdir: str, version: int) -> str:
+        return f"claim:{os.path.abspath(mdir)}:{version}"
+
+    def claim_version(self, mdir: str, version: int, manifest_name: str) -> bool:
+        """The conditional COMMIT POINT (see manifest.commit): exactly
+        one committer per manifest version wins this ``put_if_absent``
+        — the Delta-on-S3 DynamoDB-LogStore shape, where the commit
+        itself is the conditional write rather than a plain pointer
+        rename guarded by a check. True = this committer owns the
+        version. A lost ack (the at-least-once client window) is
+        resolved the same way acquire resolves it: re-read and check
+        whether OUR put is the one that landed."""
+        key = self._claim_key(mdir, version)
+        value = {"manifest": manifest_name}
+        try:
+            return self.store.put_if_absent(key, value)
+        except TimeoutError:
+            return self.store.get(key) == value
+
+    def read_claim(self, mdir: str, version: int) -> str | None:
+        """The manifest filename a committed-but-unswapped claim names
+        (crash-recovery roll-forward input), or None."""
+        cur = self.store.get(self._claim_key(mdir, version))
+        return cur.get("manifest") if cur else None
+
+    def drop_claim(self, mdir: str, version: int) -> None:
+        """Retention: delete the claim entry for a vacuumed version."""
+        key = self._claim_key(mdir, version)
+        cur = self.store.get(key)
+        if cur is not None:
+            self.store.delete_if_match(key, cur)
 
     def release(self, handle: tuple[str, dict]) -> None:
         key, lease = handle

@@ -144,7 +144,19 @@ def _verify_still_held(provider, handle, mdir: str, basis: str | None) -> None:
     ``None`` = first commit, pointer must not exist yet). (b) catches
     a lost commit even under a provider without ``verify``: a thief
     that committed advanced the pointer, so the basis mismatch is loud
-    regardless of how mutual exclusion failed."""
+    regardless of how mutual exclusion failed.
+
+    HONEST LIMIT (the r13 ADVICE finding): this is check-then-act —
+    a steal landing between these reads and the ``os.replace`` would
+    still last-writer-win. It NARROWS the lost-commit window from
+    'the whole critical section' to microseconds; what CLOSES it is
+    the version CLAIM that follows (:func:`_claim_version_or_die`):
+    the claim is an atomic create-exclusive per version number, so of
+    two committers racing the same basis exactly one owns the version
+    and the other aborts — the commit point itself is the conditional
+    write, the Delta-on-S3 DynamoDB-LogStore shape. This check stays
+    as the cheap early-out that catches the common case before a
+    claim entry is burned."""
     verify = getattr(provider, "verify", None)
     if verify is not None and not verify(handle):
         raise CommitLockLostError(
@@ -166,6 +178,110 @@ def _verify_still_held(provider, handle, mdir: str, basis: str | None) -> None:
             "— a concurrent committer won a stolen lock; aborting "
             "instead of overwriting its commit; retry from a fresh read"
         )
+
+
+def _renew_or_die(provider, handle, mdir: str):
+    """Opt-in lease renewal inside a long critical section (vacuum's
+    destructive loop, a large ingest rollup): providers exposing
+    ``renew`` get their lease extended atomically; a renewal that
+    fails means the lease was stolen — abort loudly, exactly like a
+    failed verify. Providers without ``renew`` pass through unchanged
+    (their staleness bound is the whole contract). Returns the
+    (possibly refreshed) handle — callers MUST thread it through."""
+    renew = getattr(provider, "renew", None)
+    if renew is None:
+        return handle
+    new = renew(handle)
+    if new is None:
+        raise CommitLockLostError(
+            f"manifest commit: lock/lease for {mdir!r} could not be "
+            "renewed — it was stolen after expiring mid-critical-"
+            "section; aborting before any further mutation; retry "
+            "from a fresh read"
+        )
+    return new
+
+
+def _claim_version_or_die(provider, mdir: str, version: int, name: str) -> None:
+    """THE commit point, made conditional (the r13 ADVICE ask): an
+    atomic create-exclusive claim of this version number, recorded
+    with the manifest filename it commits. Exactly one committer per
+    version wins; the loser — necessarily a holder whose mutual
+    exclusion failed, since the lock serializes honest committers —
+    raises instead of last-writer-winning the pointer swap. Once the
+    claim exists the commit is DURABLE even if the claimant crashes
+    before the pointer swap: every later committer first rolls the
+    pointer forward over committed claims (:func:`_recover_claims`),
+    so visibility lags at most one recovery, never silently forks.
+    Providers without ``claim_version`` keep the r13 verify-guarded
+    swap (documented residual window)."""
+    claim = getattr(provider, "claim_version", None)
+    if claim is None:
+        return
+    if not claim(mdir, version, name):
+        raise CommitLockLostError(
+            f"manifest commit: version {version} of {mdir!r} was "
+            "already claimed by a concurrent committer — this "
+            "committer's lock was stolen mid-critical-section; "
+            "aborting instead of overwriting the winner's commit; "
+            "retry from a fresh read"
+        )
+
+
+def _fsync_dir(mdir: str) -> None:
+    """Directory fsync after a pointer rename: rename atomicity is
+    immediate but its durability is not — an OS crash could otherwise
+    revert the pointer, resurrecting the exactly-once window."""
+    dfd = os.open(mdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _recover_claims(provider, mdir: str) -> None:
+    """Crash-recovery roll-forward, run under the lock at the top of
+    every commit/vacuum/restore: if the NEXT version after the
+    pointer's manifest already has a claim, its committer crashed
+    between claim and pointer swap — the commit is durable (manifest
+    fsync'd before the claim; aborts unlink only pre-claim), so
+    finish it by swapping the pointer forward, then look again. This
+    is what makes the claim the true commit point: claimed ⇒
+    committed, with visibility completed by the next participant (the
+    Delta LogStore recovery shape). No-op for providers without
+    claims and for clean histories."""
+    read_claim = getattr(provider, "read_claim", None)
+    if read_claim is None:
+        return
+    while True:
+        ptr = os.path.join(mdir, _CURRENT)
+        try:
+            with open(ptr) as fh:
+                cur_name = fh.read().strip()
+        except FileNotFoundError:
+            v_next = 0  # no pointer yet: a crashed FIRST commit?
+        else:
+            # an unreadable LIVE manifest must propagate — treating it
+            # as version 0 could roll the pointer BACKWARD to an old
+            # claim, which is exactly the silent fork this exists to
+            # prevent
+            with open(os.path.join(mdir, cur_name)) as fh:
+                v_next = json.load(fh)["version"] + 1
+        claimed = read_claim(mdir, v_next)
+        if claimed is None:
+            return
+        if not os.path.exists(os.path.join(mdir, claimed)):
+            raise RuntimeError(
+                f"manifest recovery: version {v_next} of {mdir!r} is "
+                f"claimed by {claimed!r} but that manifest file is "
+                "missing — claims are written only after the manifest "
+                "fsync, so this log was externally mutated; restore "
+                "the manifest file or remove the claim by hand"
+            )
+        tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
+        _fsync_write(tmp, claimed)
+        os.replace(tmp, ptr)
+        _fsync_dir(mdir)
 
 
 def manifests_dir(root: str) -> str:
@@ -208,15 +324,25 @@ def manifest_at(root: str, version: int) -> dict:
         # the lost-lock abort window (normally the abort unlinks its
         # phantom) — resolving either would be a guess, and a guess
         # here is silent wrong data. The LIVE version is always safe
-        # to disambiguate via the pointer; historical ones need the
-        # operator to remove the phantom (vacuum collects manifests
+        # to disambiguate via the pointer; a version CLAIM entry (the
+        # conditional commit point) also names the committed one
+        # authoritatively; only without either does the operator need
+        # to remove the phantom by hand (vacuum collects manifests
         # past retention anyway).
         try:
             live = current(root)["_file"]
         except OSError:
             live = None
+        claimed = None
+        try:
+            with open(os.path.join(mdir, f"claim-{version:010d}")) as fh:
+                claimed = fh.read().strip()
+        except OSError:
+            pass
         if live in names:
             names = [live]
+        elif claimed in names:
+            names = [claimed]
         else:
             raise ValueError(
                 f"manifest_at: version {version} of {root!r} is "
@@ -385,6 +511,69 @@ class FileLockProvider:
                 return fh.read() == owner
         except OSError:
             return False
+
+    def renew(self, handle: tuple[str, str]) -> tuple[str, str] | None:
+        """Refresh the lock's mtime (the staleness clock) so a
+        legitimately-slow holder — vacuum's destructive phase over
+        many segments — does not cross the staleness bound mid-work
+        and get stolen from. Verify-then-utime has the same
+        microsecond residual window the steal path documents (a steal
+        landing exactly between the token read and the utime touches
+        the thief's lock's mtime — harmless: it only DELAYS the next
+        steal); the CAS provider's renew is fully atomic. Cheap-when-
+        early: a lock younger than half the staleness bound returns
+        unchanged without touching the file. None = no longer ours."""
+        path, owner = handle
+        stale = self.stale_sec if self.stale_sec is not None else _LOCK_STALE_SEC
+        try:
+            if time.time() - os.path.getmtime(path) < stale * 0.5:
+                return handle
+            with open(path) as fh:
+                if fh.read() != owner:
+                    return None  # stolen — never extend the thief's clock
+            os.utime(path, None)
+            return handle
+        except OSError:
+            return None
+
+    @staticmethod
+    def _claim_path(mdir: str, version: int) -> str:
+        return os.path.join(mdir, f"claim-{version:010d}")
+
+    def claim_version(self, mdir: str, version: int, manifest_name: str) -> bool:
+        """The conditional COMMIT POINT (see :func:`commit`): an
+        atomic ``O_CREAT|O_EXCL`` of ``claim-<version>`` naming the
+        manifest file — exactly one committer per version wins, so a
+        stalled holder whose lock was stolen can no longer
+        last-writer-win the pointer swap even inside the microsecond
+        verify-to-replace window (the r13 ADVICE residual). True =
+        this committer owns the version."""
+        try:
+            fd = os.open(
+                self._claim_path(mdir, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            try:
+                os.write(fd, manifest_name.encode())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            return True
+        except FileExistsError:
+            return False
+
+    def read_claim(self, mdir: str, version: int) -> str | None:
+        try:
+            with open(self._claim_path(mdir, version)) as fh:
+                return fh.read().strip() or None
+        except OSError:
+            return None
+
+    def drop_claim(self, mdir: str, version: int) -> None:
+        try:
+            os.unlink(self._claim_path(mdir, version))
+        except OSError:
+            pass
 
     def release(self, handle: tuple[str, str]) -> None:
         path, owner = handle
@@ -578,6 +767,7 @@ def commit(
     provider = lock if lock is not None else DEFAULT_LOCK_PROVIDER
     handle = provider.acquire(mdir)
     try:
+        _recover_claims(provider, mdir)
         if is_transactional(root):
             cur = current(root)
             basis = cur["_file"]
@@ -677,14 +867,21 @@ def commit(
         tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
         _fsync_write(tmp, name)
         # a stalled holder whose lease was stolen must fail HERE, not
-        # last-writer-win over the thief's committed manifest. The
-        # abort must also REMOVE the just-written manifest file: the
-        # thief committed the SAME version number, and manifest_at()
-        # resolves versions by name prefix — a leftover phantom with
-        # that prefix would make time travel / restore to this version
-        # nondeterministic (the r13 review catch)
+        # last-writer-win over the thief's committed manifest. Three
+        # layers: renew (a merely-SLOW holder extends its lease and
+        # proceeds — a long ingest rollup is not a crash), verify +
+        # basis check (cheap early-out), then the version CLAIM — the
+        # atomic conditional commit point that closes verify's
+        # check-then-act window outright. The abort must also REMOVE
+        # the just-written manifest file: the winner committed the
+        # SAME version number, and manifest_at() resolves versions by
+        # name prefix — a leftover phantom with that prefix would make
+        # time travel / restore to this version nondeterministic (the
+        # r13 review catch)
         try:
+            handle = _renew_or_die(provider, handle, mdir)
             _verify_still_held(provider, handle, mdir, basis)
+            _claim_version_or_die(provider, mdir, version, name)
         except CommitLockLostError:
             for orphan in (os.path.join(mdir, name), tmp):
                 try:
@@ -692,16 +889,8 @@ def commit(
                 except OSError:
                     pass
             raise
-        os.replace(tmp, os.path.join(mdir, _CURRENT))  # THE commit point
-        # fsync the DIRECTORY too: rename atomicity is immediate, but
-        # its durability is not — an OS crash could otherwise revert
-        # the pointer to the previous manifest, resurrecting the
-        # exactly-once window the commit exists to close
-        dfd = os.open(mdir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        os.replace(tmp, os.path.join(mdir, _CURRENT))
+        _fsync_dir(mdir)
     finally:
         provider.release(handle)
     m["_file"] = name
@@ -827,6 +1016,7 @@ def vacuum(
     provider = lock if lock is not None else DEFAULT_LOCK_PROVIDER
     handle = provider.acquire(mdir)
     try:
+        _recover_claims(provider, mdir)
         cur = current(root)
         names = sorted(
             n for n in os.listdir(mdir) if n.startswith("manifest-")
@@ -850,7 +1040,14 @@ def vacuum(
         removed_segments = []
         # destructive phase begins — a stalled vacuum whose lock was
         # stolen could otherwise rmtree segments a concurrent commit
-        # just added; re-verify before the first delete
+        # just added; re-verify before the first delete, and RENEW the
+        # lease per deletion: rmtree over thousands of superseded
+        # segments legitimately outlives a fixed lease width, and
+        # without a heartbeat that converts a healthy maintenance run
+        # into an abort (or worse, under a provider without verify, a
+        # steal mid-delete). A failed renewal aborts loudly with the
+        # remaining segments untouched — vacuum is idempotent, the
+        # retry collects them.
         _verify_still_held(provider, handle, mdir, cur["_file"])
         seg_root = os.path.join(root, _SEGMENTS)
         if os.path.isdir(seg_root):
@@ -866,13 +1063,22 @@ def vacuum(
                     age = now - _tree_newest_mtime(full)
                     if age < orphan_grace_sec:
                         continue
+                handle = _renew_or_die(provider, handle, mdir)
                 shutil.rmtree(full)
                 removed_segments.append(rel)
         removed_manifests = []
+        drop_claim = getattr(provider, "drop_claim", None)
         for n in names:
             if n not in keep:
+                handle = _renew_or_die(provider, handle, mdir)
                 os.remove(os.path.join(mdir, n))
                 removed_manifests.append(n)
+                if drop_claim is not None:
+                    # retention of the claim ledger follows its
+                    # manifest (remove manifest FIRST: a claim without
+                    # its manifest only matters at version current+1,
+                    # which a vacuumed version never is again)
+                    drop_claim(mdir, int(n.split("-")[1]))
         removed_buckets = []
         for n in sorted(os.listdir(mdir)):
             if n.startswith("ingested-") and n not in live_buckets:
@@ -916,6 +1122,7 @@ def restore(
     provider = lock if lock is not None else DEFAULT_LOCK_PROVIDER
     handle = provider.acquire(mdir)
     try:
+        _recover_claims(provider, mdir)
         cur = current(root)
         for ds, segs in target["datasets"].items():
             for s in segs:
@@ -948,7 +1155,9 @@ def restore(
         tmp = os.path.join(mdir, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
         _fsync_write(tmp, name)
         try:
+            handle = _renew_or_die(provider, handle, mdir)
             _verify_still_held(provider, handle, mdir, cur["_file"])
+            _claim_version_or_die(provider, mdir, new_version, name)
         except CommitLockLostError:
             # remove the same-version phantom (see commit()'s abort)
             for orphan in (os.path.join(mdir, name), tmp):
@@ -958,11 +1167,7 @@ def restore(
                     pass
             raise
         os.replace(tmp, os.path.join(mdir, _CURRENT))
-        dfd = os.open(mdir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        _fsync_dir(mdir)
     finally:
         provider.release(handle)
     m["_file"] = name
@@ -987,10 +1192,20 @@ def fsck(root: str) -> dict:
       and ``orphan_segments`` (named by NO manifest — crashed
       stagings or in-flight writers; vacuum's grace window decides).
       Neither is an error: both are invisible by design.
+    - file-based version CLAIMS (the conditional commit point) are
+      audited: a claim naming a manifest file that is missing while
+      newer manifests still exist is an error (claims are written
+      only after the manifest fsync — vacuum drops the pair
+      together); a claim for the version AFTER the live one whose
+      manifest exists is reported as ``pending_claims`` — a committer
+      crashed between claim and pointer swap; the commit is durable
+      and the next commit/vacuum rolls the pointer forward. CAS-store
+      claims live in the external service and are not visible here.
 
     Returns ``{ok, errors, superseded_segments, orphan_segments,
-    versions_on_disk}``; ``ok`` is False iff errors is non-empty.
-    Raises only if ``root`` has no manifest log at all."""
+    versions_on_disk, pending_claims}``; ``ok`` is False iff errors
+    is non-empty. Raises only if ``root`` has no manifest log at
+    all."""
     if not is_transactional(root):
         raise ValueError(
             f"fsck: {root!r} is not a manifest-backed dataset "
@@ -1016,6 +1231,7 @@ def fsck(root: str) -> dict:
                 for n in os.listdir(mdir)
                 if n.startswith("manifest-")
             ),
+            "pending_claims": None,
         }
     live: set[str] = set()
     for ds, segs in m["datasets"].items():
@@ -1074,6 +1290,44 @@ def fsck(root: str) -> dict:
                 superseded += 1
             else:
                 orphans += 1
+    pending_claims: list[int] = []
+    manifest_names = {
+        n for n in os.listdir(mdir) if n.startswith("manifest-")
+    }
+    min_v = min(by_version) if by_version else 0
+    for n in sorted(os.listdir(mdir)):
+        if not n.startswith("claim-"):
+            continue
+        try:
+            cv = int(n.split("-")[1])
+        except (IndexError, ValueError):
+            errors.append(f"malformed claim name {n!r}")
+            continue
+        try:
+            with open(os.path.join(mdir, n)) as fh:
+                claimed_name = fh.read().strip()
+        except OSError:
+            claimed_name = ""
+        if claimed_name not in manifest_names:
+            if cv >= min_v:
+                errors.append(
+                    f"claim for version {cv} names missing manifest "
+                    f"{claimed_name!r} — claims are written only after "
+                    "the manifest fsync, so the log was externally "
+                    "mutated (a vacuumed version's leftover claim "
+                    "below the retention floor is cleaned, not flagged)"
+                )
+            continue
+        if cv == m["version"] + 1:
+            # committed but the pointer swap never landed (crash in
+            # that window): durable; the next commit rolls forward
+            pending_claims.append(cv)
+        elif cv > m["version"] + 1:
+            errors.append(
+                f"claim for version {cv} skips ahead of the live "
+                f"version {m['version']} — versions commit one at a "
+                "time, so a gap means external mutation"
+            )
     return {
         "ok": not errors,
         "errors": errors,
@@ -1084,6 +1338,7 @@ def fsck(root: str) -> dict:
             for n in os.listdir(mdir)
             if n.startswith("manifest-")
         ),
+        "pending_claims": pending_claims,
     }
 
 

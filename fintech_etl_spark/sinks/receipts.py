@@ -15,6 +15,8 @@ across checkpoint-loss replays.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -22,13 +24,15 @@ from fintech_etl_spark.sinks import manifest as mf
 
 #: manifest dataset name for the receipt lake
 _RECEIPTS_DS = "receipts"
+#: manifest dataset holding staged-but-undelivered webhook payloads —
+#: the transactional OUTBOX (one segment per published batch; removed
+#: by drain_webhook_outbox once every document in it is delivered)
+_OUTBOX_DS = "webhook_outbox"
 
 
 def _has_parquet(path: str) -> bool:
     """True if ``path`` holds any parquet data OUTSIDE a manifest's
     segments — i.e. a plain directory lake a tx write would orphan."""
-    import os
-
     if not os.path.isdir(path):
         return False
     for dirpath, dirnames, filenames in os.walk(path):
@@ -55,6 +59,7 @@ def write_receipts_parquet(
     transactional: bool | None = None,
     batch_key: str | None = None,
     file_key_col: str | None = None,
+    outbox=None,
 ) -> dict:
     """Write receipts, partitioned by transaction month.
 
@@ -98,6 +103,21 @@ def write_receipts_parquet(
       rows are filtered out, only unprocessed files' rows are staged,
       and their keys ride the same atomic commit — a mixed batch
       appends exactly the new files, like the z-order/ANN ingests.
+
+    ``outbox`` (transactional only) is a callable mapping the
+    PUBLISHED receipts frame to a ``(document_id, payload)`` frame
+    (``operators.receipts.to_webhook_payloads`` in the CLI pipeline).
+    The payloads are staged as their own segment and committed in the
+    SAME atomic pointer swap as the receipts — the transactional
+    OUTBOX pattern: lake commit and notification intent become one
+    atomic fact, so no crash window exists where rows are published
+    but their notifications were never recorded (the r13 ADVICE
+    at-most-once finding: the old gate-on-published shape permanently
+    lost notifications to a network blip or a crash between commit
+    and send). Because the staged payloads pin the ORIGINAL run's
+    document_ids, a retry delivers with the same idempotency keys
+    even though a re-run of the pipeline would mint new run_ts-derived
+    ids. Delivery itself is :func:`drain_webhook_outbox`.
 
     Returns ``{"published": bool, "files_published": [...],
     "files_skipped": [...]}`` (the file lists only under
@@ -178,6 +198,13 @@ def write_receipts_parquet(
     kwargs: dict = {"file_keys": file_keys} if file_keys is not None else {}
     if mode == "overwrite":
         kwargs["reset_ingested"] = True
+    adds: dict = {_RECEIPTS_DS: [seg]}
+    if outbox is not None:
+        # stage the notification intent NEXT TO the data; the commit
+        # below makes both visible in one pointer swap
+        seg_o = mf.new_segment_path(path)
+        outbox(receipts).write.mode("overwrite").parquet(seg_o)
+        adds[_OUTBOX_DS] = [seg_o]
     if partition_by_month:
         # per-segment month min/max ride the same commit (lexicographic
         # on 'yyyy-MM' ≡ chronological): a month-ranged read excludes
@@ -202,14 +229,82 @@ def write_receipts_parquet(
                 _RECEIPTS_DS: {seg: {"transaction_month": [mm.lo, mm.hi]}}
             }
     if mode == "overwrite":
-        mf.commit(path, replace={_RECEIPTS_DS: [seg]}, **kwargs)
+        replace_map = {_RECEIPTS_DS: [seg]}
+        if _OUTBOX_DS in adds:
+            replace_map[_OUTBOX_DS] = adds[_OUTBOX_DS]
+        mf.commit(path, replace=replace_map, **kwargs)
     else:
-        mf.commit(path, add={_RECEIPTS_DS: [seg]}, **kwargs)
+        mf.commit(path, add=adds, **kwargs)
     result: dict = {"published": True}
     if file_key_col is not None:
         result["files_published"] = file_keys
         result["files_skipped"] = skipped
     return result
+
+
+def drain_webhook_outbox(spark: SparkSession, path: str, sink) -> dict:
+    """Deliver every staged-but-undelivered webhook batch in the
+    lake's transactional OUTBOX (see ``write_receipts_parquet``'s
+    ``outbox``), at-least-once with exactly-once skip decisions:
+
+    - each outbox segment is one published batch of ``(document_id,
+      payload)`` rows, sent through ``sink.send_batch`` with a
+      deterministic ``batch_id`` derived from the segment name, so
+      the sink's parquet LEDGER anti-joins away documents already
+      delivered by an earlier attempt — a retry after a blip or a
+      crash re-posts only the failures, with the ORIGINAL
+      document_ids (the payloads were frozen at publish time);
+    - a fully-delivered segment (``failed == 0``) is removed from the
+      outbox dataset by a manifest commit (vacuum reclaims the files)
+      — a concurrent drain racing the same segment loses the
+      remove-commit as a StaleSegmentError and skips, so double
+      drains cannot double-remove;
+    - a segment with failures stays in the outbox: the NEXT drain —
+      every CLI batch run with a webhook drains before and after its
+      own publish — picks it up. Nothing is ever silently dropped;
+      an operator can read the pending count from the manifest alone.
+
+    ``sink`` must have ``ledger_path`` set (the retry-only-failures
+    contract needs the delivery ledger; without it a retry would
+    re-post the whole batch — still receiver-deduped, but the point
+    here is recoverable EXACTLY-once bookkeeping). Returns
+    ``{"batches": n, "sent": s, "failed": f, "skipped": k,
+    "drained": [...]}``."""
+    import hashlib
+
+    if getattr(sink, "ledger_path", None) is None:
+        raise ValueError(
+            "drain_webhook_outbox: the sink has no ledger_path — the "
+            "outbox retry contract (re-post only failures, keep "
+            "original document_ids) requires the delivery ledger; "
+            "construct WebhookSink(..., ledger_path=...) "
+        )
+    if not mf.is_transactional(path):
+        raise ValueError(
+            f"drain_webhook_outbox: {path!r} is not a manifest-backed "
+            "lake — the outbox is a transactional-lake feature"
+        )
+    totals = {"batches": 0, "sent": 0, "failed": 0, "skipped": 0}
+    drained: list[str] = []
+    for seg in mf.dataset_segments(path, _OUTBOX_DS):
+        rel = os.path.relpath(seg, path)
+        # 60-bit stable id: the ledger partitions on it, and a retry
+        # of the SAME segment must map to the SAME ledger partition
+        batch_id = int(hashlib.md5(rel.encode()).hexdigest()[:15], 16)
+        payloads = spark.read.parquet(seg)
+        res = sink.send_batch(payloads, batch_id=batch_id)
+        totals["batches"] += 1
+        totals["sent"] += res.get("sent", 0)
+        totals["failed"] += res.get("failed", 0)
+        totals["skipped"] += res.get("skipped", 0)
+        if res.get("failed", 0) == 0:
+            try:
+                mf.commit(path, remove={_OUTBOX_DS: [seg]})
+                drained.append(rel)
+            except mf.StaleSegmentError:
+                pass  # a concurrent drain removed it first — done either way
+    totals["drained"] = drained
+    return totals
 
 
 def compact_receipts_lake(
@@ -298,8 +393,6 @@ def read_receipts(
                 f"read_receipts: version {version} of {path!r} holds "
                 f"no {_RECEIPTS_DS!r} segments"
             )
-        import os
-
         pairs = [(os.path.join(path, r), st_by_seg.get(r)) for r in rels]
     elif mf.is_transactional(path):
         pairs = mf.dataset_segments_with_stats(path, _RECEIPTS_DS)

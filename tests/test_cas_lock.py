@@ -365,9 +365,13 @@ class _FakeS3Client:
         self._lock = threading.Lock()
         self._etag_seq = 0
 
-    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None, IfMatch=None):
         with self._lock:
             if IfNoneMatch == "*" and Key in self._state:
+                raise _S3Error("PreconditionFailed", 412)
+            if IfMatch is not None and (
+                Key not in self._state or self._state[Key][1] != IfMatch
+            ):
                 raise _S3Error("PreconditionFailed", 412)
             self._etag_seq += 1
             self._state[Key] = (Body, f'"{self._etag_seq:08x}"')
@@ -494,7 +498,10 @@ class _FakeDynamoClient:
         self._state: dict = {}
         self._lock = threading.Lock()
 
-    def put_item(self, TableName, Item, ConditionExpression=None):
+    def put_item(
+        self, TableName, Item, ConditionExpression=None,
+        ExpressionAttributeValues=None,
+    ):
         key = Item["lock_key"]["S"]
         with self._lock:
             if (
@@ -502,6 +509,10 @@ class _FakeDynamoClient:
                 and key in self._state
             ):
                 raise _DDBError("ConditionalCheckFailedException")
+            if ConditionExpression == "value_json = :v":
+                want = ExpressionAttributeValues[":v"]["S"]
+                if self._state.get(key) != want:
+                    raise _DDBError("ConditionalCheckFailedException")
             self._state[key] = Item["value_json"]["S"]
 
     def get_item(self, TableName, Key, ConsistentRead=False):
@@ -573,3 +584,166 @@ def test_ddb_lock_provider_threads_lose_no_commit(tmp_path):
     assert not errors, errors
     assert mf.current(root)["version"] == 24
     assert len(mf.ingested_keys(root)) == 24
+
+
+# ---------------------------------------------------------------------------
+# put_if_match (the renewal primitive) + lease renewal + version claims
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mk", [
+    lambda tp: CASStore(str(tp / "cas")),
+    _gcs_store,
+    _s3_store,
+    lambda tp: _ddb_store(tp),
+], ids=["emulator", "gcs", "s3", "ddb"])
+def test_put_if_match_contract(tmp_path, mk):
+    """The FOURTH primitive, identical across all four stores: replace
+    only when the current value matches, absent key = no match, and a
+    successful replace invalidates the OLD value for any later
+    conditional (the generation/etag/condition moved with it)."""
+    st = mk(tmp_path)
+    assert st.put_if_match("k", {"v": 1}, {"v": 2}) is False  # absent
+    assert st.put_if_absent("k", {"v": 1}) is True
+    assert st.put_if_match("k", {"v": 9}, {"v": 2}) is False  # mismatch
+    assert st.get("k") == {"v": 1}
+    assert st.put_if_match("k", {"v": 1}, {"v": 2}) is True
+    assert st.get("k") == {"v": 2}
+    # the old value no longer matches anything — a stale steal loses
+    assert st.delete_if_match("k", {"v": 1}) is False
+    assert st.delete_if_match("k", {"v": 2}) is True
+
+
+@pytest.mark.parametrize("mk", [
+    lambda tp: CASStore(str(tp / "cas")),
+    _gcs_store,
+    _s3_store,
+    lambda tp: _ddb_store(tp),
+], ids=["emulator", "gcs", "s3", "ddb"])
+def test_renew_vs_steal_is_single_winner(tmp_path, mk):
+    """The renewal race matrix: an EXPIRED lease being renewed by its
+    slow-but-alive holder while a stealer conditional-deletes it —
+    the store admits exactly one. Whichever wins, the loser observes
+    it cleanly (renew → None means abort loudly; steal → False means
+    re-observe), never both inside the lock."""
+    st = mk(tmp_path)
+    provider = CASLockProvider(st, lease_sec=0.05)
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir, exist_ok=True)
+    h = provider.acquire(mdir)
+    time.sleep(0.1)  # holder stalls past expiry
+    key, lease = h
+    # drive both sides of the race explicitly, both orders
+    renewed = provider.renew(h)          # holder heartbeats first
+    stolen = st.delete_if_match(key, lease)  # stealer acts on the OLD value
+    assert (renewed is not None) and (stolen is False)
+    # now the steal wins first: expire again, steal, then renew
+    time.sleep(0.1)
+    key2, lease2 = renewed
+    assert st.delete_if_match(key2, lease2) is True   # stealer wins
+    assert provider.renew(renewed) is None            # holder must abort
+    # a renewed-then-live lease refuses renewal by anyone else's value
+    h3 = provider.acquire(mdir)
+    assert provider.verify(h3)
+    provider.release(h3)
+
+
+def test_renew_is_cheap_noop_while_lease_is_fresh(tmp_path):
+    st = CASStore(str(tmp_path / "cas"))
+    provider = CASLockProvider(st, lease_sec=60.0)
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    h = provider.acquire(mdir)
+    h2 = provider.renew(h)
+    assert h2 is h  # untouched: >50% of the lease width remains
+    provider.release(h)
+
+
+def test_renewed_lease_blocks_acquire_past_original_width(tmp_path):
+    """The whole point of renewal: a holder legitimately outliving
+    lease_sec keeps contenders out for as long as it heartbeats —
+    without renewal the contender's steal would land mid-work."""
+    st = CASStore(str(tmp_path / "cas"))
+    provider = CASLockProvider(st, lease_sec=0.3)
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    h = provider.acquire(mdir)
+    t0 = time.monotonic()
+    contender = CASLockProvider(st, lease_sec=0.3, timeout_sec=0.15)
+    while time.monotonic() - t0 < 0.7:  # > 2x the lease width
+        h = provider.renew(h, min_remaining_frac=0.9)
+        assert h is not None
+        time.sleep(0.02)
+    with pytest.raises(RuntimeError, match="CAS lease"):
+        contender.acquire(mdir)  # still held, 0.7s past a 0.3s lease
+    provider.release(h)
+    h2 = contender.acquire(mdir)
+    contender.release(h2)
+
+
+def test_claim_version_is_single_winner_and_survives_lost_ack(tmp_path):
+    st = CASStore(str(tmp_path / "cas"))
+    provider = CASLockProvider(st)
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    assert provider.claim_version(mdir, 3, "manifest-a.json") is True
+    assert provider.claim_version(mdir, 3, "manifest-b.json") is False
+    assert provider.read_claim(mdir, 3) == "manifest-a.json"
+    # lost-ack on the claim put: applied server-side, ack dropped —
+    # the claimant re-reads and recognizes its own manifest name
+    st2 = CASStore(str(tmp_path / "cas2"), lose_ack_every=1)
+    p2 = CASLockProvider(st2)
+    assert p2.claim_version(mdir, 0, "manifest-x.json") is True
+    assert p2.read_claim(mdir, 0) == "manifest-x.json"
+    # ...and a LOST lost-ack race (someone else's claim landed) is False
+    assert p2.claim_version(mdir, 0, "manifest-y.json") is False
+    p2.drop_claim(mdir, 0)
+    assert p2.read_claim(mdir, 0) is None
+
+
+def test_s3_409_conditional_conflict_is_a_lost_race(tmp_path):
+    """Real S3 answers 409 ConditionalRequestConflict when concurrent
+    conditional requests race mid-evaluation on one key — exactly the
+    contention a lock store exists for. It must read as 'lost the
+    race' (False → the acquire loop re-observes), never as a raw
+    ClientError crashing the commit (the r13 ADVICE finding)."""
+    from fintech_etl_spark.sinks.locks import S3CASStore
+
+    class ConflictingFake(_FakeS3Client):
+        def __init__(self):
+            super().__init__()
+            self.conflicts = 0
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None, IfMatch=None):
+            if (IfNoneMatch or IfMatch) and self.conflicts > 0:
+                self.conflicts -= 1
+                raise _S3Error("ConditionalRequestConflict", 409)
+            return super().put_object(Bucket, Key, Body, IfNoneMatch, IfMatch)
+
+        def delete_object(self, Bucket, Key, IfMatch=None):
+            if IfMatch is not None and self.conflicts > 0:
+                self.conflicts -= 1
+                raise _S3Error("ConditionalRequestConflict", 409)
+            return super().delete_object(Bucket, Key, IfMatch)
+
+    fake = ConflictingFake()
+    st = S3CASStore("b", client=fake)
+    fake.conflicts = 1
+    assert st.put_if_absent("k", {"v": 1}) is False    # 409 → lost race
+    assert st.put_if_absent("k", {"v": 1}) is True     # retry wins
+    fake.conflicts = 1
+    assert st.delete_if_match("k", {"v": 1}) is False  # 409 → lost race
+    assert st.delete_if_match("k", {"v": 1}) is True
+    assert st.put_if_absent("k", {"v": 2}) is True
+    fake.conflicts = 1
+    assert st.put_if_match("k", {"v": 2}, {"v": 3}) is False
+    assert st.put_if_match("k", {"v": 2}, {"v": 3}) is True
+    # ...and under a provider, a 409 mid-acquire retries instead of
+    # crashing: seed an expired lease, make the steal's delete 409
+    # once — acquire must still converge
+    provider = CASLockProvider(st, lease_sec=60.0, timeout_sec=10.0)
+    dead = CASLockProvider(st, lease_sec=-10.0)
+    dead.acquire(str(tmp_path / "m2"))
+    fake.conflicts = 1
+    h = provider.acquire(str(tmp_path / "m2"))
+    provider.release(h)

@@ -606,6 +606,48 @@ def test_zorder_drift_no_stats_segment_is_conservative_not_silent(
     assert read_zorder(spark, root).count() == 1500
 
 
+def test_zorder_drift_partial_stats_is_conservative_per_column(
+    spark, tmp_path
+):
+    """The r13 audit's latent edge: a foreign commit whose stats dict
+    EXISTS but carries only one of the two z-columns. The covered
+    column measures normally; the uncovered one could hide arbitrary
+    drift — it must get the same conservative 1.0 treatment as a
+    whole-segment stats gap, never a silent under-report (the segment
+    is NOT in segments_without_stats, which is exactly why the
+    per-column rule exists)."""
+    from fintech_etl_spark.operators.layout import zorder_drift
+
+    root = str(tmp_path / "lay")
+    zorder_write(
+        _frame(spark, 1000), ["x", "y"], root, num_files=2, transactional=True
+    )
+    assert zorder_drift(root)["drift"] == 0.0
+    # a drifted-on-y segment whose committed stats cover x ONLY (an
+    # older stats schema / a foreign writer): x looks in-bounds
+    seg = mf.new_segment_path(root)
+    _frame(spark, 500).select(
+        "rowid", "x", (F.col("y") + 10_000).alias("y")
+    ).write.parquet(seg)
+    mf.commit(
+        root,
+        add={_LAYOUT_DS: [seg]},
+        segment_stats={_LAYOUT_DS: {seg: {"x": [0, 100]}}},
+    )
+    d = zorder_drift(root)
+    assert d["segments_without_stats"] == 0  # the stats dict exists...
+    assert d["unassessed_columns"] == ["y"]  # ...but y is a blind spot
+    assert d["unassessed_conservative"] is True
+    assert d["drift"] == 1.0  # never an under-report from x alone
+    # compaction commits full stats for its rewrite → converges
+    zorder_compact(spark, root, num_files=4)
+    d2 = zorder_drift(root)
+    assert d2["unassessed_columns"] == []
+    assert d2["unassessed_conservative"] is False
+    assert d2["drift"] == 0.0
+    assert read_zorder(spark, root).count() == 1500
+
+
 def test_cli_layout_drift_report_and_threshold(
     spark, tmp_path, capsys, monkeypatch
 ):

@@ -1467,9 +1467,11 @@ def test_stalled_committer_cannot_overwrite_thiefs_commit(
 
 def test_fsck_flags_same_version_phantom_and_manifest_at_is_loud(tmp_path):
     """A crash inside the lost-lock abort window (before the phantom
-    unlink) leaves two files claiming one version. fsck must flag it,
-    manifest_at on a NON-live ambiguous version must refuse to guess,
-    and the LIVE version stays resolvable via the pointer."""
+    unlink) leaves two files claiming one version. fsck must flag it;
+    manifest_at resolves it via the version CLAIM (the conditional
+    commit point names the committed file authoritatively), refuses
+    to guess when no claim survives either, and the LIVE version
+    stays resolvable via the pointer."""
     import shutil as _sh
 
     root = str(tmp_path / "ds")
@@ -1486,6 +1488,11 @@ def test_fsck_flags_same_version_phantom_and_manifest_at_is_loud(tmp_path):
     rep = mf.fsck(root)
     assert not rep["ok"]
     assert any("claimed by 2 manifests" in e for e in rep["errors"])
+    # the claim entry names the committed one → time travel resolves
+    assert mf.manifest_at(root, 1)["_file"] == m1["_file"]
+    # without the claim (pre-claim logs, vacuumed claim) it must
+    # refuse to guess
+    os.unlink(os.path.join(mdir, "claim-0000000001"))
     with pytest.raises(ValueError, match="AMBIGUOUS"):
         mf.manifest_at(root, 1)
     # phantom on the LIVE version: the pointer disambiguates
@@ -1494,3 +1501,201 @@ def test_fsck_flags_same_version_phantom_and_manifest_at_is_loud(tmp_path):
         os.path.join(mdir, "manifest-0000000002-deadbeef.json"),
     )
     assert mf.manifest_at(root, 2)["_file"] == m2["_file"]
+
+
+# ---------------------------------------------------------------------------
+# r14: conditional commit point (version claims) + lease renewal
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("provider_kind", ["file", "cas"])
+def test_claim_closes_the_verify_check_then_act_window(
+    tmp_path, monkeypatch, provider_kind
+):
+    """The r13 ADVICE residual: _verify_still_held is check-then-act,
+    so a steal landing AFTER verify + basis read but BEFORE os.replace
+    could still last-writer-win. Simulate exactly that window — verify
+    neutered, the thief commits between the victim's verify and its
+    swap — and assert the version CLAIM (the atomic conditional commit
+    point) still aborts the victim: the thief owns the version, the
+    victim raises, nothing is overwritten."""
+    root = str(tmp_path / "ds")
+    if provider_kind == "cas":
+        store = CASStore(str(tmp_path / "cas"))
+        victim = CASLockProvider(store, lease_sec=0.05)
+        thief = CASLockProvider(store, lease_sec=60.0)
+    else:
+        victim = mf.FileLockProvider(stale_sec=0.05)
+        thief = mf.FileLockProvider(stale_sec=60.0)
+    mf.commit(root, replace={"d": []}, lock=thief)
+    thief_seg = mf.new_segment_path(root)
+    os.makedirs(thief_seg)
+    victim_seg = mf.new_segment_path(root)
+    os.makedirs(victim_seg)
+
+    # neuter BOTH r13 guards: the steal lands inside their window
+    monkeypatch.setattr(mf, "_verify_still_held", lambda *a, **k: None)
+    monkeypatch.setattr(mf, "_renew_or_die", lambda p, h, m: h)
+
+    orig_claim = victim.claim_version
+    state = {"armed": True}
+
+    def claim_after_thief_won(mdir, version, name):
+        if state["armed"]:
+            state["armed"] = False
+            time.sleep(0.15)  # victim stalls past its staleness bound
+            mf.commit(root, add={"d": [thief_seg]}, lock=thief)
+        return orig_claim(mdir, version, name)
+
+    monkeypatch.setattr(victim, "claim_version", claim_after_thief_won)
+    with pytest.raises(mf.CommitLockLostError, match="already claimed"):
+        mf.commit(root, add={"d": [victim_seg]}, lock=victim)
+
+    cur = mf.current(root)
+    assert os.path.relpath(thief_seg, root) in cur["datasets"]["d"]
+    assert os.path.relpath(victim_seg, root) not in cur["datasets"]["d"]
+    assert cur["version"] == 1
+    # exactly one manifest claims version 1, and the victim's phantom
+    # (written before its claim lost) was removed by the abort
+    mdir = mf.manifests_dir(root)
+    claimants = [
+        f for f in os.listdir(mdir) if f.startswith("manifest-0000000001-")
+    ]
+    assert claimants == [cur["_file"]]
+
+
+@pytest.mark.parametrize("provider_kind", ["file", "cas"])
+def test_crash_after_claim_rolls_forward(tmp_path, provider_kind):
+    """Claimed ⇒ committed: a committer that crashed between its claim
+    and its pointer swap left a durable commit whose visibility lags.
+    The next commit must roll the pointer forward over the claim FIRST
+    (so the crashed commit's file keys stay exactly-once), then land on
+    top; fsck reports the pending claim in the meantime."""
+    root = str(tmp_path / "ds")
+    if provider_kind == "cas":
+        provider = CASLockProvider(CASStore(str(tmp_path / "cas")))
+    else:
+        provider = mf.FileLockProvider()
+    m0 = mf.commit(root, replace={"d": []}, lock=provider)
+    mdir = mf.manifests_dir(root)
+
+    # hand-stage what commit() does up to (and including) the claim,
+    # then 'crash' before the pointer swap
+    name = "manifest-0000000001-feedc0de.json"
+    m1 = {
+        "version": 1,
+        "datasets": {"d": []},
+        "dataset_meta": {},
+        "segment_stats": {},
+        "ingested_tail": ["k1"],
+        "ingested_checkpoint": None,
+    }
+    mf._fsync_write(os.path.join(mdir, name), json.dumps(m1))
+    assert provider.claim_version(mdir, 1, name) is True
+    assert mf.current(root)["_file"] == m0["_file"]  # pointer lags
+
+    if provider_kind == "file":  # file claims are fsck-visible
+        rep = mf.fsck(root)
+        assert rep["ok"] and rep["pending_claims"] == [1]
+
+    # the next commit recovers: rolls forward to v1, commits v2 on top
+    m2 = mf.commit(root, file_keys=["k2"], lock=provider)
+    assert m2["version"] == 2
+    assert mf.ingested_keys(root) == {"k1", "k2"}
+    # the crashed commit's key is honored as already-ingested
+    with pytest.raises(ValueError, match="already in"):
+        mf.commit(root, file_keys=["k1"], lock=provider)
+    rep = mf.fsck(root)
+    assert rep["ok"], rep["errors"]
+    assert rep.get("pending_claims") in ([], None) or rep["pending_claims"] == []
+
+
+def test_vacuum_renews_lease_through_long_destructive_phase(
+    tmp_path, monkeypatch
+):
+    """A vacuum whose rmtree loop legitimately outlives the lease
+    width must heartbeat: mid-phase, WELL past the original lease
+    expiry, a contender's acquire still times out (the lease was
+    renewed, not expired-and-stealable), and the vacuum completes
+    instead of aborting — the r13 'completed rewrite converts into an
+    abort + retry' waste, closed."""
+    import shutil as _sh
+
+    store = CASStore(str(tmp_path / "cas"))
+    provider = CASLockProvider(store, lease_sec=0.3, timeout_sec=10.0)
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []}, lock=provider)
+    for i in range(25):
+        seg = mf.new_segment_path(root)
+        os.makedirs(seg)
+        with open(os.path.join(seg, "x"), "w") as fh:
+            fh.write("x")
+        mf.commit(root, add={"d": [seg]}, file_keys=[f"k{i}"], lock=provider)
+    # supersede everything so vacuum has 25 segments to delete
+    mf.commit(root, replace={"d": []}, lock=provider)
+
+    real_rmtree = _sh.rmtree
+
+    def slow_rmtree(path, *a, **k):
+        time.sleep(0.05)  # 25 x 0.05 = 1.25s >> the 0.3s lease
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(mf.shutil, "rmtree", slow_rmtree)
+    results: dict = {}
+
+    def run_vacuum():
+        results["vacuum"] = mf.vacuum(
+            root, keep_last=1, orphan_grace_sec=0.0, lock=provider
+        )
+
+    t = threading.Thread(target=run_vacuum)
+    t.start()
+    time.sleep(0.6)  # 2x past the ORIGINAL lease width, mid-phase
+    contender = CASLockProvider(store, lease_sec=0.3, timeout_sec=0.15)
+    with pytest.raises(RuntimeError, match="CAS lease"):
+        contender.acquire(mf.manifests_dir(root))
+    t.join(timeout=60)
+    assert len(results["vacuum"]["removed_segments"]) == 25
+    # lease released cleanly afterwards
+    h = contender.acquire(mf.manifests_dir(root))
+    contender.release(h)
+
+
+def test_commit_renews_when_critical_section_outlives_lease(
+    tmp_path, monkeypatch
+):
+    """A commit whose metadata step legitimately outlives lease_sec
+    (slow FS fsyncs, a big ingest rollup): WITH renewal it completes —
+    the heartbeat extends the un-stolen lease before the verify that
+    would otherwise see it expired; WITHOUT renewal (a provider that
+    opted out) the same commit aborts loudly. Slow is not dead, but
+    only the heartbeat can tell the lock that."""
+    store = CASStore(str(tmp_path / "cas"))
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []})
+
+    real_fsync = mf._fsync_write
+
+    def slow_fsync(path, body):
+        time.sleep(0.12)  # two calls per commit > the 0.2s lease
+        real_fsync(path, body)
+
+    monkeypatch.setattr(mf, "_fsync_write", slow_fsync)
+    provider = CASLockProvider(store, lease_sec=0.2)
+    m = mf.commit(root, file_keys=["slow-but-alive"], lock=provider)
+    assert m["version"] == 1
+
+    class NoRenewCAS(CASLockProvider):
+        renew = None  # opted out: staleness bound is the whole contract
+
+    with pytest.raises(mf.CommitLockLostError):
+        mf.commit(
+            root,
+            file_keys=["slow-and-unrenewed"],
+            lock=NoRenewCAS(store, lease_sec=0.2),
+        )
+    monkeypatch.setattr(mf, "_fsync_write", real_fsync)
+    # the aborted commit left no phantom and the log still advances
+    m2 = mf.commit(root, file_keys=["retry"], lock=provider)
+    assert m2["version"] == 2
+    assert mf.fsck(root)["ok"]

@@ -543,3 +543,190 @@ def test_month_bounds_translation_equivalence_property(spark):
         check()
     finally:
         df.unpersist()
+
+
+def test_webhook_outbox_atomic_intent_and_recoverable_delivery(
+    spark, tmp_path
+):
+    """The r13 ADVICE medium finding, closed: batch webhook delivery
+    was at-most-once with no recovery (failures swallowed; a replay
+    skips the webhook entirely because the files are already
+    ingested). Here the notification INTENT commits atomically with
+    the lake batch (outbox segment, same pointer swap), a blip leaves
+    the batch in the outbox, and the next drain re-posts ONLY the
+    failures — with the ORIGINAL document_ids, pinned at publish time
+    (a re-run would mint different run_ts-derived ids)."""
+    import os as _os
+
+    from fintech_etl_spark.sinks import (
+        WebhookSink,
+        read_receipts,
+        write_receipts_parquet,
+    )
+    from fintech_etl_spark.sinks import manifest as mf
+    from fintech_etl_spark.sinks.receipts import (
+        _OUTBOX_DS,
+        drain_webhook_outbox,
+    )
+
+    base = _golden_receipts(spark, tmp_path)
+    n = base.count()
+    fa = base.withColumn("source_file", F.lit("gs://b/a.csv"))
+    lake = str(tmp_path / "lake_ob")
+
+    res = write_receipts_parquet(
+        fa,
+        lake,
+        transactional=True,
+        file_key_col="source_file",
+        outbox=to_webhook_payloads,
+    )
+    assert res["published"]
+    # intent committed atomically with the data: one pointer read
+    # shows BOTH the receipts segment and the staged payloads
+    segs = mf.dataset_segments(lake, _OUTBOX_DS)
+    assert len(segs) == 1
+    staged = spark.read.parquet(segs[0])
+    staged_ids = {r.document_id for r in staged.collect()}
+    assert len(staged_ids) == n
+
+    wire_log = tmp_path / "wire.log"
+    outage = tmp_path / "outage_done"
+
+    def poster(url, body, headers, _log=str(wire_log), _m=str(outage)):
+        doc = json.loads(body)
+        with open(_log, "a") as f:
+            f.write(doc["document_id"] + "\n")
+        if doc["receiptId"] == "INV2" and not _os.path.exists(_m):
+            open(_m, "w").close()
+            raise ConnectionError("endpoint down mid-batch")
+        return 200
+
+    ledger = str(tmp_path / "wh_ledger")
+    mk = lambda: WebhookSink(  # noqa: E731 — fresh instance = restart
+        url="http://example.invalid/hook", poster=poster, ledger_path=ledger
+    )
+    # the ledger is not optional on this path
+    with pytest.raises(ValueError, match="ledger_path"):
+        drain_webhook_outbox(
+            spark, lake, WebhookSink(url="http://example.invalid/hook")
+        )
+
+    # drain 1: blip mid-batch — failures stay in the outbox
+    d1 = drain_webhook_outbox(spark, lake, mk())
+    assert d1["batches"] == 1 and d1["failed"] == 1 and d1["sent"] == n - 1
+    assert len(mf.dataset_segments(lake, _OUTBOX_DS)) == 1  # not drained
+
+    # drain 2 ("after the crash/blip", fresh sink): ledger skips the
+    # delivered doc, re-posts only the failure, outbox empties
+    d2 = drain_webhook_outbox(spark, lake, mk())
+    assert d2 == {
+        "batches": 1, "sent": 1, "failed": 0, "skipped": n - 1,
+        "drained": d2["drained"],
+    }
+    assert len(d2["drained"]) == 1
+    assert mf.dataset_segments(lake, _OUTBOX_DS) == []
+    wire = wire_log.read_text().splitlines()
+    assert len(wire) == n + 1  # INV2 twice, everything else once
+    assert set(wire) == staged_ids  # the ORIGINAL idempotency keys
+
+    # full replay: nothing publishes, nothing stages, nothing sends
+    res = write_receipts_parquet(
+        fa, lake, file_key_col="source_file", outbox=to_webhook_payloads
+    )
+    assert not res["published"]
+    assert mf.dataset_segments(lake, _OUTBOX_DS) == []
+    d3 = drain_webhook_outbox(spark, lake, mk())
+    assert d3["batches"] == 0 and d3["sent"] == 0
+    assert len(wire_log.read_text().splitlines()) == n + 1  # wire silent
+
+    # mixed batch {a, b}: the outbox stages payloads for b's docs ONLY
+    fb = fa.withColumn("source_file", F.lit("gs://b/b.csv")).withColumn(
+        "receipt_id", F.concat(F.col("receipt_id"), F.lit("-b"))
+    )
+    res = write_receipts_parquet(
+        fa.unionByName(fb),
+        lake,
+        file_key_col="source_file",
+        outbox=to_webhook_payloads,
+    )
+    assert res["files_published"] == ["gs://b/b.csv"]
+    segs = mf.dataset_segments(lake, _OUTBOX_DS)
+    assert len(segs) == 1
+    # b's docs only (n, not 2n): the outbox callable sees the frame
+    # AFTER the already-ingested file's rows were filtered out
+    assert spark.read.parquet(segs[0]).count() == n
+    assert read_receipts(spark, lake).count() == 2 * n
+
+
+def test_cli_webhook_outbox_end_to_end(spark, tmp_path, capsys, monkeypatch):
+    """process-csv --transactional-lake --webhook: delivery goes
+    through the outbox + ledger; a replay run sends nothing; a batch
+    left undelivered by a 'crash' (staged, never drained) is delivered
+    by the NEXT run's drain — recoverability the old gate-on-published
+    path did not have."""
+    import os as _os
+
+    from fintech_etl_spark import cli
+    from fintech_etl_spark.sinks import WebhookSink, write_receipts_parquet
+    from fintech_etl_spark.sinks import manifest as mf
+    from fintech_etl_spark.sinks.receipts import _OUTBOX_DS
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    store = tmp_path / "receiver"
+    store.mkdir()
+
+    def poster(url, body, headers, _store=str(store)):
+        doc = json.loads(body)
+        path = _os.path.join(_store, doc["document_id"].replace("/", "_"))
+        if not _os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(body.decode())
+        return 200
+
+    real_sink = cli.WebhookSink
+    monkeypatch.setattr(
+        cli,
+        "WebhookSink",
+        lambda url, **kw: real_sink(url=url, poster=poster, **kw),
+    )
+
+    csv = _write_fixture(tmp_path)
+    lake = str(tmp_path / "lake")
+    hook = "http://example.invalid/hook"
+    assert cli.main(
+        ["process-csv", csv, "--lake", lake, "--transactional-lake",
+         "--webhook", hook]
+    ) == 0
+    delivered = set(_os.listdir(store))
+    assert len(delivered) == 2  # INV1, INV2
+    assert mf.dataset_segments(lake, _OUTBOX_DS) == []  # drained
+
+    # replay: publishes nothing, sends nothing
+    assert cli.main(
+        ["process-csv", csv, "--lake", lake, "--transactional-lake",
+         "--webhook", hook]
+    ) == 0
+    assert set(_os.listdir(store)) == delivered
+
+    # 'crash between commit and send': a batch staged via the library
+    # with NO drain — the next CLI run (different csv) delivers BOTH
+    orphan = _golden_receipts(spark, tmp_path).withColumn(
+        "source_file", F.lit("gs://b/orphan.csv")
+    ).withColumn(
+        "receipt_id", F.concat(F.col("receipt_id"), F.lit("-o"))
+    )
+    write_receipts_parquet(
+        orphan, lake, file_key_col="source_file",
+        outbox=to_webhook_payloads,
+    )
+    assert len(mf.dataset_segments(lake, _OUTBOX_DS)) == 1  # pending
+    other = tmp_path / "other.csv"
+    other.write_text(HEADER + "\n" + ROWS[0] + "\n")
+    assert cli.main(
+        ["process-csv", str(other), "--lake", lake, "--transactional-lake",
+         "--webhook", hook]
+    ) == 0
+    assert mf.dataset_segments(lake, _OUTBOX_DS) == []  # all drained
+    # orphan's 2 docs + other.csv's 1 doc joined the receiver store
+    assert len(_os.listdir(store)) == 5
