@@ -105,6 +105,13 @@ def _process(
     return n
 
 
+def _pq_cand_value(s: str):
+    """argparse type for the pq_cand serving lever: an integer
+    shortlist depth, or the literal 'exact' (exact-refine mode — no
+    codes read, no ADC stage)."""
+    return "exact" if s == "exact" else int(s)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="fintech-etl-spark")
     p.add_argument("--master", default=None)
@@ -286,11 +293,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     sa.add_argument(
         "--pq-cand",
-        type=int,
+        type=_pq_cand_value,
         help="ADC shortlist depth the exact re-rank refines (ivf-pq "
         "only; default: the batch tier's 50 — on noisy corpora the "
         "binding recall lever; calibrate with index-calibrate "
-        "--pq-cands)",
+        "--pq-cands), or 'exact' to skip the codes/ADC stage entirely "
+        "and exact-refine every probed cell (the cheapest plan when "
+        "the calibrated depth meets or exceeds the probe fan-out)",
     )
 
     ical = sub.add_parser(
@@ -967,7 +976,9 @@ def main(argv: list[str] | None = None) -> int:
                 args.index,
                 sample,
                 n_probes=n_probes,
-                pq_cands=tuple(int(x) for x in args.pq_cands.split(",")),
+                pq_cands=tuple(
+                    _pq_cand_value(x) for x in args.pq_cands.split(",")
+                ),
                 at_k=at_k,
             )
             out = {"grid": grid}
@@ -987,7 +998,9 @@ def main(argv: list[str] | None = None) -> int:
                 spark,
                 args.index,
                 sample,
-                pq_cands=tuple(int(x) for x in args.pq_cands.split(",")),
+                pq_cands=tuple(
+                    _pq_cand_value(x) for x in args.pq_cands.split(",")
+                ),
                 n_probe=args.n_probe_fixed,
                 at_k=at_k,
             )

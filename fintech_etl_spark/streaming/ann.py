@@ -811,7 +811,20 @@ def ivf_pq_query_batch(
     attribution (``calibrate_n_probe``'s ``ceiling`` field) pins the
     gap to this cut, not to cell assignment. Cost scales with the
     exact-refine row count (pq_cand raw-vector rows per query), still
-    bounded by the probed cells."""
+    bounded by the probed cells.
+
+    ``pq_cand="exact"`` is the EXACT-REFINE serving mode (the r13
+    audit ask): skip the codes read, the per-sub ADC join, and the
+    shortlist window entirely, and exact-score every probed-cell
+    member. On corpora where the picker lands on pq_cand ≥ the probe
+    fan-out — the r13 grid receipt chose 16384 against a fan-out of
+    ~3,026 on the noise corpus — the ADC stage prunes nothing and is
+    pure overhead (a scan of the codes dataset plus a window, paid to
+    pass every candidate through); this mode serves the same results
+    (recall == the probe ceiling, ranks bit-equal to a
+    wider-than-fan-out shortlist) for less: no codes I/O, one window
+    instead of two. ``approx_dist`` equals ``dist`` in this mode (no
+    approximation happened)."""
     from pyspark.sql.window import Window as W
 
     from fintech_etl_spark.operators.similarity import (
@@ -825,13 +838,15 @@ def ivf_pq_query_batch(
 
     if n_probe is None:
         n_probe = _N_PROBE
+    exact_mode = pq_cand == "exact"
     if pq_cand is None:
         pq_cand = _PQ_CAND
     if coarse is None:
         coarse = spark.read.parquet(index_path + "/coarse")
-    if codebooks is None:
+    if codebooks is None and not exact_mode:
         codebooks = spark.read.parquet(index_path + "/codebooks")
-    codes = _read_ivf_dataset(spark, index_path, "codes")
+    # exact mode never touches the codes dataset — that is the point
+    codes = None if exact_mode else _read_ivf_dataset(spark, index_path, "codes")
     vectors = _read_ivf_dataset(spark, index_path, "vectors")
     # --- probe: identical expression shape to the batch tier ---
     qc = q.join(F.broadcast(coarse)).select(
@@ -855,6 +870,44 @@ def ivf_pq_query_batch(
             [],
             "query_id long, neighbor_id long, approx_dist double,"
             " dist double, rank int",
+        )
+
+    w = W.partitionBy("query_id")
+    if exact_mode:
+        # exact refine over every probed-cell member: one
+        # partition-pruned vectors scan, one distance, one window —
+        # no codes I/O, no ADC join, no shortlist cut to dilute
+        nv = vectors.filter(F.col("cell").isin(probed_cells)).select(
+            "cell",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+        )
+        exact_all = (
+            F.broadcast(probes)
+            .join(nv, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(_sq_dist(F.col("qv"), F.col("nv")), 4).alias("dist"),
+            )
+        )
+        return (
+            exact_all.withColumn(
+                "rank",
+                F.row_number().over(
+                    w.orderBy(F.col("dist").asc(), "neighbor_id")
+                ),
+            )
+            .filter(F.col("rank") <= top_k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("dist").alias("approx_dist"),
+                "dist",
+                "rank",
+            )
         )
 
     # --- ADC table: batch queries × subs × pq cells (tiny) ---
@@ -892,7 +945,6 @@ def ivf_pq_query_batch(
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.round(F.sum("tdist"), 4).alias("approx_dist"))
     )
-    w = W.partitionBy("query_id")
     shortlist = scored.withColumn(
         "crank",
         F.row_number().over(
@@ -1194,6 +1246,13 @@ def auto_n_probe(
         )
     return best[0]  # highest measured recall, smallest probe among ties
 
+def _pq_cand_order(pc) -> float:
+    """Sort/tie-break key for pq_cand values: integers ascending,
+    ``"exact"`` last — it behaves like an infinite shortlist (and is
+    priced separately: no ADC scan at all)."""
+    return float("inf") if pc == "exact" else float(pc)
+
+
 def calibrate_pq_cand(
     spark: SparkSession,
     index_path: str,
@@ -1278,7 +1337,7 @@ def calibrate_pq_cand(
     cand_q.persist()
     cand_q.count()
     curve = []
-    for pc in sorted(pq_cands):
+    for pc in sorted(pq_cands, key=_pq_cand_order):
         res = ivf_pq_query_batch(
             spark,
             index_path,
@@ -1292,14 +1351,14 @@ def calibrate_pq_cand(
         res.persist()
         # the raw vectors the exact re-rank reads per query: the ADC
         # shortlist, capped by what the probe actually yielded —
-        # measured from cell populations, not assumed
-        refined = (
-            cand_q.agg(
-                F.avg(F.least(F.lit(pc), F.col("cand_n"))).alias("r")
-            )
-            .first()
-            .r
+        # measured from cell populations, not assumed. Exact mode
+        # refines everything probed (but scans no codes at all)
+        refined_expr = (
+            F.avg("cand_n")
+            if pc == "exact"
+            else F.avg(F.least(F.lit(pc), F.col("cand_n")))
         )
+        refined = cand_q.agg(refined_expr.alias("r")).first().r
         recall = {}
         for k in at_k:
             hits = (
@@ -1346,7 +1405,7 @@ def auto_pq_cand(
             "calibrate_pq_cand with at least one pq_cand point first"
         )
     best = None
-    for point in sorted(curve, key=lambda p: p["pq_cand"]):
+    for point in sorted(curve, key=lambda p: _pq_cand_order(p["pq_cand"])):
         r = point["recall"].get(at_k, point["recall"].get(str(at_k)))
         if r is None:
             raise ValueError(f"curve has no recall@{at_k} measurements")
@@ -1444,7 +1503,7 @@ def calibrate_serving_grid(
         )
         costs.persist()
         fanout = costs.agg(F.avg("cand_n").alias("f")).first().f
-        for pc in sorted(pq_cands):
+        for pc in sorted(pq_cands, key=_pq_cand_order):
             res = ivf_pq_query_batch(
                 spark,
                 index_path,
@@ -1467,13 +1526,12 @@ def calibrate_serving_grid(
                     .count()
                 )
                 recall[k] = hits / float(n_queries * k)
-            refined = (
-                costs.agg(
-                    F.avg(F.least(F.lit(pc), F.col("cand_n"))).alias("r")
-                )
-                .first()
-                .r
+            refined_expr = (
+                F.avg("cand_n")
+                if pc == "exact"
+                else F.avg(F.least(F.lit(pc), F.col("cand_n")))
             )
+            refined = costs.agg(refined_expr.alias("r")).first().r
             res.unpersist()
             grid.append(
                 {
@@ -1497,7 +1555,15 @@ def _default_serving_cost(point: dict) -> float:
     shortlist row costs a full 64-dim distance (~64 mul-adds ≈ 8× an
     ADC candidate). So cost ≈ fanout + 8 × refined — a documented
     default, injectable where the deployment's real constants differ
-    (e.g. refine reads hitting cold storage weigh far more)."""
+    (e.g. refine reads hitting cold storage weigh far more).
+
+    ``pq_cand="exact"`` pays NO ADC scan (the codes dataset is never
+    read) and refines every probed candidate: cost = 8 × fanout —
+    strictly below the ADC-no-op point (pq_cand ≥ fanout costs
+    fanout + 8 × fanout) at identical recall, which is exactly why
+    the grid should always include it."""
+    if point.get("pq_cand") == "exact":
+        return 8.0 * point["mean_fanout"]
     return point["mean_fanout"] + 8.0 * point["mean_refined"]
 
 
@@ -1528,11 +1594,12 @@ def pick_serving_config(
 
     if any(r(p) is None for p in grid):
         raise ValueError(f"grid has no recall@{at_k} measurements")
+    def key(p):
+        return (cost(p), p["n_probe"], _pq_cand_order(p["pq_cand"]))
+
     feasible = [p for p in grid if r(p) >= target_recall]
     if feasible:
-        return min(
-            feasible, key=lambda p: (cost(p), p["n_probe"], p["pq_cand"])
-        )
+        return min(feasible, key=key)
     if strict:
         best = max(grid, key=r)
         raise ValueError(
@@ -1542,7 +1609,4 @@ def pick_serving_config(
             "widen the sweep, or the corpus/quantizer caps out here"
         )
     top = max(r(p) for p in grid)
-    return min(
-        (p for p in grid if r(p) == top),
-        key=lambda p: (cost(p), p["n_probe"], p["pq_cand"]),
-    )
+    return min((p for p in grid if r(p) == top), key=key)

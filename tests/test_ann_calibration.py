@@ -389,3 +389,90 @@ def test_pq_cand_reaches_streaming_server(spark, tmp_path):
     for (qid, _rank) in served:
         per_q[qid] = per_q.get(qid, 0) + 1
     assert per_q and max(per_q.values()) <= 3
+
+
+def test_exact_refine_mode_parity_and_no_codes_scan(spark, tmp_path):
+    """pq_cand='exact' (r13 audit ask): when the calibrated shortlist
+    meets or exceeds the probe fan-out, the ADC stage prunes nothing —
+    serve by exact refine over the probed cells instead. Pinned:
+    (query_id, neighbor_id, dist, rank) bit-equal to the windowed path
+    with a wider-than-fan-out shortlist, approx_dist == dist (no
+    approximation happened), and the physical plan reads NO codes
+    files at all (the windowed plan does)."""
+    from fintech_etl_spark.streaming.ann import ivf_pq_query_batch
+
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(spark, SF_SMOKE, idx, k=4)
+    queries = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 12)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .select("query_id", F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    windowed = ivf_pq_query_batch(
+        spark, idx, queries, n_probe=2, top_k=5, pq_cand=10**6
+    )
+    exact = ivf_pq_query_batch(
+        spark, idx, queries, n_probe=2, top_k=5, pq_cand="exact"
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    wrows = {key(r): (r.neighbor_id, r.dist) for r in windowed.collect()}
+    erows = {key(r): (r.neighbor_id, r.dist) for r in exact.collect()}
+    assert wrows == erows and len(erows) == 12 * 5
+    for r in exact.collect():
+        assert r.approx_dist == r.dist  # exact mode approximates nothing
+    # the exact plan never touches the codes dataset (whose scan is
+    # identifiable by its pq_cell column; file paths truncate in the
+    # plan string)
+    eplan = exact._jdf.queryExecution().executedPlan().toString()
+    wplan = windowed._jdf.queryExecution().executedPlan().toString()
+    assert "pq_cell" not in eplan and "codes" not in eplan
+    assert "pq_cell" in wplan
+
+
+def test_grid_prices_exact_mode_below_the_adc_noop(spark, tmp_path):
+    """The grid sweeps 'exact' as a first-class point: identical
+    recall to the covered-shortlist point (both refine everything
+    probed) at strictly LOWER modeled cost (no ADC scan) — so the
+    picker emits exact mode whenever only full refinement reaches the
+    target (the r13 receipt's pq_cand=16384 >= fan-out case)."""
+    from fintech_etl_spark.streaming.ann import (
+        _default_serving_cost,
+        auto_pq_cand,
+        calibrate_pq_cand,
+        calibrate_serving_grid,
+        pick_serving_config,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ivf_pq_index(spark, SF_SMOKE, idx, k=4)
+    queries = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    grid = calibrate_serving_grid(
+        spark, idx, queries, n_probes=(4,), pq_cands=(5, 100000, "exact"),
+        at_k=(5,),
+    )
+    by = {p["pq_cand"]: p for p in grid}
+    # same recall as the ADC-no-op point (both refine every candidate)
+    assert by["exact"]["recall"][5] == by[100000]["recall"][5]
+    # exact refines the full fan-out but pays no ADC scan
+    assert by["exact"]["mean_refined"] == by["exact"]["mean_fanout"]
+    assert (
+        _default_serving_cost(by["exact"])
+        < _default_serving_cost(by[100000])
+    )
+    # a target only full refinement reaches → the picker lands on exact
+    target = by[100000]["recall"][5]
+    if by[5]["recall"][5] < target:
+        assert pick_serving_config(grid, target, at_k=5)["pq_cand"] == "exact"
+    # the single-lever sweep orders/returns it coherently too
+    curve = calibrate_pq_cand(
+        spark, idx, queries, pq_cands=(5, "exact"), n_probe=4, at_k=(5,)
+    )
+    assert [p["pq_cand"] for p in curve] == [5, "exact"]
+    assert curve[-1]["recall"][5] >= curve[0]["recall"][5]
+    if curve[0]["recall"][5] < curve[-1]["recall"][5]:
+        assert auto_pq_cand(curve, curve[-1]["recall"][5], at_k=5) == "exact"
