@@ -521,6 +521,39 @@ def main(argv: list[str] | None = None) -> int:
         "flight)",
     )
 
+    mnt = sub.add_parser(
+        "maintain",
+        help="ONE cron verb for every manifest-backed dataset: detects "
+        "whether the root is a z-order layout, a receipt lake, or an "
+        "ANN index from its manifest, evaluates that client's due "
+        "condition (layout: compaction-due marker / --when-drift-above "
+        "poll; lake+indexes: --when-segments-above fragmentation), and "
+        "runs only due work — nothing due is a no-op, safe at any "
+        "frequency",
+    )
+    mnt.add_argument("path", help="manifest-backed dataset root")
+    mnt.add_argument(
+        "--when-segments-above",
+        type=int,
+        default=16,
+        help="fragmentation trigger for lakes and indexes (default 16)",
+    )
+    mnt.add_argument(
+        "--when-drift-above",
+        type=float,
+        help="layout-only: also compact when live drift exceeds this "
+        "(for layouts written by non-marking clients)",
+    )
+    mnt.add_argument("--num-files", type=int, default=32)
+    mnt.add_argument("--files-per-partition", type=int, default=1)
+    mnt.add_argument(
+        "--vacuum-keep",
+        type=int,
+        help="after work ran, garbage-collect segments not referenced "
+        "by the newest N manifests (keep >= 2 while scans may be in "
+        "flight)",
+    )
+
     mv = sub.add_parser(
         "manifest-vacuum",
         help="garbage-collect any manifest-backed dataset (ANN index, "
@@ -834,6 +867,19 @@ def main(argv: list[str] | None = None) -> int:
 
             out["vacuum"] = mfst.vacuum(args.path, keep_last=args.vacuum_keep)
         print(json.dumps(out))
+    elif args.cmd == "maintain":
+        from fintech_etl_spark.sinks.maintenance import maintain
+
+        out = maintain(
+            spark,
+            args.path,
+            when_segments_above=args.when_segments_above,
+            when_drift_above=args.when_drift_above,
+            num_files=args.num_files,
+            files_per_partition=args.files_per_partition,
+            vacuum_keep=args.vacuum_keep,
+        )
+        print(json.dumps({"path": args.path, **out}))
     elif args.cmd == "manifest-vacuum":
         from fintech_etl_spark.sinks import manifest as mfst
 

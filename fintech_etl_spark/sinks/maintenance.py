@@ -348,3 +348,101 @@ def compact_ivf_pq_index(spark: SparkSession, index_path: str, **kw) -> dict:
             spark, index_path + "/vectors", ["cell"], **kw
         ),
     }
+
+
+def maintain(
+    spark: SparkSession,
+    root: str,
+    *,
+    when_segments_above: int = 16,
+    when_drift_above: float | None = None,
+    num_files: int = 32,
+    files_per_partition: int = 1,
+    vacuum_keep: int | None = None,
+) -> dict:
+    """ONE maintenance verb for every manifest client (the r13 audit's
+    operational ask): read the live manifest, detect what kind of
+    dataset this root is from the dataset names it commits — a z-order
+    LAYOUT (``layout``), a receipt LAKE (``receipts``), an IVF-PQ
+    index (``vectors``+``codes``) or an LSH index (``index``) — then
+    evaluate that client's own due condition and run only due work.
+    A fleet cron points one invocation per root at this instead of
+    remembering three verbs and three thresholds:
+
+    - layout: a committed ``compaction_due`` marker (the streaming
+      drift handoff) always runs; ``when_drift_above`` additionally
+      polls the manifest-only drift metric for layouts written by
+      non-marking clients — the exact ``layout-maintain`` semantics;
+    - lake / indexes: fragmentation-due — compact when the live
+      manifest names more than ``when_segments_above`` segments (sum
+      over the client's datasets), the ``lake-compact
+      --when-segments-above`` trigger generalized;
+    - nothing due (or an unrecognized client) = loud-keyed no-op dict,
+      safe at any cron frequency; ``vacuum_keep`` garbage-collects
+      superseded segments afterwards only when work actually ran.
+
+    Returns ``{kind, ran, ...client-specific stats}``."""
+    from fintech_etl_spark.sinks import manifest as mfst
+
+    if not mfst.is_transactional(root):
+        raise ValueError(
+            f"maintain: {root!r} is not a manifest-backed dataset — "
+            "only transactional layouts/lakes/indexes carry the "
+            "manifest state maintenance decisions are read from"
+        )
+    m = mfst.current(root)
+    datasets = set(m["datasets"])
+    out: dict
+    if "layout" in datasets:
+        from fintech_etl_spark.operators.layout import (
+            mark_compaction_due,
+            run_due_compaction,
+            zorder_drift,
+        )
+
+        res = run_due_compaction(spark, root, num_files=num_files)
+        out = {"kind": "layout", "ran": res is not None}
+        if res is not None:
+            out.update(res)
+        elif when_drift_above is not None:
+            d = zorder_drift(root)["drift"]
+            out["drift"] = d
+            if d > when_drift_above:
+                mark_compaction_due(root, drift=d, threshold=when_drift_above)
+                res = run_due_compaction(spark, root, num_files=num_files)
+                if res is not None:
+                    out["ran"] = True
+                    out.update(res)
+    elif "receipts" in datasets:
+        n_segs = len(m["datasets"].get("receipts", []))
+        out = {"kind": "lake", "ran": False, "segments": n_segs,
+               "threshold": when_segments_above}
+        if n_segs > when_segments_above:
+            from fintech_etl_spark.sinks.receipts import compact_receipts_lake
+
+            out.update(compact_receipts_lake(
+                spark, root, files_per_partition=files_per_partition
+            ))
+            out["ran"] = True
+    elif {"vectors", "codes"} <= datasets or "index" in datasets:
+        ivf = "vectors" in datasets
+        names = ("vectors", "codes") if ivf else ("index",)
+        n_segs = sum(len(m["datasets"].get(ds, [])) for ds in names)
+        out = {"kind": "ivf-pq" if ivf else "lsh", "ran": False,
+               "segments": n_segs, "threshold": when_segments_above}
+        if n_segs > when_segments_above:
+            fn = compact_ivf_pq_index if ivf else compact_lsh_index
+            out.update({"compacted": fn(
+                spark, root, files_per_partition=files_per_partition
+            )})
+            out["ran"] = True
+    else:
+        raise ValueError(
+            f"maintain: {root!r} commits datasets {sorted(datasets)!r}, "
+            "which match no known manifest client (layout / receipts "
+            "lake / ivf-pq / lsh) — run the client-specific verb, or "
+            "teach maintain() the new client's due condition"
+        )
+    if out["ran"] and vacuum_keep is not None:
+        out["vacuum"] = mfst.vacuum(root, keep_last=vacuum_keep)
+    return out

@@ -779,3 +779,96 @@ def test_run_due_compaction_remarks_when_drift_survives_the_rewrite(
     assert lay.compaction_due(root) is None
     assert lay.zorder_drift(root)["drift"] == 0.0
     assert read_zorder(spark, root).count() == 1500
+
+
+def test_unified_maintain_verb_covers_all_three_clients(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """ONE cron verb (r14): `maintain <root>` detects the client kind
+    from the manifest's dataset names and runs that client's due
+    condition — layout marker/drift handoff, lake fragmentation,
+    index fragmentation — with a no-op (not an error) when nothing is
+    due, and a loud refusal on non-manifest roots. One fleet cron
+    entry per root replaces three verbs with three thresholds."""
+    from fintech_etl_spark.operators.layout import (
+        compaction_due,
+        mark_compaction_due,
+    )
+    from fintech_etl_spark.sinks.maintenance import maintain
+    from fintech_etl_spark.sinks.receipts import write_receipts_parquet
+    from fintech_etl_spark.streaming.ann import (
+        append_lsh_index,
+        build_lsh_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # --- layout: marker-due ---
+    lay = str(tmp_path / "lay")
+    zorder_write(_frame(spark, 1500), ["x", "y"], lay, num_files=2,
+                 transactional=True)
+    mark_compaction_due(lay, drift=0.7, threshold=0.5)
+    out = maintain(spark, lay)
+    assert out["kind"] == "layout" and out["ran"]
+    assert compaction_due(lay) is None  # marker cleared by the rewrite
+    assert maintain(spark, lay) == {"kind": "layout", "ran": False}
+    # drift-poll trigger for non-marking writers: out-of-bounds append
+    seg = mf.new_segment_path(lay)
+    _frame(spark, 300).select(
+        "rowid", (F.col("x") + 10_000).alias("x"), (F.col("y") + 10_000).alias("y")
+    ).write.parquet(seg)
+    mf.commit(lay, add={_LAYOUT_DS: [seg]},
+              segment_stats={_LAYOUT_DS: {seg: {"x": [10000, 11000],
+                                                "y": [10000, 11000]}}})
+    out = maintain(spark, lay, when_drift_above=0.5)
+    assert out["ran"] and out["kind"] == "layout"
+
+    # --- lake: fragmentation-due ---
+    lake = str(tmp_path / "lake")
+    rows = spark.createDataFrame(
+        [("2024-01-05", 1.0), ("2024-02-07", 2.0), ("2024-03-09", 3.0)],
+        "transaction_date string, total double",
+    ).select(F.col("transaction_date").cast("date").alias("transaction_date"),
+             "total")
+    for i in range(3):
+        write_receipts_parquet(rows, lake, transactional=True,
+                               batch_key=f"b{i}")
+    out = maintain(spark, lake, when_segments_above=5)
+    assert out == {"kind": "lake", "ran": False, "segments": 3,
+                   "threshold": 5}
+    out = maintain(spark, lake, when_segments_above=2, vacuum_keep=2)
+    assert out["kind"] == "lake" and out["ran"]
+    assert len(mf.current(lake)["datasets"]["receipts"]) == 1
+    assert "vacuum" in out
+
+    # --- LSH index: fragmentation-due ---
+    idx = str(tmp_path / "idx")
+    from fintech_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    build_lsh_index(spark, SF_SMOKE, idx, transactional=True)
+    append_lsh_index(
+        emb.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        ),
+        idx,
+    )
+    n_segs = len(mf.current(idx)["datasets"]["index"])
+    assert n_segs >= 2
+    out = maintain(spark, idx, when_segments_above=1)
+    assert out["kind"] == "lsh" and out["ran"]
+    assert len(mf.current(idx)["datasets"]["index"]) == 1
+    assert maintain(spark, idx, when_segments_above=1)["ran"] is False
+
+    # --- CLI + loud edges ---
+    from fintech_etl_spark import cli
+
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    assert cli.main(["maintain", lake, "--when-segments-above", "0"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["kind"] == "lake" and rep["ran"]  # 1 segment > 0 → recompact
+    with pytest.raises(ValueError, match="not a manifest-backed"):
+        maintain(spark, str(tmp_path / "nowhere"))
+    weird = str(tmp_path / "weird")
+    mf.commit(weird, replace={"mystery": []})
+    with pytest.raises(ValueError, match="no known manifest client"):
+        maintain(spark, weird)
