@@ -516,21 +516,26 @@ class FileLockProvider:
         """Refresh the lock's mtime (the staleness clock) so a
         legitimately-slow holder — vacuum's destructive phase over
         many segments — does not cross the staleness bound mid-work
-        and get stolen from. Verify-then-utime has the same
+        and get stolen from. OWNERSHIP IS CHECKED FIRST, always: the
+        mtime belongs to whatever lock file currently exists, and
+        after a steal that is the THIEF's fresh lock — an
+        mtime-before-token order would read it as "plenty of lease
+        left" and let a stolen holder keep mutating (the r14
+        self-review catch). Verify-then-utime keeps the same
         microsecond residual window the steal path documents (a steal
         landing exactly between the token read and the utime touches
         the thief's lock's mtime — harmless: it only DELAYS the next
         steal); the CAS provider's renew is fully atomic. Cheap-when-
-        early: a lock younger than half the staleness bound returns
-        unchanged without touching the file. None = no longer ours."""
+        early: OUR lock younger than half the staleness bound returns
+        unchanged without the utime. None = no longer ours."""
         path, owner = handle
         stale = self.stale_sec if self.stale_sec is not None else _LOCK_STALE_SEC
         try:
-            if time.time() - os.path.getmtime(path) < stale * 0.5:
-                return handle
             with open(path) as fh:
                 if fh.read() != owner:
                     return None  # stolen — never extend the thief's clock
+            if time.time() - os.path.getmtime(path) < stale * 0.5:
+                return handle
             os.utime(path, None)
             return handle
         except OSError:
@@ -542,25 +547,33 @@ class FileLockProvider:
 
     def claim_version(self, mdir: str, version: int, manifest_name: str) -> bool:
         """The conditional COMMIT POINT (see :func:`commit`): an
-        atomic ``O_CREAT|O_EXCL`` of ``claim-<version>`` naming the
+        atomic create-exclusive of ``claim-<version>`` naming the
         manifest file — exactly one committer per version wins, so a
         stalled holder whose lock was stolen can no longer
         last-writer-win the pointer swap even inside the microsecond
         verify-to-replace window (the r13 ADVICE residual). True =
-        this committer owns the version."""
+        this committer owns the version.
+
+        The claim appears CONTENT-COMPLETE or not at all: the name is
+        fsync-written to a private temp file first and published by
+        ``os.link`` (atomic create-exclusive on POSIX/NFSv4/HDFS, like
+        the lock file itself). A bare ``O_CREAT|O_EXCL``-then-write
+        would leave a crash window with an EMPTY claim on disk — one
+        that rolls nothing forward yet blocks every future claim of
+        that version, wedging the log (the r14 self-review catch)."""
+        claim = self._claim_path(mdir, version)
+        tmp = f"{claim}.tmp-{uuid.uuid4().hex[:8]}"
+        _fsync_write(tmp, manifest_name)
         try:
-            fd = os.open(
-                self._claim_path(mdir, version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-            try:
-                os.write(fd, manifest_name.encode())
-                os.fsync(fd)
-            finally:
-                os.close(fd)
+            os.link(tmp, claim)
             return True
         except FileExistsError:
             return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def read_claim(self, mdir: str, version: int) -> str | None:
         try:
@@ -1084,6 +1097,14 @@ def vacuum(
             if n.startswith("ingested-") and n not in live_buckets:
                 os.remove(os.path.join(mdir, n))
                 removed_buckets.append(n)
+            elif n.startswith("claim-") and ".tmp-" in n:
+                # an unpublished claim temp: its committer crashed
+                # before the atomic link (live committers can't be
+                # mid-claim — vacuum holds the commit lock)
+                try:
+                    os.remove(os.path.join(mdir, n))
+                except OSError:
+                    pass
     finally:
         provider.release(handle)
     return {
@@ -1296,8 +1317,8 @@ def fsck(root: str) -> dict:
     }
     min_v = min(by_version) if by_version else 0
     for n in sorted(os.listdir(mdir)):
-        if not n.startswith("claim-"):
-            continue
+        if not n.startswith("claim-") or ".tmp-" in n:
+            continue  # tmp = a crashed committer's unpublished claim
         try:
             cv = int(n.split("-")[1])
         except (IndexError, ValueError):

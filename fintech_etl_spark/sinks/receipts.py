@@ -166,7 +166,11 @@ def write_receipts_parquet(
     if file_key_col is not None:
         # per-FILE granularity: probe the history, keep only rows from
         # unprocessed files (bounded driver pull: one row per source
-        # file in the batch, Spark's own unit of file-stream work)
+        # file in the batch, Spark's own unit of file-stream work).
+        # A REBUILD (mode="overwrite") resets that history in its own
+        # commit, so probing it would no-op the rebuild against keys
+        # describing rows the rebuild is about to discard — every
+        # incoming file is new by definition there
         files = sorted(
             r[0]
             for r in receipts.select(file_key_col).distinct().collect()
@@ -174,7 +178,7 @@ def write_receipts_parquet(
         )
         done = (
             mf.ingested_contains(path, files)
-            if mf.is_transactional(path)
+            if mf.is_transactional(path) and mode != "overwrite"
             else set()
         )
         todo = [f for f in files if f not in done]
@@ -229,10 +233,18 @@ def write_receipts_parquet(
                 _RECEIPTS_DS: {seg: {"transaction_month": [mm.lo, mm.hi]}}
             }
     if mode == "overwrite":
-        replace_map = {_RECEIPTS_DS: [seg]}
-        if _OUTBOX_DS in adds:
-            replace_map[_OUTBOX_DS] = adds[_OUTBOX_DS]
-        mf.commit(path, replace=replace_map, **kwargs)
+        # the RECEIPTS dataset is replaced (that is what a rebuild
+        # means) but the outbox segment is still an ADD: pending
+        # payload segments from earlier batches are undelivered
+        # notification intent — replacing the outbox dataset would
+        # silently drop them, re-opening the at-most-once loss the
+        # outbox exists to close (the r14 self-review catch)
+        mf.commit(
+            path,
+            replace={_RECEIPTS_DS: adds.pop(_RECEIPTS_DS)},
+            add=adds or None,
+            **kwargs,
+        )
     else:
         mf.commit(path, add=adds, **kwargs)
     result: dict = {"published": True}
@@ -285,7 +297,7 @@ def drain_webhook_outbox(spark: SparkSession, path: str, sink) -> dict:
             "lake — the outbox is a transactional-lake feature"
         )
     totals = {"batches": 0, "sent": 0, "failed": 0, "skipped": 0}
-    drained: list[str] = []
+    delivered: list[str] = []
     for seg in mf.dataset_segments(path, _OUTBOX_DS):
         rel = os.path.relpath(seg, path)
         # 60-bit stable id: the ledger partitions on it, and a retry
@@ -298,11 +310,25 @@ def drain_webhook_outbox(spark: SparkSession, path: str, sink) -> dict:
         totals["failed"] += res.get("failed", 0)
         totals["skipped"] += res.get("skipped", 0)
         if res.get("failed", 0) == 0:
-            try:
-                mf.commit(path, remove={_OUTBOX_DS: [seg]})
-                drained.append(rel)
-            except mf.StaleSegmentError:
-                pass  # a concurrent drain removed it first — done either way
+            delivered.append(seg)
+    # ONE remove-commit for every fully-delivered segment: after an
+    # outage drained hundreds of pending batches, per-segment commits
+    # would burn a lock round-trip + manifest rewrite + version number
+    # each. A concurrent drain racing the same segments surfaces as
+    # StaleSegmentError — fall back to per-segment removes so its
+    # already-removed ones are skipped without abandoning ours.
+    drained: list[str] = []
+    if delivered:
+        try:
+            mf.commit(path, remove={_OUTBOX_DS: delivered})
+            drained = [os.path.relpath(s, path) for s in delivered]
+        except mf.StaleSegmentError:
+            for seg in delivered:
+                try:
+                    mf.commit(path, remove={_OUTBOX_DS: [seg]})
+                    drained.append(os.path.relpath(seg, path))
+                except mf.StaleSegmentError:
+                    pass  # a concurrent drain removed it — done either way
     totals["drained"] = drained
     return totals
 

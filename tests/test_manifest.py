@@ -1699,3 +1699,48 @@ def test_commit_renews_when_critical_section_outlives_lease(
     m2 = mf.commit(root, file_keys=["retry"], lock=provider)
     assert m2["version"] == 2
     assert mf.fsck(root)["ok"]
+
+
+def test_file_renew_refuses_after_steal_even_with_fresh_thief_lock(tmp_path):
+    """r14 self-review catch: FileLockProvider.renew must check the
+    owner TOKEN before trusting the lock file's mtime — after a steal
+    the mtime on disk belongs to the THIEF's fresh lock, and an
+    mtime-first early-exit would tell the stolen holder its lease is
+    fine while the thief commits."""
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    victim = mf.FileLockProvider(stale_sec=0.05)
+    h = victim.acquire(mdir)
+    time.sleep(0.1)  # victim stalls past the staleness bound
+    thief = mf.FileLockProvider(stale_sec=0.05)
+    h2 = thief.acquire(mdir)  # steals; the thief's lock mtime is FRESH
+    assert victim.renew(h) is None  # fresh mtime must not mask the steal
+    assert thief.renew(h2) == h2  # the rightful holder renews fine
+    thief.release(h2)
+
+
+def test_crashed_claim_tmp_never_wedges_and_is_vacuumed(tmp_path):
+    """The claim is published by an atomic link of a fsync'd temp
+    file, so a crash mid-claim leaves only an UNLINKED tmp — never an
+    empty claim that would block every future claim of that version
+    while rolling nothing forward (the r14 self-review wedge). The
+    tmp is invisible to fsck and collected by vacuum."""
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []})
+    mf.commit(root, file_keys=["k1"])
+    mdir = mf.manifests_dir(root)
+    # a committer crashed between the tmp fsync and the link
+    mf._fsync_write(
+        os.path.join(mdir, "claim-0000000002.tmp-deadbeef"), "manifest-x"
+    )
+    rep = mf.fsck(root)
+    assert rep["ok"], rep["errors"]  # not a malformed claim, not pending
+    # the version is still claimable — nothing wedged
+    m2 = mf.commit(root, file_keys=["k2"])
+    assert m2["version"] == 2
+    mf.vacuum(root, keep_last=2, orphan_grace_sec=0.0)
+    assert not [
+        n for n in os.listdir(mdir)
+        if n.startswith("claim-") and ".tmp-" in n
+    ]
+    assert mf.fsck(root)["ok"]

@@ -730,3 +730,58 @@ def test_cli_webhook_outbox_end_to_end(spark, tmp_path, capsys, monkeypatch):
     assert mf.dataset_segments(lake, _OUTBOX_DS) == []  # all drained
     # orphan's 2 docs + other.csv's 1 doc joined the receiver store
     assert len(_os.listdir(store)) == 5
+
+
+def test_overwrite_rebuild_preserves_pending_outbox(spark, tmp_path):
+    """r14 self-review catch: a rebuild (mode='overwrite') REPLACES the
+    receipts dataset but must carry pending outbox segments FORWARD —
+    they are undelivered notification intent from earlier batches, and
+    replacing the outbox dataset too would silently drop them,
+    re-opening the exact at-most-once loss the outbox closes."""
+    import os as _os
+
+    from fintech_etl_spark.sinks import WebhookSink, write_receipts_parquet
+    from fintech_etl_spark.sinks import manifest as mf
+    from fintech_etl_spark.sinks.receipts import (
+        _OUTBOX_DS,
+        drain_webhook_outbox,
+    )
+
+    base = _golden_receipts(spark, tmp_path)
+    n = base.count()
+    fa = base.withColumn("source_file", F.lit("gs://b/a.csv"))
+    lake = str(tmp_path / "lake_owb")
+    write_receipts_parquet(
+        fa, lake, transactional=True, file_key_col="source_file",
+        outbox=to_webhook_payloads,
+    )
+    assert len(mf.dataset_segments(lake, _OUTBOX_DS)) == 1  # pending
+    # rebuild from scratch (replace-commit) WITH its own outbox
+    write_receipts_parquet(
+        fa, lake, mode="overwrite", transactional=True,
+        file_key_col="source_file", outbox=to_webhook_payloads,
+    )
+    segs = mf.dataset_segments(lake, _OUTBOX_DS)
+    assert len(segs) == 2  # old pending intent carried forward + new
+    # one drain delivers BOTH batches' documents, then empties — and
+    # the fully-delivered removals land as ONE commit
+    store = tmp_path / "receiver"
+    store.mkdir()
+    posts = []
+
+    def poster(url, body, headers, _store=str(store)):
+        doc = json.loads(body)
+        path = _os.path.join(_store, doc["document_id"].replace("/", "_"))
+        with open(path + f".{len(_os.listdir(_store))}", "w") as f:
+            f.write("1")
+        return 200
+
+    v_before = mf.current(lake)["version"]
+    sink = WebhookSink(
+        url="http://example.invalid/hook", poster=poster,
+        ledger_path=str(tmp_path / "ledger"),
+    )
+    d = drain_webhook_outbox(spark, lake, sink)
+    assert d["batches"] == 2 and d["failed"] == 0 and d["sent"] == 2 * n
+    assert mf.dataset_segments(lake, _OUTBOX_DS) == []
+    assert mf.current(lake)["version"] == v_before + 1  # one remove-commit

@@ -33,17 +33,23 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
 
 
-def _worker(names_path: str, out_path: str) -> int:
-    """Time each named query in THIS tree: 1 warm + 1 timed pass per
-    query, one fresh JVM for the whole pass. Interleaving across
-    worker invocations (the orchestrator's job) provides repetition."""
+def _worker(tree: str, names_path: str, out_path: str) -> int:
+    """Time each named query in the tree at ``tree``: 1 warm + 1 timed
+    pass per query, one fresh JVM for the whole pass. Interleaving
+    across worker invocations (the orchestrator's job) provides
+    repetition. The tree under test is inserted at sys.path position 0
+    EXPLICITLY — an ambient insert of this script's own repo would
+    shadow the baseline tree and silently compare HEAD vs HEAD (the
+    r14 self-review catch); the worker records which package file it
+    actually imported so the orchestrator can refuse a shadowed run."""
+    sys.path.insert(0, tree)
     with open(names_path) as fh:
         names = json.load(fh)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    import fintech_etl_spark
     from fintech_etl_spark.registry import queries
     from fintech_etl_spark.session import build_session
 
@@ -65,7 +71,12 @@ def _worker(names_path: str, out_path: str) -> int:
     except OSError:
         load = None
     with open(out_path, "w") as fh:
-        json.dump({"timings": timings, "skipped": skipped, "load": load}, fh)
+        json.dump({
+            "timings": timings,
+            "skipped": skipped,
+            "load": load,
+            "package_file": os.path.abspath(fintech_etl_spark.__file__),
+        }, fh)
     return 0
 
 
@@ -81,7 +92,8 @@ def _default_baseline() -> str:
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        return _worker(sys.argv[2], sys.argv[3])
+        return _worker(sys.argv[2], sys.argv[3], sys.argv[4])
+    sys.path.insert(0, REPO)  # orchestrator only — never in the worker
 
     baseline = None
     runs = 3
@@ -117,18 +129,30 @@ def main() -> int:
 
         # the worker is always THIS file (HEAD's timing protocol, so
         # both trees are measured identically); the tree under test is
-        # selected purely via PYTHONPATH + cwd
+        # passed explicitly and sys.path-pinned inside the worker, and
+        # the worker reports which package file it imported — a
+        # shadowed import (both runs timing HEAD) is refused, not
+        # silently averaged into ratios of ~1.0
         def run_worker(tree: str, tag: str, rep: int) -> dict:
             out = os.path.join(work, f"{tag}_{rep}.json")
-            env = dict(os.environ)
-            env["PYTHONPATH"] = tree
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--worker", names_path, out],
-                cwd=tree, env=env, check=True,
+                 "--worker", tree, names_path, out],
+                cwd=tree, check=True,
             )
             with open(out) as fh:
-                return json.load(fh)
+                got = json.load(fh)
+            pkg = got["package_file"]
+            if not pkg.startswith(os.path.realpath(tree) + os.sep) and not (
+                pkg.startswith(tree + os.sep)
+            ):
+                raise RuntimeError(
+                    f"bench_ab: the {tag} worker imported "
+                    f"fintech_etl_spark from {pkg!r}, not from its tree "
+                    f"{tree!r} — the A/B would compare a tree against "
+                    "itself; aborting"
+                )
+            return got
 
         reps = {"head": [], "base": []}
         order_log = []
@@ -162,8 +186,12 @@ def main() -> int:
             per_query[n] = {"head": h, "base": b, "ratio": ratio}
             if ratio is not None and ratio > 1.2:
                 watch.append(n)
-        h_sum = round(sum(v for v in head.values()), 3)
-        b_sum = round(sum(base.get(n, 0.0) for n in head), 3)
+        # suite sums over queries present in BOTH trees only: a query
+        # the baseline predates would add its full HEAD time against a
+        # base 0.0 and fabricate a whole-suite regression
+        both = [n for n in names if n in head and n in base]
+        h_sum = round(sum(head[n] for n in both), 3)
+        b_sum = round(sum(base[n] for n in both), 3)
         receipt = {
             "claim": "full-headline-suite interleaved A/B, HEAD vs the "
             "previous round-close tree on this box: per-query min-of-"
@@ -179,6 +207,7 @@ def main() -> int:
             "runs_per_tree": runs,
             "interleave_order": order_log,
             "n_queries": len(names),
+            "n_compared": len(both),
             "suite_sum_head": h_sum,
             "suite_sum_base": b_sum,
             "suite_ratio": round(h_sum / b_sum, 3) if b_sum else None,
