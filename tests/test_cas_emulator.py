@@ -45,6 +45,7 @@ loud`` in ``test_cas_lock.py``.
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 import pytest
@@ -255,3 +256,47 @@ def test_s3_manifest_commits_e2e_vs_moto(moto_s3_store, tmp_path):
 
 def test_ddb_manifest_commits_e2e_vs_moto(moto_ddb_store, tmp_path):
     _manifest_commits_e2e(moto_ddb_store, tmp_path)
+
+
+def _threads_lose_no_commit(st, tmp_path) -> None:
+    """The manifest lost-update invariant under real thread contention
+    over moto. moto does not promise atomic conditional evaluation
+    under threads (module doc) — but the commit protocol no longer
+    depends on it: even if the lease race double-admitted, the
+    conditional COMMIT POINT (claim_version's put_if_absent per
+    version) admits exactly one manifest per version, so no commit can
+    be lost. This is precisely the property the conditional commit
+    point was added for; the thread matrix exercises it end-to-end."""
+    provider = CASLockProvider(st)
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []}, lock=provider)
+    errors: list[str] = []
+
+    def adder(tid):
+        try:
+            for i in range(5):
+                mf.commit(root, file_keys=[f"t{tid}-{i}"], lock=provider)
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=adder, args=(t,)) for t in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert mf.current(root)["version"] == 15
+    assert len(mf.ingested_keys(root)) == 15
+    assert mf.fsck(root)["ok"]
+
+
+def test_s3_lock_provider_threads_lose_no_commit_vs_moto(
+    moto_s3_store, tmp_path
+):
+    _threads_lose_no_commit(moto_s3_store, tmp_path)
+
+
+def test_ddb_lock_provider_threads_lose_no_commit_vs_moto(
+    moto_ddb_store, tmp_path
+):
+    _threads_lose_no_commit(moto_ddb_store, tmp_path)
