@@ -226,3 +226,102 @@ def receipts_lake_tx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(version).cast("long").alias("lake_version"),
         )
     )
+
+
+_LAKE_SE_ORACLE = """
+    SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1
+                         THEN o_orderpriority END, 'LEGACY') AS channel,
+           CAST(count(*) AS BIGINT)                          AS n,
+           round(sum(o_totalprice), 4)                       AS sum_total,
+           CAST(1 AS BIGINT) AS new_col_refused_without_merge,
+           CAST(1 AS BIGINT) AS type_conflict_refused
+    FROM orders
+    GROUP BY 1
+"""
+
+
+@register(
+    "receipts_lake_schema_evolution",
+    _LAKE_SE_ORACLE,
+    doc=(
+        "Schema evolution on the transactional receipt lake, "
+        "value-checked end-to-end: batch A commits the base schema, a "
+        "batch adding a `channel` column is REFUSED without "
+        "merge_schema=True (the typo guard), the same batch with "
+        "merge_schema=True widens the committed contract WITHOUT "
+        "rewriting batch A's segments (at 100 TB evolution must be a "
+        "metadata commit, not a lake rewrite), and a batch retyping "
+        "`channel` int is refused unconditionally. The read unions "
+        "segments by name, so pre-evolution rows surface as null "
+        "channel — grouped here as 'LEGACY' and value-checked against "
+        "the oracle computing the same split from orders directly. "
+        "The two refusal flags ride the row (lit(1) each) so the "
+        "loud-failure semantics are oracle-checked, not just "
+        "pytest-asserted; per-write mechanics (record in dataset_meta, "
+        "time travel across the evolution, compaction preserving "
+        "nulls) are pinned by tests/test_schema_evolution.py."
+    ),
+    tags=("receipts", "transactional", "schema"),
+)
+def receipts_lake_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fintech_etl_spark.sinks.receipts import (
+        SchemaEvolutionError,
+        read_receipts,
+        write_receipts_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("receipt_id"),
+        F.col("o_orderdate").cast("date").alias("transaction_date"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    a = base.filter(F.col("receipt_id") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("receipt_id"),
+        F.col("o_orderdate").cast("date").alias("transaction_date"),
+        F.col("o_totalprice").alias("total_amount"),
+        F.col("o_orderpriority").alias("channel"),
+    )
+    lake = os.path.join(
+        tempfile.gettempdir(),
+        "fintech_etl_rlake_se_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(lake, ignore_errors=True)
+    write_receipts_parquet(a, lake, transactional=True, batch_key="se-a")
+    refused = 0
+    try:
+        write_receipts_parquet(b, lake, batch_key="se-b")
+    except SchemaEvolutionError:
+        refused = 1  # new column without merge_schema: the typo guard
+    write_receipts_parquet(b, lake, batch_key="se-b", merge_schema=True)
+    conflict = 0
+    try:
+        write_receipts_parquet(
+            b.withColumn("channel", F.lit(1)),
+            lake,
+            batch_key="se-c",
+            merge_schema=True,
+        )
+    except SchemaEvolutionError:
+        conflict = 1  # retyped column: refused even when merging
+    return (
+        read_receipts(spark, lake)
+        .groupBy(F.coalesce("channel", F.lit("LEGACY")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("total_amount"), 4).alias("sum_total"),
+            F.lit(refused)
+            .cast("long")
+            .alias("new_col_refused_without_merge"),
+            F.lit(conflict).cast("long").alias("type_conflict_refused"),
+        )
+    )

@@ -30,6 +30,89 @@ _RECEIPTS_DS = "receipts"
 _OUTBOX_DS = "webhook_outbox"
 
 
+class SchemaEvolutionError(ValueError):
+    """A transactional write's schema is incompatible with the lake's
+    committed schema: a column was retyped (always refused — casts are
+    the writer's job), or new columns arrived without
+    ``merge_schema=True`` (refused so a typo'd column name cannot
+    silently fork the lake schema — Delta's ``mergeSchema`` posture)."""
+
+
+def _schema_fields(df: DataFrame) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+def _evolved_schema(
+    path: str, out: DataFrame, merge_schema: bool, mode: str
+) -> dict[str, str]:
+    """Validate the staged frame against the lake's committed schema
+    (``dataset_meta['schema']`` — the Iceberg table-properties slot,
+    riding the same atomic pointer swap as the segments) and return
+    the record the commit should carry.
+
+    Rules, in Delta/Iceberg's shape:
+
+    - same name, different ``simpleString`` type → ALWAYS refused
+      (:class:`SchemaEvolutionError` naming both types). The read path
+      would otherwise defer the failure to an opaque union error on
+      some later scan; failing the WRITE names the batch that forked.
+    - new columns → refused unless ``merge_schema=True`` (so a typo
+      can't silently add a column), then recorded as a widened schema.
+      Old segments simply lack the column; ``read_segments`` unions by
+      name with ``allowMissingColumns`` so their rows read as null —
+      no rewrite of committed data, which is the entire point at
+      100 TB.
+    - a batch MISSING committed columns is allowed (its rows read as
+      null for those columns) — the record keeps them.
+    - ``mode="overwrite"`` resets the record to the batch's schema (a
+      rebuild defines a new contract, like ``reset_ingested``).
+
+    A lake written before schema records existed (no ``schema`` key in
+    its meta) adopts the incoming batch's schema as the initial
+    record; historical segments stay readable through the same
+    union-by-name path regardless.
+
+    The meta read happens outside the commit lock, so two concurrent
+    evolving writers can race the RECORD (never the data): the loser's
+    record may omit the winner's new column, which makes a LATER write
+    of that column over-refuse (ask for ``merge_schema`` again) —
+    loud and safe, never a silent fork."""
+    incoming = _schema_fields(out)
+    if mode == "overwrite" or not mf.is_transactional(path):
+        return incoming
+    committed = (mf.get_dataset_meta(path, _RECEIPTS_DS) or {}).get("schema")
+    if committed is None:
+        return incoming
+    conflicts = {
+        c: (committed[c], t)
+        for c, t in incoming.items()
+        if c in committed and committed[c] != t
+    }
+    if conflicts:
+        detail = ", ".join(
+            f"{c!r} committed as {old} but written as {new}"
+            for c, (old, new) in sorted(conflicts.items())
+        )
+        raise SchemaEvolutionError(
+            f"write_receipts_parquet: type conflict with the committed "
+            f"lake schema ({detail}) — cast the column(s) to the "
+            "committed type, or rebuild with mode='overwrite' to define "
+            "a new contract"
+        )
+    new_cols = sorted(c for c in incoming if c not in committed)
+    if new_cols and not merge_schema:
+        raise SchemaEvolutionError(
+            f"write_receipts_parquet: batch adds column(s) "
+            f"{new_cols} not in the committed lake schema — pass "
+            "merge_schema=True to evolve the schema (old segments read "
+            "as null for the new columns), or drop/rename the columns "
+            "if this is a typo"
+        )
+    merged = dict(committed)
+    merged.update(incoming)
+    return merged
+
+
 def _has_parquet(path: str) -> bool:
     """True if ``path`` holds any parquet data OUTSIDE a manifest's
     segments — i.e. a plain directory lake a tx write would orphan."""
@@ -60,6 +143,7 @@ def write_receipts_parquet(
     batch_key: str | None = None,
     file_key_col: str | None = None,
     outbox=None,
+    merge_schema: bool = False,
 ) -> dict:
     """Write receipts, partitioned by transaction month.
 
@@ -118,6 +202,19 @@ def write_receipts_parquet(
     document_ids, a retry delivers with the same idempotency keys
     even though a re-run of the pipeline would mint new run_ts-derived
     ids. Delivery itself is :func:`drain_webhook_outbox`.
+
+    Schema evolution (transactional only): every commit records the
+    lake's column→type contract in the manifest's ``dataset_meta``
+    (one atomic fact with the segments). An append whose frame RETYPES
+    a committed column is always refused loudly; one that ADDS columns
+    is refused unless ``merge_schema=True`` (Delta's ``mergeSchema``
+    posture — a typo'd column name must never silently fork the
+    schema). With ``merge_schema=True`` the record widens and old
+    segments are NOT rewritten — ``read_receipts`` unions segments by
+    name, so pre-evolution rows read as null for the new columns;
+    at 100 TB that is the difference between a metadata commit and a
+    full-lake rewrite. ``mode="overwrite"`` resets the contract to the
+    batch's schema. See :class:`SchemaEvolutionError`.
 
     Returns ``{"published": bool, "files_published": [...],
     "files_skipped": [...]}`` (the file lists only under
@@ -193,13 +290,23 @@ def write_receipts_parquet(
             receipts = receipts.filter(F.col(file_key_col).isin(todo))
         file_keys = todo
     seg = mf.new_segment_path(path)
-    out = receipts
+    out = _with_month(receipts) if partition_by_month else receipts
+    # validate against the committed schema BEFORE staging any data —
+    # a refused batch must leave nothing on disk to orphan
+    schema_rec = _evolved_schema(path, out, merge_schema, mode)
     writer = out.write.mode("overwrite")
     if partition_by_month:
-        out = _with_month(receipts)
-        writer = out.write.mode("overwrite").partitionBy("transaction_month")
+        writer = writer.partitionBy("transaction_month")
     writer.parquet(seg)
     kwargs: dict = {"file_keys": file_keys} if file_keys is not None else {}
+    prior_meta = (
+        dict(mf.get_dataset_meta(path, _RECEIPTS_DS) or {})
+        if mode != "overwrite" and mf.is_transactional(path)
+        else {}
+    )
+    kwargs["dataset_meta"] = {
+        _RECEIPTS_DS: {**prior_meta, "schema": schema_rec}
+    }
     if mode == "overwrite":
         kwargs["reset_ingested"] = True
     adds: dict = {_RECEIPTS_DS: [seg]}

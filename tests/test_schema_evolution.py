@@ -1,0 +1,201 @@
+"""Transactional-lake schema evolution (round 14).
+
+The read path has unioned drifted segments by name since r12
+(``read_segments``' ``allowMissingColumns`` union); what was missing
+was the WRITE-side contract: nothing stopped a committer from silently
+forking the lake schema with a typo'd or retyped column. Now every
+transactional commit records the column→type contract in
+``dataset_meta['schema']`` (one atomic fact with the segments) and
+validates the incoming frame against it — Delta's ``mergeSchema``
+posture: adds need ``merge_schema=True``, retypes are always refused,
+old segments are never rewritten (at 100 TB, evolution must be a
+metadata commit, not a lake rewrite). The oracle-checked end-to-end
+row is ``receipts_lake_schema_evolution``; these tests pin the
+per-write mechanics.
+"""
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fintech_etl_spark.sinks import manifest as mf
+from fintech_etl_spark.sinks.receipts import (
+    SchemaEvolutionError,
+    _RECEIPTS_DS,
+    compact_receipts_lake,
+    read_receipts,
+    write_receipts_parquet,
+)
+
+
+def _frame(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def _base(spark, n=4, month=1):
+    return _frame(
+        spark,
+        [
+            (i, dt.date(2024, month, 1 + i), float(100 + i))
+            for i in range(n)
+        ],
+        ["receipt_id", "transaction_date", "total_amount"],
+    )
+
+
+def _with_channel(spark, n=4, month=2):
+    return _frame(
+        spark,
+        [
+            (100 + i, dt.date(2024, month, 1 + i), float(200 + i), f"web-{i}")
+            for i in range(n)
+        ],
+        ["receipt_id", "transaction_date", "total_amount", "channel"],
+    )
+
+
+def test_new_column_refused_without_merge_and_stages_nothing(
+    spark, tmp_path
+):
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(_base(spark), lake, transactional=True)
+    v = mf.current(lake)["version"]
+    with pytest.raises(SchemaEvolutionError, match="channel"):
+        write_receipts_parquet(_with_channel(spark), lake)
+    # refused BEFORE staging: no new segment dir, no commit
+    assert mf.current(lake)["version"] == v
+    assert len(mf.dataset_segments(lake, _RECEIPTS_DS)) == 1
+
+
+def test_merge_schema_widens_without_rewriting_old_segments(
+    spark, tmp_path
+):
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(_base(spark), lake, transactional=True)
+    seg0 = mf.dataset_segments(lake, _RECEIPTS_DS)[0]
+    import os
+
+    mtimes = {
+        f: os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(seg0)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    write_receipts_parquet(_with_channel(spark), lake, merge_schema=True)
+    # evolution was a METADATA commit: batch A's files untouched
+    for r, _, fs in os.walk(seg0):
+        for f in fs:
+            if f.endswith(".parquet"):
+                assert os.path.getmtime(os.path.join(r, f)) == mtimes[f]
+    got = read_receipts(spark, lake)
+    assert set(got.columns) >= {
+        "receipt_id", "total_amount", "channel", "transaction_month"
+    }
+    rows = {r.receipt_id: r.channel for r in got.collect()}
+    assert len(rows) == 8
+    assert all(v is None for k, v in rows.items() if k < 100)  # legacy
+    assert all(v == f"web-{k - 100}" for k, v in rows.items() if k >= 100)
+    # the contract rides dataset_meta
+    rec = mf.get_dataset_meta(lake, _RECEIPTS_DS)["schema"]
+    assert rec["channel"] == "string"
+    assert rec["receipt_id"] in ("bigint", "int", "long")
+
+
+def test_retype_refused_even_with_merge_schema(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(_with_channel(spark), lake, transactional=True)
+    bad = _with_channel(spark).withColumn("channel", F.lit(7))
+    with pytest.raises(SchemaEvolutionError, match="committed as string"):
+        write_receipts_parquet(bad, lake, merge_schema=True)
+
+
+def test_batch_missing_committed_column_is_allowed(spark, tmp_path):
+    """The mirror direction: a writer that predates the new column (or
+    simply has nothing for it) still commits; its rows read as null.
+    The record KEEPS the committed column."""
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(_with_channel(spark), lake, transactional=True)
+    write_receipts_parquet(_base(spark), lake)
+    rec = mf.get_dataset_meta(lake, _RECEIPTS_DS)["schema"]
+    assert "channel" in rec
+    got = read_receipts(spark, lake)
+    assert got.filter(F.col("channel").isNull()).count() == 4
+
+
+def test_overwrite_resets_the_contract(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(_with_channel(spark), lake, transactional=True)
+    write_receipts_parquet(_base(spark), lake, mode="overwrite")
+    rec = mf.get_dataset_meta(lake, _RECEIPTS_DS)["schema"]
+    assert "channel" not in rec  # rebuild defined a new contract
+    # and the old contract no longer constrains: an int 'channel' is
+    # now just a NEW column again (refused only for the merge gate)
+    bad = _base(spark).withColumn("channel", F.lit(7))
+    with pytest.raises(SchemaEvolutionError, match="merge_schema=True"):
+        write_receipts_parquet(bad, lake)
+    write_receipts_parquet(bad, lake, merge_schema=True)
+    assert mf.get_dataset_meta(lake, _RECEIPTS_DS)["schema"][
+        "channel"
+    ] == "int"
+
+
+def test_time_travel_reads_pre_evolution_schema(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(_base(spark), lake, transactional=True)
+    v0 = mf.current(lake)["version"]
+    write_receipts_parquet(_with_channel(spark), lake, merge_schema=True)
+    old = read_receipts(spark, lake, version=v0)
+    assert "channel" not in old.columns
+    assert old.count() == 4
+
+
+def test_compaction_preserves_evolved_nulls_and_the_record(
+    spark, tmp_path
+):
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(_base(spark), lake, transactional=True)
+    write_receipts_parquet(_with_channel(spark), lake, merge_schema=True)
+    before = {
+        (r.receipt_id, r.channel)
+        for r in read_receipts(spark, lake).collect()
+    }
+    res = compact_receipts_lake(spark, lake)
+    assert res["rows"] == 8
+    after = {
+        (r.receipt_id, r.channel)
+        for r in read_receipts(spark, lake).collect()
+    }
+    assert after == before  # nulls for legacy rows survive the rewrite
+    # dataset_meta (incl. the schema record) is carried forward by the
+    # rewrite commit — evolution state survives maintenance
+    assert "channel" in mf.get_dataset_meta(lake, _RECEIPTS_DS)["schema"]
+
+
+def test_pre_record_lake_adopts_incoming_schema(spark, tmp_path):
+    """A lake written before schema records existed (meta without a
+    'schema' key) must keep accepting writes: the first new-code write
+    adopts the batch schema as the initial record."""
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(_base(spark), lake, transactional=True)
+    # simulate the r13-era lake: strip the record
+    meta = dict(mf.get_dataset_meta(lake, _RECEIPTS_DS) or {})
+    meta.pop("schema", None)
+    mf.commit(lake, dataset_meta={_RECEIPTS_DS: meta})
+    assert "schema" not in (mf.get_dataset_meta(lake, _RECEIPTS_DS) or {})
+    write_receipts_parquet(_base(spark), lake)
+    assert "schema" in mf.get_dataset_meta(lake, _RECEIPTS_DS)
+
+
+def test_plain_lake_is_out_of_scope(spark, tmp_path):
+    """Schema records are a transactional feature: a plain directory
+    lake has no manifest to carry the contract, and Spark's plain
+    multi-file read resolves one footer's schema anyway — evolution
+    there means migrating to a transactional lake."""
+    lake = str(tmp_path / "plain")
+    write_receipts_parquet(_base(spark), lake, transactional=False)
+    # no error, no record — documented plain-lake behavior
+    write_receipts_parquet(
+        _with_channel(spark), lake, transactional=False
+    )
