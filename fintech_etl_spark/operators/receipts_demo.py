@@ -232,7 +232,7 @@ _LAKE_SE_ORACLE = """
     SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1
                          THEN o_orderpriority END, 'LEGACY') AS channel,
            CAST(count(*) AS BIGINT)                          AS n,
-           round(sum(o_totalprice), 4)                       AS sum_total,
+           round(avg(o_totalprice), 4)                       AS avg_total,
            CAST(1 AS BIGINT) AS new_col_refused_without_merge,
            CAST(1 AS BIGINT) AS type_conflict_refused
     FROM orders
@@ -318,7 +318,11 @@ def receipts_lake_schema_evolution(
         .groupBy(F.coalesce("channel", F.lit("LEGACY")).alias("channel"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("total_amount"), 4).alias("sum_total"),
+            # avg, not sum: the LEGACY group spans the whole table and
+            # a 75k-double sum at magnitude 1e10 differs between Spark
+            # and DuckDB in the 4th decimal on accumulation order
+            # alone; the mean's order noise is ~1e-9 at any SF
+            F.round(F.avg("total_amount"), 4).alias("avg_total"),
             F.lit(refused)
             .cast("long")
             .alias("new_col_refused_without_merge"),
