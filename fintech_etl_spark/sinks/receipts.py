@@ -72,6 +72,13 @@ def _evolved_schema(
     record; historical segments stay readable through the same
     union-by-name path regardless.
 
+    Scope, stated honestly: types compare by ``simpleString``, so a
+    change INSIDE a nested struct/array column reads as a retype and
+    is refused (Delta evolves nested fields; here the supported
+    evolution unit is the top-level column). Nullability is not
+    tracked — parquet stores it per file and the union read resolves
+    it naturally.
+
     The meta read happens outside the commit lock, so two concurrent
     evolving writers can race the RECORD (never the data): the loser's
     record may omit the winner's new column, which makes a LATER write
