@@ -25,6 +25,8 @@ import time
 
 import pytest
 
+import cas_contract  # tests/ is on sys.path under pytest
+
 from fintech_etl_spark.sinks import manifest as mf
 from fintech_etl_spark.sinks.locks import CASLockProvider, CASStore
 
@@ -272,20 +274,9 @@ def test_cas_store_contract(tmp_path, mk):
     """The three-primitive contract BOTH stores must satisfy — the
     emulation the race matrix drives and the real-service client
     (over the generation-semantics fake) must be indistinguishable to
-    CASLockProvider."""
-    st = mk(tmp_path)
-    assert st.get("k") is None
-    assert st.put_if_absent("k", {"v": 1}) is True
-    assert st.put_if_absent("k", {"v": 2}) is False  # create-exclusive
-    assert st.get("k") == {"v": 1}
-    assert st.delete_if_match("k", {"v": 2}) is False  # wrong expected
-    assert st.get("k") == {"v": 1}
-    assert st.delete_if_match("k", {"v": 1}) is True
-    assert st.get("k") is None
-    assert st.delete_if_match("k", {"v": 1}) is False  # already gone
-    # re-creation after delete works (generation history is no bar)
-    assert st.put_if_absent("k", {"v": 3}) is True
-    assert st.get("k") == {"v": 3}
+    CASLockProvider. Body in tests/cas_contract.py — the SAME source
+    of truth tests/test_cas_emulator.py runs against moto."""
+    cas_contract.primitive_contract(mk(tmp_path))
 
 
 def test_gcs_store_steal_race_is_single_winner(tmp_path):
@@ -598,20 +589,10 @@ def test_ddb_lock_provider_threads_lose_no_commit(tmp_path):
     lambda tp: _ddb_store(tp),
 ], ids=["emulator", "gcs", "s3", "ddb"])
 def test_put_if_match_contract(tmp_path, mk):
-    """The FOURTH primitive, identical across all four stores: replace
-    only when the current value matches, absent key = no match, and a
-    successful replace invalidates the OLD value for any later
-    conditional (the generation/etag/condition moved with it)."""
-    st = mk(tmp_path)
-    assert st.put_if_match("k", {"v": 1}, {"v": 2}) is False  # absent
-    assert st.put_if_absent("k", {"v": 1}) is True
-    assert st.put_if_match("k", {"v": 9}, {"v": 2}) is False  # mismatch
-    assert st.get("k") == {"v": 1}
-    assert st.put_if_match("k", {"v": 1}, {"v": 2}) is True
-    assert st.get("k") == {"v": 2}
-    # the old value no longer matches anything — a stale steal loses
-    assert st.delete_if_match("k", {"v": 1}) is False
-    assert st.delete_if_match("k", {"v": 2}) is True
+    """The FOURTH primitive, identical across all four stores. Body in
+    tests/cas_contract.py — the SAME source of truth the moto suite
+    executes."""
+    cas_contract.put_if_match_contract(mk(tmp_path))
 
 
 @pytest.mark.parametrize("mk", [
