@@ -206,7 +206,8 @@ def receipts_lake_tx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = os.path.join(
         tempfile.gettempdir(),
         "fintech_etl_rlake_"
-        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        + f"_{os.getpid()}",  # two concurrent harnesses never collide
     )
     shutil.rmtree(lake, ignore_errors=True)
     a = receipts.filter(F.col("receipt_id") % 2 == 0)
@@ -293,7 +294,8 @@ def receipts_lake_schema_evolution(
     lake = os.path.join(
         tempfile.gettempdir(),
         "fintech_etl_rlake_se_"
-        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        + f"_{os.getpid()}",  # two concurrent harnesses never collide
     )
     shutil.rmtree(lake, ignore_errors=True)
     write_receipts_parquet(a, lake, transactional=True, batch_key="se-a")

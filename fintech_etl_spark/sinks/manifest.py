@@ -718,6 +718,7 @@ def commit(
     file_keys: list[str] | None = None,
     reset_ingested: bool = False,
     dataset_meta: dict[str, dict] | None = None,
+    dataset_meta_fn: dict | None = None,
     segment_stats: dict[str, dict[str, dict]] | None = None,
     lock: FileLockProvider | None = None,
 ) -> dict:
@@ -749,6 +750,18 @@ def commit(
     ``_zbounds``) must never be observable out of sync with the
     segments they cluster. Meta for datasets not named is carried
     forward unchanged; naming a dataset overwrites its whole dict.
+
+    ``dataset_meta_fn`` maps dataset names to callables invoked UNDER
+    the commit lock with that dataset's COMMITTED meta dict (``None``
+    on a first commit); the return value becomes the dataset's meta.
+    This is the check-and-set companion to ``dataset_meta``: a client
+    whose meta derives from the current value (the receipt lake's
+    schema contract) validates against the LOCKED snapshot, so an
+    unlocked read-validate-commit can never lose a concurrent update.
+    A callable that raises aborts the whole commit before the version
+    claim or any write — nothing is published; staged segments are
+    left for vacuum's orphan collection. For a dataset named in both,
+    the callable wins (it sees the committed value, not the literal).
 
     ``segment_stats`` attaches per-SEGMENT column min/max —
     ``{dataset: {segment_path: {col: [lo, hi]}}}`` — the Iceberg
@@ -800,6 +813,21 @@ def commit(
             buckets, cp_count, n_buckets, tail = {}, 0, _INGEST_BUCKETS, []
         for ds, dm in (dataset_meta or {}).items():
             meta_by_ds[ds] = dm
+        for ds, fn in (dataset_meta_fn or {}).items():
+            # called UNDER the commit lock with the committed meta (the
+            # basis manifest's, pre-override; None on first commit) —
+            # the client's chance to validate-and-derive atomically
+            # with the swap. An exception aborts the commit before the
+            # claim or any write: nothing published, staged data
+            # orphaned for vacuum. Receipts' schema-evolution check
+            # runs here so two racing evolvers can never BOTH pass a
+            # stale unlocked pre-check and fork a column's type.
+            committed = (
+                (cur.get("dataset_meta") or {}).get(ds)
+                if basis is not None
+                else None
+            )
+            meta_by_ds[ds] = fn(committed)
         if reset_ingested:
             buckets, cp_count, tail = {}, 0, []
 

@@ -42,13 +42,23 @@ def _schema_fields(df: DataFrame) -> dict[str, str]:
     return {f.name: f.dataType.simpleString() for f in df.schema.fields}
 
 
-def _evolved_schema(
-    path: str, out: DataFrame, merge_schema: bool, mode: str
-) -> dict[str, str]:
-    """Validate the staged frame against the lake's committed schema
-    (``dataset_meta['schema']`` — the Iceberg table-properties slot,
-    riding the same atomic pointer swap as the segments) and return
-    the record the commit should carry.
+def _validate_schema_against(
+    committed_meta: dict | None,
+    incoming: dict[str, str],
+    month_partitioned: bool,
+    merge_schema: bool,
+) -> dict:
+    """Validate an incoming batch's schema against the lake's committed
+    contract (``dataset_meta['schema']`` — the Iceberg
+    table-properties slot, riding the same atomic pointer swap as the
+    segments) and return the meta dict the commit should carry. PURE:
+    it sees only the committed meta it is given, so the same body runs
+    twice — once unlocked before staging (fail fast, nothing on disk
+    to orphan) and once as the commit's ``dataset_meta_fn`` UNDER the
+    manifest lock, where it is authoritative: two racing evolvers can
+    both pass the stale pre-check, but the second one's locked check
+    sees the first's committed record and refuses — the fork aborts
+    before the version claim, loudly.
 
     Rules, in Delta/Iceberg's shape:
 
@@ -64,8 +74,15 @@ def _evolved_schema(
       100 TB.
     - a batch MISSING committed columns is allowed (its rows read as
       null for those columns) — the record keeps them.
+    - the contract covers the USER's columns only: the derived
+      ``transaction_month`` partition column never enters it (it would
+      read as a confusing "typo" the caller never wrote); instead the
+      partitioning SHAPE is recorded as ``month_partitioned`` and a
+      flip of it is refused outright — mixing month-partitioned and
+      flat segments in one lake needs an explicit rebuild.
     - ``mode="overwrite"`` resets the record to the batch's schema (a
-      rebuild defines a new contract, like ``reset_ingested``).
+      rebuild defines a new contract, like ``reset_ingested``) and is
+      therefore validated against nothing.
 
     A lake written before schema records existed (no ``schema`` key in
     its meta) adopts the incoming batch's schema as the initial
@@ -79,17 +96,28 @@ def _evolved_schema(
     tracked — parquet stores it per file and the union read resolves
     it naturally.
 
-    The meta read happens outside the commit lock, so two concurrent
-    evolving writers can race the RECORD (never the data): the loser's
-    record may omit the winner's new column, which makes a LATER write
-    of that column over-refuse (ask for ``merge_schema`` again) —
-    loud and safe, never a silent fork."""
-    incoming = _schema_fields(out)
-    if mode == "overwrite" or not mf.is_transactional(path):
-        return incoming
-    committed = (mf.get_dataset_meta(path, _RECEIPTS_DS) or {}).get("schema")
+    A refused LOCKED check aborts the commit after the segment was
+    staged: the orphaned directory is collected by vacuum, exactly
+    like a ``CommitLockLostError`` abort."""
+    meta = dict(committed_meta or {})
+    prev_shape = meta.get("month_partitioned")
+    if prev_shape is not None and prev_shape != month_partitioned:
+        want = "month-partitioned" if prev_shape else "flat"
+        got = "month-partitioned" if month_partitioned else "flat"
+        raise SchemaEvolutionError(
+            f"write_receipts_parquet: this lake's committed segments "
+            f"are {want} but the batch would write {got} "
+            f"(partition_by_month={month_partitioned}) — mixing "
+            "partitioning shapes in one lake is refused; keep the "
+            "committed shape, or rebuild with mode='overwrite'"
+        )
+    committed = meta.get("schema")
+    merged = dict(incoming)
     if committed is None:
-        return incoming
+        # pre-record lake: adopt the batch schema as the initial record
+        meta["schema"] = merged
+        meta["month_partitioned"] = month_partitioned
+        return meta
     conflicts = {
         c: (committed[c], t)
         for c, t in incoming.items()
@@ -117,7 +145,9 @@ def _evolved_schema(
         )
     merged = dict(committed)
     merged.update(incoming)
-    return merged
+    meta["schema"] = merged
+    meta["month_partitioned"] = month_partitioned
+    return meta
 
 
 def _has_parquet(path: str) -> bool:
@@ -211,16 +241,21 @@ def write_receipts_parquet(
     ids. Delivery itself is :func:`drain_webhook_outbox`.
 
     Schema evolution (transactional only): every commit records the
-    lake's column→type contract in the manifest's ``dataset_meta``
-    (one atomic fact with the segments). An append whose frame RETYPES
-    a committed column is always refused loudly; one that ADDS columns
-    is refused unless ``merge_schema=True`` (Delta's ``mergeSchema``
-    posture — a typo'd column name must never silently fork the
-    schema). With ``merge_schema=True`` the record widens and old
-    segments are NOT rewritten — ``read_receipts`` unions segments by
-    name, so pre-evolution rows read as null for the new columns;
-    at 100 TB that is the difference between a metadata commit and a
-    full-lake rewrite. ``mode="overwrite"`` resets the contract to the
+    lake's column→type contract (plus the ``month_partitioned`` shape
+    flag) in the manifest's ``dataset_meta`` — one atomic fact with
+    the segments. An append whose frame RETYPES a committed column is
+    always refused loudly; one that ADDS columns is refused unless
+    ``merge_schema=True`` (Delta's ``mergeSchema`` posture — a typo'd
+    column name must never silently fork the schema); a flip of the
+    partitioning shape is refused outright. With ``merge_schema=True``
+    the record widens and old segments are NOT rewritten —
+    ``read_receipts`` unions segments by name, so pre-evolution rows
+    read as null for the new columns; at 100 TB that is the difference
+    between a metadata commit and a full-lake rewrite. The check runs
+    twice: unlocked before staging (fail fast) and authoritatively
+    UNDER the commit lock (``manifest.commit(dataset_meta_fn=)``), so
+    two racing evolvers can never both slip a stale pre-check and fork
+    a column's type. ``mode="overwrite"`` resets the contract to the
     batch's schema. See :class:`SchemaEvolutionError`.
 
     Returns ``{"published": bool, "files_published": [...],
@@ -298,22 +333,37 @@ def write_receipts_parquet(
         file_keys = todo
     seg = mf.new_segment_path(path)
     out = _with_month(receipts) if partition_by_month else receipts
-    # validate against the committed schema BEFORE staging any data —
-    # a refused batch must leave nothing on disk to orphan
-    schema_rec = _evolved_schema(path, out, merge_schema, mode)
+    # the contract covers the caller's columns; the derived
+    # transaction_month partition column is tracked as the SHAPE flag
+    incoming = _schema_fields(receipts)
+
+    def _meta_fn(committed: dict | None) -> dict:
+        return _validate_schema_against(
+            committed, incoming, partition_by_month, merge_schema
+        )
+
+    if mode != "overwrite" and mf.is_transactional(path):
+        # fail fast BEFORE staging any data (unlocked snapshot — a
+        # refused batch leaves nothing on disk); the AUTHORITATIVE
+        # check is the same body re-run under the commit lock via
+        # dataset_meta_fn below, which a racing evolver cannot slip
+        # past — its abort orphans the staged segment for vacuum
+        _meta_fn(mf.get_dataset_meta(path, _RECEIPTS_DS))
     writer = out.write.mode("overwrite")
     if partition_by_month:
         writer = writer.partitionBy("transaction_month")
     writer.parquet(seg)
     kwargs: dict = {"file_keys": file_keys} if file_keys is not None else {}
-    prior_meta = (
-        dict(mf.get_dataset_meta(path, _RECEIPTS_DS) or {})
-        if mode != "overwrite" and mf.is_transactional(path)
-        else {}
-    )
-    kwargs["dataset_meta"] = {
-        _RECEIPTS_DS: {**prior_meta, "schema": schema_rec}
-    }
+    if mode == "overwrite":
+        # a rebuild defines a new contract — validated against nothing
+        kwargs["dataset_meta"] = {
+            _RECEIPTS_DS: {
+                "schema": dict(incoming),
+                "month_partitioned": partition_by_month,
+            }
+        }
+    else:
+        kwargs["dataset_meta_fn"] = {_RECEIPTS_DS: _meta_fn}
     if mode == "overwrite":
         kwargs["reset_ingested"] = True
     adds: dict = {_RECEIPTS_DS: [seg]}

@@ -199,3 +199,83 @@ def test_plain_lake_is_out_of_scope(spark, tmp_path):
     write_receipts_parquet(
         _with_channel(spark), lake, transactional=False
     )
+
+
+def test_racing_evolvers_cannot_fork_a_type_under_the_lock(
+    spark, tmp_path, monkeypatch
+):
+    """The r14 review's top finding, closed: the unlocked pre-check can
+    be stale (writer A validates, writer B commits channel:int, then A
+    commits channel:string) — but the AUTHORITATIVE check re-runs as
+    manifest.commit's dataset_meta_fn UNDER the lock, where A sees B's
+    committed record and aborts before the version claim. Simulated by
+    blinding A's pre-check and interleaving B's real commit."""
+    import fintech_etl_spark.sinks.receipts as rmod
+
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(_base(spark), lake, transactional=True)
+    # B commits channel as STRING for real
+    write_receipts_parquet(_with_channel(spark), lake, merge_schema=True)
+    v = mf.current(lake)["version"]
+    segs_before = set(mf.dataset_segments(lake, _RECEIPTS_DS))
+    # A's pre-check is stale: blind it so only the locked check stands
+    real = rmod._validate_schema_against
+    calls = {"n": 0}
+
+    def blinded(committed, incoming, month_partitioned, merge_schema):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the unlocked pre-check: sees nothing
+            return real(None, incoming, month_partitioned, merge_schema)
+        return real(committed, incoming, month_partitioned, merge_schema)
+
+    monkeypatch.setattr(rmod, "_validate_schema_against", blinded)
+    bad = _base(spark).withColumn("channel", F.lit(7))  # int vs string
+    with pytest.raises(SchemaEvolutionError, match="committed as string"):
+        write_receipts_parquet(bad, lake, merge_schema=True)
+    assert calls["n"] == 2  # the locked check DID run and refused
+    # nothing committed: version unchanged, no new live segment, the
+    # schema record still says string
+    assert mf.current(lake)["version"] == v
+    assert set(mf.dataset_segments(lake, _RECEIPTS_DS)) == segs_before
+    assert mf.get_dataset_meta(lake, _RECEIPTS_DS)["schema"][
+        "channel"
+    ] == "string"
+    # the staged-but-refused segment is an orphan; vacuum collects it
+    import os
+
+    seg_root = os.path.join(lake, "segments")
+    n_dirs_before = len(os.listdir(seg_root))
+    mf.vacuum(lake, keep_last=10, orphan_grace_sec=0.0)
+    assert len(os.listdir(seg_root)) < n_dirs_before
+    assert mf.fsck(lake)["ok"]
+
+
+def test_partition_shape_flip_is_refused(spark, tmp_path):
+    """The derived transaction_month column never enters the contract
+    (it would read as a baffling 'typo' the caller never wrote) — the
+    partitioning SHAPE is its own recorded flag, and flipping it is
+    refused in BOTH directions without a rebuild."""
+    flat = str(tmp_path / "flat")
+    write_receipts_parquet(
+        _base(spark), flat, transactional=True, partition_by_month=False
+    )
+    with pytest.raises(SchemaEvolutionError, match="partition"):
+        write_receipts_parquet(_base(spark), flat)  # default True
+    monthly = str(tmp_path / "monthly")
+    write_receipts_parquet(_base(spark), monthly, transactional=True)
+    with pytest.raises(SchemaEvolutionError, match="partition"):
+        write_receipts_parquet(
+            _base(spark), monthly, partition_by_month=False
+        )
+    # a rebuild may change the shape — it defines a new contract
+    write_receipts_parquet(
+        _base(spark), monthly, mode="overwrite", partition_by_month=False
+    )
+    assert (
+        mf.get_dataset_meta(monthly, _RECEIPTS_DS)["month_partitioned"]
+        is False
+    )
+    # and the contract never mentions the derived column
+    assert "transaction_month" not in mf.get_dataset_meta(
+        monthly, _RECEIPTS_DS
+    )["schema"]
