@@ -152,6 +152,40 @@ def receipt_documents_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_lake(sf_dir: str, tag: str) -> str:
+    """Per-process scratch path for a demo lake, with a sweep of stale
+    siblings: the pid suffix keeps two concurrent harnesses apart, and
+    dead runs' lakes (same prefix, older than an hour) are reclaimed on
+    entry so repeated runs cannot leak /tmp unboundedly (the r14 review
+    pair of findings — collision vs leak — resolved together). An
+    ACTIVE concurrent harness's lake is recent, so the sweep spares it."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    base = tempfile.gettempdir()
+    prefix = (
+        f"fintech_etl_{tag}_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    )
+    try:
+        for n in os.listdir(base):
+            if n.startswith(prefix + "_"):
+                p = os.path.join(base, n)
+                try:
+                    if time.time() - os.path.getmtime(p) > 3600:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    lake = os.path.join(base, f"{prefix}_{os.getpid()}")
+    shutil.rmtree(lake, ignore_errors=True)
+    return lake
+
+
 _LAKE_TX_ORACLE = """
     SELECT CAST(count(*) AS BIGINT)        AS n,
            round(sum(o_totalprice), 4)     AS sum_total,
@@ -187,11 +221,6 @@ _LAKE_TX_ORACLE = """
     tags=("receipts", "transactional", "scale"),
 )
 def receipts_lake_tx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from fintech_etl_spark.sinks import manifest as mf
     from fintech_etl_spark.sinks.receipts import (
         read_receipts,
@@ -203,13 +232,7 @@ def receipts_lake_tx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("transaction_date"),
         F.col("o_totalprice").alias("total_amount"),
     )
-    lake = os.path.join(
-        tempfile.gettempdir(),
-        "fintech_etl_rlake_"
-        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-        + f"_{os.getpid()}",  # two concurrent harnesses never collide
-    )
-    shutil.rmtree(lake, ignore_errors=True)
+    lake = _scratch_lake(sf_dir, "rlake")
     a = receipts.filter(F.col("receipt_id") % 2 == 0)
     b = receipts.filter(F.col("receipt_id") % 2 == 1)
     write_receipts_parquet(a, lake, transactional=True, batch_key="batch-a")
@@ -267,11 +290,6 @@ _LAKE_SE_ORACLE = """
 def receipts_lake_schema_evolution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from fintech_etl_spark.sinks.receipts import (
         SchemaEvolutionError,
         read_receipts,
@@ -291,13 +309,7 @@ def receipts_lake_schema_evolution(
         F.col("o_totalprice").alias("total_amount"),
         F.col("o_orderpriority").alias("channel"),
     )
-    lake = os.path.join(
-        tempfile.gettempdir(),
-        "fintech_etl_rlake_se_"
-        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-        + f"_{os.getpid()}",  # two concurrent harnesses never collide
-    )
-    shutil.rmtree(lake, ignore_errors=True)
+    lake = _scratch_lake(sf_dir, "rlake_se")
     write_receipts_parquet(a, lake, transactional=True, batch_key="se-a")
     refused = 0
     try:

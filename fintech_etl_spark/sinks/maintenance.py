@@ -133,6 +133,12 @@ def _compaction_layout(
     on the partition keys (plus a deterministic payload salt when more
     than one file per partition dir is wanted) so the partitioned write
     emits AT MOST ``files_per_partition`` files per dir."""
+    if not partition_cols:
+        # FLAT dataset (e.g. a receipts lake written with
+        # partition_by_month=False): no partition dirs to preserve —
+        # the rewrite just folds the fragments into
+        # ``files_per_partition`` files total
+        return df.repartition(files_per_partition)
     keys = [F.col(c) for c in partition_cols]
     payload = [c for c in df.columns if c not in partition_cols]
     if not payload:

@@ -827,7 +827,18 @@ def commit(
                 if basis is not None
                 else None
             )
-            meta_by_ds[ds] = fn(committed)
+            derived = fn(committed)
+            if not isinstance(derived, dict):
+                # a callable with a missing return would otherwise
+                # write dataset_meta: null — a poisoned manifest that
+                # crashes every FUTURE commit's carry-forward, far
+                # from the buggy fn (the r14 review catch)
+                raise TypeError(
+                    f"commit: dataset_meta_fn[{ds!r}] returned "
+                    f"{type(derived).__name__}, not a dict — the "
+                    "callable must return the dataset's full meta dict"
+                )
+            meta_by_ds[ds] = derived
         if reset_ingested:
             buckets, cp_count, tail = {}, 0, []
 

@@ -100,7 +100,15 @@ def _validate_schema_against(
     staged: the orphaned directory is collected by vacuum, exactly
     like a ``CommitLockLostError`` abort."""
     meta = dict(committed_meta or {})
+    committed = meta.get("schema")
     prev_shape = meta.get("month_partitioned")
+    if prev_shape is None and committed is not None:
+        # a lake recorded before the shape flag existed: the old
+        # writer's record included the derived transaction_month
+        # column iff the lake was month-partitioned, so the flip guard
+        # protects UPGRADED lakes too (the r14 review catch) — and the
+        # stale derived column is migrated out of the contract below
+        prev_shape = "transaction_month" in committed
     if prev_shape is not None and prev_shape != month_partitioned:
         want = "month-partitioned" if prev_shape else "flat"
         got = "month-partitioned" if month_partitioned else "flat"
@@ -111,13 +119,17 @@ def _validate_schema_against(
             "partitioning shapes in one lake is refused; keep the "
             "committed shape, or rebuild with mode='overwrite'"
         )
-    committed = meta.get("schema")
     merged = dict(incoming)
     if committed is None:
         # pre-record lake: adopt the batch schema as the initial record
         meta["schema"] = merged
         meta["month_partitioned"] = month_partitioned
         return meta
+    # migrate pre-flag records: old writers recorded the derived
+    # partition column; the contract covers user columns only
+    committed = {
+        c: t for c, t in committed.items() if c != "transaction_month"
+    }
     conflicts = {
         c: (committed[c], t)
         for c, t in incoming.items()
@@ -355,13 +367,9 @@ def write_receipts_parquet(
     writer.parquet(seg)
     kwargs: dict = {"file_keys": file_keys} if file_keys is not None else {}
     if mode == "overwrite":
-        # a rebuild defines a new contract — validated against nothing
-        kwargs["dataset_meta"] = {
-            _RECEIPTS_DS: {
-                "schema": dict(incoming),
-                "month_partitioned": partition_by_month,
-            }
-        }
+        # a rebuild defines a new contract — validated against nothing,
+        # which is exactly the fn's committed=None (adopt) branch
+        kwargs["dataset_meta"] = {_RECEIPTS_DS: _meta_fn(None)}
     else:
         kwargs["dataset_meta_fn"] = {_RECEIPTS_DS: _meta_fn}
     if mode == "overwrite":
@@ -509,15 +517,29 @@ def compact_receipts_lake(
     rewrite, so an ingest landing mid-compaction is carried forward,
     never lost). The rewritten segment's ``transaction_month`` min/max
     stats ride the same commit, so month-ranged manifest pruning
-    survives compaction. Returns {files_before, files_after, rows}."""
+    survives compaction. A FLAT lake (``partition_by_month=False``,
+    per the committed ``month_partitioned`` flag) is compacted without
+    the partition column it never had — hardcoding it crashed here
+    before the shape flag existed (the r14 review catch).
+    Returns {files_before, files_after, rows}."""
     from fintech_etl_spark.sinks.maintenance import compact_transactional
 
+    meta = mf.get_dataset_meta(path, _RECEIPTS_DS) or {}
+    monthly = meta.get("month_partitioned")
+    if monthly is None:
+        # pre-flag lake: infer from the committed schema record the
+        # old writer kept (it included the derived column iff
+        # partitioned); a lake with no record defaults to the writer's
+        # own default shape, month-partitioned
+        sch = meta.get("schema")
+        monthly = True if sch is None else ("transaction_month" in sch)
+    cols = ["transaction_month"] if monthly else []
     return compact_transactional(
         spark,
         path,
-        {_RECEIPTS_DS: ["transaction_month"]},
+        {_RECEIPTS_DS: cols},
         files_per_partition=files_per_partition,
-        stats_cols={_RECEIPTS_DS: ["transaction_month"]},
+        stats_cols={_RECEIPTS_DS: cols},
     )[_RECEIPTS_DS]
 
 

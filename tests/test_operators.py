@@ -18,7 +18,7 @@ def test_registry_complete_and_importable():
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
     assert len(specs) == 213
-    # 209 oracle-checked; the THREE deliberate rows-only rows are the
+    # 210 oracle-checked; the THREE deliberate rows-only rows are the
     # production twins whose mechanism has no cross-engine replay:
     # dedup_minhash_lsh_dense_fast (xxhash64 has no DuckDB twin —
     # pinned by the md5-tier parity test),

@@ -279,3 +279,70 @@ def test_partition_shape_flip_is_refused(spark, tmp_path):
     assert "transaction_month" not in mf.get_dataset_meta(
         monthly, _RECEIPTS_DS
     )["schema"]
+
+
+def test_flat_lake_compaction_works(spark, tmp_path):
+    """compact_receipts_lake reads the committed shape flag: a FLAT
+    lake (partition_by_month=False) is folded without the partition
+    column it never had — hardcoding transaction_month crashed here
+    (the r14 review catch)."""
+    lake = str(tmp_path / "flat")
+    for i in range(3):
+        write_receipts_parquet(
+            _base(spark, month=1 + i), lake,
+            transactional=True, partition_by_month=False,
+        )
+    before = {
+        (r.receipt_id, r.total_amount)
+        for r in read_receipts(spark, lake).collect()
+    }
+    res = compact_receipts_lake(spark, lake)
+    assert res["rows"] == 12 and res["files_after"] <= res["files_before"]
+    assert len(mf.dataset_segments(lake, _RECEIPTS_DS)) == 1
+    after = {
+        (r.receipt_id, r.total_amount)
+        for r in read_receipts(spark, lake).collect()
+    }
+    assert after == before
+    assert mf.fsck(lake)["ok"]
+
+
+def test_meta_fn_returning_non_dict_is_refused_not_poisoning(tmp_path):
+    """A dataset_meta_fn with a missing return would otherwise write
+    dataset_meta: null and crash every FUTURE commit's carry-forward,
+    far from the buggy callable — refused at the offending commit."""
+    root = str(tmp_path / "ds")
+    mf.commit(root, replace={"d": []})
+    with pytest.raises(TypeError, match="dataset_meta_fn"):
+        mf.commit(root, dataset_meta_fn={"d": lambda committed: None})
+    # the lake is NOT poisoned: later commits work, fsck clean
+    m = mf.commit(root, file_keys=["after"])
+    assert m["version"] == 1
+    assert mf.fsck(root)["ok"]
+
+
+def test_pre_flag_lake_shape_is_inferred_from_the_old_record(
+    spark, tmp_path
+):
+    """Lakes recorded before the month_partitioned flag existed kept
+    the derived transaction_month column in their schema record — the
+    flip guard infers the shape from it (so upgraded lakes are
+    protected too) and migrates the derived column out of the
+    contract on the next commit."""
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(_base(spark), lake, transactional=True)
+    # simulate the pre-flag record: derived column in, flag absent
+    meta = dict(mf.get_dataset_meta(lake, _RECEIPTS_DS))
+    meta.pop("month_partitioned", None)
+    meta["schema"] = {**meta["schema"], "transaction_month": "string"}
+    mf.commit(lake, dataset_meta={_RECEIPTS_DS: meta})
+    # the flip is refused on the inferred shape
+    with pytest.raises(SchemaEvolutionError, match="partition"):
+        write_receipts_parquet(
+            _base(spark), lake, partition_by_month=False
+        )
+    # a same-shape append passes and migrates the record
+    write_receipts_parquet(_base(spark), lake)
+    rec = mf.get_dataset_meta(lake, _RECEIPTS_DS)
+    assert rec["month_partitioned"] is True
+    assert "transaction_month" not in rec["schema"]
