@@ -553,6 +553,15 @@ def main(argv: list[str] | None = None) -> int:
         "by the newest N manifests (keep >= 2 while scans may be in "
         "flight)",
     )
+    mnt.add_argument(
+        "--webhook-url",
+        help="lake only: also drain the lake's pending webhook outbox "
+        "through the standard delivery ledger (<path>/_webhook_ledger) "
+        "— so a quiesced lake's staged notifications are delivered by "
+        "the same cron that compacts it, instead of waiting for the "
+        "next batch run; delivered ledger partitions are swept in the "
+        "same pass",
+    )
 
     mv = sub.add_parser(
         "manifest-vacuum",
@@ -878,6 +887,7 @@ def main(argv: list[str] | None = None) -> int:
             num_files=args.num_files,
             files_per_partition=args.files_per_partition,
             vacuum_keep=args.vacuum_keep,
+            webhook_url=args.webhook_url,
         )
         print(json.dumps({"path": args.path, **out}))
     elif args.cmd == "manifest-vacuum":

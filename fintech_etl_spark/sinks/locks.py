@@ -378,32 +378,54 @@ class S3CASStore:
         return err.get("Code"), meta.get("HTTPStatusCode")
 
     @staticmethod
-    def _lost_race(code: str | None, status: int | None) -> bool:
-        """The two shapes real S3 uses to say 'a concurrent conditional
-        request beat you': 412 PreconditionFailed (the precondition
-        observed a different state) AND 409 ConditionalRequestConflict
-        (two conditional writes raced on the same key mid-evaluation —
-        exactly the contention a lock store exists for, so it must be
-        a retryable lost race, not a crash out of the acquire loop)."""
-        return (
-            code in ("PreconditionFailed", "ConditionalRequestConflict")
-            or status in (409, 412)
+    def _definitive_loss(code: str | None, status: int | None) -> bool:
+        """412 PreconditionFailed: the service EVALUATED the
+        precondition against a state that fails it — the key exists
+        (put_if_absent) or its ETag moved (put/delete_if_match). A
+        true lost race; returning False without a retry is correct."""
+        return code == "PreconditionFailed" or status == 412
+
+    @staticmethod
+    def _transient_conflict(code: str | None, status: int | None) -> bool:
+        """409 ConditionalRequestConflict: a CONCURRENT conditional
+        request on the same key was mid-evaluation, so S3 rejected
+        OURS without evaluating it — and per AWS semantics the
+        competing write may itself have failed. Unlike 412 this says
+        nothing about the key's state, so treating it as a definitive
+        loss can convert a transient collision into a spurious
+        CommitLockLostError abort of a healthy commit or renewal (the
+        r14 ADVICE finding). Each primitive retries its conditional
+        request ONCE on 409 (fresh read/ETag where the op has one)
+        before conceding False — bounded, so persistent contention
+        still resolves to the caller's own retry loop (acquire
+        re-observes; a claim abort is loud and retryable)."""
+        return code == "ConditionalRequestConflict" or status == 409
+
+    def _lost_race(self, code: str | None, status: int | None) -> bool:
+        return self._definitive_loss(code, status) or self._transient_conflict(
+            code, status
         )
 
     def put_if_absent(self, key: str, value: dict) -> bool:
-        try:
-            self._client.put_object(
-                Bucket=self.bucket,
-                Key=self._key(key),
-                Body=json.dumps(value).encode(),
-                IfNoneMatch="*",
-            )
-            return True
-        except Exception as ex:  # noqa: BLE001 — typed by error code
-            code, status = self._err(ex)
-            if self._lost_race(code, status):
-                return False
-            raise
+        for attempt in (0, 1):
+            try:
+                self._client.put_object(
+                    Bucket=self.bucket,
+                    Key=self._key(key),
+                    Body=json.dumps(value).encode(),
+                    IfNoneMatch="*",
+                )
+                return True
+            except Exception as ex:  # noqa: BLE001 — typed by error code
+                code, status = self._err(ex)
+                if self._definitive_loss(code, status):
+                    return False  # key exists — truly lost
+                if self._transient_conflict(code, status) and attempt == 0:
+                    continue  # competing write may have failed: retry once
+                if self._transient_conflict(code, status):
+                    return False  # still colliding — caller re-observes
+                raise
+        return False  # unreachable; keeps the type checker honest
 
     def get(self, key: str) -> dict | None:
         try:
@@ -419,39 +441,48 @@ class S3CASStore:
 
     def delete_if_match(self, key: str, expected: dict) -> bool:
         k = self._key(key)
-        try:
-            resp = self._client.get_object(Bucket=self.bucket, Key=k)
-            cur = json.loads(resp["Body"].read())
-            etag = resp["ETag"]
-        except Exception as ex:  # noqa: BLE001
-            code, status = self._err(ex)
-            if code in ("NoSuchKey", "404") or status == 404:
+        # 409 on the conditional delete loops back to a FRESH
+        # read-compare-delete once (the ETag may have moved while the
+        # competing request held the key) — see _transient_conflict
+        for attempt in (0, 1):
+            try:
+                resp = self._client.get_object(Bucket=self.bucket, Key=k)
+                cur = json.loads(resp["Body"].read())
+                etag = resp["ETag"]
+            except Exception as ex:  # noqa: BLE001
+                code, status = self._err(ex)
+                if code in ("NoSuchKey", "404") or status == 404:
+                    return False
+                raise
+            if cur != expected:
                 return False
-            raise
-        if cur != expected:
-            return False
-        try:
-            self._client.delete_object(Bucket=self.bucket, Key=k, IfMatch=etag)
-            return True
-        except Exception as ex:  # noqa: BLE001
-            code, status = self._err(ex)
-            if (
-                self._lost_race(code, status)
-                or code in ("NoSuchKey", "404")
-                or status == 404
-            ):
-                return False  # another stealer won, or it mutated mid-read
-            if code == "NotImplemented" or status == 501:
-                raise NotImplementedError(
-                    f"S3CASStore: bucket {self.bucket!r} rejected the "
-                    "conditional DeleteObject (If-Match) — that "
-                    "precondition is a DIRECTORY-bucket (S3 Express) "
-                    "feature; general-purpose buckets support only "
-                    "conditional writes. Point the lock namespace at a "
-                    "directory bucket, or use GCSCASStore / a DynamoDB "
-                    "provider"
-                ) from ex
-            raise
+            try:
+                self._client.delete_object(
+                    Bucket=self.bucket, Key=k, IfMatch=etag
+                )
+                return True
+            except Exception as ex:  # noqa: BLE001
+                code, status = self._err(ex)
+                if self._transient_conflict(code, status) and attempt == 0:
+                    continue
+                if (
+                    self._lost_race(code, status)
+                    or code in ("NoSuchKey", "404")
+                    or status == 404
+                ):
+                    return False  # another stealer won, or it mutated mid-read
+                if code == "NotImplemented" or status == 501:
+                    raise NotImplementedError(
+                        f"S3CASStore: bucket {self.bucket!r} rejected the "
+                        "conditional DeleteObject (If-Match) — that "
+                        "precondition is a DIRECTORY-bucket (S3 Express) "
+                        "feature; general-purpose buckets support only "
+                        "conditional writes. Point the lock namespace at a "
+                        "directory bucket, or use GCSCASStore / a DynamoDB "
+                        "provider"
+                    ) from ex
+                raise
+        return False
 
     def put_if_match(self, key: str, expected: dict, value: dict) -> bool:
         """Conditional replace (lease renewal): GetObject for value +
@@ -459,37 +490,42 @@ class S3CASStore:
         Conditional WRITES — unlike the steal's conditional delete —
         work on general-purpose buckets, so renewal has no
         directory-bucket caveat. A steal or concurrent renewal landing
-        between read and put changes the ETag → the loser's 412/409 →
-        False."""
+        between read and put changes the ETag → the loser's 412 →
+        False; a 409 (conflict with a request that may itself have
+        failed) re-runs the read-compare-put once before conceding."""
         k = self._key(key)
-        try:
-            resp = self._client.get_object(Bucket=self.bucket, Key=k)
-            cur = json.loads(resp["Body"].read())
-            etag = resp["ETag"]
-        except Exception as ex:  # noqa: BLE001
-            code, status = self._err(ex)
-            if code in ("NoSuchKey", "404") or status == 404:
+        for attempt in (0, 1):
+            try:
+                resp = self._client.get_object(Bucket=self.bucket, Key=k)
+                cur = json.loads(resp["Body"].read())
+                etag = resp["ETag"]
+            except Exception as ex:  # noqa: BLE001
+                code, status = self._err(ex)
+                if code in ("NoSuchKey", "404") or status == 404:
+                    return False
+                raise
+            if cur != expected:
                 return False
-            raise
-        if cur != expected:
-            return False
-        try:
-            self._client.put_object(
-                Bucket=self.bucket,
-                Key=k,
-                Body=json.dumps(value).encode(),
-                IfMatch=etag,
-            )
-            return True
-        except Exception as ex:  # noqa: BLE001
-            code, status = self._err(ex)
-            if (
-                self._lost_race(code, status)
-                or code in ("NoSuchKey", "404")
-                or status == 404
-            ):
-                return False  # a concurrent steal/renewal won
-            raise
+            try:
+                self._client.put_object(
+                    Bucket=self.bucket,
+                    Key=k,
+                    Body=json.dumps(value).encode(),
+                    IfMatch=etag,
+                )
+                return True
+            except Exception as ex:  # noqa: BLE001
+                code, status = self._err(ex)
+                if self._transient_conflict(code, status) and attempt == 0:
+                    continue
+                if (
+                    self._lost_race(code, status)
+                    or code in ("NoSuchKey", "404")
+                    or status == 404
+                ):
+                    return False  # a concurrent steal/renewal won
+                raise
+        return False
 
 
 class DynamoDBCASStore:

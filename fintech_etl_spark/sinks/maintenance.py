@@ -82,13 +82,43 @@ def expire_ledger_batches(ledger_path: str, *, keep_last: int) -> list[int]:
     weight that every future `_read_ledger` listing must still index.
     Deletion is scoped to ``batch_id=<n>`` directories directly under
     ``ledger_path`` — nothing else in the lake is touchable from here.
-    Pure filesystem metadata work: no Spark job, no data read."""
+    Pure filesystem metadata work: no Spark job, no data read.
+
+    SCOPE: keep-last order is only meaningful for MONOTONE batch ids
+    (the streaming paths' epoch numbers). A webhook-OUTBOX ledger's
+    ids are segment-name hashes (``sinks.receipts.outbox_batch_id``)
+    with no time order at all — "oldest N" there is a random subset
+    that can include a STILL-PENDING segment's skip records (silently
+    downgrading retry-only-failures to re-post-the-whole-batch, the
+    r14 verdict's sharpest latent edge). A ledger living inside a
+    manifest-backed lake that has ever committed a webhook outbox is
+    therefore REFUSED here, loudly, pointing at the membership-keyed
+    :func:`expire_outbox_ledger` instead (the drain itself also drops
+    partitions as segments leave the outbox, so that ledger is
+    normally self-retaining)."""
     import os
     import re
     import shutil
 
     if keep_last < 0:
         raise ValueError("keep_last must be >= 0")
+    parent = os.path.dirname(os.path.abspath(ledger_path.rstrip("/")))
+    from fintech_etl_spark.sinks import manifest as mfst
+    from fintech_etl_spark.sinks.receipts import _OUTBOX_DS
+
+    if mfst.is_transactional(parent) and _OUTBOX_DS in mfst.current(parent)[
+        "datasets"
+    ]:
+        raise ValueError(
+            f"expire_ledger_batches: {ledger_path!r} is the webhook-"
+            "outbox delivery ledger of the manifest-backed lake "
+            f"{parent!r} — its batch ids are segment-name HASHES with "
+            "no keep-last order, so expiring the numerically smallest "
+            "ids could delete a PENDING segment's skip records while "
+            "keeping delivered ones. Use expire_outbox_ledger(lake) "
+            "(membership-keyed on the manifest's outbox dataset); the "
+            "drain already self-retains this ledger"
+        )
     if not os.path.isdir(ledger_path):
         return []
     parts: dict[int, str] = {}
@@ -100,6 +130,65 @@ def expire_ledger_batches(ledger_path: str, *, keep_last: int) -> list[int]:
     for b in doomed:
         shutil.rmtree(parts[b])
     return doomed
+
+
+def expire_outbox_ledger(
+    lake_root: str, ledger_path: str | None = None
+) -> list[int]:
+    """Retention for a webhook-OUTBOX delivery ledger, keyed on the
+    only thing that is actually meaningful for hash-derived batch ids:
+    MEMBERSHIP in the lake manifest's live ``webhook_outbox`` dataset.
+    A ``batch_id=`` partition whose id maps to NO pending outbox
+    segment belongs to a delivered (or vacuumed) batch that can never
+    be retried — dead listing weight; one that DOES map to a pending
+    segment holds the skip records the next drain's
+    retry-only-failures contract depends on and is never touched,
+    regardless of its numeric id. This is the manual sweep for
+    residue the drain's own in-line retention missed (a crash between
+    its remove-commit and partition drop, or a ledger written by the
+    pre-r15 per-segment drain); ``maintain --webhook-url`` runs it
+    from the cron. Default ``ledger_path`` is the CLI's
+    ``<lake>/_webhook_ledger``. Returns the batch ids removed
+    (sorted). Pure filesystem metadata work."""
+    import re
+
+    from fintech_etl_spark.sinks import manifest as mfst
+    from fintech_etl_spark.sinks.receipts import _OUTBOX_DS, outbox_batch_id
+
+    if not mfst.is_transactional(lake_root):
+        raise ValueError(
+            f"expire_outbox_ledger: {lake_root!r} is not a manifest-"
+            "backed lake — only transactional lakes carry the outbox "
+            "dataset this retention is keyed on"
+        )
+    if ledger_path is None:
+        ledger_path = os.path.join(lake_root, "_webhook_ledger")
+    if not os.path.isdir(ledger_path):
+        return []
+    pending = {
+        outbox_batch_id(rel)
+        for rel in mfst.current(lake_root)["datasets"].get(_OUTBOX_DS, [])
+    }
+    removed: list[int] = []
+    for name in os.listdir(ledger_path):
+        m = re.fullmatch(r"batch_id=(-?\d+)", name)
+        if not m or not os.path.isdir(os.path.join(ledger_path, name)):
+            continue
+        b = int(m.group(1))
+        if b not in pending:
+            shutil.rmtree(os.path.join(ledger_path, name), ignore_errors=True)
+            removed.append(b)
+    try:
+        # same contract as the drain's in-line retention: an empty
+        # ledger dir (only _SUCCESS left) must read as fresh, not as
+        # an unreadable parquet root
+        if not any(
+            e.startswith("batch_id=") for e in os.listdir(ledger_path)
+        ):
+            shutil.rmtree(ledger_path, ignore_errors=True)
+    except OSError:
+        pass
+    return sorted(removed)
 
 # ---------------------------------------------------------------------------
 # Partition-layout-preserving compaction (the ANN-index append lifecycle)
@@ -226,6 +315,7 @@ def compact_transactional(
     datasets: dict[str, list[str]],
     files_per_partition: int = 1,
     stats_cols: dict[str, list[str]] | None = None,
+    lock=None,
 ) -> dict:
     """Manifest-mode compaction (sinks/manifest.py): rewrite each
     dataset's committed segments into ONE fresh segment with the same
@@ -246,7 +336,10 @@ def compact_transactional(
     stats-pruned dataset (the receipt lake's month range, any future
     client's key bounds) to must-scan: correct, but every ranged read
     loses its manifest-level skip until the next stats-bearing
-    commit. Returns per-dataset {files_before, files_after, rows}."""
+    commit. ``lock`` injects the manifest commit-lock provider — a
+    CAS-locked dataset's compactor must serialize through the same
+    store as its writers. Returns per-dataset {files_before,
+    files_after, rows}."""
     from fintech_etl_spark.sinks import manifest as mfst
 
     stats: dict = {}
@@ -315,6 +408,7 @@ def compact_transactional(
             remove=remove,
             add=add,
             segment_stats=seg_stats or None,
+            **({"lock": lock} if lock is not None else {}),
         )
     return stats
 
@@ -365,6 +459,8 @@ def maintain(
     num_files: int = 32,
     files_per_partition: int = 1,
     vacuum_keep: int | None = None,
+    webhook_url: str | None = None,
+    webhook_sink=None,
 ) -> dict:
     """ONE maintenance verb for every manifest client (the r13 audit's
     operational ask): read the live manifest, detect what kind of
@@ -386,6 +482,20 @@ def maintain(
     - nothing due (or an unrecognized client) = loud-keyed no-op dict,
       safe at any cron frequency; ``vacuum_keep`` garbage-collects
       superseded segments afterwards only when work actually ran.
+
+    ``webhook_url`` (lake only) additionally DRAINS the lake's
+    pending webhook outbox through the standard delivery ledger
+    (``<root>/_webhook_ledger``) and sweeps that ledger's delivered
+    partitions — so a lake that has stopped receiving batch runs
+    still gets its staged notifications delivered by the same cron
+    that compacts it, instead of holding undelivered intent forever
+    (the r14 verdict's ask #3). ``webhook_sink`` injects a
+    preconstructed sink instead (tests, custom posters/headers); it
+    must carry a ``ledger_path``. Without either, a lake with
+    pending outbox segments reports ``outbox_pending`` so the
+    operator can see the backlog from the cron log. Drain results
+    ride the return dict under ``outbox``; they do not affect
+    ``ran`` (which keeps meaning compaction work).
 
     Returns ``{kind, ran, ...client-specific stats}``."""
     from fintech_etl_spark.sinks import manifest as mfst
@@ -420,16 +530,39 @@ def maintain(
                     out["ran"] = True
                     out.update(res)
     elif "receipts" in datasets:
+        from fintech_etl_spark.sinks.receipts import (
+            _OUTBOX_DS,
+            compact_receipts_lake,
+            drain_webhook_outbox,
+        )
+
         n_segs = len(m["datasets"].get("receipts", []))
         out = {"kind": "lake", "ran": False, "segments": n_segs,
                "threshold": when_segments_above}
         if n_segs > when_segments_above:
-            from fintech_etl_spark.sinks.receipts import compact_receipts_lake
-
             out.update(compact_receipts_lake(
                 spark, root, files_per_partition=files_per_partition
             ))
             out["ran"] = True
+        pending = m["datasets"].get(_OUTBOX_DS, [])
+        if webhook_sink is not None or webhook_url is not None:
+            sink = webhook_sink
+            if sink is None:
+                from fintech_etl_spark.sinks.webhook import WebhookSink
+
+                sink = WebhookSink(
+                    url=webhook_url,
+                    ledger_path=os.path.join(root, "_webhook_ledger"),
+                )
+            out["outbox"] = drain_webhook_outbox(spark, root, sink)
+            # sweep residue the drain's in-line retention can miss
+            # (pre-r15 drains, a crash between remove-commit and drop)
+            expired = expire_outbox_ledger(root, sink.ledger_path)
+            if expired:
+                out["outbox_ledger_expired"] = expired
+        elif pending:
+            # no delivery config: surface the backlog, never hide it
+            out["outbox_pending"] = len(pending)
     elif {"vectors", "codes"} <= datasets or "index" in datasets:
         ivf = "vectors" in datasets
         names = ("vectors", "codes") if ivf else ("index",)

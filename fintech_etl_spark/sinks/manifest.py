@@ -307,7 +307,9 @@ def current(root: str) -> dict:
     return m
 
 
-def manifest_at(root: str, version: int) -> dict:
+def manifest_at(
+    root: str, version: int, lock: "FileLockProvider | None" = None
+) -> dict:
     """Load the manifest for a SPECIFIC version — time travel, within
     the vacuum retention window. Manifests are immutable and
     version-named, so a historical read needs no lock and no pointer:
@@ -315,7 +317,17 @@ def manifest_at(root: str, version: int) -> dict:
     exact snapshot (segments + dataset meta + stats) that was live
     when it committed; superseded segments stay on disk until vacuum,
     which is precisely what makes the snapshot readable. A vacuumed
-    version fails loudly with the retention contract."""
+    version fails loudly with the retention contract.
+
+    ``lock`` names the lake's lock provider so PHANTOM versions (two
+    files claiming one version after a crashed lost-lock abort)
+    disambiguate through ITS claim ledger: a CAS-locked lake's claims
+    live in the external store (``CASLockProvider.read_claim``), not
+    on the filesystem — without the provider those lakes fell through
+    to the loud ValueError even though the claim data to resolve them
+    existed (the r14 audit's missing #2). The file-provider claim
+    path is always probed as a fallback, so a lake migrated between
+    providers resolves from either ledger."""
     mdir = manifests_dir(root)
     prefix = f"manifest-{version:010d}-"
     names = [n for n in os.listdir(mdir) if n.startswith(prefix)]
@@ -333,12 +345,17 @@ def manifest_at(root: str, version: int) -> dict:
             live = current(root)["_file"]
         except OSError:
             live = None
-        claimed = None
-        try:
-            with open(os.path.join(mdir, f"claim-{version:010d}")) as fh:
-                claimed = fh.read().strip()
-        except OSError:
-            pass
+        provider = lock if lock is not None else DEFAULT_LOCK_PROVIDER
+        read_claim = getattr(provider, "read_claim", None)
+        claimed = read_claim(mdir, version) if read_claim is not None else None
+        if claimed is None:
+            # file-provider fallback: claims written by a file-locked
+            # committer live on disk regardless of the provider passed
+            try:
+                with open(os.path.join(mdir, f"claim-{version:010d}")) as fh:
+                    claimed = fh.read().strip()
+            except OSError:
+                pass
         if live in names:
             names = [live]
         elif claimed in names:
@@ -1132,6 +1149,19 @@ def vacuum(
                     # which a vacuumed version never is again)
                     drop_claim(mdir, int(n.split("-")[1]))
         removed_buckets = []
+        # oldest manifest version still on disk after this pass: any
+        # file-provider claim BELOW it is dead weight — normally the
+        # manifest-removal loop drops the pair together, but a crash
+        # between os.remove(manifest) and drop_claim leaves a claim no
+        # later vacuum would revisit (its manifest is already gone),
+        # accumulating forever and tripping fsck's missing-manifest
+        # check at the retention floor (the r14 ADVICE finding).
+        # CAS-store claims are not enumerable from here; their leak
+        # window closes the same way on the NEXT drop_claim for that
+        # version — which never recurs — so the module documents the
+        # external store as the operator's retention surface.
+        kept_versions = sorted(int(n.split("-")[1]) for n in keep)
+        floor_v = kept_versions[0] if kept_versions else 0
         for n in sorted(os.listdir(mdir)):
             if n.startswith("ingested-") and n not in live_buckets:
                 os.remove(os.path.join(mdir, n))
@@ -1144,6 +1174,16 @@ def vacuum(
                     os.remove(os.path.join(mdir, n))
                 except OSError:
                     pass
+            elif n.startswith("claim-"):
+                try:
+                    cv = int(n.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if cv < floor_v:
+                    try:
+                        os.remove(os.path.join(mdir, n))
+                    except OSError:
+                        pass
     finally:
         provider.release(handle)
     return {
@@ -1177,7 +1217,7 @@ def restore(
     Requires the target version to still be on disk (within the
     vacuum retention window) — :func:`manifest_at` is loud otherwise.
     Returns the new manifest."""
-    target = manifest_at(root, version)
+    target = manifest_at(root, version, lock=lock)
     mdir = manifests_dir(root)
     provider = lock if lock is not None else DEFAULT_LOCK_PROVIDER
     handle = provider.acquire(mdir)

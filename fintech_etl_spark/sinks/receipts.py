@@ -193,6 +193,7 @@ def write_receipts_parquet(
     file_key_col: str | None = None,
     outbox=None,
     merge_schema: bool = False,
+    lock=None,
 ) -> dict:
     """Write receipts, partitioned by transaction month.
 
@@ -270,6 +271,13 @@ def write_receipts_parquet(
     a column's type. ``mode="overwrite"`` resets the contract to the
     batch's schema. See :class:`SchemaEvolutionError`.
 
+    ``lock`` (transactional only) injects the manifest commit-lock
+    provider (default: the module file-lock) — a lake whose other
+    committers serialize through a CAS/object-store lease
+    (``sinks.locks.CASLockProvider``) must pass the SAME provider
+    here, or a mixed-provider pair would not mutually exclude (the
+    r14 ADVICE finding).
+
     Returns ``{"published": bool, "files_published": [...],
     "files_skipped": [...]}`` (the file lists only under
     ``file_key_col``) so callers can gate side effects — e.g. skip
@@ -345,6 +353,10 @@ def write_receipts_parquet(
         file_keys = todo
     seg = mf.new_segment_path(path)
     out = _with_month(receipts) if partition_by_month else receipts
+    if lock is not None:
+        commit_kwargs: dict = {"lock": lock}
+    else:
+        commit_kwargs = {}
     # the contract covers the caller's columns; the derived
     # transaction_month partition column is tracked as the SHAPE flag
     incoming = _schema_fields(receipts)
@@ -416,9 +428,10 @@ def write_receipts_parquet(
             replace={_RECEIPTS_DS: adds.pop(_RECEIPTS_DS)},
             add=adds or None,
             **kwargs,
+            **commit_kwargs,
         )
     else:
-        mf.commit(path, add=adds, **kwargs)
+        mf.commit(path, add=adds, **kwargs, **commit_kwargs)
     result: dict = {"published": True}
     if file_key_col is not None:
         result["files_published"] = file_keys
@@ -426,35 +439,85 @@ def write_receipts_parquet(
     return result
 
 
-def drain_webhook_outbox(spark: SparkSession, path: str, sink) -> dict:
+def outbox_batch_id(rel_segment: str) -> int:
+    """The deterministic ledger ``batch_id`` for an outbox segment:
+    a 60-bit md5 of its lake-relative path. The ledger partitions on
+    it, and a retry of the SAME segment must map to the SAME ledger
+    partition — which also means the id is NOT monotone in time (it
+    is a hash), so ledger retention for outbox ledgers is MEMBERSHIP
+    in the manifest's outbox dataset, never keep-last-N id order
+    (``sinks.maintenance.expire_outbox_ledger``; plain keep-last
+    expiry over these ids could delete a PENDING segment's skip
+    records while keeping long-delivered ones — the r14 verdict's
+    sharpest latent edge, closed in r15)."""
+    import hashlib
+
+    return int(hashlib.md5(rel_segment.encode()).hexdigest()[:15], 16)
+
+
+def _drop_ledger_partitions(ledger_path: str, batch_ids: list[int]) -> None:
+    """Remove the named ``batch_id=`` partitions from a delivery
+    ledger — called only for segments a remove-commit just took OUT
+    of the outbox dataset, so no future drain can consult them.
+    Idempotent (a concurrent drain that lost the remove race deletes
+    the same dirs); pure filesystem metadata work. When no partition
+    remains the whole ledger directory goes too — an empty dir with
+    only the writer's ``_SUCCESS`` marker would fail the next drain's
+    parquet read (UNABLE_TO_INFER_SCHEMA) instead of reading as the
+    fresh-ledger PATH_NOT_FOUND the sink handles."""
+    import shutil
+
+    for b in batch_ids:
+        shutil.rmtree(
+            os.path.join(ledger_path, f"batch_id={b}"), ignore_errors=True
+        )
+    try:
+        if not any(e.startswith("batch_id=") for e in os.listdir(ledger_path)):
+            shutil.rmtree(ledger_path, ignore_errors=True)
+    except OSError:
+        pass
+
+
+def drain_webhook_outbox(spark: SparkSession, path: str, sink, *, lock=None) -> dict:
     """Deliver every staged-but-undelivered webhook batch in the
     lake's transactional OUTBOX (see ``write_receipts_parquet``'s
     ``outbox``), at-least-once with exactly-once skip decisions:
 
     - each outbox segment is one published batch of ``(document_id,
-      payload)`` rows, sent through ``sink.send_batch`` with a
-      deterministic ``batch_id`` derived from the segment name, so
-      the sink's parquet LEDGER anti-joins away documents already
-      delivered by an earlier attempt — a retry after a blip or a
-      crash re-posts only the failures, with the ORIGINAL
-      document_ids (the payloads were frozen at publish time);
+      payload)`` rows with a deterministic ``batch_id`` derived from
+      the segment name (:func:`outbox_batch_id`); the sink's parquet
+      LEDGER anti-joins away documents already delivered by an
+      earlier attempt — a retry after a blip or a crash re-posts only
+      the failures, with the ORIGINAL document_ids (the payloads were
+      frozen at publish time). ALL pending segments ride ONE
+      ``sink.send_batches`` pass (union of the segment scans, one
+      anti-join, one delivery action), so a drain after a long
+      receiver outage is O(1) Spark jobs, not O(pending segments) —
+      per-batch skip/accounting semantics unchanged;
     - a fully-delivered segment (``failed == 0``) is removed from the
       outbox dataset by a manifest commit (vacuum reclaims the files)
       — a concurrent drain racing the same segment loses the
       remove-commit as a StaleSegmentError and skips, so double
-      drains cannot double-remove;
+      drains cannot double-remove. The removed segments' ledger
+      ``batch_id=`` partitions are dropped in the same breath: once a
+      segment leaves the outbox no retry can consult its skip
+      records, so the drain IS the ledger's retention point (keyed on
+      manifest membership — hash ids have no keep-last order);
     - a segment with failures stays in the outbox: the NEXT drain —
-      every CLI batch run with a webhook drains before and after its
-      own publish — picks it up. Nothing is ever silently dropped;
+      each CLI batch run with a webhook drains once, after its own
+      publish, and ``maintain --webhook-url`` drains quiesced lakes
+      from the cron — picks it up. Nothing is ever silently dropped;
       an operator can read the pending count from the manifest alone.
 
     ``sink`` must have ``ledger_path`` set (the retry-only-failures
     contract needs the delivery ledger; without it a retry would
     re-post the whole batch — still receiver-deduped, but the point
-    here is recoverable EXACTLY-once bookkeeping). Returns
-    ``{"batches": n, "sent": s, "failed": f, "skipped": k,
-    "drained": [...]}``."""
-    import hashlib
+    here is recoverable EXACTLY-once bookkeeping). ``lock`` injects
+    the manifest lock provider for the remove-commit (a CAS-locked
+    lake's drains must mutually exclude through the same store as its
+    writers). Returns ``{"batches": n, "sent": s, "failed": f,
+    "skipped": k, "drained": [...]}``."""
+    from pyspark.sql import functions as F
 
     if getattr(sink, "ledger_path", None) is None:
         raise ValueError(
@@ -469,15 +532,37 @@ def drain_webhook_outbox(spark: SparkSession, path: str, sink) -> dict:
             "lake — the outbox is a transactional-lake feature"
         )
     totals = {"batches": 0, "sent": 0, "failed": 0, "skipped": 0}
+    segs = mf.dataset_segments(path, _OUTBOX_DS)
+    if not segs:
+        totals["drained"] = []
+        return totals
+    ids = [outbox_batch_id(os.path.relpath(s, path)) for s in segs]
+    # ONE multi-path scan over every pending segment (outbox segments
+    # share one fixed schema, so the flat read is safe); the batch id
+    # is derived per-row from the file path via a literal
+    # segment-dir → id map — a per-segment spark.read would cost one
+    # schema-inference job EACH, putting the drain right back at
+    # O(pending segments) driver-side jobs
+    id_map = F.create_map(
+        *[
+            x
+            for seg, b in zip(segs, ids)
+            for x in (F.lit(os.path.basename(seg)), F.lit(b))
+        ]
+    )
+    seg_dir = F.regexp_extract(
+        F.input_file_name(), r"/segments/([^/]+)/", 1
+    )
+    payloads = spark.read.parquet(*segs).select(
+        "document_id",
+        "payload",
+        F.element_at(id_map, seg_dir).cast("long").alias("batch_id"),
+    )
+    per_batch = sink.send_batches(payloads, ids)
+    totals["batches"] = len(segs)
     delivered: list[str] = []
-    for seg in mf.dataset_segments(path, _OUTBOX_DS):
-        rel = os.path.relpath(seg, path)
-        # 60-bit stable id: the ledger partitions on it, and a retry
-        # of the SAME segment must map to the SAME ledger partition
-        batch_id = int(hashlib.md5(rel.encode()).hexdigest()[:15], 16)
-        payloads = spark.read.parquet(seg)
-        res = sink.send_batch(payloads, batch_id=batch_id)
-        totals["batches"] += 1
+    for seg, b in zip(segs, ids):
+        res = per_batch.get(b, {})
         totals["sent"] += res.get("sent", 0)
         totals["failed"] += res.get("failed", 0)
         totals["skipped"] += res.get("skipped", 0)
@@ -490,17 +575,22 @@ def drain_webhook_outbox(spark: SparkSession, path: str, sink) -> dict:
     # StaleSegmentError — fall back to per-segment removes so its
     # already-removed ones are skipped without abandoning ours.
     drained: list[str] = []
+    kwargs = {"lock": lock} if lock is not None else {}
     if delivered:
         try:
-            mf.commit(path, remove={_OUTBOX_DS: delivered})
+            mf.commit(path, remove={_OUTBOX_DS: delivered}, **kwargs)
             drained = [os.path.relpath(s, path) for s in delivered]
         except mf.StaleSegmentError:
             for seg in delivered:
                 try:
-                    mf.commit(path, remove={_OUTBOX_DS: [seg]})
+                    mf.commit(path, remove={_OUTBOX_DS: [seg]}, **kwargs)
                     drained.append(os.path.relpath(seg, path))
                 except mf.StaleSegmentError:
                     pass  # a concurrent drain removed it — done either way
+    if drained:
+        _drop_ledger_partitions(
+            sink.ledger_path, [outbox_batch_id(r) for r in drained]
+        )
     totals["drained"] = drained
     return totals
 
@@ -509,6 +599,8 @@ def compact_receipts_lake(
     spark: SparkSession,
     path: str,
     files_per_partition: int = 1,
+    *,
+    lock=None,
 ) -> dict:
     """Fold a fragmented transactional receipt lake (one segment per
     committed batch — 10⁴ after a streaming day) back into ONE
@@ -540,6 +632,7 @@ def compact_receipts_lake(
         {_RECEIPTS_DS: cols},
         files_per_partition=files_per_partition,
         stats_cols={_RECEIPTS_DS: cols},
+        lock=lock,
     )[_RECEIPTS_DS]
 
 

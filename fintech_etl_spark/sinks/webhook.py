@@ -194,11 +194,119 @@ class WebhookSink:
             "skipped": n_skipped,
         }
 
+    def send_batches(
+        self, payloads: DataFrame, batch_ids: list[int]
+    ) -> dict[int, dict[str, int]]:
+        """Ledger-gated delivery of MANY batches in one Spark pass —
+        the outbox drain's plan shape (``sinks.receipts.
+        drain_webhook_outbox``). ``payloads`` carries ``(document_id,
+        payload, batch_id)`` where ``batch_id`` ∈ ``batch_ids``; the
+        semantics per batch are exactly :meth:`send_batch`'s ledger
+        path (skip already-delivered ``(document_id, batch_id)``
+        pairs, post the rest, append successes partitioned by
+        batch_id), but the WORK is O(1) Spark jobs total instead of
+        O(batches): one ledger read pruned to the named partitions,
+        one anti-join, one ``mapInPandas`` delivery action, one
+        re-read for the accounting — after a receiver outage queued
+        hundreds of pending outbox segments, the drain no longer
+        issues hundreds of sequential driver-side jobs (the r14
+        verdict's drain-latency note). Returns per-batch accounting
+        ``{batch_id: {"sent", "failed", "skipped"}}`` (every id in
+        ``batch_ids`` present, zeros for ids with no payload rows)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        if self.ledger_path is None:
+            raise ValueError(
+                "send_batches: multi-batch delivery is ledger-gated by "
+                "contract (retry-only-failures needs the skip record); "
+                "construct WebhookSink(..., ledger_path=...)"
+            )
+        spark = payloads.sparkSession
+        url = self.url
+        headers = {"Content-Type": "application/json", **(self.headers or {})}
+        poster = self.poster or _default_poster
+
+        def _per_batch(df) -> dict[int, int]:
+            rows = df.groupBy("batch_id").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+            return {int(r["batch_id"]): int(r["n"]) for r in rows}
+
+        totals = _per_batch(payloads)
+        already = self._read_ledger_multi(spark, batch_ids)
+        to_send = payloads
+        if already is not None:
+            # the delivered set is bounded by the pending batches'
+            # sizes — broadcast it so the skip is a map-side anti join
+            to_send = payloads.join(
+                F.broadcast(already), ["document_id", "batch_id"], "left_anti"
+            )
+            n_to_send = _per_batch(to_send)
+        else:
+            n_to_send = dict(totals)
+
+        def deliver(pdfs):
+            for pdf in pdfs:
+                oks = []
+                for payload in pdf["payload"]:
+                    try:
+                        status = poster(url, payload.encode("utf-8"), headers)
+                        oks.append(200 <= status < 300)
+                    except Exception:  # noqa: BLE001 — per-doc isolation
+                        oks.append(False)
+                yield pd.DataFrame(
+                    {
+                        "document_id": pdf["document_id"],
+                        "batch_id": pdf["batch_id"],
+                        "ok": oks,
+                    }
+                )
+
+        attempted = to_send.mapInPandas(
+            deliver, "document_id string, batch_id long, ok boolean"
+        )
+        # the partitioned append IS the delivery action (successes
+        # only): a crash between post and append degrades to
+        # at-least-once, never to a lost skip — same contract as
+        # _send_with_ledger, same per-batch partition pruning
+        (
+            attempted.filter(F.col("ok"))
+            .select(
+                "document_id",
+                F.col("batch_id").cast("long").alias("batch_id"),
+                F.current_timestamp().alias("delivered_at"),
+            )
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(self.ledger_path)
+        )
+        done = self._read_ledger_multi(spark, batch_ids)
+        n_done = {} if done is None else _per_batch(done)
+        out: dict[int, dict[str, int]] = {}
+        for b in batch_ids:
+            total = totals.get(b, 0)
+            to_b = n_to_send.get(b, 0)
+            skipped = total - to_b
+            sent = n_done.get(b, 0) - skipped
+            out[b] = {"sent": sent, "failed": to_b - sent, "skipped": skipped}
+        return out
+
     def _read_ledger(self, spark, batch_id: int):
         """Distinct document_ids recorded for ``batch_id``; None when
         the ledger doesn't exist yet (first ever batch). The ledger is
         hive-partitioned on batch_id, so this filter is a directory
         prune (one partition read), not a full-ledger scan."""
+        multi = self._read_ledger_multi(spark, [batch_id])
+        if multi is None:
+            return None
+        return multi.select("document_id")
+
+    def _read_ledger_multi(self, spark, batch_ids: list[int]):
+        """Distinct ``(document_id, batch_id)`` pairs recorded for any
+        of ``batch_ids``; None when the ledger doesn't exist yet. The
+        isin filter on the partition column prunes the listing to the
+        named ``batch_id=`` directories only."""
         from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
@@ -217,7 +325,7 @@ class WebhookSink:
                 return None
             raise
         return (
-            ledger.filter(F.col("batch_id") == batch_id)
-            .select("document_id")
+            ledger.filter(F.col("batch_id").isin([int(b) for b in batch_ids]))
+            .select("document_id", "batch_id")
             .distinct()
         )

@@ -1744,3 +1744,83 @@ def test_crashed_claim_tmp_never_wedges_and_is_vacuumed(tmp_path):
         if n.startswith("claim-") and ".tmp-" in n
     ]
     assert mf.fsck(root)["ok"]
+
+
+# ---------------------------------------------------------------------------
+# r15: CAS-claim phantom disambiguation + vacuum's dead-claim sweep
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_at_resolves_phantom_via_cas_claim(tmp_path):
+    """r14 audit missing #2, closed: a CAS-locked lake's version
+    claims live in the external store, so a crashed-abort PHANTOM
+    (two manifest files claiming one non-live version) used to fall
+    through to the loud ValueError even though the claim data to
+    disambiguate existed. manifest_at(lock=provider) now consults the
+    provider's claim ledger (file-provider claims stay the on-disk
+    fallback)."""
+    root = str(tmp_path / "ds")
+    store = CASStore(str(tmp_path / "cas"))
+    provider = CASLockProvider(store)
+    mf.commit(root, replace={"d": []}, lock=provider)
+    mf.commit(root, add={"d": []}, lock=provider)
+    mf.commit(root, add={"d": []}, lock=provider)  # live = v2
+    mdir = mf.manifests_dir(root)
+    real_v1 = [
+        n for n in os.listdir(mdir) if n.startswith("manifest-0000000001-")
+    ][0]
+    # a crashed lost-lock abort's phantom: same version prefix, never
+    # committed (the CAS claim names the real file)
+    with open(os.path.join(mdir, "manifest-0000000001-deadbeef.json"), "w") as f:
+        json.dump({"version": 1, "datasets": {"d": []}}, f)
+    # no provider: file claim absent (claims are in the store) → loud
+    with pytest.raises(ValueError, match="AMBIGUOUS"):
+        mf.manifest_at(root, 1)
+    # with the lake's provider: the store's claim resolves it
+    m = mf.manifest_at(root, 1, lock=provider)
+    assert m["_file"] == real_v1
+    # restore threads the provider through to the same resolution
+    m2 = mf.restore(root, 1, lock=provider)
+    assert m2["version"] == 3 and m2["restored_from"] == 1
+
+
+def test_vacuum_sweeps_dead_claims_below_retention_floor(tmp_path):
+    """r14 ADVICE: a crash between vacuum's os.remove(manifest) and
+    drop_claim leaves a claim file no later pass revisits (its
+    manifest is gone, so the removal loop never names that version
+    again) — accumulating forever and making fsck's 'cleaned, not
+    flagged' message a lie. Vacuum now sweeps file claims below the
+    oldest on-disk manifest version."""
+    root = str(tmp_path / "ds")
+    seg_keep = None
+    for v in range(5):
+        seg = mf.new_segment_path(root)
+        os.makedirs(seg)
+        if v == 0:
+            mf.commit(root, replace={"d": [seg]})
+        else:
+            mf.commit(root, add={"d": [seg]})
+        seg_keep = seg
+    assert seg_keep is not None
+    mdir = mf.manifests_dir(root)
+    # simulate the crashed earlier vacuum: manifest v0 removed, its
+    # claim left behind (below any future retention floor)
+    v0 = [n for n in os.listdir(mdir) if n.startswith("manifest-0000000000-")][0]
+    os.remove(os.path.join(mdir, v0))
+    assert os.path.exists(os.path.join(mdir, "claim-0000000000"))
+    rep = mf.vacuum(root, keep_last=2, orphan_grace_sec=0.0)
+    kept_floor = min(
+        int(n.split("-")[1])
+        for n in os.listdir(mdir)
+        if n.startswith("manifest-")
+    )
+    stale = [
+        n
+        for n in os.listdir(mdir)
+        if n.startswith("claim-")
+        and ".tmp-" not in n
+        and int(n.split("-")[1]) < kept_floor
+    ]
+    assert stale == []  # the orphaned v0 claim was swept with the rest
+    assert mf.fsck(root)["ok"], mf.fsck(root)["errors"]
+    assert rep["removed_manifests"]  # the pass did real retention work
