@@ -400,7 +400,7 @@ def run_due_compaction(
 
 
 def read_zorder(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None, lock=None
 ) -> DataFrame:
     """Scan a z-ordered layout. Transactional layouts resolve the
     manifest pointer per call — an append or re-cluster landing
@@ -414,7 +414,10 @@ def read_zorder(
     committed snapshot (within the vacuum retention window) — the
     manifest log makes this free: version-named immutable manifests +
     superseded segments kept on disk until vacuum. Plain layouts have
-    no history to travel; passing a version there is loud."""
+    no history to travel; passing a version there is loud. ``lock``
+    names the layout's lock provider so a CAS-locked layout's phantom
+    versions disambiguate via the store's claim ledger (see
+    ``manifest.manifest_at``)."""
     if version is not None:
         if not mf.is_transactional(path):
             raise ValueError(
@@ -422,7 +425,7 @@ def read_zorder(
                 "manifest-backed layouts keep the version history "
                 "time travel reads (zorder_write transactional=True)"
             )
-        m = mf.manifest_at(path, version)
+        m = mf.manifest_at(path, version, lock=lock)
         segs = [
             os.path.join(path, s) for s in m["datasets"].get(_LAYOUT_DS, [])
         ]

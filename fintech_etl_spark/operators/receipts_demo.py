@@ -343,3 +343,124 @@ def receipts_lake_schema_evolution(
             F.lit(conflict).cast("long").alias("type_conflict_refused"),
         )
     )
+
+
+_LAKE_NE_ORACLE = """
+    SELECT CASE WHEN l_orderkey % 2 = 1
+                THEN 'evolved' ELSE 'legacy' END            AS channel,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT)       AS n_receipts,
+           CAST(count(*) AS BIGINT)                         AS n_items,
+           round(avg(CASE WHEN l_orderkey % 2 = 1
+                          THEN l_extendedprice END), 4)     AS avg_price,
+           CAST(1 AS BIGINT) AS nested_add_refused_without_merge,
+           CAST(1 AS BIGINT) AS nested_retype_refused
+    FROM lineitem
+    GROUP BY 1
+"""
+
+
+@register(
+    "receipts_lake_nested_evolution",
+    _LAKE_NE_ORACLE,
+    doc=(
+        "NESTED-field schema evolution on the transactional receipt "
+        "lake (r15; the r14 verdict's ask #5), value-checked "
+        "end-to-end on the reference's own document shape: batch A "
+        "(even orders) commits receipts whose line_items "
+        "array<struct> has NO price field; a batch adding `price` "
+        "INSIDE the struct is REFUSED without merge_schema=True (the "
+        "typo guard applies at every nesting depth), then evolves the "
+        "contract as a METADATA commit — batch A's segments are never "
+        "rewritten; a batch retyping the nested price to string is "
+        "refused unconditionally. The read unions segments by name "
+        "down into the array element, so LEGACY items surface price "
+        "as null — the explode + per-channel aggregate is checked "
+        "against the oracle computing the same split from lineitem "
+        "directly (avg over the legacy channel is NULL in both "
+        "engines). The refusal flags ride the row; per-write "
+        "mechanics (record twin, time travel, compaction, pre-r15 "
+        "record migration) are pinned by tests/test_schema_evolution.py."
+    ),
+    tags=("receipts", "transactional", "schema"),
+)
+def receipts_lake_nested_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fintech_etl_spark.sinks.receipts import (
+        SchemaEvolutionError,
+        read_receipts,
+        write_receipts_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("receipt_id"),
+        F.col("o_orderdate").cast("date").alias("transaction_date"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def docs(with_price: bool):
+        fields = [
+            F.col("l_linenumber").alias("line_no"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_quantity").alias("qty"),
+        ]
+        if with_price:
+            fields.append(F.col("l_extendedprice").alias("price"))
+        return (
+            li.groupBy(F.col("l_orderkey").alias("receipt_id"))
+            .agg(F.collect_list(F.struct(*fields)).alias("line_items"))
+            .join(orders, "receipt_id")
+            .select(
+                "receipt_id", "transaction_date", "total_amount",
+                "line_items",
+            )
+        )
+
+    legacy = docs(False).filter(F.col("receipt_id") % 2 == 0)
+    evolved = docs(True).filter(F.col("receipt_id") % 2 == 1)
+    lake = _scratch_lake(sf_dir, "rlake_ne")
+    write_receipts_parquet(legacy, lake, transactional=True, batch_key="ne-a")
+    add_refused = 0
+    try:
+        write_receipts_parquet(evolved, lake, batch_key="ne-b")
+    except SchemaEvolutionError:
+        add_refused = 1  # nested field add without merge_schema
+    write_receipts_parquet(
+        evolved, lake, batch_key="ne-b", merge_schema=True
+    )
+    retype_refused = 0
+    try:
+        bad = evolved.withColumn(
+            "line_items",
+            F.transform(
+                "line_items",
+                lambda it: F.struct(
+                    it.line_no.alias("line_no"),
+                    it.partkey.alias("partkey"),
+                    it.qty.alias("qty"),
+                    it.price.cast("string").alias("price"),
+                ),
+            ),
+        )
+        write_receipts_parquet(bad, lake, batch_key="ne-c", merge_schema=True)
+    except SchemaEvolutionError:
+        retype_refused = 1  # nested retype refused even when merging
+    return (
+        read_receipts(spark, lake)
+        .select("receipt_id", F.explode("line_items").alias("it"))
+        .groupBy(
+            F.when(F.col("receipt_id") % 2 == 1, F.lit("evolved"))
+            .otherwise(F.lit("legacy"))
+            .alias("channel")
+        )
+        .agg(
+            F.countDistinct("receipt_id").cast("long").alias("n_receipts"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("it.price"), 4).alias("avg_price"),
+            F.lit(add_refused)
+            .cast("long")
+            .alias("nested_add_refused_without_merge"),
+            F.lit(retype_refused).cast("long").alias("nested_retype_refused"),
+        )
+    )

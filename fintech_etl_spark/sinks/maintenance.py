@@ -90,12 +90,16 @@ def expire_ledger_batches(ledger_path: str, *, keep_last: int) -> list[int]:
     with no time order at all — "oldest N" there is a random subset
     that can include a STILL-PENDING segment's skip records (silently
     downgrading retry-only-failures to re-post-the-whole-batch, the
-    r14 verdict's sharpest latent edge). A ledger living inside a
-    manifest-backed lake that has ever committed a webhook outbox is
-    therefore REFUSED here, loudly, pointing at the membership-keyed
-    :func:`expire_outbox_ledger` instead (the drain itself also drops
-    partitions as segments leave the outbox, so that ledger is
-    normally self-retaining)."""
+    r14 verdict's sharpest latent edge). Refused loudly, pointing at
+    the membership-keyed :func:`expire_outbox_ledger` instead, when
+    the target IS an outbox ledger: the well-known
+    ``<lake>/_webhook_ledger`` path of an outbox-bearing lake, or any
+    ledger holding a partition for a segment currently PENDING in
+    such a lake's outbox. A differently-named streaming ledger that
+    merely LIVES inside an outbox lake keeps working — the in-stream
+    ``ledger_keep_batches`` retention must not start crashing
+    micro-batches because the lake once committed an outbox (the r15
+    self-review catch)."""
     import os
     import re
     import shutil
@@ -104,21 +108,39 @@ def expire_ledger_batches(ledger_path: str, *, keep_last: int) -> list[int]:
         raise ValueError("keep_last must be >= 0")
     parent = os.path.dirname(os.path.abspath(ledger_path.rstrip("/")))
     from fintech_etl_spark.sinks import manifest as mfst
-    from fintech_etl_spark.sinks.receipts import _OUTBOX_DS
 
-    if mfst.is_transactional(parent) and _OUTBOX_DS in mfst.current(parent)[
-        "datasets"
-    ]:
-        raise ValueError(
-            f"expire_ledger_batches: {ledger_path!r} is the webhook-"
-            "outbox delivery ledger of the manifest-backed lake "
-            f"{parent!r} — its batch ids are segment-name HASHES with "
-            "no keep-last order, so expiring the numerically smallest "
-            "ids could delete a PENDING segment's skip records while "
-            "keeping delivered ones. Use expire_outbox_ledger(lake) "
-            "(membership-keyed on the manifest's outbox dataset); the "
-            "drain already self-retains this ledger"
+    if mfst.is_transactional(parent):
+        from fintech_etl_spark.sinks.receipts import (
+            _OUTBOX_DS,
+            outbox_batch_id,
         )
+
+        datasets = mfst.current(parent)["datasets"]
+        if _OUTBOX_DS in datasets:
+            pending_ids = {
+                outbox_batch_id(rel) for rel in datasets[_OUTBOX_DS]
+            }
+            is_default_outbox_ledger = (
+                os.path.basename(ledger_path.rstrip("/"))
+                == "_webhook_ledger"
+            )
+            holds_pending = any(
+                os.path.isdir(os.path.join(ledger_path, f"batch_id={b}"))
+                for b in pending_ids
+            )
+            if is_default_outbox_ledger or holds_pending:
+                raise ValueError(
+                    f"expire_ledger_batches: {ledger_path!r} is a "
+                    "webhook-OUTBOX delivery ledger of the manifest-"
+                    f"backed lake {parent!r} — its batch ids are "
+                    "segment-name HASHES with no keep-last order, so "
+                    "expiring the numerically smallest ids could "
+                    "delete a PENDING segment's skip records while "
+                    "keeping delivered ones. Use "
+                    "expire_outbox_ledger(lake) (membership-keyed on "
+                    "the manifest's outbox dataset); the drain "
+                    "already self-retains this ledger"
+                )
     if not os.path.isdir(ledger_path):
         return []
     parts: dict[int, str] = {}
@@ -153,7 +175,11 @@ def expire_outbox_ledger(
     import re
 
     from fintech_etl_spark.sinks import manifest as mfst
-    from fintech_etl_spark.sinks.receipts import _OUTBOX_DS, outbox_batch_id
+    from fintech_etl_spark.sinks.receipts import (
+        _OUTBOX_DS,
+        _drop_ledger_partitions,
+        outbox_batch_id,
+    )
 
     if not mfst.is_transactional(lake_root):
         raise ValueError(
@@ -176,18 +202,11 @@ def expire_outbox_ledger(
             continue
         b = int(m.group(1))
         if b not in pending:
-            shutil.rmtree(os.path.join(ledger_path, name), ignore_errors=True)
             removed.append(b)
-    try:
-        # same contract as the drain's in-line retention: an empty
-        # ledger dir (only _SUCCESS left) must read as fresh, not as
-        # an unreadable parquet root
-        if not any(
-            e.startswith("batch_id=") for e in os.listdir(ledger_path)
-        ):
-            shutil.rmtree(ledger_path, ignore_errors=True)
-    except OSError:
-        pass
+    # the drain's own retention helper: drops the partitions AND the
+    # whole ledger dir when nothing remains (an empty dir with only
+    # _SUCCESS would fail the next drain's parquet read)
+    _drop_ledger_partitions(ledger_path, removed)
     return sorted(removed)
 
 # ---------------------------------------------------------------------------
@@ -461,6 +480,7 @@ def maintain(
     vacuum_keep: int | None = None,
     webhook_url: str | None = None,
     webhook_sink=None,
+    lock=None,
 ) -> dict:
     """ONE maintenance verb for every manifest client (the r13 audit's
     operational ask): read the live manifest, detect what kind of
@@ -497,6 +517,14 @@ def maintain(
     ride the return dict under ``outbox``; they do not affect
     ``ran`` (which keeps meaning compaction work).
 
+    ``lock`` injects the manifest commit-lock provider for every
+    commit this verb issues (lake/index compaction, the outbox
+    drain's remove-commit, vacuum) — a CAS-locked dataset's cron must
+    serialize through the same store as its writers. The LAYOUT
+    client's compaction path does not take an injected provider yet,
+    so passing ``lock`` for a layout root is refused loudly rather
+    than silently maintaining under the wrong lock.
+
     Returns ``{kind, ran, ...client-specific stats}``."""
     from fintech_etl_spark.sinks import manifest as mfst
 
@@ -508,8 +536,17 @@ def maintain(
         )
     m = mfst.current(root)
     datasets = set(m["datasets"])
+    lock_kw = {"lock": lock} if lock is not None else {}
     out: dict
     if "layout" in datasets:
+        if lock is not None:
+            raise ValueError(
+                "maintain: the layout client's compaction path does "
+                "not take an injected lock provider yet — refusing to "
+                "maintain a CAS-locked layout under the default file "
+                "lock; run zorder maintenance without lock= or extend "
+                "operators.layout to thread it"
+            )
         from fintech_etl_spark.operators.layout import (
             mark_compaction_due,
             run_due_compaction,
@@ -541,7 +578,8 @@ def maintain(
                "threshold": when_segments_above}
         if n_segs > when_segments_above:
             out.update(compact_receipts_lake(
-                spark, root, files_per_partition=files_per_partition
+                spark, root, files_per_partition=files_per_partition,
+                **lock_kw,
             ))
             out["ran"] = True
         pending = m["datasets"].get(_OUTBOX_DS, [])
@@ -554,7 +592,7 @@ def maintain(
                     url=webhook_url,
                     ledger_path=os.path.join(root, "_webhook_ledger"),
                 )
-            out["outbox"] = drain_webhook_outbox(spark, root, sink)
+            out["outbox"] = drain_webhook_outbox(spark, root, sink, **lock_kw)
             # sweep residue the drain's in-line retention can miss
             # (pre-r15 drains, a crash between remove-commit and drop)
             expired = expire_outbox_ledger(root, sink.ledger_path)
@@ -571,8 +609,12 @@ def maintain(
                "segments": n_segs, "threshold": when_segments_above}
         if n_segs > when_segments_above:
             fn = compact_ivf_pq_index if ivf else compact_lsh_index
+            # maintain() only accepts manifest-backed roots, so the fn
+            # always takes the transactional path, where **lock_kw
+            # reaches compact_transactional's commit
             out.update({"compacted": fn(
-                spark, root, files_per_partition=files_per_partition
+                spark, root, files_per_partition=files_per_partition,
+                **lock_kw,
             )})
             out["ran"] = True
     else:
@@ -583,5 +625,5 @@ def maintain(
             "teach maintain() the new client's due condition"
         )
     if out["ran"] and vacuum_keep is not None:
-        out["vacuum"] = mfst.vacuum(root, keep_last=vacuum_keep)
+        out["vacuum"] = mfst.vacuum(root, keep_last=vacuum_keep, **lock_kw)
     return out

@@ -1026,7 +1026,13 @@ def read_segments(spark: SparkSession, segs: list[str]) -> DataFrame:
             return False
 
     dfs = [spark.read.parquet(s) for s in segs]
-    fields = {tuple(sorted(d.schema.fieldNames())) for d in dfs}
+    # FULL schema equality (simpleString covers nested struct/array
+    # fields), not just top-level names: two segments with the same
+    # columns but drifted NESTED fields (the receipt lake's nested
+    # schema evolution) must take the union-by-name path — the
+    # multi-path read would silently resolve one segment's nested
+    # shape for all and drop the evolved fields
+    fields = {d.schema.simpleString() for d in dfs}
     if len(fields) == 1 and not _partitioned(segs[0]):
         return spark.read.parquet(*segs)
     out = dfs[0]

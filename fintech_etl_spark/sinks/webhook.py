@@ -237,10 +237,14 @@ class WebhookSink:
         already = self._read_ledger_multi(spark, batch_ids)
         to_send = payloads
         if already is not None:
-            # the delivered set is bounded by the pending batches'
-            # sizes — broadcast it so the skip is a map-side anti join
+            # NO forced broadcast here (unlike the single-batch path,
+            # whose delivered set is bounded by one batch): after a
+            # long outage the union of hundreds of batches' ledgers
+            # can outgrow the driver — the ledger side is already
+            # partition-pruned to the named batch_ids, so let the
+            # optimizer/AQE pick broadcast when it actually fits
             to_send = payloads.join(
-                F.broadcast(already), ["document_id", "batch_id"], "left_anti"
+                already, ["document_id", "batch_id"], "left_anti"
             )
             n_to_send = _per_batch(to_send)
         else:

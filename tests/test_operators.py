@@ -17,7 +17,7 @@ def test_registry_complete_and_importable():
     # EXACT pin (not a floor): a silent drop means an operator module
     # failed to import and fell out of the driver gate; a silent rise
     # means COVERAGE.md's totals are stale. Update both together.
-    assert len(specs) == 213
+    assert len(specs) == 214
     # 210 oracle-checked; the THREE deliberate rows-only rows are the
     # production twins whose mechanism has no cross-engine replay:
     # dedup_minhash_lsh_dense_fast (xxhash64 has no DuckDB twin —
@@ -29,7 +29,7 @@ def test_registry_complete_and_importable():
     # test_ivf_pq_auto_parity: bit-equal to oracle-checked ann_pq_adc
     # at smoke scale where auto-k=1 covers the corpus, recall-floored
     # at sweep scale)
-    assert sum(1 for s in specs.values() if s.oracle is not None) == 210
+    assert sum(1 for s in specs.values() if s.oracle is not None) == 211
     rows_only = sorted(n for n, s in specs.items() if s.oracle is None)
     assert rows_only == [
         "ann_ivf_pq_auto",

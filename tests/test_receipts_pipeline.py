@@ -940,10 +940,24 @@ def test_expire_ledger_batches_refuses_outbox_ledger(spark, tmp_path):
     _os.makedirs(_os.path.join(ledger, "batch_id=12345"))
     with pytest.raises(ValueError, match="expire_outbox_ledger"):
         expire_ledger_batches(ledger, keep_last=1)
+    # a CUSTOM-pathed ledger holding a pending segment's partition is
+    # refused too (the well-known name is not the only detector)
+    custom = _os.path.join(lake, "my_ledger")
+    _os.makedirs(_os.path.join(custom, f"batch_id={pend_id}"))
+    with pytest.raises(ValueError, match="expire_outbox_ledger"):
+        expire_ledger_batches(custom, keep_last=1)
+    # ...but a STREAMING ledger (monotone epoch ids, none pending)
+    # inside the same outbox lake keeps its keep-last retention — the
+    # in-stream maintenance must not crash micro-batches just because
+    # the lake once committed an outbox (the r15 self-review catch)
+    stream = _os.path.join(lake, "stream_ledger")
+    for b in (1, 2, 3):
+        _os.makedirs(_os.path.join(stream, f"batch_id={b}"))
+    assert expire_ledger_batches(stream, keep_last=1) == [1, 2]
     # membership-keyed sweep: residue goes, the pending partition stays
     assert expire_outbox_ledger(lake) == [12345]
     assert _os.listdir(ledger) == [f"batch_id={pend_id}"]
-    # non-lake ledgers (monotone streaming epoch ids) keep working
+    # non-lake ledgers keep working unchanged
     other = str(tmp_path / "stream_ledger")
     for b in (1, 2, 3):
         _os.makedirs(_os.path.join(other, f"batch_id={b}"))
@@ -1039,5 +1053,17 @@ def test_receipts_lake_threads_cas_lock_provider(spark, tmp_path):
     stats = compact_receipts_lake(spark, lake, lock=provider)
     assert stats["rows"] == n
     assert provider.read_claim(mdir, 2) is not None  # compaction claim
+    # maintain threads the provider to every commit IT issues too:
+    # stage a new outbox batch, let the cron drain it under the lock
+    from fintech_etl_spark.sinks.maintenance import maintain
+
+    write_receipts_parquet(
+        base.withColumn("source_file", F.lit("gs://b/b.csv")),
+        lake, file_key_col="source_file", outbox=to_webhook_payloads,
+        lock=provider,
+    )
+    out = maintain(spark, lake, webhook_sink=sink, lock=provider)
+    assert out["outbox"]["batches"] == 1 and out["outbox"]["failed"] == 0
+    assert provider.read_claim(mdir, 4) is not None  # drain remove-commit
     # and no file-provider claims were minted anywhere along the way
     assert not [x for x in _os.listdir(mdir) if x.startswith("claim-")]

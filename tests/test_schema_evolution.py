@@ -346,3 +346,164 @@ def test_pre_flag_lake_shape_is_inferred_from_the_old_record(
     rec = mf.get_dataset_meta(lake, _RECEIPTS_DS)
     assert rec["month_partitioned"] is True
     assert "transaction_month" not in rec["schema"]
+
+
+# ---------------------------------------------------------------------------
+# r15: NESTED-field evolution (the r14 verdict's ask #5)
+# ---------------------------------------------------------------------------
+
+
+def _nested(spark, n=4, month=1, *, price=False, key_base=0):
+    """Receipts carrying the reference's own document shape: a
+    line_items array<struct>; ``price=True`` adds a nested field."""
+    items = lambda i: [  # noqa: E731
+        (j, 10 * i + j, float(i + j)) if price else (j, 10 * i + j)
+        for j in range(2)
+    ]
+    item_ddl = (
+        "array<struct<line_no:int,partkey:int,price:double>>"
+        if price
+        else "array<struct<line_no:int,partkey:int>>"
+    )
+    return spark.createDataFrame(
+        [
+            (key_base + i, dt.date(2024, month, 1 + i), float(100 + i),
+             items(i))
+            for i in range(n)
+        ],
+        f"receipt_id long, transaction_date date, total_amount double, "
+        f"line_items {item_ddl}",
+    )
+
+
+def test_nested_field_add_is_gated_and_metadata_only(spark, tmp_path):
+    """Adding a field INSIDE line_items' struct is refused without
+    merge_schema (same typo guard as a top-level column), then evolves
+    as a METADATA commit: batch A's segment files are untouched, its
+    rows read the new nested field as null through the union scan."""
+    import os
+
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(
+        _nested(spark), lake, transactional=True, batch_key="a"
+    )
+    rec = mf.get_dataset_meta(lake, _RECEIPTS_DS)
+    assert "schema_struct" in rec
+    assert "price" not in rec["schema"]["line_items"]
+    seg_a = mf.dataset_segments(lake, _RECEIPTS_DS)[0]
+    mtimes = {
+        f: os.path.getmtime(os.path.join(seg_a, f))
+        for f in os.listdir(seg_a)
+    }
+    v = mf.current(lake)["version"]
+    with pytest.raises(SchemaEvolutionError, match=r"line_items\[\]\.price"):
+        write_receipts_parquet(
+            _nested(spark, price=True, key_base=100, month=2), lake,
+            batch_key="b",
+        )
+    assert mf.current(lake)["version"] == v  # nothing committed
+    write_receipts_parquet(
+        _nested(spark, price=True, key_base=100, month=2), lake,
+        batch_key="b", merge_schema=True,
+    )
+    rec = mf.get_dataset_meta(lake, _RECEIPTS_DS)
+    assert "price:double" in rec["schema"]["line_items"]
+    # batch A's files untouched — evolution was a metadata commit
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(seg_a, f))
+        for f in os.listdir(seg_a)
+    }
+    df = read_receipts(spark, lake)
+    assert "price" in df.schema["line_items"].dataType.elementType.names
+    ex = df.select(
+        "receipt_id", F.explode("line_items").alias("it")
+    ).select("receipt_id", "it.price")
+    legacy = ex.filter(F.col("receipt_id") < 100)
+    assert legacy.count() == 8  # 4 receipts x 2 items
+    assert legacy.filter(F.col("price").isNotNull()).count() == 0
+    evolved = ex.filter(F.col("receipt_id") >= 100)
+    assert evolved.filter(F.col("price").isNull()).count() == 0
+
+
+def test_nested_retype_refused_at_any_depth(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(
+        _nested(spark, price=True), lake, transactional=True, batch_key="a"
+    )
+    bad = spark.createDataFrame(
+        [(100, dt.date(2024, 2, 1), 1.0, [(0, 1, "not-a-price")])],
+        "receipt_id long, transaction_date date, total_amount double, "
+        "line_items array<struct<line_no:int,partkey:int,price:string>>",
+    )
+    with pytest.raises(
+        SchemaEvolutionError, match="committed as double"
+    ):
+        write_receipts_parquet(bad, lake, batch_key="b", merge_schema=True)
+    # merge_schema does NOT bypass retype refusal, nested or not
+    assert mf.get_dataset_meta(lake, _RECEIPTS_DS)["schema"][
+        "line_items"
+    ].count("price:double") == 1
+
+
+def test_nested_evolution_time_travel_and_compaction(spark, tmp_path):
+    """Time travel reads the PRE-evolution record at the old version;
+    compaction across the nested evolution preserves legacy nulls and
+    the union-read schema."""
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(
+        _nested(spark), lake, transactional=True, batch_key="a"
+    )
+    v0 = mf.current(lake)["version"]
+    write_receipts_parquet(
+        _nested(spark, price=True, key_base=100, month=2), lake,
+        batch_key="b", merge_schema=True,
+    )
+    old = mf.manifest_at(lake, v0)["dataset_meta"][_RECEIPTS_DS]
+    assert "price" not in old["schema"]["line_items"]
+    df_v0 = read_receipts(spark, lake, version=v0)
+    assert "price" not in (
+        df_v0.schema["line_items"].dataType.elementType.names
+    )
+    stats = compact_receipts_lake(spark, lake)
+    assert stats["rows"] == 8
+    df = read_receipts(spark, lake)
+    ex = df.select(
+        "receipt_id", F.explode("line_items").alias("it")
+    ).select("receipt_id", "it.price")
+    assert ex.filter(F.col("price").isNull()).count() == 8  # legacy rows
+    assert ex.filter(F.col("price").isNotNull()).count() == 8
+    # the record survived compaction (meta carried forward)
+    rec = mf.get_dataset_meta(lake, _RECEIPTS_DS)
+    assert "price:double" in rec["schema"]["line_items"]
+
+
+def test_pre_r15_flat_record_migrates_then_evolves(spark, tmp_path):
+    """A lake whose record predates the structured twin (simpleString
+    only) refuses a nested difference with the upgrade hint; one
+    same-schema commit seeds schema_struct, after which nested
+    evolution works."""
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(
+        _nested(spark), lake, transactional=True, batch_key="a"
+    )
+    # simulate the pre-r15 record: strip the structured twin
+    meta = mf.get_dataset_meta(lake, _RECEIPTS_DS)
+    flat = {k: v for k, v in meta.items() if k != "schema_struct"}
+    mf.commit(lake, dataset_meta={_RECEIPTS_DS: flat})
+    with pytest.raises(SchemaEvolutionError, match="predates nested"):
+        write_receipts_parquet(
+            _nested(spark, price=True, key_base=100, month=2), lake,
+            batch_key="b", merge_schema=True,
+        )
+    # migration: one batch with the COMMITTED schema re-seeds the twin
+    write_receipts_parquet(
+        _nested(spark, key_base=200, month=3), lake, batch_key="c"
+    )
+    assert "schema_struct" in mf.get_dataset_meta(lake, _RECEIPTS_DS)
+    write_receipts_parquet(
+        _nested(spark, price=True, key_base=100, month=2), lake,
+        batch_key="b", merge_schema=True,
+    )
+    rec = mf.get_dataset_meta(lake, _RECEIPTS_DS)
+    assert "price:double" in rec["schema"]["line_items"]
+    assert read_receipts(spark, lake).count() == 12
