@@ -507,3 +507,61 @@ def test_pre_r15_flat_record_migrates_then_evolves(spark, tmp_path):
     rec = mf.get_dataset_meta(lake, _RECEIPTS_DS)
     assert "price:double" in rec["schema"]["line_items"]
     assert read_receipts(spark, lake).count() == 12
+
+
+def test_merge_datatype_maps_and_deep_nesting(spark):
+    """Pure-function pins for the recursive merge the write path rides:
+    map VALUE structs evolve, map KEY retypes are conflicts, and a
+    struct-in-array-in-struct add three levels down is collected with
+    its full dotted path."""
+    from pyspark.sql import types as T
+
+    from fintech_etl_spark.sinks.receipts import _merge_datatype
+
+    # _parse_datatype_string needs an active session (hence the spark
+    # fixture); the merge itself is pure Python over DataType objects
+    def ddl(s):
+        return T._parse_datatype_string(s)
+
+    # map value struct gains a field
+    conflicts, added = [], []
+    merged = _merge_datatype(
+        "m",
+        ddl("map<string,struct<a:int>>"),
+        ddl("map<string,struct<a:int,b:double>>"),
+        conflicts,
+        added,
+    )
+    assert not conflicts and added == ["m{}.b"]
+    assert merged.simpleString() == "map<string,struct<a:int,b:double>>"
+    # map KEY retype is a conflict, never a merge
+    conflicts, added = [], []
+    _merge_datatype(
+        "m", ddl("map<string,int>"), ddl("map<bigint,int>"), conflicts, added
+    )
+    assert conflicts == [("m{key}", "string", "bigint")] and not added
+    # three levels down: struct -> array<struct> -> struct add + retype
+    conflicts, added = [], []
+    merged = _merge_datatype(
+        "doc",
+        ddl("struct<items:array<struct<q:int,meta:struct<u:string>>>>"),
+        ddl(
+            "struct<items:array<struct<q:bigint,"
+            "meta:struct<u:string,v:date>>>>"
+        ),
+        conflicts,
+        added,
+    )
+    assert conflicts == [("doc.items[].q", "int", "bigint")]
+    assert added == ["doc.items[].meta.v"]
+    # committed-only fields survive; merged keeps committed order
+    conflicts, added = [], []
+    merged = _merge_datatype(
+        "s",
+        ddl("struct<a:int,b:string>"),
+        ddl("struct<b:string,c:double>"),
+        conflicts,
+        added,
+    )
+    assert not conflicts and added == ["s.c"]
+    assert merged.simpleString() == "struct<a:int,b:string,c:double>"
