@@ -314,7 +314,9 @@ def zorder_drift(path: str) -> dict:
 _MAINT_DS = "_maintenance"
 
 
-def mark_compaction_due(path: str, *, drift: float, threshold: float) -> None:
+def mark_compaction_due(
+    path: str, *, drift: float, threshold: float, lock=None
+) -> None:
     """Publish the COMPACTION-DUE marker — one CAS metadata commit, no
     data touched. This is the writer half of the signal-and-handoff
     split (the Iceberg "maintenance is not the writer's job" shape):
@@ -339,6 +341,7 @@ def mark_compaction_due(path: str, *, drift: float, threshold: float) -> None:
                 }
             }
         },
+        **({"lock": lock} if lock is not None else {}),
     )
 
 
@@ -357,6 +360,7 @@ def run_due_compaction(
     path: str,
     num_files: int = 32,
     max_retries: int = 3,
+    lock=None,
 ) -> dict | None:
     """The maintenance half of the handoff: if the layout carries a
     compaction-due marker, run the full re-freezing
@@ -382,14 +386,18 @@ def run_due_compaction(
         if marker is None:
             return None  # nothing due (or a racing compactor resolved it)
         try:
-            rows = zorder_compact(spark, path, num_files=num_files)
+            rows = zorder_compact(
+                spark, path, num_files=num_files, lock=lock
+            )
         except mf.StaleSegmentError:
             continue
         d = zorder_drift(path)["drift"]
         if d > marker["threshold"]:
             # concurrent drifted append carried forward past our
             # re-frozen bounds: re-signal and rewrite again
-            mark_compaction_due(path, drift=d, threshold=marker["threshold"])
+            mark_compaction_due(
+                path, drift=d, threshold=marker["threshold"], lock=lock
+            )
             continue
         return {"rows": rows, "marker": marker}
     raise RuntimeError(
@@ -516,6 +524,7 @@ def zorder_write(
     bits: int = _Z_BITS,
     num_files: int = 32,
     transactional: bool | None = None,
+    lock=None,
 ) -> int:
     """Write ``df`` as ``num_files`` parquet files clustered along the
     Morton curve of ``cols``: range-partition + sort on the z-value,
@@ -542,7 +551,12 @@ def zorder_write(
     Plain mode persists the scaling bounds in a ``_zbounds.json``
     sidecar (underscore-prefixed — invisible to parquet reads),
     written atomically, so :func:`zorder_append` can cluster LATER
-    batches against the same frozen curve."""
+    batches against the same frozen curve.
+
+    ``lock`` injects the manifest commit-lock provider (transactional
+    only) — a layout whose other committers serialize through a
+    CAS/object-store lease must pass the SAME provider here, the
+    receipts-lake contract extended to the layout client (r15)."""
     if transactional is None:
         transactional = mf.is_transactional(path)
     bounds = _freeze_bounds(df, cols, "zorder_write")
@@ -559,6 +573,7 @@ def zorder_write(
             segment_stats={
                 _LAYOUT_DS: {seg: {c: list(v) for c, v in bounds.items()}}
             },
+            **({"lock": lock} if lock is not None else {}),
         )
     else:
         _cluster_write(df, meta, path, num_files, "overwrite")
@@ -571,6 +586,7 @@ def zorder_append(
     path: str,
     num_files: int = 4,
     file_keys: list[str] | None = None,
+    lock=None,
 ) -> int:
     """Incremental Z-order maintenance — the layout twin of the ANN
     index append contract (frozen parameters, batch-proportional
@@ -612,6 +628,7 @@ def zorder_append(
                     seg: {c: list(v) for c, v in batch_bounds.items()}
                 }
             },
+            **({"lock": lock} if lock is not None else {}),
         )
     else:
         if file_keys:
@@ -630,6 +647,7 @@ def zorder_compact(
     num_files: int = 32,
     refresh_bounds: bool = True,
     max_segments: int | None = None,
+    lock=None,
 ) -> int:
     """Re-cluster a manifest-backed layout FROM ITSELF: read the live
     segments, z-write one fresh segment (bounds re-frozen from the
@@ -708,6 +726,7 @@ def zorder_compact(
         segment_stats={
             _LAYOUT_DS: {seg: {c: list(v) for c, v in actual.items()}}
         },
+        **({"lock": lock} if lock is not None else {}),
     )
     return spark.read.parquet(seg).count()
 

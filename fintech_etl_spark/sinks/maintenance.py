@@ -518,12 +518,10 @@ def maintain(
     ``ran`` (which keeps meaning compaction work).
 
     ``lock`` injects the manifest commit-lock provider for every
-    commit this verb issues (lake/index compaction, the outbox
-    drain's remove-commit, vacuum) — a CAS-locked dataset's cron must
-    serialize through the same store as its writers. The LAYOUT
-    client's compaction path does not take an injected provider yet,
-    so passing ``lock`` for a layout root is refused loudly rather
-    than silently maintaining under the wrong lock.
+    commit this verb issues (layout/lake/index compaction, the
+    compaction-due marker, the outbox drain's remove-commit, vacuum)
+    — a CAS-locked dataset's cron must serialize through the same
+    store as its writers.
 
     Returns ``{kind, ran, ...client-specific stats}``."""
     from fintech_etl_spark.sinks import manifest as mfst
@@ -539,21 +537,13 @@ def maintain(
     lock_kw = {"lock": lock} if lock is not None else {}
     out: dict
     if "layout" in datasets:
-        if lock is not None:
-            raise ValueError(
-                "maintain: the layout client's compaction path does "
-                "not take an injected lock provider yet — refusing to "
-                "maintain a CAS-locked layout under the default file "
-                "lock; run zorder maintenance without lock= or extend "
-                "operators.layout to thread it"
-            )
         from fintech_etl_spark.operators.layout import (
             mark_compaction_due,
             run_due_compaction,
             zorder_drift,
         )
 
-        res = run_due_compaction(spark, root, num_files=num_files)
+        res = run_due_compaction(spark, root, num_files=num_files, **lock_kw)
         out = {"kind": "layout", "ran": res is not None}
         if res is not None:
             out.update(res)
@@ -561,8 +551,12 @@ def maintain(
             d = zorder_drift(root)["drift"]
             out["drift"] = d
             if d > when_drift_above:
-                mark_compaction_due(root, drift=d, threshold=when_drift_above)
-                res = run_due_compaction(spark, root, num_files=num_files)
+                mark_compaction_due(
+                    root, drift=d, threshold=when_drift_above, **lock_kw
+                )
+                res = run_due_compaction(
+                    spark, root, num_files=num_files, **lock_kw
+                )
                 if res is not None:
                     out["ran"] = True
                     out.update(res)

@@ -872,3 +872,43 @@ def test_unified_maintain_verb_covers_all_three_clients(
     mf.commit(weird, replace={"mystery": []})
     with pytest.raises(ValueError, match="no known manifest client"):
         maintain(spark, weird)
+
+
+def test_layout_lifecycle_threads_cas_lock_provider(spark, tmp_path):
+    """r15: the lock-injection contract extended to the LAYOUT client
+    (write/append/compact/marker/maintain) — a CAS-locked layout's
+    cron serializes through the same store as its writers, proven by
+    the version CLAIMS landing in the CAS store and no file-provider
+    claims being minted."""
+    from fintech_etl_spark.operators.layout import (
+        mark_compaction_due,
+        run_due_compaction,
+    )
+    from fintech_etl_spark.sinks.locks import CASLockProvider, CASStore
+    from fintech_etl_spark.sinks.maintenance import maintain
+
+    store = CASStore(str(tmp_path / "cas"))
+    provider = CASLockProvider(store)
+    path = str(tmp_path / "layout_cas")
+    zorder_write(
+        _frame(spark), ["x", "y"], path, num_files=4,
+        transactional=True, lock=provider,
+    )
+    mdir = mf.manifests_dir(path)
+    assert provider.read_claim(mdir, 0) is not None  # build claim
+    zorder_append(
+        _frame(spark, n=1000, offset=4000), path, num_files=2,
+        lock=provider,
+    )
+    assert provider.read_claim(mdir, 1) is not None  # append claim
+    mark_compaction_due(path, drift=0.9, threshold=0.5, lock=provider)
+    assert provider.read_claim(mdir, 2) is not None  # marker claim
+    out = maintain(spark, path, lock=provider)
+    assert out["kind"] == "layout" and out["ran"]
+    assert out["rows"] == 5000
+    assert provider.read_claim(mdir, 3) is not None  # rewrite claim
+    assert run_due_compaction(spark, path, lock=provider) is None  # resolved
+    assert read_zorder(spark, path).count() == 5000
+    # no file-provider claims anywhere — every commit went through
+    # the injected store
+    assert not [x for x in os.listdir(mdir) if x.startswith("claim-")]
