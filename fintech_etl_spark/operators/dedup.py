@@ -161,9 +161,14 @@ _NGRAM_ORACLE = f"""
     ),
     tags=("dedup", "join"),
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = with_shingles(docs, 3)
+    # the shingle table feeds FOUR consumers (both sides of the
+    # inverted-index self-join + both size lookups); un-barriered, the
+    # split+shingle expression pipeline re-executes once per consumer
+    sh = materialization_barrier(with_shingles(docs, 3), barrier)
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # size(s)>0 filter, re-inline the whole shingle expression into it,
@@ -366,7 +371,13 @@ def dedup_minhash_lsh(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    needed = with_shingles(docs.join(F.broadcast(cand_ids), "doc_id", "semi"), 3)
+    # one materialization, two aliases — see _dense_band_verify: the
+    # un-barriered frame was re-planned (semi join + re-shingle) per
+    # join side
+    needed = materialization_barrier(
+        with_shingles(docs.join(F.broadcast(cand_ids), "doc_id", "semi"), 3),
+        barrier,
+    )
     sa = needed.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = needed.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -1108,11 +1119,15 @@ def dedup_minhash_lsh_dfcap(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    needed = (
+    needed = materialization_barrier(
         with_shingles(docs.join(F.broadcast(cand_ids), "doc_id", "semi"), 3)
         .crossJoin(F.broadcast(banned_arr))
         .select("doc_id", F.array_except("s", "banned").alias("s"))
-        .filter(F.size("s") > 0)
+        .filter(F.size("s") > 0),
+        # one materialization, two join-side aliases — without the
+        # barrier the semi-join + re-shingle + ban-filter subtree is
+        # planned (and run) once per side
+        barrier,
     )
     sa = needed.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = needed.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
@@ -1220,11 +1235,14 @@ def dedup_ngram_jaccard_capped(
         .filter(F.size("m") <= _NGRAM_DF_CAP)
     )
     buckets = materialization_barrier(buckets, barrier)
-    # per-doc kept-shingle counts (the capped |A| and |B|)
-    sizes = (
+    # per-doc kept-shingle counts (the capped |A| and |B|) — barriered:
+    # sa and sb below are two aliases, so the explode+agg would
+    # otherwise run once per join side
+    sizes = materialization_barrier(
         buckets.select(F.explode("m").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        barrier,
     )
     # shared kept-shingle counts per pair: in-bucket pair emission,
     # then ONE count agg — only (id, id) rows shuffle, never shingle
@@ -1960,7 +1978,13 @@ def _dense_band_verify(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    needed = with_shingles(docs.join(F.broadcast(cand_ids), "doc_id", "semi"), 3)
+    # materialized ONCE: sa and sb are two aliases of this frame, and
+    # without the barrier the plan duplicates the whole semi-join +
+    # re-shingle subtree per side (seen in the r15 plan capture)
+    needed = materialization_barrier(
+        with_shingles(docs.join(F.broadcast(cand_ids), "doc_id", "semi"), 3),
+        barrier,
+    )
     sa = needed.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = needed.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))

@@ -180,35 +180,48 @@ def graph_copurchase_pagerank(
     # injectable policy — reliable when a checkpoint dir is set, so an
     # executor loss mid-pagerank replays from the store, not from zero
     e, deg = _sym_edges_and_degrees(spark, sf_dir, barrier)
-    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    r = deg.crossJoin(F.broadcast(n)).select(
-        "v", "deg", F.expr(f"{_PR_E12} div n_nodes").alias("r_e12")
+    # one count on the (about-to-be-materialized-anyway) degree frame:
+    # it replaces the n_nodes aggregate + BroadcastNestedLoopJoin that
+    # rode EVERY iteration with an integer literal, and sizes the
+    # rank-vector joins below. The integer arithmetic is identical.
+    n_nodes = deg.count()
+    # A rank/accumulator frame is one (node, bigint) row per node. Up
+    # to ~100M nodes that is a clean broadcast (guide §3.1) and the
+    # checkpointed edge list is then NEVER re-shuffled per iteration
+    # (the checkpoint defeats size estimation, so the planner would
+    # sort-merge all three joins otherwise). Past that, fall back to
+    # the shuffled join — a >8 GB broadcast would be the real scale
+    # killer. Join strategy cannot move any value: the per-destination
+    # sum is exact fixed-point BIGINT, order-independent.
+    _maybe_b = F.broadcast if n_nodes <= 100_000_000 else (lambda d: d)
+    r = deg.select(
+        "v", "deg", F.expr(f"{_PR_E12} div {n_nodes}").alias("r_e12")
     )
     for _ in range(_PR_ITERS):
         share = r.select(
             F.col("v").alias("src"), F.expr("r_e12 div deg").alias("share_e12")
         )
         acc = (
-            e.join(share, "src").groupBy("dst").agg(F.sum("share_e12").alias("acc"))
+            e.join(_maybe_b(share), "src")
+            .groupBy("dst")
+            .agg(F.sum("share_e12").alias("acc"))
         )
         r = materialization_barrier(
-            deg.join(acc, deg.v == acc.dst)
-            .crossJoin(F.broadcast(n))
-            .select(
+            deg.join(_maybe_b(acc), deg.v == acc.dst).select(
                 "v",
                 "deg",
                 F.expr(
-                    f"{_PR_TELEPORT_E12} div n_nodes"
+                    f"{_PR_TELEPORT_E12} div {n_nodes}"
                     f" + ({_PR_DAMP_NUM} * acc) div {_PR_DAMP_DEN}"
                 ).alias("r_e12"),
             ),
             barrier,
         )
-    return r.crossJoin(F.broadcast(n)).select(
+    return r.select(
         F.col("v").alias("part_id"),
         F.col("deg").alias("degree"),
         F.round(
-            F.col("r_e12").cast("double") / _PR_E12 * F.col("n_nodes"), 4
+            F.col("r_e12").cast("double") / _PR_E12 * F.lit(n_nodes), 4
         ).alias("pr_norm"),
     )
 

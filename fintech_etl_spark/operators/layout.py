@@ -162,6 +162,26 @@ def _cluster_write(
     )
 
 
+def _footer_rows(*roots: str) -> int:
+    """Exact row count of the parquet files under ``roots`` from their
+    FOOTER metadata — a few driver-side file reads instead of a Spark
+    job (guide §1/§6: a filterless count is answerable from metadata;
+    this is the manual twin of parquet aggregate pushdown, without the
+    job-scheduling round-trip). Parquet's ``num_rows`` is exact, so
+    callers returning "rows written" keep bit-identical values."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root in roots:
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    total += pq.ParquetFile(
+                        os.path.join(dirpath, f)
+                    ).metadata.num_rows
+    return total
+
+
 def _write_sidecar(path: str, meta: dict) -> None:
     """Atomic ``_zbounds.json`` write: temp + ``os.replace``, so a
     crash mid-write leaves the previous bounds intact instead of a
@@ -525,6 +545,7 @@ def zorder_write(
     num_files: int = 32,
     transactional: bool | None = None,
     lock=None,
+    bounds: dict[str, tuple[int, int]] | None = None,
 ) -> int:
     """Write ``df`` as ``num_files`` parquet files clustered along the
     Morton curve of ``cols``: range-partition + sort on the z-value,
@@ -556,10 +577,17 @@ def zorder_write(
     ``lock`` injects the manifest commit-lock provider (transactional
     only) — a layout whose other committers serialize through a
     CAS/object-store lease must pass the SAME provider here, the
-    receipts-lake contract extended to the layout client (r15)."""
+    receipts-lake contract extended to the layout client (r15).
+
+    ``bounds`` optionally passes pre-computed ``{col: (lo, hi)}``
+    min/max to freeze (they MUST be the frame's true bounds — callers
+    that already ran the identical min/max agg, like the box-query
+    operators, skip the duplicate full-scan pass; anything else would
+    clamp keys and corrupt the curve)."""
     if transactional is None:
         transactional = mf.is_transactional(path)
-    bounds = _freeze_bounds(df, cols, "zorder_write")
+    if bounds is None:
+        bounds = _freeze_bounds(df, cols, "zorder_write")
     meta = {"cols": cols, "bits": bits, "bounds": bounds}
     if transactional:
         seg = mf.new_segment_path(path)
@@ -575,10 +603,12 @@ def zorder_write(
             },
             **({"lock": lock} if lock is not None else {}),
         )
-    else:
-        _cluster_write(df, meta, path, num_files, "overwrite")
-        _write_sidecar(path, meta)
-    return read_zorder(df.sparkSession, path).count()
+        # the replace-commit makes this segment the ENTIRE layout, so
+        # its parquet footers carry the exact row count — no re-scan
+        return _footer_rows(seg)
+    _cluster_write(df, meta, path, num_files, "overwrite")
+    _write_sidecar(path, meta)
+    return _footer_rows(path)
 
 
 def zorder_append(
@@ -630,14 +660,16 @@ def zorder_append(
             },
             **({"lock": lock} if lock is not None else {}),
         )
-    else:
-        if file_keys:
-            raise ValueError(
-                "zorder_append: file_keys needs a manifest-backed "
-                "layout (zorder_write transactional=True) — the plain "
-                "directory has no ingested history to record into"
-            )
-        _cluster_write(df, meta, path, num_files, "append")
+        # footers of the staged segment == rows appended (exact), no
+        # recompute of the batch lineage just to return a count
+        return _footer_rows(seg)
+    if file_keys:
+        raise ValueError(
+            "zorder_append: file_keys needs a manifest-backed "
+            "layout (zorder_write transactional=True) — the plain "
+            "directory has no ingested history to record into"
+        )
+    _cluster_write(df, meta, path, num_files, "append")
     return df.count()
 
 
@@ -728,7 +760,7 @@ def zorder_compact(
         },
         **({"lock": lock} if lock is not None else {}),
     )
-    return spark.read.parquet(seg).count()
+    return _footer_rows(seg)
 
 
 _Z_ORACLE = f"""
@@ -856,7 +888,18 @@ def layout_zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fintech_etl_zbox_"
         + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
     )
-    zorder_write(li, ["l_partkey", "l_suppkey"], path, num_files=32)
+    # the box agg above already computed the exact min/max — hand the
+    # bounds to zorder_write so it skips its own identical agg pass
+    zorder_write(
+        li,
+        ["l_partkey", "l_suppkey"],
+        path,
+        num_files=32,
+        bounds={
+            "l_partkey": (b.plo, b.phi),
+            "l_suppkey": (b.slo, b.shi),
+        },
+    )
     z = read_zorder(spark, path)
     return z.filter(
         F.col("l_partkey").between(p_lo, p_hi)
@@ -1039,7 +1082,9 @@ def layout_zorder_drift_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
     drifted = zorder_drift(path)
     zorder_compact(spark, path, num_files=8)  # full: re-freezes bounds
     after = zorder_drift(path)["drift"]
-    rows_total = read_zorder(spark, path).count()
+    # manifest-resolved live segments, counted from parquet footers —
+    # exact, and no fourth full-scan job in the lifecycle
+    rows_total = _footer_rows(*mf.dataset_segments(path, _LAYOUT_DS))
     out = [
         (
             c,

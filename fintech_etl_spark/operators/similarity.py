@@ -548,14 +548,23 @@ def _coarse_partition(C: "np.ndarray"):  # noqa: F821 (numpy imported by caller)
     return G[keep], members
 
 
-def _assign_step(vecs: DataFrame, cent: DataFrame, k: int) -> DataFrame:
+def _assign_step(vecs: DataFrame, cent, k: int) -> DataFrame:
     """One Lloyd's assignment pass with NO shuffle and NO per-vector
     fan-out: centroids are collected to the driver (k·d doubles — tiny
     by the k ≈ N/512 contract) and pushed into a single narrow
     projection. The previous shape (broadcast cross-join → groupBy
     argmin) shuffled N·k rows each carrying the full vector per
-    iteration — ~0.5 GB/iteration at just 20k vectors × k=40."""
-    rows = sorted(cent.collect(), key=lambda r: r.cell)
+    iteration — ~0.5 GB/iteration at just 20k vectors × k=40.
+
+    ``cent`` is a ``(cell, centroid)`` frame, or the already-collected
+    (cell-sorted) rows of one — :func:`kmeans_fit` collects once per
+    iteration and reuses the rows for the centroid-update width, so
+    the collect isn't paid twice."""
+    rows = (
+        cent
+        if isinstance(cent, list)
+        else sorted(cent.collect(), key=lambda r: r.cell)
+    )
     if k <= _KM_LITERAL_MAX:
         # literal array per centroid, spelled as ONE parsed SQL string:
         # the Column-API form of this scorer costs ~0.8 s of pure
@@ -707,14 +716,27 @@ def kmeans_fit(
     )
     assign = None
     for _ in range(max_iter):
-        assign = materialization_barrier(_assign_step(vecs, cent, k), barrier)
+        # ONE collect per iteration (the action that materializes the
+        # previous round); the rows feed both the assignment scorer and
+        # the centroid-update width below
+        rows = sorted(cent.collect(), key=lambda r: r.cell)
+        dim = len(rows[0].centroid)
+        assign = materialization_barrier(_assign_step(vecs, rows, k), barrier)
+        # centroid update in ONE shuffle: a wide per-cell avg of each
+        # dimension (dim known from the collected centroids) instead of
+        # posexplode → (cell, i) mean → (cell) re-assembly, which paid
+        # a second exchange and an N·dim row fan-out per iteration.
+        # Same multiset of doubles into each per-(cell, dim) mean, same
+        # partial-aggregation structure — values unchanged.
         cent = materialization_barrier(
-            assign.select("cell", F.posexplode("v").alias("i", "x"))
-            .groupBy("cell", "i")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
-            .select("cell", F.transform("im", lambda s: s["m"]).alias("centroid")),
+            assign.groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"_m{i}") for i in range(dim)])
+            .select(
+                "cell",
+                F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias(
+                    "centroid"
+                ),
+            ),
             # consumers (IVF probe, the returned centroids) see a cut
             # lineage; the next iteration's collect materializes it
             barrier,
@@ -1049,7 +1071,7 @@ def _pq_subslices(vecs: DataFrame) -> DataFrame:
     ).select("vec_id", "x.sub", "x.sv")
 
 
-def _pq_assign_step(subs: DataFrame, cent: DataFrame) -> DataFrame:
+def _pq_assign_step(subs: DataFrame, cent) -> DataFrame:
     """One PQ assignment pass (vec_id, sub, cell, sv) against a given
     ``(sub, cell, centroid)`` codebook frame — collect the subs·k tiny
     centroids and score each slice with a per-sub argmin spelled as ONE
@@ -1070,7 +1092,11 @@ def _pq_assign_step(subs: DataFrame, cent: DataFrame) -> DataFrame:
             + ")"
         )
 
-    rows = sorted(cent.collect(), key=lambda r: (int(r.sub), int(r.cell)))
+    rows = (
+        cent
+        if isinstance(cent, list)
+        else sorted(cent.collect(), key=lambda r: (int(r.sub), int(r.cell)))
+    )
     by_sub: dict[int, list] = {}
     for r in rows:
         by_sub.setdefault(int(r.sub), []).append(r)
@@ -1118,15 +1144,27 @@ def pq_fit(emb: DataFrame, barrier: str = "auto") -> tuple[DataFrame, DataFrame]
 
     assign = None
     for _ in range(_PQ_ITERS):
-        assign = materialization_barrier(_pq_assign_step(subs, cent), barrier)
+        # one collect per iteration (the materializing action); rows
+        # feed the scorer AND give the subspace width for the update
+        rows = sorted(
+            cent.collect(), key=lambda r: (int(r.sub), int(r.cell))
+        )
+        subdim = len(rows[0].centroid)
+        assign = materialization_barrier(_pq_assign_step(subs, rows), barrier)
+        # centroid update in ONE shuffle (wide per-(sub, cell) avg of
+        # each slice dimension) — same values as the posexplode →
+        # two-level mean it replaces, one fewer exchange per iteration
         cent = materialization_barrier(
-            assign.select("sub", "cell", F.posexplode("sv").alias("i", "x"))
-            .groupBy("sub", "cell", "i")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("sub", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+            assign.groupBy("sub", "cell")
+            .agg(
+                *[F.avg(F.col("sv")[i]).alias(f"_m{i}") for i in range(subdim)]
+            )
             .select(
-                "sub", "cell", F.transform("im", lambda s: s["m"]).alias("centroid")
+                "sub",
+                "cell",
+                F.array(*[F.col(f"_m{i}") for i in range(subdim)]).alias(
+                    "centroid"
+                ),
             ),
             barrier,
         )
@@ -1345,8 +1383,21 @@ def ivf_pq_search(emb: DataFrame, k: int | None = None) -> DataFrame:
         n_vecs = emb.count()
         k = max(1, -(-n_vecs // 512))
     n_probe = min(_N_PROBE, k)
-    coarse_cent, coarse_assign = kmeans_fit(emb, k=k)
-    pq_cent, codes = pq_fit(emb)
+    # The coarse quantizer and the PQ codebooks are INDEPENDENT
+    # trainings over the same frame, but each is a chain of small
+    # blocking driver actions (one collect per Lloyd round). Run them
+    # on two driver threads so their jobs interleave and the cluster's
+    # idle tail during one training back-fills with the other — the
+    # scheduler overlaps jobs fine, only the sequential driver code
+    # serialized them (guide §2.6). Results are unchanged: neither
+    # training reads anything the other writes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(kmeans_fit, emb, k)
+        f_pq = pool.submit(pq_fit, emb)
+        coarse_cent, coarse_assign = f_coarse.result()
+        pq_cent, codes = f_pq.result()
 
     # --- probe: top n_probe IVF cells per query (identical to
     # ann_ivf_probe's oracle-proven shape; centroids broadcast) ---

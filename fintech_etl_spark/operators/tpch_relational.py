@@ -675,6 +675,8 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "subquery", "agg"),
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -685,23 +687,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    all_supp = li.select(
-        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
-    ).distinct()
-    other_exists = late.join(
-        all_supp,
-        (F.col("a_orderkey") == F.col("l_orderkey"))
-        & (F.col("a_suppkey") != F.col("l_suppkey")),
-        "left_semi",
+    # `late` is DISTINCT (orderkey, suppkey), so the two correlated
+    # subqueries collapse to per-order counts — same result set, one
+    # computation of `late` instead of two and no sort-merge anti join
+    # (the old plan duplicated the whole join+distinct subtree per
+    # subquery — r15 plan capture):
+    #   NOT EXISTS other late supplier  ⇔  count(late rows per order) = 1
+    #   EXISTS any other supplier       ⇔  order's distinct suppliers ≥ 2
+    #     (this row's suppkey is always among them)
+    n_late = F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
+    sole_late = late.withColumn("n_late", n_late).filter(
+        F.col("n_late") == 1
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    multi = (
+        li.groupBy(F.col("l_orderkey").alias("a_orderkey"))
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") >= 2)
+        .select("a_orderkey")
     )
-    sole_late = other_exists.join(
-        other_late,
-        (F.col("o2_orderkey") == F.col("l_orderkey"))
-        & (F.col("o2_suppkey") != F.col("l_suppkey")),
-        "left_anti",
+    sole_late = sole_late.join(
+        multi, F.col("a_orderkey") == F.col("l_orderkey"), "left_semi"
     )
     sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
     return (

@@ -550,22 +550,24 @@ def write_receipts_parquet(
         # whole segments from ONE pointer read, before any listing —
         # at 10^4 streaming batches between compactions, the same
         # manifest-stats win the z-order layout receipted at 43x.
-        # Aggregate the FRESHLY WRITTEN segment, not the input frame:
-        # the input's lineage (CSV parse → build_receipts) would be
-        # re-evaluated end-to-end just to recompute bounds the write
-        # already touched (the same double-scan compact_transactional
-        # fixed this round)
-        mm = (
-            receipts.sparkSession.read.parquet(seg)
-            .agg(
-                F.min("transaction_month").alias("lo"),
-                F.max("transaction_month").alias("hi"),
-            )
-            .first()
+        # transaction_month is the segment's PARTITION column, so its
+        # per-segment min/max ARE the 'transaction_month=...' directory
+        # names the write just created — a driver listing, not another
+        # Spark job over the freshly written files (the old read-back
+        # agg was one task per written file: 80 tasks to learn two
+        # directory names). Hive's null partition dir is skipped,
+        # matching the agg's null-ignoring min/max exactly.
+        months = sorted(
+            e.split("=", 1)[1]
+            for e in os.listdir(seg)
+            if e.startswith("transaction_month=")
+            and not e.endswith("__HIVE_DEFAULT_PARTITION__")
         )
-        if mm.lo is not None:
+        if months:
             kwargs["segment_stats"] = {
-                _RECEIPTS_DS: {seg: {"transaction_month": [mm.lo, mm.hi]}}
+                _RECEIPTS_DS: {
+                    seg: {"transaction_month": [months[0], months[-1]]}
+                }
             }
     if mode == "overwrite":
         # the RECEIPTS dataset is replaced (that is what a rebuild

@@ -595,7 +595,16 @@ def build_ivf_pq_index(
     emb = load_table(spark, sf_dir, "embeddings")
     if k is None:  # the auto-k lake contract, as in ivf_pq_search
         k = max(1, -(-emb.count() // 512))
-    coarse_cent, coarse_assign = kmeans_fit(emb, k=k)
+    # the two trainings are independent — overlap their per-iteration
+    # driver actions on two threads, exactly as ivf_pq_search does
+    # (guide §2.6); bit-identical results, both are deterministic
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(kmeans_fit, emb, k)
+        f_pq = pool.submit(pq_fit, emb)
+        coarse_cent, coarse_assign = f_coarse.result()
+        pq_cent, codes = f_pq.result()
     if cell_cap is not None:
         # skewed-corpus posture: cap cell sizes by splitting hot cells
         # (see _split_hot_cells). Opt-in — the default build stays
@@ -603,7 +612,6 @@ def build_ivf_pq_index(
         coarse_cent, coarse_assign = _split_hot_cells(
             emb, coarse_cent, coarse_assign, cell_cap
         )
-    pq_cent, codes = pq_fit(emb)
 
     ivf = coarse_assign.select("vec_id", F.col("cell").alias("ivf_cell"))
     codes_out = (

@@ -115,9 +115,17 @@ def test_q2_rank1_uses_window_group_limit(spark, specs):
     assert "WindowGroupLimit" in plan
 
 
-def test_q21_semi_and_anti_against_same_fact(spark, specs):
+def test_q21_late_fact_computed_once(spark, specs):
+    """r15 rewrite: the NOT-EXISTS self-anti-join on the derived late
+    fact became a per-order window count (the fact is DISTINCT pairs,
+    so 'no other late supplier' ≡ count==1) and the EXISTS became a
+    semi join against per-order distinct-supplier counts — the late
+    subtree is planned ONCE (the old plan duplicated its whole
+    join+distinct lineage per subquery) and no anti join remains."""
     plan = plan_of(specs["q21_waiting_suppliers"].fn(spark, SF_SMOKE))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" in plan and "LeftAnti" not in plan
+    # one scan of orders (the late fact built once), not two
+    assert plan.count("orders.parquet") == 1
 
 
 def test_media_catalog_prunes_payload_bytes(spark, specs):
