@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fintech_etl_spark.barrier import materialization_barrier
+from fintech_etl_spark.operators.dedup import spread
 from fintech_etl_spark.registry import register
 from fintech_etl_spark.sources.tables import load_table
 
@@ -40,7 +41,7 @@ def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the media table: one asset per document, payload =
     utf-8 bytes of the text, metadata derived from doc fields. The
     derivation is pure column expressions so the oracle can mirror it."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     mt = F.element_at(
         F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -259,7 +260,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def synth_ppm_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One small P6 image per document: 8×6 RGB, pixel bytes taken from
     the text (repeated to fill the plane) — deterministic and valid."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     w, h = 8, 6
     need = w * h * 3
     # repeat text to at least `need` chars, take exactly `need`
@@ -331,7 +332,9 @@ def synth_png_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fintech_etl_spark.functions.png import encode_png
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def kernel(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
@@ -425,7 +428,9 @@ def synth_gif_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fintech_etl_spark.functions.gif import encode_gif
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     palette = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
 
     def kernel(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -539,7 +544,9 @@ def media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_gif_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     palette = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
 
     def kernel(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -721,7 +728,7 @@ def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def synth_pcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One fake PCM (unsigned 8-bit, 8 kHz) clip per document: samples
     are the document's bytes — deterministic, valid, loopable."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.encode("text", "utf-8").alias("pcm"),
@@ -1102,7 +1109,7 @@ def _frame_phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def media_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     vids = docs.filter(F.col("doc_id") % 3 == 2).select(
         F.col("doc_id").alias("asset_id"),
         "text",

@@ -715,20 +715,31 @@ def kmeans_fit(
         )
     )
     assign = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        last = it == max_iter - 1
         # ONE collect per iteration (the action that materializes the
         # previous round); the rows feed both the assignment scorer and
         # the centroid-update width below
         rows = sorted(cent.collect(), key=lambda r: r.cell)
         dim = len(rows[0].centroid)
-        assign = materialization_barrier(_assign_step(vecs, rows, k), barrier)
+        assign = _assign_step(vecs, rows, k)
+        if last:
+            # only the RETURNED frames need the barrier: because each
+            # round's centroids ride the plan as LITERALS, every
+            # intermediate frame's lineage is constant-depth (scan →
+            # score → agg) — an intermediate checkpoint bought no plan
+            # truncation and cost a full materialization per round
+            # (measured ~0.2–0.7 s per fit at sf0.1). Executor-loss
+            # replay of an intermediate round is the same shallow
+            # recompute the checkpoint would have avoided.
+            assign = materialization_barrier(assign, barrier)
         # centroid update in ONE shuffle: a wide per-cell avg of each
         # dimension (dim known from the collected centroids) instead of
         # posexplode → (cell, i) mean → (cell) re-assembly, which paid
         # a second exchange and an N·dim row fan-out per iteration.
         # Same multiset of doubles into each per-(cell, dim) mean, same
         # partial-aggregation structure — values unchanged.
-        cent = materialization_barrier(
+        cent = (
             assign.groupBy("cell")
             .agg(*[F.avg(F.col("v")[i]).alias(f"_m{i}") for i in range(dim)])
             .select(
@@ -736,11 +747,12 @@ def kmeans_fit(
                 F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias(
                     "centroid"
                 ),
-            ),
-            # consumers (IVF probe, the returned centroids) see a cut
-            # lineage; the next iteration's collect materializes it
-            barrier,
+            )
         )
+        if last:
+            # consumers (IVF probe, the returned centroids) see a cut
+            # lineage; their first action materializes it
+            cent = materialization_barrier(cent, barrier)
     return cent, assign.select("vec_id", "cell", "dist")
 
 
@@ -1139,22 +1151,26 @@ def pq_fit(emb: DataFrame, barrier: str = "auto") -> tuple[DataFrame, DataFrame]
         )
         .select("sub", "cell", F.col("sv").alias("centroid"))
     )
-    # per-iteration frames ride the injectable barrier policy
-    cent = materialization_barrier(cent, barrier)
-
     assign = None
-    for _ in range(_PQ_ITERS):
+    for it in range(_PQ_ITERS):
+        last = it == _PQ_ITERS - 1
         # one collect per iteration (the materializing action); rows
-        # feed the scorer AND give the subspace width for the update
+        # feed the scorer AND give the subspace width for the update.
+        # Intermediate frames carry the centroids as LITERALS, so their
+        # lineage is constant-depth — only the RETURNED frames get the
+        # barrier (see kmeans_fit; the per-round checkpoints were pure
+        # materialization cost, ~0.6 s per fit at sf0.1).
         rows = sorted(
             cent.collect(), key=lambda r: (int(r.sub), int(r.cell))
         )
         subdim = len(rows[0].centroid)
-        assign = materialization_barrier(_pq_assign_step(subs, rows), barrier)
+        assign = _pq_assign_step(subs, rows)
+        if last:
+            assign = materialization_barrier(assign, barrier)
         # centroid update in ONE shuffle (wide per-(sub, cell) avg of
         # each slice dimension) — same values as the posexplode →
         # two-level mean it replaces, one fewer exchange per iteration
-        cent = materialization_barrier(
+        cent = (
             assign.groupBy("sub", "cell")
             .agg(
                 *[F.avg(F.col("sv")[i]).alias(f"_m{i}") for i in range(subdim)]
@@ -1165,9 +1181,10 @@ def pq_fit(emb: DataFrame, barrier: str = "auto") -> tuple[DataFrame, DataFrame]
                 F.array(*[F.col(f"_m{i}") for i in range(subdim)]).alias(
                     "centroid"
                 ),
-            ),
-            barrier,
+            )
         )
+        if last:
+            cent = materialization_barrier(cent, barrier)
     return cent, assign.select("vec_id", "sub", "cell")
 
 

@@ -328,6 +328,18 @@ def _with_month(receipts: DataFrame) -> DataFrame:
     )
 
 
+def _cluster_by_month(out: DataFrame) -> DataFrame:
+    """AQE REBALANCE on the partition column before a partitionBy
+    write. Without it every input task opens a file in every month it
+    touches — tasks × months small files per batch (and at sf0.1 the
+    single-task scan wrote all ~80 month files serially). Rebalancing
+    gives one file per month, written in parallel, with AQE splitting
+    a skewed month across tasks instead of pinning it to one (the
+    guide §6 'coalesce on write' shape). Row→month placement is
+    unchanged, so query results and partition layout are identical."""
+    return out.hint("rebalance", "transaction_month")
+
+
 def write_receipts_parquet(
     receipts: DataFrame,
     path: str,
@@ -461,7 +473,7 @@ def write_receipts_parquet(
         out = receipts
         writer = out.write.mode(mode)
         if partition_by_month:
-            out = _with_month(receipts)
+            out = _cluster_by_month(_with_month(receipts))
             writer = out.write.mode(mode).partitionBy("transaction_month")
         writer.parquet(path)
         return {"published": True}
@@ -501,7 +513,11 @@ def write_receipts_parquet(
             receipts = receipts.filter(F.col(file_key_col).isin(todo))
         file_keys = todo
     seg = mf.new_segment_path(path)
-    out = _with_month(receipts) if partition_by_month else receipts
+    out = (
+        _cluster_by_month(_with_month(receipts))
+        if partition_by_month
+        else receipts
+    )
     if lock is not None:
         commit_kwargs: dict = {"lock": lock}
     else:
