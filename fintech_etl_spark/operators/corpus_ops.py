@@ -230,7 +230,9 @@ _SPAN = 16  # tokens per dedup unit (the "line" of C4's line-level dedup)
     tags=("corpus", "dedup", "text"),
 )
 def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from fintech_etl_spark.operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim("text"), r"\s+")
     base = docs.select(
         "doc_id",
@@ -475,12 +477,21 @@ _DECON_EVAL_MOD = 97  # doc_id % 97 == 0 → held-out "benchmark" set
     ),
     tags=("corpus", "safety", "join"),
 )
-def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def corpus_decontaminate(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    from fintech_etl_spark.operators.dedup import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # hoist the tokenization: an inline split expression inside the
-    # transform lambda would re-split the text once per gram index
-    tokenized = docs.select(
-        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    # transform lambda would re-split the text once per gram index.
+    # Materialized once — the eval-gram and corpus-gram branches both
+    # consume it, and the plan does not reuse the spread exchange.
+    tokenized = materialization_barrier(
+        docs.select(
+            "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+        ),
+        barrier,
     )
     w = F.col("w")
     grams = tokenized.select(
@@ -677,7 +688,11 @@ def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tags=("corpus", "dedup", "sampling", "pipeline"),
 )
-def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_build_manifest(
+    spark: SparkSession, sf_dir: str, barrier: str = "auto"
+) -> DataFrame:
+    from fintech_etl_spark.operators.dedup import spread
+
     docs = load_table(spark, sf_dir, "documents")
 
     # Stage 1: mixture sample (pure scan filter)
@@ -696,9 +711,15 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
 
-    # Stage 3: decontamination (eval grams from the FULL corpus, broadcast)
-    tokenized = docs.select(
-        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    # Stage 3: decontamination (eval grams from the FULL corpus, broadcast).
+    # Spread + materialize the tokenized frame once: the eval-gram and
+    # dirty-doc branches both consume it, and the plan does not reuse
+    # the spread exchange across branches.
+    tokenized = materialization_barrier(
+        spread(docs).select(
+            "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+        ),
+        barrier,
     )
     w = F.col("w")
     grams = tokenized.select(
@@ -890,8 +911,12 @@ _DSIR_WEIGHTS_SQL = rf"""
 def corpus_dsir_weights(
     spark: SparkSession, sf_dir: str, barrier: str = "auto"
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.trim("text") != "")
+    from fintech_etl_spark.operators.dedup import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.trim("text") != "")
+        )
     )
     tok = docs.select(
         "doc_id",
@@ -901,6 +926,10 @@ def corpus_dsir_weights(
     tk2 = tok.select(
         "doc_id", (hash64("tk") % _DSIR_BUCKETS).alias("b"), "is_tgt"
     )
+    # two consumers (the bucket-count aggregation and the final per-doc
+    # weight sum) — without a barrier the explode + per-token md5 hash
+    # subtree is recomputed for each
+    tk2 = materialization_barrier(tk2, barrier)
     cnt = (
         tk2.groupBy("b")
         .agg(

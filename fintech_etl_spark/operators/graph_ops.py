@@ -29,6 +29,8 @@ Scale posture (100 TB fact table):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -102,7 +104,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge. Pairs are generated locally per basket array — no lineitem
     self-join, no second shuffle of the basket table (same plan shape
     as ``part_affinity_lift``, /root/reference has no graph analogue)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
@@ -133,11 +135,12 @@ def _sym_edges_and_degrees(
     Fault-tolerance posture rides :mod:`fintech_etl_spark.barrier`:
     ``"auto"`` is a RELIABLE checkpoint when the session has a
     checkpoint dir (preemptible fleets), executor-local otherwise."""
-    u = copurchase_edges(spark, sf_dir)
-    e = materialization_barrier(
-        u.union(u.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
-        barrier,
-    )
+    # checkpoint the DIRECTED list (half the rows of the symmetric
+    # one); the both-direction view is a union of two reads of that
+    # checkpoint — re-derived per consumer at map speed, no shuffle,
+    # instead of materializing the doubled list as a second copy
+    u = materialization_barrier(copurchase_edges(spark, sf_dir), barrier)
+    e = u.union(u.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = materialization_barrier(
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -185,15 +188,22 @@ def graph_copurchase_pagerank(
     # rode EVERY iteration with an integer literal, and sizes the
     # rank-vector joins below. The integer arithmetic is identical.
     n_nodes = deg.count()
-    # A rank/accumulator frame is one (node, bigint) row per node. Up
-    # to ~100M nodes that is a clean broadcast (guide §3.1) and the
-    # checkpointed edge list is then NEVER re-shuffled per iteration
-    # (the checkpoint defeats size estimation, so the planner would
-    # sort-merge all three joins otherwise). Past that, fall back to
-    # the shuffled join — a >8 GB broadcast would be the real scale
-    # killer. Join strategy cannot move any value: the per-destination
-    # sum is exact fixed-point BIGINT, order-independent.
-    _maybe_b = F.broadcast if n_nodes <= 100_000_000 else (lambda d: d)
+    # A rank/accumulator frame is one (node, bigint) row per node. In
+    # the mid band (~1M-100M nodes) that is a clean broadcast (guide
+    # §3.1) and the checkpointed edge list is then NEVER re-shuffled
+    # per iteration (the checkpoint defeats size estimation, so the
+    # planner would sort-merge all three joins otherwise). Below the
+    # floor the whole graph fits in a few shuffle partitions and the
+    # per-iteration exchange is cheaper than 2 broadcast builds per
+    # round (measured: 3 rounds of broadcasts cost ~0.9 s on a 20k-node
+    # graph at sf0.1 vs ~nothing shuffled); past the cap a >8 GB
+    # broadcast would be the real scale killer. Join strategy cannot
+    # move any value: the per-destination sum is exact fixed-point
+    # BIGINT, order-independent.
+    bcast_min = int(os.environ.get("SPARK_GRAFT_PR_BCAST_MIN_NODES", 1_000_000))
+    _maybe_b = (
+        F.broadcast if bcast_min <= n_nodes <= 100_000_000 else (lambda d: d)
+    )
     r = deg.select(
         "v", "deg", F.expr(f"{_PR_E12} div {n_nodes}").alias("r_e12")
     )

@@ -314,6 +314,7 @@ _SHUFFLE_BUDGET = {
     "ann_ivf_pq": 4,
     "ann_ivf_pq_auto": 4,  # identical ivf_pq_search plan, auto-k cells
     "tfidf_top_terms": 4,  # tf agg + df window(term) + N agg + shared doc_id window
+    "corpus_span_dedup": 3,  # spread + span-text window + per-doc rollup
     "doc_unigram_lm_score": 3,  # vocab agg + total agg + per-doc agg (scoring join broadcast)
     "dq_expectations_report": 6,  # five independent scalar constraint aggregates + ref join
     "corpus_build_manifest": 4,  # md5-dedup agg+join, eval-gram agg, dirty-doc agg, budget window
