@@ -1865,15 +1865,30 @@ def minhash_signature_hash64(
     """MinHash signature over the cross-engine md5-derived hash64 —
     bit-identical to the oracle's list_transform replay. One md5 per
     (shingle, permutation); heavier than xxhash64 but VERIFIABLE, and
-    the md5s run JVM-side inside codegen (no UDF)."""
-    from fintech_etl_spark.functions.hashing import hash64
+    the md5s run JVM-side inside codegen (no UDF).
 
-    c = F.col(shingles) if isinstance(shingles, str) else shingles
-    return F.array(
-        *[
-            F.array_min(F.transform(c, lambda g, i=i: hash64(g, seed=i)))
-            for i in range(n_perm)
-        ]
+    ONE aggregate pass carrying an ``n_perm``-long accumulator (the
+    same fold as :func:`minhash_signature` and ``_SWEEP_SIG_HOF``; the
+    md5 input string ``concat(cast(i as string), ':', g)`` is exactly
+    :func:`hash64`'s seeded prefix) instead of ``n_perm`` separate
+    ``array_min(transform(...))`` columns — the wide form re-walked
+    the shingle array per permutation and its analysis dominated the
+    signature step (the 32-band tier measured 3.5× on the identical
+    rewrite). Empty-array semantics cannot diverge: every shingle set
+    has ≥ 1 element by :func:`shingles_of_words`' prefix guarantee, so
+    the fold's init accumulator never survives to the output.
+    ``shingles`` must be a plain column name/attribute (SQL text)."""
+    name = shingles if isinstance(shingles, str) else shingles._jc.toString()
+    return F.expr(
+        f"""
+        aggregate(`{name}`,
+          array_repeat(cast(9223372036854775807 as long), {n_perm}),
+          (acc, g) -> zip_with(acc,
+              transform(sequence(0, {n_perm - 1}),
+                  i -> cast(conv(substring(md5(concat(cast(i as string),
+                                 ':', g)), 1, 15), 16, 10) as long)),
+              (a, b) -> least(a, b)))
+        """
     )
 
 
@@ -2008,13 +2023,23 @@ def minhash_signature_xxhash64(
     mixed in as a leading hash input (not a string concat), which is
     both cheaper and a clean per-permutation family. NOT cross-engine
     replayable (DuckDB has no Spark-compatible xxhash64), hence the
-    parity-tested rows-only posture of ``dedup_minhash_lsh_dense_fast``."""
-    c = F.col(shingles) if isinstance(shingles, str) else shingles
-    return F.array(
-        *[
-            F.array_min(F.transform(c, lambda g, i=i: F.xxhash64(F.lit(i), g)))
-            for i in range(n_perm)
-        ]
+    parity-tested rows-only posture of ``dedup_minhash_lsh_dense_fast``.
+
+    Same single-fold shape as :func:`minhash_signature_hash64` (one
+    pass over the shingle array carrying the 64-long accumulator;
+    ``xxhash64(i, g)`` with the int lambda variable hashes the same
+    (int, string) pair as the wide form's ``xxhash64(lit(i), g)``, so
+    signatures are bit-identical — pinned by the equivalence test)."""
+    name = shingles if isinstance(shingles, str) else shingles._jc.toString()
+    return F.expr(
+        f"""
+        aggregate(`{name}`,
+          array_repeat(cast(9223372036854775807 as long), {n_perm}),
+          (acc, g) -> zip_with(acc,
+              transform(sequence(0, {n_perm - 1}),
+                        i -> xxhash64(i, g)),
+              (a, b) -> least(a, b)))
+        """
     )
 
 

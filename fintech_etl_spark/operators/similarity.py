@@ -513,6 +513,33 @@ _KM_HIER_MIN = 256
 _KM_HIER_PROBES = 2
 
 
+def _literal_matrix(rows) -> F.Column:
+    """A list of double vectors as ONE ``array<array<double>>`` literal
+    column, built from a single parsed SQL string.
+
+    Spelling the doubles as ``repr(x)D`` text is IEEE-exact (Python
+    repr round-trips, Spark's parser is Double.parseDouble — verified
+    ``F.lit(xs) = F.expr(sql)`` TRUE with max |Δ| 0.0) and constant
+    folding collapses the parsed tree to the very Literal that
+    ``F.lit`` would have built — same physical plan, same codegen. The
+    difference is pure driver time: each ``F.lit(list)`` call pays a
+    40–650 ms Py4J list conversion, so the per-centroid-column form
+    cost O(k) such calls per Lloyd round (the dominant cost of a fit
+    at sf0.1, measured this round). Non-finite values (never produced
+    by a mean over finite embeddings) fall back to the F.lit form,
+    whose behavior is the historical one."""
+    vals = [[float(x) for x in r] for r in rows]
+    if all(math.isfinite(x) for r in vals for x in r):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in r) + ")" for r in vals
+            )
+            + ")"
+        )
+    return F.lit(vals)
+
+
 def _coarse_partition(C: "np.ndarray"):  # noqa: F821 (numpy imported by caller)
     """Driver-side NumPy Lloyd's over the k fine centroids: returns
     ``(G, members)`` — coarse centers (g×d, g ≈ √k, empty groups
@@ -566,38 +593,37 @@ def _assign_step(vecs: DataFrame, cent, k: int) -> DataFrame:
         else sorted(cent.collect(), key=lambda r: r.cell)
     )
     if k <= _KM_LITERAL_MAX:
-        # literal array per centroid, spelled as ONE parsed SQL string:
-        # the Column-API form of this scorer costs ~0.8 s of pure
+        # literal centroids, spelled as ONE parsed SQL string: the
+        # Column-API form of this scorer costs ~0.8 s of pure
         # plan-build PER ITERATION (each zip_with/aggregate lambda is a
         # Py4J round-trip; 8 centroids × 3 lambdas × 3 iterations made
         # kmeans_fit 2.4 s of driver time at sf0.1 — measured, and it
         # was the whole dedup_semantic_semdedup regression in r7's
-        # de-shuffle rewrite), while F.expr parses in ~3 ms. Each
-        # centroid rides as ONE array-literal column (F.lit of the
-        # collected doubles — exact, no repr round-trip) instead of 64
-        # inline CAST nodes: the analyzed tree per round shrinks ~50×
-        # (measured 0.88 s → 0.71 s per Lloyd round at sf0.1) and the
-        # generated code references the array object, so every round
-        # and every invocation shares one codegen compile (first round
-        # 2.8 s → 0.78 s). The SQL text builds the IDENTICAL
-        # zip_with/transform/aggregate fold as _sq_dist and the
-        # unrolled SQL oracles, so scores are bit-identical — pinned
-        # by test_kmeans_matches_numpy et al. and an exceptAll
-        # cross-check against the inline-CAST form. array_min on
-        # named_struct(dist, cell) keeps the deterministic
-        # smallest-cell tie-break.
-        cent_cols = [
-            F.lit([float(x) for x in r.centroid]).alias(f"_c{int(r.cell)}")
-            for r in rows
-        ]
+        # de-shuffle rewrite), while F.expr parses in ~3 ms. ALL
+        # centroids ride as ONE k×dim array-of-arrays literal column
+        # (_kC): the earlier one-F.lit-per-centroid form paid 40–650 ms
+        # of Py4J list conversion PER F.lit call (measured this round:
+        # 8 lits = 0.3–5.3 s cold, vs 3–20 ms for the single parsed
+        # literal), which was most of each round's driver time. The
+        # parser's repr-roundtrip doubles are IEEE-exact (verified
+        # `F.lit(xs) = F.expr(sql)` TRUE with max |Δ| = 0.0), and
+        # constant folding collapses the parsed array to the same
+        # Literal the F.lit form produced, so the physical plan —
+        # and the codegen cache behavior across rounds — is unchanged.
+        # The SQL text builds the IDENTICAL zip_with/transform/
+        # aggregate fold as _sq_dist and the unrolled SQL oracles, so
+        # scores are bit-identical — pinned by test_kmeans_matches_
+        # numpy et al. array_min on named_struct(dist, cell) keeps the
+        # deterministic smallest-cell tie-break.
+        kc = _literal_matrix([r.centroid for r in rows])
         parts = ",".join(
             "named_struct('dist', aggregate(transform(zip_with(v, "
-            f"_c{int(r.cell)}, (x, y) -> x - y), x -> x * x), 0.0D, "
+            f"_kC[{i}], (x, y) -> x - y), x -> x * x), 0.0D, "
             f"(s, x) -> s + x), 'cell', {int(r.cell)})"
-            for r in rows
+            for i, r in enumerate(rows)
         )
         best = F.expr(f"array_min(array({parts}))")
-        return vecs.select("vec_id", "v", *cent_cols).select(
+        return vecs.select("vec_id", "v", kc.alias("_kC")).select(
             "vec_id",
             best["cell"].alias("cell"),
             best["dist"].alias("dist"),
@@ -742,15 +768,17 @@ def kmeans_fit(
         # posexplode → (cell, i) mean → (cell) re-assembly, which paid
         # a second exchange and an N·dim row fan-out per iteration.
         # Same multiset of doubles into each per-(cell, dim) mean, same
-        # partial-aggregation structure — values unchanged.
-        cent = (
-            assign.groupBy("cell")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"_m{i}") for i in range(dim)])
-            .select(
-                "cell",
-                F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias(
-                    "centroid"
-                ),
+        # partial-aggregation structure — values unchanged. The whole
+        # dim-wide projection is ONE parsed expression: the Column-API
+        # form (dim × avg/getItem/alias Py4J calls + a second select)
+        # cost ~0.6 s of pure plan-build per round (measured; the
+        # parsed form is ~0.04 s), and the optimizer collapses both to
+        # the identical Aggregate node.
+        cent = assign.groupBy("cell").agg(
+            F.expr(
+                "array("
+                + ",".join(f"avg(v[{i}])" for i in range(dim))
+                + ") AS centroid"
             )
         )
         if last:
@@ -1109,22 +1137,23 @@ def _pq_assign_step(subs: DataFrame, cent) -> DataFrame:
     by_sub: dict[int, list] = {}
     for r in rows:
         by_sub.setdefault(int(r.sub), []).append(r)
-    # one array-literal column per (sub, cell) codeword — single tree
-    # nodes instead of subs·k·subdim inline CASTs, shared codegen
-    # across rounds/invocations (see _assign_step; values exact)
-    cent_cols = [
-        F.lit([float(x) for x in r.centroid]).alias(
-            f"_c{int(r.sub)}_{int(r.cell)}"
-        )
-        for r in rows
-    ]
+    # ALL subs·k codewords ride as ONE array-of-arrays literal column
+    # (_pC, indexed [flat codeword position]) built from a single
+    # parsed SQL string — the one-F.lit-per-codeword form paid a
+    # 40–650 ms Py4J list conversion × 128 codewords PER ROUND (the
+    # dominant cost of pq_fit at sf0.1, measured this round); constant
+    # folding collapses every _pC[i] to the same per-codeword Literal
+    # the F.lit columns produced, so the physical plan and codegen
+    # cache behavior are unchanged (see _literal_matrix; values exact)
+    flat_idx = {(int(r.sub), int(r.cell)): i for i, r in enumerate(rows)}
+    pc = _literal_matrix([r.centroid for r in rows])
     branches = " ".join(
         "WHEN sub = {s} THEN array_min(array({parts}))".format(
             s=s,
             parts=",".join(
                 "named_struct('dist', aggregate(transform(zip_with(sv, "
-                f"_c{int(r.sub)}_{int(r.cell)}, (x, y) -> x - y), "
-                f"x -> x * x), "
+                f"_pC[{flat_idx[(int(r.sub), int(r.cell))]}], "
+                f"(x, y) -> x - y), x -> x * x), "
                 f"0.0D, (p, x) -> p + x), 'cell', {int(r.cell)})"
                 for r in cells
             ),
@@ -1132,7 +1161,7 @@ def _pq_assign_step(subs: DataFrame, cent) -> DataFrame:
         for s, cells in sorted(by_sub.items())
     )
     best = F.expr(f"CASE {branches} END")
-    return subs.select("vec_id", "sub", "sv", *cent_cols).select(
+    return subs.select("vec_id", "sub", "sv", pc.alias("_pC")).select(
         "vec_id", "sub", best["cell"].alias("cell"), "sv"
     )
 
@@ -1178,18 +1207,15 @@ def pq_fit(emb: DataFrame, barrier: str = "auto") -> tuple[DataFrame, DataFrame]
             assign = materialization_barrier(assign, barrier)
         # centroid update in ONE shuffle (wide per-(sub, cell) avg of
         # each slice dimension) — same values as the posexplode →
-        # two-level mean it replaces, one fewer exchange per iteration
-        cent = (
-            assign.groupBy("sub", "cell")
-            .agg(
-                *[F.avg(F.col("sv")[i]).alias(f"_m{i}") for i in range(subdim)]
-            )
-            .select(
-                "sub",
-                "cell",
-                F.array(*[F.col(f"_m{i}") for i in range(subdim)]).alias(
-                    "centroid"
-                ),
+        # two-level mean it replaces, one fewer exchange per iteration.
+        # One parsed expression instead of subdim × Column-API calls +
+        # a second select (see kmeans_fit — same Aggregate node, ~15×
+        # cheaper to build).
+        cent = assign.groupBy("sub", "cell").agg(
+            F.expr(
+                "array("
+                + ",".join(f"avg(sv[{i}])" for i in range(subdim))
+                + ") AS centroid"
             )
         )
         if last:
