@@ -881,6 +881,67 @@ _PHASH_ORACLE = (
 )
 
 
+def _phash_band_pairs(fp: DataFrame, cap: int | None = None) -> DataFrame:
+    """Banded candidate generation + Hamming≤{H} verify shared by both
+    phash tiers — the ``_simhash_band_pairs`` shape: ONE groupBy
+    shuffle collects each chunk bucket's (asset_id, phash) members and
+    ordered in-bucket pairs are generated (and popcount-verified)
+    inside the bucket's task with higher-order functions. The previous
+    two-sided self-join planned the chunk-explode subtree once per
+    side (two exchanges, and the capped tier additionally re-ran its
+    bucket-count aggregation per side for the broadcast build — it
+    benched SLOWER than the uncapped tier it bounds). With ``cap``,
+    over-dense buckets sit out pair generation as one filter on the
+    already-aggregated row — the broadcast-allowed-set join is gone
+    entirely. Pair set, hamming values, and ordering (asset_a <
+    asset_b via the sorted struct collect) are identical to the join
+    form; the ≤-H filter commutes with distinct()."""
+    chunks = fp.select(
+        "asset_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", _PHASH_CHUNK_BITS * i).bitwiseAND(
+                        F.lit(_PHASH_CHUNK_MASK)
+                    )
+                    for i in range(_PHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    buckets = (
+        chunks.groupBy("chunk_no", "chunk")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("asset_id", "phash"))).alias(
+                "m"
+            )
+        )
+        .filter(F.size("m") >= 2)
+    )
+    if cap is not None:
+        buckets = buckets.filter(F.size("m") <= cap)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    f"""
+                    transform(m, (x, i) ->
+                        filter(
+                            transform(slice(m, i + 2, size(m) - i - 1), y ->
+                                struct(x.asset_id AS asset_a,
+                                       y.asset_id AS asset_b,
+                                       CAST(bit_count(x.phash ^ y.phash)
+                                            AS INT) AS hamming)),
+                            p -> p.hamming <= {_PHASH_HAM}))
+                    """
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.asset_a", "p.asset_b", "p.hamming").distinct()
+
+
 @register(
     "media_phash_dedup",
     _PHASH_ORACLE,
@@ -908,37 +969,7 @@ def media_phash_dedup(
         synth_ppm_images(spark, sf_dir).mapInPandas(_phash_batch, _PHASH_SCHEMA),
         barrier,
     )
-    chunks = fp.select(
-        "asset_id",
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("phash", _PHASH_CHUNK_BITS * i).bitwiseAND(
-                        F.lit(_PHASH_CHUNK_MASK)
-                    )
-                    for i in range(_PHASH_CHUNKS)
-                ]
-            )
-        ).alias("chunk_no", "chunk"),
-    )
-    ca = chunks.select(
-        F.col("asset_id").alias("asset_a"), F.col("phash").alias("ph_a"),
-        "chunk_no", "chunk",
-    )
-    cb = chunks.select(
-        F.col("asset_id").alias("asset_b"), F.col("phash").alias("ph_b"),
-        "chunk_no", "chunk",
-    )
-    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (
-        ca.join(cb, ["chunk_no", "chunk"])
-        .filter(F.col("asset_a") < F.col("asset_b"))
-        .select("asset_a", "asset_b", "ph_a", "ph_b")
-        .distinct()
-        .filter(hamming <= _PHASH_HAM)
-        .select("asset_a", "asset_b", hamming.cast("int").alias("hamming"))
-    )
+    return _phash_band_pairs(fp)
 
 
 #: Buckets with more members than this generate no candidates in the
@@ -991,44 +1022,7 @@ def media_phash_dedup_capped(
         synth_ppm_images(spark, sf_dir).mapInPandas(_phash_batch, _PHASH_SCHEMA),
         barrier,
     )
-    chunks = fp.select(
-        "asset_id",
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("phash", _PHASH_CHUNK_BITS * i).bitwiseAND(
-                        F.lit(_PHASH_CHUNK_MASK)
-                    )
-                    for i in range(_PHASH_CHUNKS)
-                ]
-            )
-        ).alias("chunk_no", "chunk"),
-    )
-    allowed = (
-        chunks.groupBy("chunk_no", "chunk")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _PHASH_BUCKET_CAP)
-        .select("chunk_no", "chunk")
-    )
-    kept = chunks.join(F.broadcast(allowed), ["chunk_no", "chunk"])
-    ca = kept.select(
-        F.col("asset_id").alias("asset_a"), F.col("phash").alias("ph_a"),
-        "chunk_no", "chunk",
-    )
-    cb = kept.select(
-        F.col("asset_id").alias("asset_b"), F.col("phash").alias("ph_b"),
-        "chunk_no", "chunk",
-    )
-    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (
-        ca.join(cb, ["chunk_no", "chunk"])
-        .filter(F.col("asset_a") < F.col("asset_b"))
-        .select("asset_a", "asset_b", "ph_a", "ph_b")
-        .distinct()
-        .filter(hamming <= _PHASH_HAM)
-        .select("asset_a", "asset_b", hamming.cast("int").alias("hamming"))
-    )
+    return _phash_band_pairs(fp, cap=_PHASH_BUCKET_CAP)
 
 
 # ---------------------------------------------------------------------------

@@ -463,47 +463,74 @@ def text_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Every signal is a function of ONE document's token multiset, so
+    # none of it needs a shuffle: sort the array and a single
+    # sequential `aggregate` fold yields the distinct count (boundary
+    # count) and the top frequency (max equal-run length) per row. The
+    # previous shape exploded words AND bigrams into two
+    # (doc_id, token) aggregation pipelines joined back on doc_id —
+    # four exchanges and a ~100× row fan-out for per-row arithmetic
+    # (guide §2.3/§2.4: the counts, and therefore every emitted value,
+    # are identical — pinned by the unchanged DuckDB oracle).
+    # explode dropped null-text docs; the filter keeps that contract.
     w = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
+    ).filter(F.col("w").isNotNull())
+
+    def run_fold(arr: str) -> str:
+        # (distinct count, max run length) of the SORTED array in one
+        # pass: run tracks the current equal-run, best its max, nd the
+        # number of value boundaries. Elements are non-null (split
+        # output), so <=> only guards the initial null prev.
+        return f"""
+        aggregate(array_sort({arr}),
+          named_struct('prev', cast(null as string),
+                       'run', 0L, 'best', 0L, 'nd', 0L),
+          (a, x) -> named_struct(
+              'prev', x,
+              'run', IF(a.prev <=> x, a.run + 1L, 1L),
+              'best', greatest(a.best, IF(a.prev <=> x, a.run + 1L, 1L)),
+              'nd', a.nd + IF(a.prev <=> x, 0L, 1L)))
+        """
+
+    # bigram list via a 0-based transform over the words array — the
+    # old sequence(1, size-1) spelling produced a DESCENDING [1, 0]
+    # sequence for a 1-word doc and element_at(w, 2) then threw
+    # INVALID_ARRAY_INDEX (latent: the corpus has no 1-word docs);
+    # slicing the zip of (w, w[1:]) cannot go out of bounds, and a
+    # 1-word doc gets the empty list → null top_bigram_frac, which is
+    # what the old left-join shape was documented to produce.
+    bigrams = (
+        "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), "
+        "slice(w, 2, greatest(size(w) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b))"
     )
-    wcc = (
-        w.select("doc_id", F.explode("w").alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
+    stats = w.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.expr(run_fold("w")).alias("_ws"),
+        F.expr(bigrams).alias("_bg"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.col("_ws.nd").alias("n_distinct"),
+        F.col("_ws.best").alias("top_c"),
+        F.size("_bg").cast("long").alias("totb"),
+        F.expr(run_fold("_bg"))["best"].alias("topb"),
     )
-    ws = wcc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("top_c"),
-    )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size("w") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at("w", i.cast("int")), F.element_at("w", (i + 1).cast("int"))
+    return stats.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_distinct") / F.col("n_words"), 4).alias(
+            "distinct_word_ratio"
         ),
-    )
-    # explode_outer: a 1-word doc has an empty bigram list; the doc must
-    # survive (null top_bigram_frac), not silently drop out of the QA set.
-    bgc = (
-        w.select("doc_id", F.explode_outer(bigrams).alias("g"))
-        .filter(F.col("g").isNotNull())
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    bgs = bgc.groupBy("doc_id").agg(
-        F.sum("c").alias("totb"), F.max("c").alias("topb")
-    )
-    return (
-        ws.join(bgs, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            F.round(F.col("n_distinct") / F.col("n_words"), 4).alias(
-                "distinct_word_ratio"
-            ),
-            F.round(F.col("top_c") / F.col("n_words"), 4).alias("top_word_frac"),
-            F.round(F.col("topb") / F.col("totb"), 4).alias("top_bigram_frac"),
-        )
+        F.round(F.col("top_c") / F.col("n_words"), 4).alias("top_word_frac"),
+        # 0-bigram docs get an explicit null — the same null the old
+        # left join produced for a missing bgs row (0/0 throws under
+        # Spark 4's default ANSI mode, so the guard is load-bearing)
+        F.when(
+            F.col("totb") > 0, F.round(F.col("topb") / F.col("totb"), 4)
+        ).alias("top_bigram_frac"),
     )
 
 

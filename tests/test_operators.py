@@ -1413,6 +1413,45 @@ def test_ngram_capped_subset_of_exact_with_identical_values(spark):
     assert capped == exact  # no boilerplate-only pair at gate scale
 
 
+def test_repetition_signals_fold_values_and_one_word_edge(spark):
+    """The r15 per-row fold rewrite of quality_repetition_signals:
+    hand-computed values on a known doc, and the 1-word edge the old
+    explode shape could not survive (its sequence(1, size-1) bigram
+    index list was the DESCENDING [1, 0] for a 1-word doc, and
+    element_at(w, 2) then threw INVALID_ARRAY_INDEX — the corpus just
+    never contains one). The fold gives the doc an empty bigram list
+    and a null top_bigram_frac, the documented left-join semantics."""
+    import os
+    import tempfile
+
+    from fintech_etl_spark.operators.text_analysis import (
+        quality_repetition_signals,
+    )
+
+    rows = [
+        (1, "a b a b a"),   # 5 words, 2 distinct, top a×3; bigrams:
+                            # "a b"×2, "b a"×2 of 4 → topb/totb = 0.5
+        (2, "solo"),        # 1 word: no bigrams → null top_bigram_frac
+        (3, "x x x x"),     # degenerate: 1 distinct, top 4/4, "x x"×3/3
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in quality_repetition_signals(spark, d).collect()}
+    assert got[1].n_words == 5
+    assert got[1].distinct_word_ratio == 0.4
+    assert got[1].top_word_frac == 0.6
+    assert got[1].top_bigram_frac == 0.5
+    assert got[2].n_words == 1
+    assert got[2].distinct_word_ratio == 1.0
+    assert got[2].top_word_frac == 1.0
+    assert got[2].top_bigram_frac is None
+    assert got[3].distinct_word_ratio == 0.25
+    assert got[3].top_word_frac == 1.0
+    assert got[3].top_bigram_frac == 1.0
+
+
 def test_full_registry_receipt_is_current_and_clean():
     """The committed full-registry oracle receipt (r11 judge's top
     item): the driver's CORRECTNESS gate samples a FIXED 50 of the

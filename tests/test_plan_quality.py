@@ -305,7 +305,8 @@ _SHUFFLE_BUDGET = {
     # runs on |labels|- or |labels|²-sized inputs
     "embedding_label_separation": 5,
     "q20_dominant_suppliers": 4,  # 2-level grouped agg + distinct
-    "quality_repetition_signals": 4,  # word + bigram explode-agg passes
+    # r15: per-row sorted-array folds — no explode, no join, no shuffle
+    "quality_repetition_signals": 0,
     "ann_ivf_probe": 4,  # trained-cell assign join + probe rank + in-cell rerank
     # the composed IVF+PQ plan: probe rank window + candidate×code join
     # (keyed on vec_id — ids only, the embeddings stay behind their
