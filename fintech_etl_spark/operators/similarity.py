@@ -615,6 +615,14 @@ def _assign_step(vecs: DataFrame, cent, k: int) -> DataFrame:
         # scores are bit-identical — pinned by test_kmeans_matches_
         # numpy et al. array_min on named_struct(dist, cell) keeps the
         # deterministic smallest-cell tie-break.
+        # NOTE: the k-branch array_min form is kept deliberately — an
+        # A/B of the running-minimum single-fold variant (the shape
+        # _pq_assign_step now uses) measured ~1.03–1.13× SLOWER on the
+        # kmeans-only rows at k ≤ 16: with so few branches the
+        # spelled-out tree is small and constant-folds each _kC[i] to
+        # a direct literal, while the dynamic-index fold pays a per-
+        # element array access and struct build. The PQ step keeps the
+        # fold because its tree was subs·k ≈ 128 branches.
         kc = _literal_matrix([r.centroid for r in rows])
         parts = ",".join(
             "named_struct('dist', aggregate(transform(zip_with(v, "
@@ -1137,33 +1145,67 @@ def _pq_assign_step(subs: DataFrame, cent) -> DataFrame:
     by_sub: dict[int, list] = {}
     for r in rows:
         by_sub.setdefault(int(r.sub), []).append(r)
-    # ALL subs·k codewords ride as ONE array-of-arrays literal column
-    # (_pC, indexed [flat codeword position]) built from a single
-    # parsed SQL string — the one-F.lit-per-codeword form paid a
-    # 40–650 ms Py4J list conversion × 128 codewords PER ROUND (the
-    # dominant cost of pq_fit at sf0.1, measured this round); constant
-    # folding collapses every _pC[i] to the same per-codeword Literal
-    # the F.lit columns produced, so the physical plan and codegen
-    # cache behavior are unchanged (see _literal_matrix; values exact)
-    flat_idx = {(int(r.sub), int(r.cell)): i for i, r in enumerate(rows)}
-    pc = _literal_matrix([r.centroid for r in rows])
-    branches = " ".join(
-        "WHEN sub = {s} THEN array_min(array({parts}))".format(
-            s=s,
-            parts=",".join(
-                "named_struct('dist', aggregate(transform(zip_with(sv, "
-                f"_pC[{flat_idx[(int(r.sub), int(r.cell))]}], "
-                f"(x, y) -> x - y), x -> x * x), "
-                f"0.0D, (p, x) -> p + x), 'cell', {int(r.cell)})"
-                for r in cells
-            ),
-        )
-        for s, cells in sorted(by_sub.items())
+    # ALL subs·k codewords ride as ONE flat array-of-arrays literal
+    # column (_pC) plus per-sub offset/count and flat cell-id int
+    # arrays, and the per-sub argmin is ONE running-minimum fold over
+    # the sub's codeword indices — the previous form spelled the
+    # distance fold out once per codeword inside a per-sub CASE
+    # (subs·k ≈ 128 copies, ~5000 analyzed nodes per round, the
+    # dominant remaining driver cost of pq_fit; this tree is
+    # constant-size). least() on the (dist, cell) struct is exactly
+    # array_min's comparison (dist a sum of squares — never NaN/-0.0),
+    # the inner fold is the identical arithmetic, and cells are
+    # scanned via their recorded ids, so codes are bit-identical —
+    # ann_pq_adc/ann_ivf_pq stay oracle-green. The one-F.lit-per-
+    # codeword form this replaces also paid 40–650 ms of Py4J list
+    # conversion per codeword (see _literal_matrix).
+    ordered = [r for _, cells in sorted(by_sub.items()) for r in cells]
+    offs, counts, off = {}, {}, 0
+    for s, cells in sorted(by_sub.items()):
+        offs[s], counts[s] = off, len(cells)
+        off += len(cells)
+    pc = _literal_matrix([r.centroid for r in ordered])
+    cells_lit = (
+        "array(" + ",".join(str(int(r.cell)) for r in ordered) + ")"
     )
-    best = F.expr(f"CASE {branches} END")
-    return subs.select("vec_id", "sub", "sv", pc.alias("_pC")).select(
-        "vec_id", "sub", best["cell"].alias("cell"), "sv"
+    offs_lit = (
+        "array("
+        + ",".join(str(offs[s]) for s in sorted(offs))
+        + ")"
     )
+    counts_lit = (
+        "array("
+        + ",".join(str(counts[s]) for s in sorted(counts))
+        + ")"
+    )
+    subs_sorted = sorted(by_sub)
+    sub_pos = (
+        f"array_position(array({','.join(str(s) for s in subs_sorted)}), sub)"
+        if subs_sorted != list(range(len(subs_sorted)))
+        else "(sub + 1)"
+    )
+    best = F.expr(
+        f"""
+        aggregate(sequence(0, _pCnt[{sub_pos} - 1] - 1),
+          named_struct('dist', cast('Infinity' as double),
+                       'cell', 2147483647),
+          (acc, i) -> least(acc, named_struct(
+              'dist', aggregate(transform(zip_with(sv,
+                          _pC[_pOff[{sub_pos} - 1] + i],
+                          (x, y) -> x - y), x -> x * x),
+                      0.0D, (p, x) -> p + x),
+              'cell', _pCells[_pOff[{sub_pos} - 1] + i])))
+        """
+    )
+    return subs.select(
+        "vec_id",
+        "sub",
+        "sv",
+        pc.alias("_pC"),
+        F.expr(cells_lit).alias("_pCells"),
+        F.expr(offs_lit).alias("_pOff"),
+        F.expr(counts_lit).alias("_pCnt"),
+    ).select("vec_id", "sub", best["cell"].alias("cell"), "sv")
 
 
 def pq_fit(emb: DataFrame, barrier: str = "auto") -> tuple[DataFrame, DataFrame]:
