@@ -40,8 +40,17 @@ _FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
 def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the media table: one asset per document, payload =
     utf-8 bytes of the text, metadata derived from doc fields. The
-    derivation is pure column expressions so the oracle can mirror it."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    derivation is pure column expressions so the oracle can mirror it.
+
+    NOT spread: the asset synthesis and its light consumers (stats,
+    byte-level feature extract) are expression/small-kernel work where
+    the repartition's shuffle + 32-task dispatch costs more than the
+    parallelism buys — measured this round: media_feature_extract
+    0.35–0.43 s unspread vs 0.71–1.03 s spread, both reps. The HEAVY
+    per-doc kernels (multi-frame GIF encode/decode) keep their spread
+    upstream, where the same A/B measured a 2× win — see
+    synth_gif_images."""
+    docs = load_table(spark, sf_dir, "documents")
     mt = F.element_at(
         F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -259,8 +268,12 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def synth_ppm_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One small P6 image per document: 8×6 RGB, pixel bytes taken from
-    the text (repeated to fill the plane) — deterministic and valid."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    the text (repeated to fill the plane) — deterministic and valid.
+
+    NOT spread: the 8×6 decode + aHash kernel is light enough that the
+    repartition costs more than 32-way parallelism returns (measured:
+    media_phash_dedup 0.94–1.04 s unspread vs 1.11–1.54 s spread)."""
+    docs = load_table(spark, sf_dir, "documents")
     w, h = 8, 6
     need = w * h * 3
     # repeat text to at least `need` chars, take exactly `need`
