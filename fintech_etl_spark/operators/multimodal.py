@@ -982,7 +982,46 @@ def media_phash_dedup(
         synth_ppm_images(spark, sf_dir).mapInPandas(_phash_batch, _PHASH_SCHEMA),
         barrier,
     )
-    return _phash_band_pairs(fp)
+    # Deliberately the two-sided JOIN shape, not _phash_band_pairs:
+    # this is the ORACLE-PARITY tier and the r15 interleaved A/B
+    # measured the codegen'd hash join ~1.3× FASTER than the
+    # interpreted in-bucket HOF pair-gen here (0.55 vs 0.70 s) — with
+    # no cap there is no per-side bucket-count agg to duplicate, so
+    # the join form's only extra cost is one exchange, and its
+    # quadratic mega-bucket risk is exactly what the CAPPED production
+    # tier (which keeps the in-bucket shape and its 0.72–0.84 A/B win)
+    # exists to bound.
+    chunks = fp.select(
+        "asset_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", _PHASH_CHUNK_BITS * i).bitwiseAND(
+                        F.lit(_PHASH_CHUNK_MASK)
+                    )
+                    for i in range(_PHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    ca = chunks.select(
+        F.col("asset_id").alias("asset_a"), F.col("phash").alias("ph_a"),
+        "chunk_no", "chunk",
+    )
+    cb = chunks.select(
+        F.col("asset_id").alias("asset_b"), F.col("phash").alias("ph_b"),
+        "chunk_no", "chunk",
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        ca.join(cb, ["chunk_no", "chunk"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", "ph_a", "ph_b")
+        .distinct()
+        .filter(hamming <= _PHASH_HAM)
+        .select("asset_a", "asset_b", hamming.cast("int").alias("hamming"))
+    )
 
 
 #: Buckets with more members than this generate no candidates in the
