@@ -328,15 +328,56 @@ def _with_month(receipts: DataFrame) -> DataFrame:
     )
 
 
+def _advisory_bytes(out: DataFrame) -> int:
+    """The session's AQE advisory partition size (the coalescing
+    target REBALANCE aims partitions at), parsed from conf."""
+    raw = out.sparkSession.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    s = str(raw).strip().lower()
+    for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * mult
+    return int(s)
+
+
 def _cluster_by_month(out: DataFrame) -> DataFrame:
-    """AQE REBALANCE on the partition column before a partitionBy
+    """Cluster rows by the partition column before a partitionBy
     write. Without it every input task opens a file in every month it
     touches — tasks × months small files per batch (and at sf0.1 the
-    single-task scan wrote all ~80 month files serially). Rebalancing
-    gives one file per month, written in parallel, with AQE splitting
-    a skewed month across tasks instead of pinning it to one (the
-    guide §6 'coalesce on write' shape). Row→month placement is
-    unchanged, so query results and partition layout are identical."""
+    single-task scan wrote all ~80 month files serially).
+
+    Two regimes, picked from the batch's PLANNED size (guide §2:
+    derive partitioning from input size, not a constant):
+
+    - batch > one AQE advisory partition: the REBALANCE hint — one
+      file per month, written in parallel, AQE splitting a skewed
+      month across tasks instead of pinning it to one (the guide §6
+      'coalesce on write' shape).
+    - batch ≤ one advisory partition: REBALANCE would coalesce the
+      WHOLE batch into a single task that then writes every month
+      directory serially (measured ~1.4 s of the sf0.1 lake
+      lifecycle's ~3 s — ~80 sequential file creates per write). A
+      hash repartition on month at the session's shuffle parallelism
+      spreads the months across tasks; each month still lands wholly
+      in one task, so the layout stays one file per month. The skew
+      objection to hash-by-month cannot bite here: the whole batch is
+      at most one advisory chunk, so the hottest month costs no more
+      than what REBALANCE's single coalesced task already paid.
+
+    Row→month placement is unchanged in both regimes, so query
+    results and partition layout are identical."""
+    try:
+        planned = int(
+            out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        planned = None
+    if planned is not None and planned <= _advisory_bytes(out):
+        n = int(out.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        return out.repartition(n, "transaction_month")
     return out.hint("rebalance", "transaction_month")
 
 

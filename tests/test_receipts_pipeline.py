@@ -1067,3 +1067,72 @@ def test_receipts_lake_threads_cas_lock_provider(spark, tmp_path):
     assert provider.read_claim(mdir, 4) is not None  # drain remove-commit
     # and no file-provider claims were minted anywhere along the way
     assert not [x for x in _os.listdir(mdir) if x.startswith("claim-")]
+
+
+def test_cluster_by_month_regime_and_layout(spark, tmp_path):
+    """The pre-write month clustering picks its regime from the
+    batch's PLANNED size: a tiny batch hash-repartitions on month (so
+    distinct months write in parallel instead of one coalesced task
+    creating every month directory serially), a batch past the AQE
+    advisory partition size keeps the REBALANCE hint (skew-splitting a
+    hot month). Both regimes land exactly one file per month."""
+    import datetime as dt2
+    import glob
+    import os as _os
+
+    from fintech_etl_spark.sinks.receipts import (
+        _cluster_by_month,
+        _with_month,
+        write_receipts_parquet,
+    )
+
+    rows = [
+        (i, dt2.date(2024, 1 + (i % 12), 1 + (i % 27)), float(i))
+        for i in range(200)
+    ]
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        rows, "receipt_id long, transaction_date date, total_amount double"
+    ).write.parquet(src)
+    # parquet-backed so the optimizer has a REAL size estimate — an
+    # in-memory LogicalRDD reports the default (huge) size and the
+    # helper conservatively keeps the REBALANCE hint for it
+    receipts = spark.read.parquet(src)
+
+    # tiny regime: explicit hash repartition, no rebalance hint
+    plan = (
+        _cluster_by_month(_with_month(receipts))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "RepartitionByExpression" in plan
+    assert "rebalance" not in plan.lower()
+
+    # large regime (forced by shrinking the advisory): rebalance hint
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "1b")
+    try:
+        plan_big = (
+            _cluster_by_month(_with_month(receipts))
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert "RebalancePartitions" in plan_big
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+    # layout: one parquet file per month directory, 12 months
+    lake = str(tmp_path / "lake")
+    write_receipts_parquet(receipts, lake, transactional=True, batch_key="b0")
+    month_dirs = glob.glob(
+        _os.path.join(lake, "segments", "*", "transaction_month=*")
+    )
+    assert len(month_dirs) == 12
+    for d in month_dirs:
+        assert len(glob.glob(_os.path.join(d, "*.parquet"))) == 1
