@@ -673,6 +673,35 @@ def zorder_append(
     return df.count()
 
 
+def _stats_bounds(
+    path: str, segs: list[str], cols: list[str]
+) -> dict | None:
+    """Exact min/max bounds of ``segs`` from the manifest's committed
+    per-segment stats — zero data scanned (the same metadata
+    ``zorder_drift`` trusts for its actual-bounds arithmetic; every
+    stats entry was itself a ``_freeze_bounds`` result, so folding
+    them reproduces the full-scan agg bit for bit). Returns None when
+    any selected segment misses stats for any required column — the
+    caller must fall back to the scan."""
+    by_seg = dict(mf.dataset_segments_with_stats(path, _LAYOUT_DS))
+    out: dict[str, tuple[int, int]] = {}
+    for seg in segs:
+        st = by_seg.get(seg)
+        if st is None:
+            return None
+        for c in cols:
+            if c not in st:
+                return None
+            lo, hi = int(st[c][0]), int(st[c][1])
+            cur = out.get(c)
+            out[c] = (
+                (lo, hi)
+                if cur is None
+                else (min(cur[0], lo), max(cur[1], hi))
+            )
+    return out or None
+
+
 def zorder_compact(
     spark: SparkSession,
     path: str,
@@ -731,7 +760,11 @@ def zorder_compact(
             return 0  # nothing to fold
         refresh_bounds = False  # partial: the curve stays frozen
     cur = mf.read_segments(spark, old_segs)
-    actual = _freeze_bounds(cur, meta["cols"], "zorder_compact")
+    actual = _stats_bounds(path, old_segs, meta["cols"])
+    if actual is None:
+        # a selected segment lacks (full) stats — the one case that
+        # still needs a scan to know the data's true min/max
+        actual = _freeze_bounds(cur, meta["cols"], "zorder_compact")
     if refresh_bounds:
         meta = {"cols": meta["cols"], "bits": meta["bits"], "bounds": actual}
     seg = mf.new_segment_path(path)

@@ -912,3 +912,51 @@ def test_layout_lifecycle_threads_cas_lock_provider(spark, tmp_path):
     # no file-provider claims anywhere — every commit went through
     # the injected store
     assert not [x for x in os.listdir(mdir) if x.startswith("claim-")]
+
+
+def test_compact_bounds_from_stats_match_scan_and_fall_back(spark, tmp_path):
+    """zorder_compact re-freezes its curve from the manifest's
+    committed per-segment stats (zero data scanned); the metadata fold
+    equals the full-scan agg exactly, and a segment missing stats (a
+    foreign commit) falls back to the scan instead of mis-freezing."""
+    from fintech_etl_spark.operators.layout import (
+        _freeze_bounds,
+        _stats_bounds,
+    )
+
+    path = str(tmp_path / "lake")
+    zorder_write(
+        _frame(spark), ["x", "y"], path, num_files=4, transactional=True
+    )
+    zorder_append(_frame(spark, n=1000, offset=5000), path, num_files=2)
+    segs = mf.dataset_segments(path, _LAYOUT_DS)
+    meta_bounds = _stats_bounds(path, segs, ["x", "y"])
+    scan_bounds = _freeze_bounds(
+        mf.read_segments(spark, segs), ["x", "y"], "test"
+    )
+    assert meta_bounds == scan_bounds
+    # compact itself stays lossless and re-freezes to the same box
+    before = _rows(read_zorder(spark, path))
+    assert zorder_compact(spark, path, num_files=4) == 5000
+    assert _rows(read_zorder(spark, path)) == before
+    assert {
+        c: tuple(v) for c, v in zorder_bounds(path)["bounds"].items()
+    } == scan_bounds
+
+    # strip one live segment's stats (a foreign writer's commit shape)
+    m = mf.current(path)
+    seg_rel = m["datasets"][_LAYOUT_DS][0]
+    del m["segment_stats"][_LAYOUT_DS][seg_rel]
+    mdir = os.path.join(path, "_manifests")
+    name = f"manifest-{m['version'] + 1:010d}-feedfeed.json"
+    with open(os.path.join(mdir, name), "w") as fh:
+        json.dump({**m, "version": m["version"] + 1}, fh)
+    with open(os.path.join(mdir, "_current"), "w") as fh:
+        fh.write(name)
+    segs2 = mf.dataset_segments(path, _LAYOUT_DS)
+    assert _stats_bounds(path, segs2, ["x", "y"]) is None
+    # the fallback scan keeps compaction exact
+    assert zorder_compact(spark, path, num_files=4) == 5000
+    assert {
+        c: tuple(v) for c, v in zorder_bounds(path)["bounds"].items()
+    } == scan_bounds
