@@ -182,6 +182,46 @@ def _footer_rows(*roots: str) -> int:
     return total
 
 
+def _footer_bounds(root: str, cols: list[str]) -> dict | None:
+    """Exact per-column min/max of the parquet files under ``root``
+    from their FOOTER statistics — the write's own metadata instead of
+    a second full pass over the batch (the row-count twin is
+    ``_footer_rows``; int32/int64 footer stats are exact, never
+    truncated). Returns None when any row group lacks usable stats for
+    a needed column (stats disabled, all-NULL group, non-integer key)
+    — the caller must fall back to the aggregation."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, tuple[int, int]] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            if any(c not in idx for c in cols):
+                return None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for c in cols:
+                    st = row_group.column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    try:
+                        lo, hi = int(st.min), int(st.max)
+                    except (TypeError, ValueError):
+                        return None
+                    cur = out.get(c)
+                    out[c] = (
+                        (lo, hi)
+                        if cur is None
+                        else (min(cur[0], lo), max(cur[1], hi))
+                    )
+    return out or None
+
+
 def _write_sidecar(path: str, meta: dict) -> None:
     """Atomic ``_zbounds.json`` write: temp + ``os.replace``, so a
     crash mid-write leaves the previous bounds intact instead of a
@@ -643,12 +683,17 @@ def zorder_append(
     Returns appended row count."""
     meta = zorder_bounds(path)
     if mf.is_transactional(path):
-        # the batch's ACTUAL min/max (not the clamped curve bounds) —
-        # one tiny agg; raises on an all-NULL/empty batch, which could
-        # not be placed on the curve anyway
-        batch_bounds = _freeze_bounds(df, meta["cols"], "zorder_append")
         seg = mf.new_segment_path(path)
         _cluster_write(df, meta, seg, num_files, "overwrite")
+        # the batch's ACTUAL min/max (not the clamped curve bounds),
+        # read from the staged files' own parquet footers — no second
+        # pass over the batch. Fallback to the agg when footer stats
+        # are unusable; both paths raise on an all-NULL/empty batch,
+        # which could not be placed on the curve anyway (the staged
+        # segment is then an uncommitted orphan, reclaimed by vacuum)
+        batch_bounds = _footer_bounds(seg, meta["cols"])
+        if batch_bounds is None:
+            batch_bounds = _freeze_bounds(df, meta["cols"], "zorder_append")
         mf.commit(
             path,
             add={_LAYOUT_DS: [seg]},

@@ -960,3 +960,35 @@ def test_compact_bounds_from_stats_match_scan_and_fall_back(spark, tmp_path):
     assert {
         c: tuple(v) for c, v in zorder_bounds(path)["bounds"].items()
     } == scan_bounds
+
+
+def test_append_stats_from_footers_match_agg(spark, tmp_path):
+    """zorder_append commits the batch's min/max from the staged
+    files' parquet footers; the footer fold equals the aggregation
+    exactly (int stats are never truncated), drift arithmetic on top
+    of them is unchanged, and unusable footers fall back to the agg."""
+    from fintech_etl_spark.operators.layout import (
+        _footer_bounds,
+        _freeze_bounds,
+        zorder_drift,
+    )
+
+    path = str(tmp_path / "lake")
+    zorder_write(
+        _frame(spark), ["x", "y"], path, num_files=4, transactional=True
+    )
+    batch = _frame(spark, n=777, offset=9000).select(
+        "rowid", (F.col("x") + 1500).alias("x"), (F.col("y") - 700).alias("y")
+    )
+    zorder_append(batch, path, num_files=2)
+    seg = mf.dataset_segments(path, _LAYOUT_DS)[-1]
+    st = dict(mf.dataset_segments_with_stats(path, _LAYOUT_DS))[seg]
+    agg = _freeze_bounds(batch, ["x", "y"], "test")
+    assert {c: tuple(v) for c, v in st.items()} == agg
+    assert _footer_bounds(seg, ["x", "y"]) == agg
+    # a column absent from the files is unusable → None (fallback)
+    assert _footer_bounds(seg, ["x", "nope"]) is None
+    # drift over the footer-derived stats reads the true actual box
+    d = zorder_drift(path)
+    assert d["cols"]["x"]["actual"][1] == agg["x"][1]
+    assert not d["unassessed_conservative"]
