@@ -695,6 +695,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   NOT EXISTS other late supplier  ⇔  count(late rows per order) = 1
     #   EXISTS any other supplier       ⇔  order's distinct suppliers ≥ 2
     #     (this row's suppkey is always among them)
+    # Kept as a WINDOW count on purpose: the equivalent hash-agg form
+    # (groupBy(l_orderkey).agg(count, min(l_suppkey)).filter(n=1) —
+    # min IS the sole supplier) measured 1.14× SLOWER at sf0.1
+    # (interleaved min-of-3 fresh-JVM, idle box: 3.08 s vs 2.70 s) —
+    # `late` is already distinct so partial aggregation buys nothing,
+    # and the agg's own exchange costs more than WindowExec's sort.
     n_late = F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
     sole_late = late.withColumn("n_late", n_late).filter(
         F.col("n_late") == 1
