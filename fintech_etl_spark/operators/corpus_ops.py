@@ -230,9 +230,11 @@ _SPAN = 16  # tokens per dedup unit (the "line" of C4's line-level dedup)
     tags=("corpus", "dedup", "text"),
 )
 def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fintech_etl_spark.operators.dedup import spread
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # NO spread() here — the light span-explode kernel loses to the
+    # repartition it pays for (two independent interleaved A/Bs read
+    # the spread form 1.25x/1.38x vs the unspread baseline at sf0.1;
+    # same verdict as the light media kernels' spread audit)
+    docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+")
     base = docs.select(
         "doc_id",
