@@ -478,6 +478,32 @@ def test_dfcap_keeps_verbatim_duplicates(spark):
     assert not missing, f"df-cap lost verbatim dups: {sorted(missing)[:5]}"
 
 
+def test_load_table_schema_memo_is_metadata_only(spark):
+    """The per-session schema memo must change nothing observable:
+    the memoized (second) read carries the identical schema as the
+    inferring (first) read, returns the same rows, and yields fresh
+    attribute ids per call so self-joins stay unambiguous. The events
+    table pins the nanosAsLong-dependent inference path through the
+    memo too."""
+    from fintech_etl_spark.sources.tables import _SCHEMA_MEMO, load_table
+
+    _SCHEMA_MEMO.pop(spark, None)  # force a fresh inference
+    for name in ("lineitem", "events"):
+        first = load_table(spark, SF_SMOKE, name)
+        again = load_table(spark, SF_SMOKE, name)
+        assert first.schema == again.schema
+        assert first.count() == again.count()
+    # distinct reads → distinct attribute ids → a two-call self-join
+    # resolves without ambiguity (the reason we memoize the SCHEMA,
+    # not the resolved DataFrame)
+    a = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    b = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    joined = a.join(b, "o_orderkey")
+    assert joined.count() == a.count()
+
+
 def test_register_views_sql_surface(spark):
     """After register_views, plain spark.sql works against every table
     and agrees with the DataFrame loader."""
