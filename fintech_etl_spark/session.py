@@ -84,6 +84,21 @@ def build_session(
         # planner-level filter pushdown into Python DataSources
         # (sources/inbox.py implements pushFilters)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Partition discovery: above this many paths Spark delegates
+        # leaf-file listing to a distributed job, whose fixed schedule+
+        # collect latency (~0.1-0.2 s) dwarfs a driver-side listing of
+        # O(100) directories on any filesystem. Our manifest-backed
+        # lakes bound what a read ever lists — segments are resolved
+        # from the manifest pointer and each segment holds at most a
+        # few hundred partition dirs by commit granularity — so the
+        # default of 32 fired a listing JOB per segment read (measured
+        # 0.50 s -> 0.17 s on the month-partitioned receipts lake read
+        # at sf0.1). 1024 keeps the distributed path for genuinely
+        # wide layouts (foreign tables, no manifest) where parallel
+        # listing is the right call.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold", "1024"
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
