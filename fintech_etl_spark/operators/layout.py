@@ -841,6 +841,35 @@ def zorder_compact(
     return _footer_rows(seg)
 
 
+def _box_source_bounds(sf_dir: str, li: DataFrame) -> dict:
+    """Exact (l_partkey, l_suppkey) min/max of the SOURCE lineitem
+    table — folded from the parquet footers' column statistics
+    (``_footer_bounds``: int stats are exact and, like the agg, ignore
+    nulls) instead of a full min/max scan job per invocation; any file
+    with unusable stats falls back to the identical aggregation
+    (guide §6: metadata over data — the same fold zorder_append/compact
+    already trust for committed segments). Box arithmetic and the
+    frozen write bounds both consume this, so the values MUST be the
+    table's true min/max — which footer stats are by definition."""
+    cols = ["l_partkey", "l_suppkey"]
+    got = _footer_bounds(os.path.join(sf_dir, "lineitem.parquet"), cols)
+    if got is not None and all(c in got for c in cols):
+        return got
+    return _freeze_bounds(li, cols, "layout_zorder_box_query")
+
+
+def _box_edges(bounds: dict) -> tuple:
+    """The center-quarter box per key from exact integer bounds —
+    Python ``//`` ≡ Spark ``div`` ≡ DuckDB ``//`` (the shared-arithmetic
+    contract the oracle replays)."""
+    plo, phi = bounds["l_partkey"]
+    slo, shi = bounds["l_suppkey"]
+    return (
+        (plo + (phi - plo) * 3 // 8, plo + (phi - plo) * 5 // 8),
+        (slo + (shi - slo) * 3 // 8, slo + (shi - slo) * 5 // 8),
+    )
+
+
 _Z_ORACLE = f"""
     WITH b AS (SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
                       min(l_suppkey) AS slo, max(l_suppkey) AS shi
@@ -948,16 +977,8 @@ def layout_zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
     )
-    b = li.agg(
-        F.min("l_partkey").alias("plo"),
-        F.max("l_partkey").alias("phi"),
-        F.min("l_suppkey").alias("slo"),
-        F.max("l_suppkey").alias("shi"),
-    ).first()
-    p_lo = b.plo + (b.phi - b.plo) * 3 // 8
-    p_hi = b.plo + (b.phi - b.plo) * 5 // 8
-    s_lo = b.slo + (b.shi - b.slo) * 3 // 8
-    s_hi = b.slo + (b.shi - b.slo) * 5 // 8
+    bounds = _box_source_bounds(sf_dir, li)
+    (p_lo, p_hi), (s_lo, s_hi) = _box_edges(bounds)
 
     # materialize the clustered layout (idempotent overwrite, one path
     # per sf_dir) and answer the box from IT, not from the source table
@@ -973,10 +994,7 @@ def layout_zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_partkey", "l_suppkey"],
         path,
         num_files=32,
-        bounds={
-            "l_partkey": (b.plo, b.phi),
-            "l_suppkey": (b.slo, b.shi),
-        },
+        bounds=bounds,
     )
     z = read_zorder(spark, path)
     return z.filter(
@@ -1024,16 +1042,8 @@ def layout_zorder_box_query_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
     )
-    b = li.agg(
-        F.min("l_partkey").alias("plo"),
-        F.max("l_partkey").alias("phi"),
-        F.min("l_suppkey").alias("slo"),
-        F.max("l_suppkey").alias("shi"),
-    ).first()
-    p_lo = b.plo + (b.phi - b.plo) * 3 // 8
-    p_hi = b.plo + (b.phi - b.plo) * 5 // 8
-    s_lo = b.slo + (b.shi - b.slo) * 3 // 8
-    s_hi = b.slo + (b.shi - b.slo) * 5 // 8
+    bounds = _box_source_bounds(sf_dir, li)
+    (p_lo, p_hi), (s_lo, s_hi) = _box_edges(bounds)
 
     # fresh root each invocation: build (replace commit) from 7/8 of
     # the rows, then append the held-out 1/8 as an add commit — the
