@@ -162,6 +162,24 @@ def _cluster_write(
     )
 
 
+def _parquet_files(root: str):
+    """Every data parquet file at ``root`` — which may be a directory
+    tree (segment/layout dirs) OR a single ``.parquet`` FILE (the
+    testdata star tables are plain files; ``os.walk`` on a file yields
+    nothing, which silently turned every footer fold over such a root
+    into its scan fallback)."""
+    if os.path.isfile(root):
+        if root.endswith(".parquet") and not os.path.basename(
+            root
+        ).startswith(("_", ".")):
+            yield root
+        return
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                yield os.path.join(dirpath, f)
+
+
 def _footer_rows(*roots: str) -> int:
     """Exact row count of the parquet files under ``roots`` from their
     FOOTER metadata — a few driver-side file reads instead of a Spark
@@ -171,15 +189,11 @@ def _footer_rows(*roots: str) -> int:
     callers returning "rows written" keep bit-identical values."""
     import pyarrow.parquet as pq
 
-    total = 0
-    for root in roots:
-        for dirpath, _dirs, files in os.walk(root):
-            for f in files:
-                if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                    total += pq.ParquetFile(
-                        os.path.join(dirpath, f)
-                    ).metadata.num_rows
-    return total
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for root in roots
+        for f in _parquet_files(root)
+    )
 
 
 def _footer_bounds(root: str, cols: list[str]) -> dict | None:
@@ -193,32 +207,27 @@ def _footer_bounds(root: str, cols: list[str]) -> dict | None:
     import pyarrow.parquet as pq
 
     out: dict[str, tuple[int, int]] = {}
-    for dirpath, _dirs, files in os.walk(root):
-        for f in files:
-            if not f.endswith(".parquet") or f.startswith(("_", ".")):
-                continue
-            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
-            idx = {
-                md.schema.column(i).name: i for i in range(md.num_columns)
-            }
-            if any(c not in idx for c in cols):
-                return None
-            for rg in range(md.num_row_groups):
-                row_group = md.row_group(rg)
-                for c in cols:
-                    st = row_group.column(idx[c]).statistics
-                    if st is None or not st.has_min_max:
-                        return None
-                    try:
-                        lo, hi = int(st.min), int(st.max)
-                    except (TypeError, ValueError):
-                        return None
-                    cur = out.get(c)
-                    out[c] = (
-                        (lo, hi)
-                        if cur is None
-                        else (min(cur[0], lo), max(cur[1], hi))
-                    )
+    for fpath in _parquet_files(root):
+        md = pq.ParquetFile(fpath).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if any(c not in idx for c in cols):
+            return None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for c in cols:
+                st = row_group.column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                try:
+                    lo, hi = int(st.min), int(st.max)
+                except (TypeError, ValueError):
+                    return None
+                cur = out.get(c)
+                out[c] = (
+                    (lo, hi)
+                    if cur is None
+                    else (min(cur[0], lo), max(cur[1], hi))
+                )
     return out or None
 
 
@@ -855,7 +864,7 @@ def _box_source_bounds(sf_dir: str, li: DataFrame) -> dict:
     got = _footer_bounds(os.path.join(sf_dir, "lineitem.parquet"), cols)
     if got is not None and all(c in got for c in cols):
         return got
-    return _freeze_bounds(li, cols, "layout_zorder_box_query")
+    return _freeze_bounds(li, cols, "box_source_bounds")
 
 
 def _box_edges(bounds: dict) -> tuple:

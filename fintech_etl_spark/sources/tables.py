@@ -41,10 +41,14 @@ def _read_parquet_memoized(spark: SparkSession, path: str) -> DataFrame:
         memo = _SCHEMA_MEMO.setdefault(spark, {})
     except TypeError:  # session not weak-referenceable (mock/stub)
         return spark.read.parquet(path)
-    sch = memo.get(path)
+    # key on the ABSOLUTE path: a relative sf_dir + a later chdir must
+    # not let two different files share one memo entry (a wrong
+    # user-supplied schema silently nulls mismatched columns)
+    key = os.path.abspath(path)
+    sch = memo.get(key)
     if sch is None:
         df = spark.read.parquet(path)
-        memo[path] = df.schema
+        memo[key] = df.schema
         return df
     return spark.read.schema(sch).parquet(path)
 

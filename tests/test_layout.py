@@ -270,3 +270,31 @@ def test_zorder_append_clamps_out_of_range_keys(spark, tmp_path):
     got = spark.read.parquet(zpath)
     assert got.count() == 520
     assert got.filter(F.col("l_partkey") >= 1_000_000).count() == 20
+
+
+def test_footer_folds_handle_plain_file_roots(spark):
+    """The star-schema testdata tables are single parquet FILES, not
+    directories — the footer folds must fold them, not silently return
+    None/0 and fall back to a scan (the round-16 review catch: os.walk
+    on a file yields nothing). Pinned: file-root bounds/rows equal the
+    Spark aggregation bit for bit, and _box_source_bounds takes the
+    fold path (not the _freeze_bounds fallback) on the smoke table."""
+    from fintech_etl_spark.operators.layout import (
+        _box_source_bounds,
+        _footer_bounds,
+        _footer_rows,
+        _freeze_bounds,
+    )
+
+    path = os.path.join(SF_SMOKE, "lineitem.parquet")
+    assert os.path.isfile(path), "precondition: testdata table is a file"
+    cols = ["l_partkey", "l_suppkey"]
+    folded = _footer_bounds(path, cols)
+    assert folded is not None, "file-root fold regressed to None"
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    scanned = _freeze_bounds(li, cols, "test")
+    assert {c: tuple(v) for c, v in folded.items()} == scanned
+    assert _footer_rows(path) == li.count()
+    assert {
+        c: tuple(v) for c, v in _box_source_bounds(SF_SMOKE, li).items()
+    } == scanned
